@@ -1,0 +1,104 @@
+"""Graph catalog — the Spark translation of GDS' GraphStoreCatalog.
+
+The reference registers named graphs in a process-wide catalog keyed by
+(user, db, graphName) (``plugin/.../job/GdsWriteJob.java:437-442``;
+lookup ``GdsReadJob.java:56-60``). Here a catalog entry is a
+:class:`~neo4j_arrow_spark.graph.Graph`; registration optionally caches
+both frames (the "in-memory projection" semantics) and exposes them as
+temp views ``<name>_nodes`` / ``<name>_rels`` so ``spark.sql`` works
+over graphs (the S1 cypher-read capability, SURVEY.md §2.1).
+
+Registration is synchronous — the reference's write-visibility race
+(``README.md:214-218``: job reports done before the catalog entry is
+usable) is deliberately fixed here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from neo4j_arrow_spark.graph import Graph, validate_nodes, validate_rels
+
+
+class GraphNotFound(KeyError):
+    pass
+
+
+class GraphAlreadyExists(ValueError):
+    pass
+
+
+class GraphCatalog:
+    """Process-wide named-graph registry.
+
+    Keyed by (username, database, name) exactly like GraphStoreCatalog
+    (``GdsReadJob.java:56-60``). At 100 TB scale, `cache=True` pins hot
+    graphs in executor memory/disk (`MEMORY_AND_DISK` default of
+    DataFrame.cache), while `cache=False` leaves them as lazy parquet
+    scans — callers choose per graph.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._graphs: dict[tuple[str, str, str], Graph] = {}
+
+    @staticmethod
+    def _key(name: str, database: str, username: str) -> tuple[str, str, str]:
+        return (username, database, name)
+
+    def register(
+        self,
+        name: str,
+        nodes: DataFrame,
+        rels: DataFrame | None = None,
+        *,
+        database: str = "neo4j",
+        username: str = "neo4j",
+        cache: bool = False,
+        overwrite: bool = False,
+        validate: bool = True,
+    ) -> Graph:
+        key = self._key(name, database, username)
+        if key in self._graphs and not overwrite:
+            raise GraphAlreadyExists(f"graph {key} already registered")
+        if validate:
+            validate_nodes(nodes)
+            if rels is not None:
+                validate_rels(rels)
+        if cache:
+            nodes = nodes.cache()
+            if rels is not None:
+                rels = rels.cache()
+        graph = Graph(name=name, nodes=nodes, rels=rels, database=database, username=username)
+        self._graphs[key] = graph
+        nodes.createOrReplaceTempView(f"{name}_nodes")
+        if rels is not None:
+            rels.createOrReplaceTempView(f"{name}_rels")
+        return graph
+
+    def get(self, name: str, database: str = "neo4j", username: str = "neo4j") -> Graph:
+        key = self._key(name, database, username)
+        try:
+            return self._graphs[key]
+        except KeyError:
+            raise GraphNotFound(f"no graph {key}; have {sorted(self._graphs)}") from None
+
+    def drop(self, name: str, database: str = "neo4j", username: str = "neo4j") -> None:
+        key = self._key(name, database, username)
+        graph = self._graphs.pop(key, None)
+        if graph is None:
+            raise GraphNotFound(f"no graph {key}")
+        # release hook parity: ArrowGraphStore.java:19-32 unpins memory
+        graph.nodes.unpersist()
+        if graph.rels is not None:
+            graph.rels.unpersist()
+        self.spark.catalog.dropTempView(f"{name}_nodes")
+        if graph.rels is not None:
+            self.spark.catalog.dropTempView(f"{name}_rels")
+
+    def list(self) -> list[tuple[str, str, str]]:
+        """list_flights parity (Producer.java:412-416): enumerate streams."""
+        return sorted(self._graphs)
+
+    def __contains__(self, name: str) -> bool:
+        return any(k[2] == name for k in self._graphs)

@@ -1,0 +1,126 @@
+"""S5 — k-hop (k=2) subgraph expansion.
+
+Reference semantics (``plugin/src/main/java/org/neo4j/arrow/gds/
+KHop.java:93-155``, orchestration ``GdsReadJob.java:110-233``, k fixed
+at 2 ``GdsReadJob.java:70-72,115``): for EVERY node, emit the distinct
+directed-edge set of its 2-hop neighborhood over the *undirected*
+logical view of the projection. Per the documented golden example
+(``KHOP.md:105-124``) that set is exactly::
+
+    edges(o) = { (s,d) ∈ E : s ∈ N*(o) or d ∈ N*(o) }
+
+where ``N*(o) = {o} ∪ undirected-neighbors(o)`` — an edge is within two
+hops of ``o`` iff one endpoint is within one hop. Reverse-duplicate
+suppression (``KHop.java:129-133,151-154`` + ``Edge.isNatural``) is
+subsumed by operating on the distinct directed edge set.
+
+Spark plan (all equi-joins; no disjunctive join, no per-row traversal):
+
+1. ``E`` = distinct (src, dst) after the optional type filter;
+2. ``members(origin, member)`` = undirected adjacency ∪ identity;
+3. ``incident(member, src, dst)`` = each edge keyed by both endpoints;
+4. 2-hop set = ``members ⋈ incident ON member``, distinct
+   (origin, src, dst).
+
+Scale notes: the join shuffles on ``member``; a supernode (the
+reference's SuperNodeCache concern, ``KHop.java:24-81``, math
+``KHOP.md:157-184``) makes both sides skewed on its id — AQE
+skew-join splitting handles moderate skew, and the output size
+Σ_o Σ_{m∈N*(o)} deg(m) is inherent to the operator, not a plan
+artifact. The reference caps row width instead: lists chunked to
+``ARROW_MAX_LIST_SIZE``=2048 (``Config.java:73-75``) — mirrored by
+``list_size`` in :func:`khop`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from neo4j_arrow_spark.graph import NodeField, RelField
+
+DEFAULT_LIST_SIZE = 2048  # ARROW_MAX_LIST_SIZE, Config.java:73-75
+
+
+def _distinct_edges(rels: DataFrame, filters: Sequence[str] | None) -> DataFrame:
+    e = rels
+    if filters:
+        e = e.filter(F.col(RelField.TYPE).isin(list(filters)))
+    return (
+        e.select(
+            F.col(RelField.START_ID).alias("src"),
+            F.col(RelField.END_ID).alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def khop_flat(
+    nodes: DataFrame,
+    rels: DataFrame,
+    filters: Sequence[str] | None = None,
+) -> DataFrame:
+    """Flat 2-hop edge sets: one row per (origin, src, dst).
+
+    ``nodes`` supplies the origin universe ("for every node",
+    GdsReadJob.java:128-135); isolated nodes yield no rows (the
+    reference emits nothing for empty neighborhoods either —
+    KHop.java:99-104 exits before producing).
+    """
+    edges = _distinct_edges(rels, filters)
+
+    origins = nodes.select(F.col(NodeField.ID).alias("origin"))
+    neighbors = (
+        edges.select(F.col("src").alias("origin"), F.col("dst").alias("member"))
+        .unionByName(edges.select(F.col("dst").alias("origin"), F.col("src").alias("member")))
+        .dropDuplicates(["origin", "member"])
+    )
+    members = origins.select(
+        F.col("origin"), F.col("origin").alias("member")
+    ).unionByName(neighbors.join(origins, "origin", "left_semi"))
+
+    incident = (
+        edges.select(F.col("src").alias("member"), "src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("member"), "src", "dst"))
+        .dropDuplicates(["member", "src", "dst"])
+    )
+
+    return (
+        members.join(incident, "member")
+        .select("origin", "src", "dst")
+        .dropDuplicates(["origin", "src", "dst"])
+    )
+
+
+def khop(
+    nodes: DataFrame,
+    rels: DataFrame,
+    filters: Sequence[str] | None = None,
+    list_size: int = DEFAULT_LIST_SIZE,
+) -> DataFrame:
+    """Reference wire shape: ``(_origin_id_ int, _source_ids_
+    array<int>, _target_ids_ array<int>)`` (``SubGraphRecord.java:
+    10-31``, observed schema ``KHOP.md:137-150``), per-origin edge list
+    chunked into rows of at most ``list_size`` pairs (batch splitting is
+    nondeterministic in the reference too — ``KHOP.md:125-128`` — so
+    only the flattened set is contract).
+    """
+    flat = khop_flat(nodes, rels, filters)
+    w = Window.partitionBy("origin").orderBy("src", "dst")
+    chunked = flat.withColumn(
+        "_chunk", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(list_size))
+    )
+    return (
+        chunked.groupBy("origin", "_chunk")
+        .agg(
+            F.collect_list("src").alias("_source_ids_"),
+            F.collect_list("dst").alias("_target_ids_"),
+        )
+        .select(
+            F.col("origin").cast("int").alias("_origin_id_"),
+            "_source_ids_",
+            "_target_ids_",
+        )
+    )

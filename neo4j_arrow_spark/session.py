@@ -1,0 +1,69 @@
+"""SparkSession factory tuned for this engine.
+
+The reference tunes throughput with ``ARROW_BATCH_SIZE`` /
+``ARROW_MAX_PARTITIONS`` knobs (``src/main/java/org/neo4j/arrow/
+Config.java:58-66``). The Spark equivalents are shuffle-partition count,
+Arrow batch size, and AQE; we set scale-safe defaults here and let the
+caller override anything via ``extra_conf``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults chosen for correctness-at-scale first:
+#: - AQE on (runtime coalesce + skew-join mitigation — replaces the
+#:   reference's hand-rolled supernode cache for the common case),
+#: - Arrow transfers on (the reference's whole value prop is columnar
+#:   transport; Spark's Arrow path is the native equivalent),
+#: - UTC session TZ (oracle comparisons; DuckDB timestamps are UTC-naive).
+_BASE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": "32",
+    # parquet scans: allow vectorized reader + pushdown (defaults, pinned
+    # explicitly because the bench depends on them)
+    "spark.sql.parquet.filterPushdown": "true",
+    # the driver's events table carries timestamp[ns]; Spark's reader
+    # rejects TIMESTAMP(NANOS) unless read as long (converted to a real
+    # timestamp in sources.tpch.load_table)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_session(
+    app_name: str = "neo4j_arrow_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    for the test/bench environment; on a real cluster pass ``None`` with
+    a pre-configured environment and the builder leaves master alone.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_BASE_CONF)
+    if master.startswith("local"):
+        # single-JVM: driver memory is the only knob; leave headroom.
+        conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,59 @@
+"""Loaders for the driver-provided parquet tables (TESTDATA.md).
+
+Plain ``spark.read.parquet`` — Catalyst gets full pushdown/pruning into
+the scan. At 100 TB these would be partitioned/bucketed lakehouse
+tables; the loader API stays the same.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is parquet TIMESTAMP(NANOS): read as long nanos
+    # (spark.sql.legacy.parquet.nanosAsLong) and truncate to a µs
+    # timestamp — the same truncation DuckDB applies casting ns→µs,
+    # keeping oracle comparisons exact.
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES) -> None:
+    """Expose the tables as temp views for spark.sql (S1 capability)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

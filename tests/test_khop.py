@@ -1,0 +1,72 @@
+"""Golden test: the reference's documented 2-hop example (KHOP.md:4-150,
+fixture reproduced in FIXTURES.md F3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from neo4j_arrow_spark.operators.khop import khop, khop_flat
+
+EDGES = [(0, 1), (0, 2), (0, 3), (1, 0), (1, 2), (1, 3), (4, 1), (5, 4)]
+
+EXPECTED = {
+    0: {(0, 1), (1, 0), (1, 2), (1, 3), (4, 1), (0, 2), (0, 3)},
+    1: {(1, 0), (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (4, 1), (5, 4)},
+    2: {(0, 1), (0, 2), (0, 3), (1, 0), (1, 2), (1, 3), (4, 1)},
+    3: {(0, 1), (0, 2), (0, 3), (1, 0), (1, 2), (1, 3), (4, 1)},
+    4: {(4, 1), (1, 0), (1, 2), (1, 3), (0, 1), (5, 4)},
+    5: {(5, 4), (4, 1)},
+}
+
+
+@pytest.fixture(scope="module")
+def golden(spark):
+    nodes = spark.createDataFrame(
+        [(i, ["User"]) for i in range(6)], "ID long, LABELS array<string>"
+    )
+    rels = spark.createDataFrame(
+        [(s, d, "FOLLOWS", 1.0) for s, d in EDGES],
+        "START_ID long, END_ID long, TYPE string, weight double",
+    )
+    return nodes, rels
+
+
+def test_khop_flat_golden(golden):
+    nodes, rels = golden
+    out = khop_flat(nodes, rels)
+    got: dict[int, set] = {}
+    for r in out.collect():
+        got.setdefault(r.origin, set()).add((r.src, r.dst))
+    assert got == EXPECTED
+
+
+def test_khop_wire_shape_and_chunking(golden):
+    nodes, rels = golden
+    out = khop(nodes, rels, list_size=3)
+    assert out.columns == ["_origin_id_", "_source_ids_", "_target_ids_"]
+    flattened: dict[int, set] = {}
+    for r in out.collect():
+        assert len(r._source_ids_) == len(r._target_ids_) <= 3
+        flattened.setdefault(r._origin_id_, set()).update(
+            zip(r._source_ids_, r._target_ids_)
+        )
+    assert flattened == EXPECTED
+
+
+def test_khop_type_filter(golden):
+    nodes, rels = golden
+    # no edges of that type -> empty result, no error
+    assert khop_flat(nodes, rels, filters=["NOPE"]).count() == 0
+
+
+def test_khop_dedups_parallel_edges(spark):
+    nodes = spark.createDataFrame([(i, ["U"]) for i in range(2)], "ID long, LABELS array<string>")
+    rels = spark.createDataFrame(
+        [(0, 1, "A", 1.0), (0, 1, "A", 2.0), (0, 1, "B", 3.0)],
+        "START_ID long, END_ID long, TYPE string, weight double",
+    )
+    out = khop_flat(nodes, rels)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.origin, set()).add((r.src, r.dst))
+    assert got == {0: {(0, 1)}, 1: {(0, 1)}}
