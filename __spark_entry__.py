@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
+Thin adapter over :mod:`neo4j_arrow_spark.queries` — the engine's query
+registry. The driver's verify runs ``entry(spark)`` as a smoke check,
+runs each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import neo4j_arrow_spark.queries as _q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: stream the embedding
+    property for all labeled nodes — the reference's headline benchmark
+    workload (speed/26-aug-2021/README.md:73-88) as a GDS node scan."""
+    from pyspark.sql import functions as F
+
+    from neo4j_arrow_spark.operators.node_scan import gds_nodes
+    from neo4j_arrow_spark.sources.tpch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    nodes = emb.select(
+        F.col("vec_id").cast("long").alias("ID"),
+        F.array(F.lit("Embedding")).alias("LABELS"),
+        F.col("embedding"),
+    )
+    return gds_nodes(nodes, properties=["embedding"], filters=["Embedding"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

@@ -1,0 +1,325 @@
+"""Driver-contract query registry.
+
+Every implemented operator from SURVEY.md §2 gets a named query here:
+a Spark callable ``(spark, sf_dir) -> DataFrame`` plus (where
+SQL-expressible) a DuckDB oracle string over the raw parquet views.
+Column names/aliases are identical on both sides — the driver's compare
+sorts columns by name before hashing.
+
+Cross-engine determinism rules used throughout:
+- double aggregates are ``round(x, 2)``-ed on both sides (FP sums of
+  2-decimal inputs land back on the exact 2-decimal value);
+- arrays in compared output are rendered as sorted comma-joined strings
+  (list/array stringification differs between engines);
+- no LIMIT without a total deterministic order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo4j_arrow_spark.operators.khop import khop_flat
+from neo4j_arrow_spark.operators.node_scan import gds_nodes
+from neo4j_arrow_spark.operators.rel_scan import gds_relationships
+from neo4j_arrow_spark.sources.tpch import load_table, load_tables
+from neo4j_arrow_spark.sources.tpch_graph import (
+    NODES_SQL,
+    RELS_SQL,
+    graph_frames_from_tpch,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    tables = load_tables(
+        spark, sf_dir, ("customer", "supplier", "nation", "orders", "lineitem")
+    )
+    return graph_frames_from_tpch(spark, tables)
+
+
+# --------------------------------------------------------------------------
+# S3 — GDS node scan (label filter + projection)
+# --------------------------------------------------------------------------
+
+@query(
+    "gds_node_scan",
+    oracle=f"""
+    WITH nodes AS ({NODES_SQL})
+    SELECT ID,
+           array_to_string(LABELS, ',') AS labels,
+           name,
+           acctbal
+    FROM nodes
+    WHERE list_contains(LABELS, 'Customer')
+    """,
+)
+def gds_node_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-filtered, property-projected node scan (GdsReadJob.java:362-432)."""
+    nodes, _ = _graph(spark, sf_dir)
+    out = gds_nodes(nodes, properties=["name", "acctbal"], filters=["Customer"])
+    # label-set -> comma-joined string is a reference scalar function
+    # (GdsNodeRecord.java:84-116) and keeps array stringification out of
+    # the hash comparison.
+    return out.select(
+        "ID", F.concat_ws(",", "LABELS").alias("labels"), "name", "acctbal"
+    )
+
+
+@query(
+    "gds_node_scan_embeddings",
+    oracle="""
+    SELECT vec_id AS ID,
+           'Embedding' AS label,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def gds_node_scan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline workload: stream an embedding property for
+    all nodes (speed/26-aug-2021/README.md:73-88). Compared via l2 norm
+    + dim (array hashing differs across engines); the raw array scan is
+    the bench query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nodes = emb.select(
+        F.col("vec_id").cast("long").alias("ID"),
+        F.array(F.lit("Embedding")).alias("LABELS"),
+        F.col("embedding"),
+    )
+    out = gds_nodes(nodes, properties=["embedding"], filters=["Embedding"])
+    return out.select(
+        "ID",
+        F.lit("Embedding").alias("label"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            4,
+        ).alias("norm"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S4 — GDS relationship scan (type filter + property melt)
+# --------------------------------------------------------------------------
+
+@query(
+    "gds_rel_scan",
+    oracle=f"""
+    WITH rels AS ({RELS_SQL})
+    SELECT START_ID, END_ID, TYPE,
+           'weight' AS property,
+           weight AS value
+    FROM rels
+    WHERE TYPE = 'BUYS_FROM'
+    """,
+)
+def gds_rel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form rel scan: one row per (edge x property)
+    (GdsRelationshipRecord.java:71-73)."""
+    _, rels = _graph(spark, sf_dir)
+    return gds_relationships(rels, properties=["weight"], filters=["BUYS_FROM"])
+
+
+# --------------------------------------------------------------------------
+# S5 — k-hop (k=2) subgraph expansion
+# --------------------------------------------------------------------------
+
+@query(
+    "khop_in_nation",
+    oracle=f"""
+    WITH nodes AS ({NODES_SQL}),
+    rels AS ({RELS_SQL}),
+    edges AS (
+        SELECT DISTINCT START_ID AS src, END_ID AS dst
+        FROM rels WHERE TYPE = 'IN_NATION'
+    ),
+    neighbors AS (
+        SELECT src AS origin, dst AS member FROM edges
+        UNION
+        SELECT dst AS origin, src AS member FROM edges
+    ),
+    members AS (
+        SELECT ID AS origin, ID AS member FROM nodes
+        UNION
+        SELECT n.origin, n.member
+        FROM neighbors n JOIN nodes ON n.origin = nodes.ID
+    ),
+    incident AS (
+        SELECT src AS member, src, dst FROM edges
+        UNION
+        SELECT dst AS member, src, dst FROM edges
+    )
+    SELECT DISTINCT m.origin AS origin, i.src AS src, i.dst AS dst
+    FROM members m JOIN incident i ON m.member = i.member
+    """,
+)
+def khop_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop edge sets over the IN_NATION subgraph, flat form (KHOP.md
+    semantics; chunked wire shape exercised in tests/bench)."""
+    nodes, rels = _graph(spark, sf_dir)
+    return khop_flat(nodes, rels, filters=["IN_NATION"])
+
+
+# --------------------------------------------------------------------------
+# Aggregation-shaped ops (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+@query(
+    "degree_histogram",
+    oracle=f"""
+    WITH rels AS ({RELS_SQL}),
+    degrees AS (
+        SELECT START_ID AS node, count(*) AS degree
+        FROM rels GROUP BY START_ID
+    )
+    SELECT CAST(floor(log10(degree)) AS BIGINT) AS magnitude,
+           count(*) AS n_nodes,
+           sum(degree) AS total_degree
+    FROM degrees
+    GROUP BY 1
+    """,
+)
+def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree -> log10-magnitude histogram — the reference's supernode
+    detector (KHop.java:30-54)."""
+    _, rels = _graph(spark, sf_dir)
+    degrees = rels.groupBy(F.col("START_ID").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    return degrees.groupBy(
+        F.floor(F.log10("degree")).cast("long").alias("magnitude")
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("degree").alias("total_degree"),
+    )
+
+
+@query(
+    "adjacency_build",
+    oracle=f"""
+    WITH rels AS ({RELS_SQL})
+    SELECT TYPE, START_ID,
+           array_to_string(list_sort(list(END_ID)), ',') AS targets,
+           count(*) AS degree
+    FROM rels
+    WHERE TYPE = 'IN_NATION'
+    GROUP BY TYPE, START_ID
+    """,
+)
+def adjacency_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 parity: sorted adjacency-list build (GdsWriteJob.java:498-537)."""
+    _, rels = _graph(spark, sf_dir)
+    return (
+        rels.filter(F.col("TYPE") == "IN_NATION")
+        .groupBy("TYPE", "START_ID")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("END_ID"))).alias("targets"),
+            F.count("*").alias("degree"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# S1 — SQL read over registered views (cypher_read -> spark.sql)
+# --------------------------------------------------------------------------
+
+_PRICING_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_pricing_summary", oracle=_PRICING_SQL)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary via spark.sql over registered
+    views — the cypher_read capability re-expressed (SURVEY §2.1 S1)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PRICING_SQL)
+
+
+_REVENUE_BY_NATION_SQL = """
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT c_custkey) AS n_customers
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@query("sql_revenue_by_nation", oracle=_REVENUE_BY_NATION_SQL)
+def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join aggregate (Q5-shaped). nation is broadcast-size at any
+    SF; customer/orders join goes through AQE."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_REVENUE_BY_NATION_SQL)
+
+
+_EVENTS_WINDOW_SQL = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_window_agg", oracle=_EVENTS_WINDOW_SQL)
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate over the events table — the batch twin
+    of the Structured-Streaming ingest (SURVEY §2.8 extension)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "5 minutes").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -1,0 +1,105 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column
+names, and exact values (order-insensitive: columns sorted by name,
+rows sorted by all columns). Exact equality is the bar — if this
+passes, a value-hash comparison passes too.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(name: str, spark_df, duck_df: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    sp = normalize(spark_df.toPandas())
+    du = normalize(duck_df)
+    if list(sp.columns) != list(du.columns):
+        problems.append(f"columns differ: spark={list(sp.columns)} duck={list(du.columns)}")
+        return problems
+    if len(sp) != len(du):
+        problems.append(f"row count differs: spark={len(sp)} duck={len(du)}")
+        return problems
+    for col in sp.columns:
+        a, b = sp[col], du[col]
+        try:
+            pd.testing.assert_series_equal(
+                a, b, check_dtype=False, check_exact=True, check_names=False
+            )
+        except AssertionError as e:
+            diff = (a != b) & ~(a.isna() & b.isna())
+            n_bad = int(diff.sum())
+            sample = ""
+            if n_bad:
+                i = diff[diff].index[0]
+                sample = f" first diff @{i}: spark={a[i]!r} duck={b[i]!r}"
+            problems.append(f"column {col}: {n_bad} mismatches.{sample}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from neo4j_arrow_spark.queries import oracle_sql, queries
+    from neo4j_arrow_spark.session import get_session
+
+    spark = get_session("oracle-check")
+    con = duck_connection(sf_dir)
+    qs, oracles = queries(), oracle_sql()
+
+    failed = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            n = fn(spark, sf_dir).count()
+            print(f"[rows-only] {name}: {n} rows")
+            continue
+        spark_df = fn(spark, sf_dir)
+        duck_df = con.execute(oracles[name]).fetchdf()
+        problems = compare(name, spark_df, duck_df)
+        if problems:
+            failed.append(name)
+            print(f"[FAIL] {name}")
+            for p in problems:
+                print(f"       {p}")
+        else:
+            print(f"[ok]   {name}: {len(duck_df)} rows hash-equal")
+    print(f"\n{len(failed)} failures" if failed else "\nall oracle checks passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
