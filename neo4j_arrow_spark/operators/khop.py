@@ -61,6 +61,7 @@ def khop_flat(
     nodes: DataFrame,
     rels: DataFrame,
     filters: Sequence[str] | None = None,
+    origins_complete: bool = True,
 ) -> DataFrame:
     """Flat 2-hop edge sets: one row per (origin, src, dst).
 
@@ -68,30 +69,55 @@ def khop_flat(
     GdsReadJob.java:128-135); isolated nodes yield no rows (the
     reference emits nothing for empty neighborhoods either —
     KHop.java:99-104 exits before producing).
+
+    ``origins_complete=True`` (the reference's only mode: k-hop runs
+    over ALL graph nodes) asserts every edge endpoint is an origin,
+    which lets the plan skip a semi-join shuffle against ``nodes``.
+    Pass False when ``nodes`` is a strict subset of the endpoints.
+
+    Shuffle budget (the thing that matters at 100 TB): exactly four —
+    edge dedup, member dedup, the member equi-join, and the final
+    output dedup. ``incident`` is constructed duplicate-free (edges are
+    distinct and the dst-keyed copy excludes self-loops), so it needs
+    no shuffle; AQE skew-join splits hot members (supernodes).
     """
     edges = _distinct_edges(rels, filters)
 
-    origins = nodes.select(F.col(NodeField.ID).alias("origin"))
-    neighbors = (
-        edges.select(F.col("src").alias("origin"), F.col("dst").alias("member"))
-        .unionByName(edges.select(F.col("dst").alias("origin"), F.col("src").alias("member")))
-        .dropDuplicates(["origin", "member"])
+    identity = nodes.select(
+        F.col(NodeField.ID).alias("origin"), F.col(NodeField.ID).alias("member")
     )
-    members = origins.select(
-        F.col("origin"), F.col("origin").alias("member")
-    ).unionByName(neighbors.join(origins, "origin", "left_semi"))
+    pairs = edges.select(
+        F.col("src").alias("origin"), F.col("dst").alias("member")
+    ).unionByName(
+        edges.select(F.col("dst").alias("origin"), F.col("src").alias("member"))
+    )
+    members = identity.unionByName(pairs).dropDuplicates(["origin", "member"])
+    if not origins_complete:
+        members = members.join(
+            nodes.select(F.col(NodeField.ID).alias("origin")), "origin", "left_semi"
+        )
 
-    incident = (
-        edges.select(F.col("src").alias("member"), "src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("member"), "src", "dst"))
-        .dropDuplicates(["member", "src", "dst"])
+    # Duplicate-free decomposition — the output NEVER shuffles:
+    #   A  = edges whose src is a member of N*(o)     (unique per origin:
+    #        members is unique on (origin,member), edges on (src,dst))
+    #   B  = edges whose dst is a member, minus self-loops (unique too)
+    #   A ∩ B = edges with BOTH endpoints in N*(o) → remove from B via
+    #   an anti-join on (origin, src) against members.
+    # A ∪ B' is then a disjoint union — no final dropDuplicates, so the
+    # (potentially enormous) 2-hop output avoids its own shuffle; only
+    # the small member/edge frames ever exchange.
+    inc_src = edges.select(F.col("src").alias("member"), "src", "dst")
+    inc_dst = edges.filter(F.col("src") != F.col("dst")).select(
+        F.col("dst").alias("member"), "src", "dst"
     )
-
-    return (
-        members.join(incident, "member")
-        .select("origin", "src", "dst")
-        .dropDuplicates(["origin", "src", "dst"])
+    a = members.join(inc_src, "member").select("origin", "src", "dst")
+    b = members.join(inc_dst, "member").select("origin", "src", "dst")
+    b_only = b.join(
+        members.select("origin", F.col("member").alias("src")),
+        ["origin", "src"],
+        "left_anti",
     )
+    return a.unionByName(b_only)
 
 
 def khop(
