@@ -1,0 +1,188 @@
+"""Client-API facade — 1:1 capability mapping of the reference's Python
+client (``python/neo4j_arrow.py:94-467``, class ``Neo4jArrow``).
+
+Method names, parameter names, and async-ticket semantics mirror the
+client so a reference user can switch: ``cypher`` (SQL in v1 — the
+query language is Spark SQL, SURVEY.md §7.1), ``gds_nodes``,
+``gds_relationships``, ``khop``, ``gds_write_nodes``,
+``gds_write_relationships``, ``bulk_import``, ``job_status``,
+``wait_for_job``, ``stream``/``stream_to_pandas``, ``list_flights``.
+The Flight transport disappears: "streams" are DataFrames and the
+Arrow hop to Python is Spark's native Arrow path (``toPandas`` /
+``toArrow``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from neo4j_arrow_spark.catalog import GraphCatalog
+from neo4j_arrow_spark.graph import NodeField, RelField
+from neo4j_arrow_spark.jobs import Job, JobRegistry
+from neo4j_arrow_spark.operators import ingest, node_scan, rel_scan
+from neo4j_arrow_spark.operators.khop import DEFAULT_LIST_SIZE
+from neo4j_arrow_spark.operators.khop import khop as khop_fn
+
+
+class Neo4jArrowSpark:
+    """The engine's user-facing entry point.
+
+    Usernames are plumbed for catalog authorization parity
+    (NativeAuthValidator.java:27-121 makes the peer identity the
+    catalog key); there is no password check — authn belongs to the
+    Spark deployment, not the library.
+    """
+
+    def __init__(self, spark: SparkSession, username: str = "neo4j", database: str = "neo4j"):
+        self.spark = spark
+        self.username = username
+        self.database = database
+        self.catalog = GraphCatalog(spark)
+        self.registry = JobRegistry()
+
+    # -- reads -------------------------------------------------------------
+
+    def cypher(self, query: str, database: str | None = None, params: dict | None = None) -> Job:
+        """S1 — submit a query job. v1 accepts Spark SQL over the
+        registered graph views (``<graph>_nodes`` / ``<graph>_rels``);
+        the reference's Cypher validation-only parse
+        (CypherMessage.java:36-52) has no Spark analogue worth keeping.
+        ``params`` are literal substitutions via SQL named parameters."""
+        if params:
+            return self.registry.submit(
+                "cypher.read", lambda: self.spark.sql(query, args=params)
+            )
+        return self.registry.submit("cypher.read", lambda: self.spark.sql(query))
+
+    def gds_nodes(
+        self,
+        graph: str,
+        database: str | None = None,
+        properties: Sequence[str] | None = None,
+        filters: Sequence[str] | None = None,
+        node_id: str | None = None,
+    ) -> Job:
+        """S3 (client: neo4j_arrow.py:182-198)."""
+        g = self.catalog.get(graph, database or self.database, self.username)
+        return self.registry.submit(
+            "gds.read/node",
+            lambda: node_scan.gds_nodes(g.nodes, properties, filters, node_id),
+        )
+
+    def gds_relationships(
+        self,
+        graph: str,
+        database: str | None = None,
+        properties: Sequence[str] | None = None,
+        filters: Sequence[str] | None = None,
+    ) -> Job:
+        """S4 (client: neo4j_arrow.py:228-254)."""
+        g = self.catalog.get(graph, database or self.database, self.username)
+        return self.registry.submit(
+            "gds.read/relationship",
+            lambda: rel_scan.gds_relationships(g.rels, properties, filters),
+        )
+
+    def khop(
+        self,
+        graph: str,
+        database: str | None = None,
+        filters: Sequence[str] | None = None,
+        list_size: int = DEFAULT_LIST_SIZE,
+    ) -> Job:
+        """S5 (client: neo4j_arrow.py:256-279; k fixed at 2,
+        GdsReadJob.java:70-72)."""
+        g = self.catalog.get(graph, database or self.database, self.username)
+        return self.registry.submit(
+            "gds.read/khop",
+            lambda: khop_fn(g.nodes, g.rels, filters, list_size),
+        )
+
+    # -- writes ------------------------------------------------------------
+
+    def gds_write_nodes(
+        self,
+        graph: str,
+        nodes: DataFrame,
+        id_field: str = NodeField.ID,
+        labels_field: str = NodeField.LABELS,
+        database: str | None = None,
+    ) -> Job:
+        """K1 (client: neo4j_arrow.py:200-211). Synchronous catalog
+        visibility on COMPLETE — fixes README.md:214-218."""
+        def run() -> DataFrame:
+            g = ingest.gds_write_nodes(
+                self.catalog, graph, nodes, id_field, labels_field,
+                database=database or self.database,
+            )
+            return g.nodes
+
+        return self.registry.submit("gds.write.nodes", run)
+
+    def gds_write_relationships(
+        self,
+        graph: str,
+        rels: DataFrame,
+        source_field: str = RelField.START_ID,
+        target_field: str = RelField.END_ID,
+        type_field: str = RelField.TYPE,
+        database: str | None = None,
+    ) -> Job:
+        """K2 (client: neo4j_arrow.py:213-226)."""
+        def run() -> DataFrame:
+            g = ingest.gds_write_relationships(
+                self.catalog, graph, rels, source_field, target_field, type_field,
+                database=database or self.database,
+            )
+            return g.rels
+
+        return self.registry.submit("gds.write.relationships", run)
+
+    def bulk_import(
+        self,
+        database: str,
+        database_path: str,
+        nodes: DataFrame,
+        rels: DataFrame,
+        **fields,
+    ) -> Job:
+        """K3 (client: neo4j_arrow.py:454-467)."""
+        def run() -> DataFrame:
+            g = ingest.bulk_import(
+                self.spark, self.catalog, database_path, nodes, rels,
+                database_name=database, **fields,
+            )
+            return g.nodes
+
+        return self.registry.submit("import.bulk", run)
+
+    # -- control plane -----------------------------------------------------
+
+    def job_status(self, ticket: str) -> str:
+        return self.registry.status(ticket)
+
+    def jobs(self) -> dict[str, str]:
+        return self.registry.jobs()
+
+    def version(self) -> dict[str, str]:
+        return self.registry.version()
+
+    def wait_for_job(self, ticket: str, timeout: float = 60.0) -> bool:
+        return self.registry.get(ticket).wait(timeout)
+
+    def list_flights(self) -> list[tuple[str, str, str]]:
+        """S7 — stream discovery (Producer.java:412-416)."""
+        return self.catalog.list()
+
+    # -- streams -----------------------------------------------------------
+
+    def stream(self, job: Job, timeout: float | None = None) -> DataFrame:
+        """do_get parity: the 'stream' is the job's DataFrame."""
+        return job.result(timeout)
+
+    def stream_to_pandas(self, job: Job, timeout: float | None = None):
+        """Client-side table materialization (neo4j_arrow.py:313-323
+        stream().read_all()) via Spark's Arrow-batched collect."""
+        return job.result(timeout).toPandas()

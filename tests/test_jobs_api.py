@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+import pytest
+
+from neo4j_arrow_spark.api import Neo4jArrowSpark
+from neo4j_arrow_spark.jobs import JobRegistry, JobStatus
+from neo4j_arrow_spark.sources.tpch import load_tables
+from neo4j_arrow_spark.sources.tpch_graph import graph_frames_from_tpch
+
+
+@pytest.fixture(scope="module")
+def client(spark, sf_dir):
+    client = Neo4jArrowSpark(spark)
+    tables = load_tables(spark, sf_dir, ("customer", "supplier", "nation", "orders", "lineitem"))
+    nodes, rels = graph_frames_from_tpch(spark, tables)
+    client.catalog.register("tpch", nodes, rels)
+    return client
+
+
+def test_job_lifecycle(spark):
+    reg = JobRegistry()
+    job = reg.submit("test", lambda: spark.range(10))
+    df = job.result(timeout=30)
+    assert df.count() == 10
+    assert reg.status(job.ticket) == "COMPLETE"
+    assert job.ticket in reg.jobs()
+
+
+def test_job_error_state(spark):
+    reg = JobRegistry()
+
+    def boom():
+        raise RuntimeError("kaput")
+
+    job = reg.submit("test", boom)
+    job.wait(30)
+    assert job.status is JobStatus.ERROR
+    with pytest.raises(RuntimeError, match="kaput"):
+        job.result(1)
+
+
+def test_client_gds_nodes(client):
+    job = client.gds_nodes("tpch", properties=["acctbal"], filters=["Customer"])
+    df = client.stream(job, timeout=60)
+    assert df.columns == ["ID", "LABELS", "acctbal"]
+    assert df.count() == 150
+
+
+def test_client_cypher_sql(client):
+    job = client.cypher("SELECT count(*) AS n FROM tpch_rels WHERE TYPE = 'IN_NATION'")
+    assert client.stream_to_pandas(job, timeout=60)["n"][0] == 160
+
+
+def test_client_khop_and_status(client):
+    job = client.khop("tpch", filters=["IN_NATION"])
+    df = client.stream(job, timeout=120)
+    assert df.columns == ["_origin_id_", "_source_ids_", "_target_ids_"]
+    assert client.job_status(job.ticket) == "COMPLETE"
+    assert client.version()["name"] == "neo4j_arrow_spark"
+    assert ("neo4j", "neo4j", "tpch") in client.list_flights()
+
+
+def test_client_write_roundtrip(spark, client):
+    nodes = spark.createDataFrame(
+        [(10, ["X"]), (11, ["X"])], "ID long, LABELS array<string>"
+    )
+    rels = spark.createDataFrame(
+        [(10, 11, "R")], "START_ID long, END_ID long, TYPE string"
+    )
+    j1 = client.gds_write_nodes("wgraph", nodes)
+    j1.result(60)
+    j2 = client.gds_write_relationships("wgraph", rels)
+    j2.result(60)
+    # synchronous visibility: catalog usable the moment the job completes
+    assert client.catalog.get("wgraph").rel_count() == 1
