@@ -1,0 +1,122 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure Catalyst expressions (no UDFs — these run in whole-stage
+codegen over string columns, the cheapest possible form at 100 TB),
+and all deterministic/DuckDB-reproducible for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from neo4j_arrow_spark.functions.hashing import hash64
+from neo4j_arrow_spark.functions.textfns import tokens
+
+#: Tiny per-language stopword lists for the n-gram/stopword vote.
+#: Deliberately small: each word is matched as a whole token.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "is", "of", "to", "a", "in"),
+    "es": ("el", "la", "de", "que", "y", "los", "es"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+}
+
+#: BPE-ish token pattern: letter runs, digit runs, single symbols —
+#: identical regex semantics in Spark (Java regex) and DuckDB (RE2).
+BPEISH_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r]"
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens are in the stopword list (multiset count)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> Column:
+    """Predicted language: CJK-codepoint presence short-circuits to
+    'zh'; otherwise the stopword vote with deterministic tie-break
+    (highest count, then alphabetical language code); no hits → 'und'.
+    """
+    toks = tokens(text_col)
+    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+    scores = [
+        (code, _stopword_hits(toks, words))
+        for code, words in sorted(LANG_STOPWORDS.items())
+    ]
+    best = None
+    best_code = F.lit("und")
+    for code, score in scores:
+        if best is None:
+            best, best_code = score, F.when(score > 0, F.lit(code)).otherwise(F.lit("und"))
+        else:
+            improved = score > best
+            best_code = F.when(improved, F.lit(code)).otherwise(best_code)
+            best = F.when(improved, score).otherwise(best)
+    return F.when(has_cjk, F.lit("zh")).otherwise(best_code)
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens +
+    character length."""
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPEISH_RE), 0))
+        .cast("long")
+        .alias("n_bpeish"),
+        F.length(text_col).cast("long").alias("n_chars_measured"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: length saturation,
+    mean-token-length band, stopword presence, symbol density penalty.
+    Weights are arbitrary but fixed; the value is a deterministic pure
+    function of the text."""
+    toks = tokens(text_col)
+    n_toks = F.size(toks)
+    n_chars = F.length(text_col)
+    en_hits = _stopword_hits(toks, LANG_STOPWORDS["en"])
+    # symbols = chars that are not alnum/space
+    n_symbols = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", "")
+    )
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    mean_tok_len = F.when(
+        n_toks > 0,
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_toks,
+    ).otherwise(F.lit(0.0))
+    tok_len_score = F.when(
+        (mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    stop_score = F.least(
+        F.when(n_toks > 0, en_hits * F.lit(10.0) / n_toks).otherwise(F.lit(0.0)),
+        F.lit(1.0),
+    )
+    symbol_penalty = F.when(
+        n_chars > 0, F.least(n_symbols * F.lit(5.0) / n_chars, F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.3) * length_score
+        + F.lit(0.2) * tok_len_score
+        + F.lit(0.3) * stop_score
+        + F.lit(0.2) * (F.lit(1.0) - symbol_penalty)
+    )
+    return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: ``fp_exact`` hashes the normalized token
+    stream (whitespace/punctuation-insensitive exact dup key);
+    ``fp_sorted`` hashes the SORTED token multiset (word-order-
+    insensitive — catches shuffled near-dups). Both 60-bit cross-engine
+    stable hashes."""
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        hash64(F.array_join(toks, " ")).alias("fp_exact"),
+        hash64(F.array_join(F.array_sort(toks), " ")).alias("fp_sorted"),
+    )

@@ -16,14 +16,13 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from neo4j_arrow_spark.operators.khop import khop_flat
 from neo4j_arrow_spark.operators.node_scan import gds_nodes
 from neo4j_arrow_spark.operators.rel_scan import gds_relationships
+from neo4j_arrow_spark.registry import oracle_sql, queries, query  # noqa: F401
 from neo4j_arrow_spark.sources.tpch import load_table, load_tables
 from neo4j_arrow_spark.sources.tpch_graph import (
     NODES_SQL,
@@ -31,28 +30,8 @@ from neo4j_arrow_spark.sources.tpch_graph import (
     graph_frames_from_tpch,
 )
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-_QUERIES: dict[str, QueryFn] = {}
-_ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn: QueryFn) -> QueryFn:
-        _QUERIES[name] = fn
-        if oracle is not None:
-            _ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
-
-
-def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+# make the pipeline queries register whenever this module is imported
+from neo4j_arrow_spark import queries_pipeline  # noqa: E402, F401  isort: skip
 
 
 def _graph(spark: SparkSession, sf_dir: str):

@@ -1,0 +1,446 @@
+"""Driver-contract queries for the training-data-pipeline operators
+(dedup / similarity / text analysis) with DuckDB oracles.
+
+The oracle SQL is generated from the same parameters as the Spark
+plans, using the dual-dialect builders in ``functions.hashing`` /
+``functions.textfns`` — one source of truth per semantic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo4j_arrow_spark.functions.hashing import duck_hash64, duck_hash_bit
+from neo4j_arrow_spark.functions.textfns import duck_shingles, duck_tokens
+from neo4j_arrow_spark.operators import dedup, similarity, text
+from neo4j_arrow_spark.registry import query
+from neo4j_arrow_spark.sources.tpch import load_table
+
+# ---- shared oracle fragments ---------------------------------------------
+
+#: distinct (doc, shingle) pairs — mirrors dedup.shingle_table(n=3)
+_SH_CTE = f"""
+sh AS (
+    SELECT DISTINCT doc, shingle FROM (
+        SELECT doc_id AS doc, unnest({duck_shingles("text", 3)}) AS shingle
+        FROM documents
+    )
+)
+"""
+
+_NUM_HASHES, _BANDS, _ROWS_PER_BAND = 16, 8, 2
+_SIMHASH_BITS, _SIM_CHUNKS, _MAX_HAMMING = 16, 4, 3
+
+_SIG_CTE = "sig AS (\n    SELECT doc, "
+_SIG_CTE += ", ".join(
+    f"min({duck_hash64('shingle', s)}) AS mh_{s}" for s in range(_NUM_HASHES)
+)
+_SIG_CTE += "\n    FROM sh GROUP BY doc\n)"
+
+_BAND_ARMS = "\n    UNION ALL\n".join(
+    "    SELECT doc, {b} AS band, {key} AS band_key FROM sig".format(
+        b=b,
+        key=duck_hash64(
+            " || ',' || ".join(
+                f"mh_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+            ),
+            1000 + b,
+        ),
+    )
+    for b in range(_BANDS)
+)
+
+#: deterministic sequential-ish dot product; cast to double element-wise
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a})[i]::DOUBLE * ({b})[i]::DOUBLE))"
+    )
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"round({_duck_dot(a, b)} / "
+        f"(sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)})), 6)"
+    )
+
+
+# ---- exact dedup -----------------------------------------------------------
+
+@query(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_duplicate
+    FROM documents
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id")
+
+
+# ---- minhash ---------------------------------------------------------------
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SH_CTE},
+    {_SIG_CTE},
+    buckets AS (
+{_BAND_ARMS}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM buckets a
+        JOIN buckets b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+        SELECT id_a, id_b, count(*) AS n
+        FROM cands
+        JOIN sh sa ON id_a = sa.doc
+        JOIN sh sb ON id_b = sb.doc AND sa.shingle = sb.shingle
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           round(n / (za.sz + zb.sz - n), 6) AS jaccard
+    FROM inter
+    JOIN sizes za ON id_a = za.doc
+    JOIN sizes zb ON id_b = zb.doc
+    WHERE round(n / (za.sz + zb.sz - n), 6) >= 0.3
+    """,
+)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3, threshold=0.3,
+    )
+
+
+# ---- simhash ---------------------------------------------------------------
+
+_SUMS_CTE = "sums AS (\n    SELECT doc, "
+_SUMS_CTE += ", ".join(
+    f"sum({duck_hash_bit('h', i)}) AS b{i}" for i in range(_SIMHASH_BITS)
+)
+_SUMS_CTE += (
+    f"\n    FROM (SELECT doc, {duck_hash64('shingle', 0)} AS h FROM sh) GROUP BY doc\n)"
+)
+_FP_EXPR = " + ".join(
+    f"(CASE WHEN b{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_CTE = (
+    f"fps AS (SELECT doc, CAST({_FP_EXPR} AS BIGINT) AS simhash FROM sums)"
+)
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH {_SH_CTE},
+    {_SUMS_CTE},
+    {_SIMHASH_CTE}
+    SELECT doc, simhash FROM fps
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=_SIMHASH_BITS)
+
+
+_CHUNK_W = _SIMHASH_BITS // _SIM_CHUNKS
+_CHUNK_COLS = ", ".join(
+    f"(simhash >> {c * _CHUNK_W}) & {(1 << _CHUNK_W) - 1} AS c{c}"
+    for c in range(_SIM_CHUNKS)
+)
+_CHUNK_JOINS = "\n        UNION\n".join(
+    f"""        SELECT a.doc AS id_a, b.doc AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM chunked a JOIN chunked b
+          ON a.c{c} = b.c{c} AND a.doc < b.doc"""
+    for c in range(_SIM_CHUNKS)
+)
+
+
+@query(
+    "simhash_pairs",
+    oracle=f"""
+    WITH {_SH_CTE},
+    {_SUMS_CTE},
+    {_SIMHASH_CTE},
+    chunked AS (SELECT doc, simhash, {_CHUNK_COLS} FROM fps),
+    pairs AS (
+{_CHUNK_JOINS}
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= {_MAX_HAMMING}
+    """,
+)
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(
+        docs, "doc_id", "text",
+        bits=_SIMHASH_BITS, max_hamming=_MAX_HAMMING, chunks=_SIM_CHUNKS,
+    )
+
+
+# ---- exact n-gram jaccard ---------------------------------------------------
+
+_MAX_DF = 100
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    rare AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_MAX_DF}
+    ),
+    indexed AS (SELECT doc, sh.shingle FROM sh JOIN rare USING (shingle)),
+    cands AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM indexed a JOIN indexed b
+          ON a.shingle = b.shingle AND a.doc < b.doc
+    ),
+    inter AS (
+        SELECT id_a, id_b, count(*) AS n
+        FROM cands
+        JOIN sh fa ON id_a = fa.doc
+        JOIN sh fb ON id_b = fb.doc AND fa.shingle = fb.shingle
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, round(n / (za.sz + zb.sz - n), 6) AS jaccard
+    FROM inter
+    JOIN sizes za ON id_a = za.doc
+    JOIN sizes zb ON id_b = zb.doc
+    WHERE round(n / (za.sz + zb.sz - n), 6) >= 0.3
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.3, max_df=_MAX_DF,
+    )
+
+
+# ---- embedding near-dup ------------------------------------------------------
+
+@query(
+    "embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {dedup.duck_quantized_cos("a.embedding", "b.embedding")} AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {dedup.duck_quantized_cos("a.embedding", "b.embedding")} >= 0.4
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked quantized-integer cosine kernel (the 100 TB path);
+    oracle computes the identical exact integer dot product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=0.4
+    )
+
+
+# ---- text analysis -----------------------------------------------------------
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {duck_tokens("text")} AS t FROM documents)
+    SELECT doc_id,
+           {duck_hash64("array_to_string(t, ' ')")} AS fp_exact,
+           {duck_hash64("array_to_string(list_sort(t), ' ')")} AS fp_sorted
+    FROM tok
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id")
+
+
+@query(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({duck_tokens("text")})::BIGINT AS n_tokens,
+           len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r]'))::BIGINT AS n_bpeish,
+           length(text)::BIGINT AS n_chars_measured
+    FROM documents
+    """,
+)
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_stats(docs, "doc_id")
+
+
+_QUALITY_ORACLE = f"""
+WITH feats AS (
+    SELECT doc_id,
+           {duck_tokens("text")} AS t,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+               AS n_symbols
+    FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           least(n_chars / 500.0, 1.0) AS length_score,
+           CASE WHEN len(t) > 0 THEN
+               CASE WHEN list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+                         BETWEEN 3.0 AND 10.0
+                    THEN 1.0 ELSE 0.5 END
+           ELSE 0.5 END AS tok_len_score,
+           least(CASE WHEN len(t) > 0 THEN
+               len(list_filter(t, x -> list_contains(
+                   ['the','and','is','of','to','a','in'], x))) * 10.0 / len(t)
+           ELSE 0.0 END, 1.0) AS stop_score,
+           CASE WHEN n_chars > 0
+                THEN least(n_symbols * 5.0 / n_chars, 1.0) ELSE 0.0
+           END AS symbol_penalty
+    FROM feats
+)
+SELECT doc_id,
+       round(0.3 * length_score + 0.2 * tok_len_score + 0.3 * stop_score
+             + 0.2 * (1.0 - symbol_penalty), 6) AS quality
+FROM scored
+"""
+
+
+@query("quality_scores", oracle=_QUALITY_ORACLE)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs, "doc_id")
+
+
+_LANG_CODES = sorted(text.LANG_STOPWORDS)
+_LANG_HITS = ", ".join(
+    "len(list_filter(t, x -> list_contains({words}, x))) AS {code}_hits".format(
+        code=code,
+        words="[" + ",".join(f"'{w}'" for w in text.LANG_STOPWORDS[code]) + "]",
+    )
+    for code in _LANG_CODES
+)
+_G = "greatest(" + ", ".join(f"{c}_hits" for c in _LANG_CODES) + ")"
+_LANG_CASE = (
+    "CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' "
+    f"WHEN {_G} = 0 THEN 'und' "
+    + " ".join(f"WHEN {c}_hits = {_G} THEN '{c}'" for c in _LANG_CODES[:-1])
+    + f" ELSE '{_LANG_CODES[-1]}' END"
+)
+
+
+@query(
+    "lang_id_pred",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, text, {duck_tokens("text")} AS t FROM documents
+    ),
+    hits AS (SELECT doc_id, text, {_LANG_HITS} FROM feats)
+    SELECT doc_id, {_LANG_CASE} AS lang_pred FROM hits
+    """,
+)
+def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id(docs).alias("lang_pred"))
+
+
+# ---- similarity search --------------------------------------------------------
+
+@query(
+    "ann_topk_brute",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               {_duck_cos("q.embedding", "n.embedding")} AS cos
+        FROM embeddings q, embeddings n
+        WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH centroids AS (SELECT vec_id AS bucket, embedding AS cv
+                       FROM embeddings WHERE vec_id < 8),
+    iscore AS (
+        SELECT i.vec_id AS item_id, c.bucket,
+               {_duck_cos("i.embedding", "c.cv")} AS ccos
+        FROM embeddings i, centroids c
+    ),
+    assigned AS (
+        SELECT item_id, bucket FROM (
+            SELECT item_id, bucket,
+                   row_number() OVER (PARTITION BY item_id
+                                      ORDER BY ccos DESC, bucket ASC) AS rn
+            FROM iscore
+        ) WHERE rn = 1
+    ),
+    qscore AS (
+        SELECT q.vec_id AS query_id, c.bucket,
+               {_duck_cos("q.embedding", "c.cv")} AS qcos
+        FROM embeddings q, centroids c WHERE q.vec_id < 10
+    ),
+    probes AS (
+        SELECT query_id, bucket FROM (
+            SELECT query_id, bucket,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcos DESC, bucket ASC) AS rn
+            FROM qscore
+        ) WHERE rn = 1
+    ),
+    searched AS (
+        SELECT p.query_id, a.item_id AS neighbor_id,
+               {_duck_cos("q.embedding", "n.embedding")} AS cos
+        FROM probes p
+        JOIN assigned a ON p.bucket = a.bucket
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings n ON n.vec_id = a.item_id
+        WHERE p.query_id <> a.item_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM searched
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") < 8),
+        "vec_id",
+        "embedding",
+        k=3,
+        nprobe=1,
+    )

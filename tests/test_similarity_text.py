@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_arrow_spark.operators import similarity, text
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # 3 tight clusters around the axes
+    rows = []
+    for i, base in enumerate([(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]):
+        for j in range(4):
+            v = [c + (0.01 * j if c == 0 else 0.0) for c in base]
+            rows.append((i * 4 + j, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(emb):
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=3).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+    assert all(r.query_id == 0 for r in out)
+    assert out[0].cos <= 1.0
+
+
+def test_cosine_topk_excludes_self(emb):
+    out = similarity.cosine_topk(emb, emb, "vec_id", "embedding", k=2)
+    assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    assert out.groupBy("query_id").count().filter("count != 2").count() == 0
+
+
+def test_ivf_routes_to_right_cluster(emb):
+    centroids = emb.filter(F.col("vec_id").isin(0, 4, 8))
+    queries = emb.filter(F.col("vec_id") == 1)
+    out = similarity.ivf_topk(emb, queries, centroids, "vec_id", "embedding", k=3).collect()
+    # neighbors must come from cluster {0,1,2,3}
+    assert {r.neighbor_id for r in out} <= {0, 2, 3}
+
+
+def test_ivf_assign_buckets(emb):
+    centroids = emb.filter(F.col("vec_id").isin(0, 4, 8))
+    got = {r.item_id: r.bucket for r in
+           similarity.ivf_assign(emb, centroids, "vec_id", "embedding").collect()}
+    assert got[1] == 0 and got[5] == 4 and got[9] == 8
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the cat and the dog went to the house in a hurry"),
+            (1, "el perro y el gato de la casa que es grande y los arboles"),
+            (2, "der hund und die katze das ist nicht ein haus"),
+            (3, "xyzzy plugh qwerty"),
+            (4, "你好 世界 this has cjk"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_lang_id(docs):
+    got = {r.doc_id: r.pred for r in
+           docs.select("doc_id", text.lang_id(docs).alias("pred")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "de"
+    assert got[3] == "und"
+    assert got[4] == "zh"
+    assert got[5] == "und"
+
+
+def test_token_stats(docs):
+    got = {r.doc_id: r for r in text.token_stats(docs, "doc_id").collect()}
+    assert got[0].n_tokens == 12
+    assert got[5].n_tokens == 0
+    assert got[0].n_chars_measured == len("the cat and the dog went to the house in a hurry")
+
+
+def test_quality_scores_bounded(docs):
+    for r in text.quality_score(docs, "doc_id").collect():
+        assert 0.0 <= r.quality <= 1.0
+
+
+def test_fingerprint_order_sensitivity(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.fingerprint(df, "doc_id").collect()}
+    assert got[0].fp_exact == got[2].fp_exact
+    assert got[0].fp_exact != got[1].fp_exact
+    assert got[0].fp_sorted == got[1].fp_sorted  # order-insensitive hash
