@@ -290,15 +290,48 @@ GROUP BY 1, 2
 @query("events_window_agg", oracle=_EVENTS_WINDOW_SQL)
 def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregate over the events table — the batch twin
-    of the Structured-Streaming ingest (SURVEY §2.8 extension)."""
+    of the Structured-Streaming ingest (SURVEY §2.8 extension; stream ==
+    batch parity pinned in tests/test_streaming.py)."""
+    from neo4j_arrow_spark.streaming.events import windowed_event_agg
+
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.window("ts", "5 minutes").start.alias("window_start"),
-            "event_type",
-        )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-    )
+    return windowed_event_agg(ev)
+
+
+_SESSIONS_SQL = """
+WITH ordered AS (
+    SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                THEN 1 ELSE 0 END AS brk
+    FROM ordered
+),
+sess AS (
+    SELECT *,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       CAST(sid AS BIGINT) AS session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+@query("event_sessions", oracle=_SESSIONS_SQL)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based per-user sessionization (30 min), the lag+cumsum window
+    plan (streaming twin: session_window, tests/test_streaming.py)."""
+    from neo4j_arrow_spark.streaming.events import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30)

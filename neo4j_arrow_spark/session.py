@@ -51,6 +51,18 @@ def get_session(
     for the test/bench environment; on a real cluster pass ``None`` with
     a pre-configured environment and the builder leaves master alone.
     """
+    # Pandas-UDF closures are pickled by module reference; the Python
+    # worker processes must be able to import this package even when
+    # the driver script runs from elsewhere. Local mode: export the
+    # package root on PYTHONPATH before the JVM forks workers. On a
+    # real cluster, ship the package via --py-files / a wheel instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

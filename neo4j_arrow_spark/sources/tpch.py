@@ -41,9 +41,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # keeping oracle comparisons exact.
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # integer `div`, NOT floor(double /): int64 nanos exceed the
+            # 53-bit double mantissa and double division is off by ±1 µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

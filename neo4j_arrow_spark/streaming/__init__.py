@@ -1,0 +1,23 @@
+"""Structured-Streaming operators.
+
+The reference "streams" bounded data with backpressure only — no
+event-time/watermark/window semantics (SURVEY.md §2.8). This package is
+the driver-mandated extension: real Structured Streaming over the
+events table, with batch twins for the correctness gate.
+"""
+
+from neo4j_arrow_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory,
+    sessionize_batch,
+    stateful_user_counts,
+    windowed_event_agg,
+)
+
+__all__ = [
+    "read_event_stream",
+    "run_to_memory",
+    "sessionize_batch",
+    "stateful_user_counts",
+    "windowed_event_agg",
+]

@@ -1,0 +1,166 @@
+"""Event-stream operators over the driver's ``events`` table.
+
+Design: every streaming computation has a batch twin with identical
+semantics — the twin is what the DuckDB oracle checks
+(``events_window_agg``, ``event_sessions``), and tests additionally pin
+stream-result == batch-result on the same data. At scale the stream
+source is Kafka/files; here the parquet fixture drives it through the
+same code path (``readStream`` + watermark + windowed agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: the events schema after ns->us conversion (sources.tpch.load_table)
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw parquet: nanos as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet file with the ns->µs
+    timestamp conversion applied (same as the batch loader)."""
+    # FileStreamSource wants a directory; point it at the sf dir and
+    # glob-filter to the events table.
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # integer div: see sources.tpch.load_table (double division loses µs)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_agg(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window count/sum per event type. Works on both batch
+    and streaming frames; the watermark is applied only when streaming
+    (late data beyond it is dropped — semantics the batch twin trivially
+    satisfies because batch data is complete)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w").start.alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(
+    agg: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a streaming frame to completion synchronously against the
+    bounded fixture (memory sink + processAllAvailable) — the local
+    test harness for what would be a continuous query in production."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessionization (batch): a session breaks when the gap
+    from the previous event exceeds ``gap_minutes``. Classic
+    lag + cumulative-sum-of-breaks window plan — one shuffle on
+    user_id.
+
+    Output: (user_id, session_id, session_start, session_end, n_events,
+    total_value) with session_id dense per user starting at 1."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("ts").over(w)
+    # µs-exact gap arithmetic (unix_timestamp would truncate to seconds
+    # and disagree with the oracle's epoch_us at boundary gaps)
+    is_break = (
+        gap.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(gap) > gap_minutes * 60 * 1_000_000)
+    ).cast("long")
+    sessions = events.withColumn(
+        "session_id", F.sum(is_break).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming sessionization via the native session_window (gap-based
+    merging, watermark-managed state)."""
+    return (
+        events.withWatermark("ts", f"{gap_minutes * 2} minutes")
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw").start.alias("session_start"),
+            F.col("sw").end.alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stateful_user_counts(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-user event count + running value sum across micro-batches —
+    the arbitrary-state extension point the reference has no analogue
+    for (its jobs are bounded)."""
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, v double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(v, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

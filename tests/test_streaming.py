@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_arrow_spark.sources.tpch import load_table
+from neo4j_arrow_spark.streaming import events as ev
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def test_stream_equals_batch_windowed_agg(spark, sf_dir, batch_events):
+    """The streaming plan over the same bounded data must agree with
+    the batch twin (the oracle-checked query)."""
+    stream = ev.read_event_stream(spark, sf_dir)
+    assert stream.isStreaming
+    agg = ev.windowed_event_agg(stream)
+    ev.run_to_memory(agg, "win_agg_test", output_mode="complete")
+    got = spark.sql("SELECT * FROM win_agg_test")
+    want = ev.windowed_event_agg(batch_events)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_sessionize_batch_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, 1.0),
+        (2, "2024-01-01 00:10:00", 10, 2.0),   # same session (10 min gap)
+        (3, "2024-01-01 01:00:00", 10, 3.0),   # new session (50 min gap)
+        (4, "2024-01-01 00:00:00", 20, 4.0),   # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.user_id, r.session_id): r for r in ev.sessionize_batch(df, 30).collect()}
+    assert out[(10, 1)].n_events == 2 and out[(10, 1)].total_value == 3.0
+    assert out[(10, 2)].n_events == 1
+    assert out[(20, 1)].n_events == 1
+
+
+def test_sessionize_stream_runs(spark, sf_dir, batch_events):
+    stream = ev.read_event_stream(spark, sf_dir)
+    sess = ev.sessionize_stream(stream, gap_minutes=30)
+    ev.run_to_memory(sess, "sess_stream_test", output_mode="complete")
+    got = spark.sql("SELECT * FROM sess_stream_test")
+    assert got.count() > 0
+    # session bounds must be ordered and value sums finite
+    assert got.filter("session_end < session_start").count() == 0
+
+
+def test_stateful_user_counts(spark, sf_dir, batch_events):
+    stream = ev.read_event_stream(spark, sf_dir)
+    counts = ev.stateful_user_counts(stream)
+    ev.run_to_memory(counts, "stateful_test", output_mode="update")
+    got = spark.sql(
+        "SELECT user_id, max_by(n_events, n_events) AS n FROM stateful_test GROUP BY user_id"
+    )
+    want = batch_events.groupBy("user_id").count()
+    joined = got.join(want, "user_id").filter("n != count")
+    assert joined.count() == 0
+    assert got.count() == want.count()
