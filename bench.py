@@ -41,6 +41,9 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators persist shared subframes; drop them so queries are
+        # independent measurements and memory pressure can't accumulate
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

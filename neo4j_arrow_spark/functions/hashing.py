@@ -23,17 +23,19 @@ from pyspark.sql import functions as F
 MASK_BITS = 60
 
 
-def hash64(col: Column | str, seed: int = 0) -> Column:
-    """Deterministic 60-bit hash of a string column (Spark side)."""
+def hash64(col: Column | str, seed: int = 0, hex_chars: int = 15) -> Column:
+    """Deterministic md5-derived hash of a string column (Spark side).
+    ``hex_chars`` controls width: 15 → 60 bits (default), 7 → 28 bits
+    (for double-hashing schemes that must not overflow int64)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c)), 1, 15), 16, 10
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c)), 1, hex_chars), 16, 10
     ).cast("long")
 
 
-def duck_hash64(expr: str, seed: int = 0) -> str:
+def duck_hash64(expr: str, seed: int = 0, hex_chars: int = 15) -> str:
     """The identical hash as a DuckDB SQL snippet."""
-    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
+    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, {hex_chars}))::BIGINT"
 
 
 def hash_bit(col: Column, bit: int) -> Column:

@@ -101,15 +101,29 @@ def minhash_signatures(
     hash_i(shingle). One explode + one partial-aggregated groupBy — at
     scale the shuffle carries only (doc, 16 longs). ``include_size``
     adds the shingle-set cardinality ``sz`` in the same pass (saves a
-    second scan when jaccard needs set sizes)."""
+    second scan when jaccard needs set sizes).
+
+    Hash family: Kirsch-Mitzenmacher double hashing — h_i = h1 + i·h2
+    from TWO 28-bit md5-derived bases (two md5 calls per shingle, not
+    ``num_hashes``; 28-bit bases keep h1 + 15·h2 < 2³² so the oracle's
+    BIGINT arithmetic can't overflow)."""
     sh = shingle_table(df, id_col, text_col, shingle_n)
+    # project the two base hashes BEFORE aggregating: the 16 min-agg
+    # expressions then reference plain long columns instead of each
+    # re-deriving md5 (subexpression elimination across aggregate
+    # buffers is not guaranteed)
+    hashed = sh.select(
+        "doc",
+        hash64(F.col("shingle"), seed=0, hex_chars=7).alias("h1"),
+        hash64(F.col("shingle"), seed=1, hex_chars=7).alias("h2"),
+    )
     aggs = [
-        F.min(hash64(F.col("shingle"), seed)).alias(f"mh_{seed}")
-        for seed in range(num_hashes)
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh_{i}")
+        for i in range(num_hashes)
     ]
     if include_size:
         aggs.append(F.count("*").alias("sz"))
-    return sh.groupBy("doc").agg(*aggs)
+    return hashed.groupBy("doc").agg(*aggs)
 
 
 def _band_key(sig_cols: list[Column], band: int) -> Column:
@@ -302,22 +316,20 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Exact jaccard-over-shingles pairs via an inverted-index
-    self-join on shingle.
+    """Jaccard-over-shingles pairs via an inverted-index self-join.
 
-    ``max_df`` drops shingles appearing in more than that many docs
-    before candidate generation (the classic stop-shingle cap: a
-    shingle in k docs contributes k² candidate rows, so ubiquitous
-    shingles are what kills this join at scale). Jaccard is still
-    computed over the FULL shingle sets; only candidate recall is
-    affected, and only for pairs sharing nothing but ubiquitous
-    shingles."""
-    # persisted: sh feeds sizes, the df-cap, the candidate self-join
-    # (twice) and the exact-intersection joins (twice) — six plan
-    # branches re-shingling the corpus without it.
-    sh = shingle_table(df, id_col, text_col, shingle_n).persist()
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-
+    ``max_df`` defines the vocabulary: shingles appearing in more than
+    that many docs are dropped BEFORE anything else (the classic
+    stop-shingle cap — a shingle in k docs contributes k² candidate
+    rows, so ubiquitous shingles are what kills this join at scale).
+    Jaccard is computed over the capped shingle sets; with
+    ``max_df=None`` it is the exact full-set jaccard. Computing
+    directly on the capped sets (rather than re-verifying candidates
+    against full sets) keeps the plan at one self-join + one
+    aggregation — the full-set verify would re-join every candidate
+    pair against the corpus-sized shingle table.
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n)
     indexed = sh
     if max_df is not None:
         rare = (
@@ -326,7 +338,10 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_df)
             .select("shingle")
         )
-        indexed = sh.join(rare, "shingle", "left_semi").persist()
+        indexed = sh.join(rare, "shingle", "left_semi")
+    # persisted: feeds sizes + both sides of the candidate self-join
+    indexed = indexed.persist()
+    sizes = indexed.groupBy("doc").agg(F.count("*").alias("sz"))
 
     inter = (
         indexed.alias("a")
@@ -336,22 +351,10 @@ def ngram_jaccard_pairs(
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(F.count("*").alias("inter_capped"))
-    )
-    # exact intersection over FULL sets for surviving candidates
-    sh_full = sh
-    exact_inter = (
-        inter.join(sh_full.alias("fa"), F.col("id_a") == F.col("fa.doc"))
-        .join(
-            sh_full.alias("fb"),
-            (F.col("id_b") == F.col("fb.doc"))
-            & (F.col("fa.shingle") == F.col("fb.shingle")),
-        )
-        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     return (
-        exact_inter.join(sizes.alias("za"), F.col("id_a") == F.col("za.doc"))
+        inter.join(sizes.alias("za"), F.col("id_a") == F.col("za.doc"))
         .join(sizes.alias("zb"), F.col("id_b") == F.col("zb.doc"))
         .select(
             "id_a",

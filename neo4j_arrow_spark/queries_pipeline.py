@@ -32,11 +32,17 @@ sh AS (
 _NUM_HASHES, _BANDS, _ROWS_PER_BAND = 16, 8, 2
 _SIMHASH_BITS, _SIM_CHUNKS, _MAX_HAMMING = 16, 4, 3
 
-_SIG_CTE = "sig AS (\n    SELECT doc, "
-_SIG_CTE += ", ".join(
-    f"min({duck_hash64('shingle', s)}) AS mh_{s}" for s in range(_NUM_HASHES)
+#: Kirsch-Mitzenmacher double hashing, mirroring minhash_signatures
+_SIG_CTE = (
+    "sh2 AS (\n    SELECT doc, "
+    f"{duck_hash64('shingle', 0, 7)} AS h1, "
+    f"{duck_hash64('shingle', 1, 7)} AS h2 FROM sh\n),\n"
+    "sig AS (\n    SELECT doc, "
 )
-_SIG_CTE += "\n    FROM sh GROUP BY doc\n)"
+_SIG_CTE += ", ".join(
+    f"min(h1 + {i} * h2) AS mh_{i}" for i in range(_NUM_HASHES)
+)
+_SIG_CTE += "\n    FROM sh2 GROUP BY doc\n)"
 
 _BAND_ARMS = "\n    UNION ALL\n".join(
     "    SELECT doc, {b} AS band, {key} AS band_key FROM sig".format(
@@ -199,22 +205,16 @@ _MAX_DF = 100
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH {_SH_CTE},
-    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
     rare AS (
         SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_MAX_DF}
     ),
     indexed AS (SELECT doc, sh.shingle FROM sh JOIN rare USING (shingle)),
-    cands AS (
-        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+    sizes AS (SELECT doc, count(*) AS sz FROM indexed GROUP BY doc),
+    inter AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n
         FROM indexed a JOIN indexed b
           ON a.shingle = b.shingle AND a.doc < b.doc
-    ),
-    inter AS (
-        SELECT id_a, id_b, count(*) AS n
-        FROM cands
-        JOIN sh fa ON id_a = fa.doc
-        JOIN sh fb ON id_b = fb.doc AND fa.shingle = fb.shingle
-        GROUP BY id_a, id_b
+        GROUP BY a.doc, b.doc
     )
     SELECT id_a, id_b, round(n / (za.sz + zb.sz - n), 6) AS jaccard
     FROM inter
