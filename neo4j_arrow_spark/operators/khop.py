@@ -138,15 +138,20 @@ def khop(
     chunked = flat.withColumn(
         "_chunk", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(list_size))
     )
+    # sort_array over (src, dst) structs makes chunk contents fully
+    # deterministic — tighter than the reference, whose batch layout is
+    # explicitly nondeterministic (KHOP.md:125-128)
+    pairs = F.sort_array(F.collect_list(F.struct("src", "dst")))
     return (
         chunked.groupBy("origin", "_chunk")
-        .agg(
-            F.collect_list("src").alias("_source_ids_"),
-            F.collect_list("dst").alias("_target_ids_"),
-        )
+        .agg(pairs.alias("_pairs"))
         .select(
             F.col("origin").cast("int").alias("_origin_id_"),
-            "_source_ids_",
-            "_target_ids_",
+            F.transform(F.col("_pairs"), lambda e: e["src"].cast("int")).alias(
+                "_source_ids_"
+            ),
+            F.transform(F.col("_pairs"), lambda e: e["dst"].cast("int")).alias(
+                "_target_ids_"
+            ),
         )
     )

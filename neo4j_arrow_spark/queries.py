@@ -171,6 +171,69 @@ def khop_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return khop_flat(nodes, rels, filters=["IN_NATION"])
 
 
+_KHOP_FLAT_CTES = f"""
+    WITH nodes AS ({NODES_SQL}),
+    rels AS ({RELS_SQL}),
+    edges AS (
+        SELECT DISTINCT START_ID AS src, END_ID AS dst
+        FROM rels WHERE TYPE = 'IN_NATION'
+    ),
+    neighbors AS (
+        SELECT src AS origin, dst AS member FROM edges
+        UNION
+        SELECT dst AS origin, src AS member FROM edges
+    ),
+    members AS (
+        SELECT ID AS origin, ID AS member FROM nodes
+        UNION
+        SELECT n.origin, n.member
+        FROM neighbors n JOIN nodes ON n.origin = nodes.ID
+    ),
+    incident AS (
+        SELECT src AS member, src, dst FROM edges
+        UNION
+        SELECT dst AS member, src, dst FROM edges
+    ),
+    flat AS (
+        SELECT DISTINCT m.origin AS origin, i.src AS src, i.dst AS dst
+        FROM members m JOIN incident i ON m.member = i.member
+    )
+"""
+
+
+@query(
+    "khop_wire",
+    oracle=_KHOP_FLAT_CTES
+    + """,
+    numbered AS (
+        SELECT origin, src, dst,
+               row_number() OVER (PARTITION BY origin ORDER BY src, dst) AS rn
+        FROM flat
+    )
+    SELECT CAST(origin AS INT) AS _origin_id_,
+           array_to_string(list(src ORDER BY src, dst), ',') AS src_ids,
+           array_to_string(list(dst ORDER BY src, dst), ',') AS dst_ids,
+           count(*) AS n_edges
+    FROM numbered
+    GROUP BY origin, (rn - 1) // 32
+    """,
+)
+def khop_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's wire shape (SubGraphRecord.java:10-31): chunked
+    (origin, src_ids, dst_ids) rows, list_size=32 to exercise chunk
+    splitting; arrays rendered as strings for the cross-engine hash."""
+    from neo4j_arrow_spark.operators.khop import khop as khop_op
+
+    nodes, rels = _graph(spark, sf_dir)
+    wire = khop_op(nodes, rels, filters=["IN_NATION"], list_size=32)
+    return wire.select(
+        "_origin_id_",
+        F.concat_ws(",", "_source_ids_").alias("src_ids"),
+        F.concat_ws(",", "_target_ids_").alias("dst_ids"),
+        F.size("_source_ids_").cast("long").alias("n_edges"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregation-shaped ops (SURVEY §2.5)
 # --------------------------------------------------------------------------
