@@ -16,6 +16,7 @@ import json
 import os
 import re
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -45,6 +46,49 @@ def main() -> None:
         # independent measurements and memory pressure can't accumulate
         spark.catalog.clearCache()
 
+    # Flagship throughput: the reference's headline benchmark is
+    # streaming (nodeId, float[256] embedding) rows — 1,031,461 rows/s
+    # server-side (BASELINE.md), and its synthetic-Cypher variant
+    # (UNWIND range ... fauxEmbedding, MANIFESTO.md:236-245) generates
+    # rows engine-side exactly like this: 1M rows x 256-dim generated
+    # in-plan and pushed through the sink.
+    from pyspark.sql import functions as F
+
+    n_rows, dim = 1_000_000, 256
+    emb = spark.range(n_rows).select(
+        F.col("id").alias("ID"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.pmod(F.col("id") * 31 + i, F.lit(1000)) / 1000.0).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+    )
+    # warm-up run first: the 256-wide generated code takes two
+    # executions to reach C2-compiled speed (29s -> 1.2s observed), and
+    # the reference's methodology also discards warm-ups
+    # (speed/26-aug-2021/README.md: 5 warm-ups, best-3-of-5)
+    emb.write.format("noop").mode("overwrite").save()
+    emb.write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    emb.write.format("noop").mode("overwrite").save()
+    stream_sec = time.perf_counter() - t0
+    rows_per_sec = round(n_rows / stream_sec, 0)
+
+    # scan-path variant — the headline test reads a STORED projection
+    # (PaySim embeddings in GDS memory); here: parquet scan -> sink.
+    scan_path = os.path.join(
+        tempfile.gettempdir(), f"neo4j_arrow_spark_bench_emb_{n_rows}_{dim}"
+    )
+    if not os.path.exists(os.path.join(scan_path, "_SUCCESS")):
+        emb.write.mode("overwrite").parquet(scan_path)
+    stored = spark.read.parquet(scan_path)
+    stored.write.format("noop").mode("overwrite").save()  # warm-up
+    t0 = time.perf_counter()
+    stored.write.format("noop").mode("overwrite").save()
+    scan_sec = time.perf_counter() - t0
+    scan_rows_per_sec = round(n_rows / scan_sec, 0)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -54,6 +98,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf(sf_dir),
+                "embedding_stream": {
+                    "rows": n_rows,
+                    "dim": dim,
+                    "synth_sec": round(stream_sec, 3),
+                    "synth_rows_per_sec": rows_per_sec,
+                    "scan_sec": round(scan_sec, 3),
+                    "scan_rows_per_sec": scan_rows_per_sec,
+                    "baseline_rows_per_sec": 1_031_461,
+                },
             }
         )
     )
