@@ -56,6 +56,20 @@ class Neo4jArrowSpark:
             )
         return self.registry.submit("cypher.read", lambda: self.spark.sql(query))
 
+    def _tune(self, df: DataFrame, partitions: int | None, batch_size: int | None) -> DataFrame:
+        """The reference's per-job ``partitions``/``batch_size`` message
+        keys (GdsMessage.java:44-47; tuning table README.md:87-110).
+        ``partitions`` → repartition; ``batch_size`` → Arrow record
+        batch size for the collect path (session-scoped in Spark, set
+        eagerly here — the closest per-job analogue)."""
+        if batch_size is not None:
+            self.spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+            )
+        if partitions is not None:
+            df = df.repartition(partitions)
+        return df
+
     def gds_nodes(
         self,
         graph: str,
@@ -63,12 +77,19 @@ class Neo4jArrowSpark:
         properties: Sequence[str] | None = None,
         filters: Sequence[str] | None = None,
         node_id: str | None = None,
+        partitions: int | None = None,
+        batch_size: int | None = None,
     ) -> Job:
-        """S3 (client: neo4j_arrow.py:182-198)."""
+        """S3 (client: neo4j_arrow.py:182-198; extra tuning keys
+        GdsMessage.java:44-47)."""
         g = self.catalog.get(graph, database or self.database, self.username)
         return self.registry.submit(
             "gds.read/node",
-            lambda: node_scan.gds_nodes(g.nodes, properties, filters, node_id),
+            lambda: self._tune(
+                node_scan.gds_nodes(g.nodes, properties, filters, node_id),
+                partitions,
+                batch_size,
+            ),
         )
 
     def gds_relationships(
@@ -77,12 +98,18 @@ class Neo4jArrowSpark:
         database: str | None = None,
         properties: Sequence[str] | None = None,
         filters: Sequence[str] | None = None,
+        partitions: int | None = None,
+        batch_size: int | None = None,
     ) -> Job:
         """S4 (client: neo4j_arrow.py:228-254)."""
         g = self.catalog.get(graph, database or self.database, self.username)
         return self.registry.submit(
             "gds.read/relationship",
-            lambda: rel_scan.gds_relationships(g.rels, properties, filters),
+            lambda: self._tune(
+                rel_scan.gds_relationships(g.rels, properties, filters),
+                partitions,
+                batch_size,
+            ),
         )
 
     def khop(

@@ -34,6 +34,102 @@ from neo4j_arrow_spark.sources.tpch_graph import (
 from neo4j_arrow_spark import queries_pipeline  # noqa: E402, F401  isort: skip
 
 
+def _sql_query(name: str, sql: str, tables: tuple[str, ...]):
+    """Register a query whose Spark plan IS the oracle SQL — one ANSI
+    string executed verbatim by both engines (the S1 capability, and
+    the §2.6 window/top-k/rollup/set-op families the reference has no
+    analogue for)."""
+
+    @query(name, oracle=sql)
+    def run(spark: SparkSession, sf_dir: str, _sql=sql, _tables=tables) -> DataFrame:
+        for t in _tables:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(_sql)
+
+    run.__name__ = name
+    return run
+
+
+_sql_query(
+    "sql_topk_per_brand",
+    """
+    SELECT p_brand, p_partkey, revenue, rk FROM (
+        SELECT p_brand, p_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(row_number() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
+                            p_partkey
+               ) AS BIGINT) AS rk
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+    ) ranked
+    WHERE rk <= 3
+    """,
+    ("lineitem", "part"),
+)
+
+_sql_query(
+    "sql_rollup_pricing",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    ("lineitem",),
+)
+
+_sql_query(
+    "sql_running_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+    FROM orders
+    """,
+    ("orders",),
+)
+
+_sql_query(
+    "sql_status_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    ("orders",),
+)
+
+_sql_query(
+    "sql_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+    )
+    """,
+    ("customer", "orders"),
+)
+
+_sql_query(
+    "sql_pivot_status",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_o,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_f,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    ("lineitem",),
+)
+
+
 def _graph(spark: SparkSession, sf_dir: str):
     tables = load_tables(
         spark, sf_dir, ("customer", "supplier", "nation", "orders", "lineitem")

@@ -73,3 +73,12 @@ def test_client_write_roundtrip(spark, client):
     j2.result(60)
     # synchronous visibility: catalog usable the moment the job completes
     assert client.catalog.get("wgraph").rel_count() == 1
+
+
+def test_scan_partitions_and_batch_size(client):
+    job = client.gds_nodes("tpch", partitions=4, batch_size=123)
+    df = client.stream(job, timeout=60)
+    assert df.rdd.getNumPartitions() == 4
+    assert (
+        client.spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "123"
+    )
