@@ -44,12 +44,31 @@ class Neo4jArrowSpark:
 
     # -- reads -------------------------------------------------------------
 
-    def cypher(self, query: str, database: str | None = None, params: dict | None = None) -> Job:
-        """S1 — submit a query job. v1 accepts Spark SQL over the
-        registered graph views (``<graph>_nodes`` / ``<graph>_rels``);
-        the reference's Cypher validation-only parse
-        (CypherMessage.java:36-52) has no Spark analogue worth keeping.
-        ``params`` are literal substitutions via SQL named parameters."""
+    def cypher(
+        self,
+        query: str,
+        database: str | None = None,
+        params: dict | None = None,
+        graph: str | None = None,
+    ) -> Job:
+        """S1 — submit a query job. Accepts the Cypher pattern-matching
+        subset (transpiled to SQL over the named graph's views — see
+        :mod:`neo4j_arrow_spark.cypher`) or Spark SQL directly.
+        ``graph`` names the graph for Cypher queries; defaults to the
+        only registered graph when unambiguous.
+        ``params`` are Spark SQL named parameters (SQL mode only)."""
+        from neo4j_arrow_spark.cypher import cypher_to_sql, is_cypher
+
+        if is_cypher(query):
+            if graph is None:
+                names = {k[2] for k in self.catalog.list()}
+                if len(names) != 1:
+                    raise ValueError(
+                        f"Cypher needs graph=... (registered: {sorted(names)})"
+                    )
+                graph = names.pop()
+            sql = cypher_to_sql(query, f"{graph}_nodes", f"{graph}_rels")
+            return self.registry.submit("cypher.read", lambda: self.spark.sql(sql))
         if params:
             return self.registry.submit(
                 "cypher.read", lambda: self.spark.sql(query, args=params)

@@ -34,6 +34,51 @@ from neo4j_arrow_spark.sources.tpch_graph import (
 from neo4j_arrow_spark import queries_pipeline  # noqa: E402, F401  isort: skip
 
 
+def _cypher_query(name: str, cypher_text: str):
+    """Register a Cypher-subset query: transpiled once to ANSI SQL
+    (neo4j_arrow_spark.cypher), run by Spark over the derived graph
+    views and by DuckDB over the same views as CTEs — the oracle checks
+    the transpiler AND the engine in one go."""
+    from neo4j_arrow_spark.cypher import cypher_to_sql
+
+    sql = cypher_to_sql(cypher_text, "gnodes", "grels")
+    oracle = f"WITH gnodes AS ({NODES_SQL}),\ngrels AS ({RELS_SQL})\n{sql}"
+
+    @query(name, oracle=oracle)
+    def run(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+        nodes, rels = _graph(spark, sf_dir)
+        nodes.createOrReplaceTempView("gnodes")
+        rels.createOrReplaceTempView("grels")
+        return spark.sql(_sql)
+
+    run.__name__ = name
+    return run
+
+
+_cypher_query(
+    "cypher_label_scan",
+    "MATCH (n:Nation) RETURN n.ID AS id, n.name AS name",
+)
+
+_cypher_query(
+    "cypher_hop_agg",
+    "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "RETURN n.name AS nation, count(*) AS members, min(c.acctbal) AS min_bal",
+)
+
+_cypher_query(
+    "cypher_two_hop_chain",
+    "MATCH (c:Customer)-[b:BUYS_FROM]->(s:Supplier)-[i:IN_NATION]->(n:Nation) "
+    "RETURN n.name AS nation, count(*) AS edges, count(DISTINCT c.ID) AS buyers",
+)
+
+_cypher_query(
+    "cypher_where_filter",
+    "MATCH (c:Customer) WHERE c.acctbal > 5000.0 AND c.acctbal <= 9000.0 "
+    "RETURN c.ID AS id, c.acctbal AS acctbal ORDER BY id LIMIT 100",
+)
+
+
 def _sql_query(name: str, sql: str, tables: tuple[str, ...]):
     """Register a query whose Spark plan IS the oracle SQL — one ANSI
     string executed verbatim by both engines (the S1 capability, and

@@ -1,0 +1,108 @@
+from __future__ import annotations
+
+import pytest
+
+from neo4j_arrow_spark.api import Neo4jArrowSpark
+from neo4j_arrow_spark.cypher import (
+    CypherSyntaxError,
+    CypherUnsupported,
+    cypher_to_sql,
+    is_cypher,
+)
+from neo4j_arrow_spark.sources.tpch import load_tables
+from neo4j_arrow_spark.sources.tpch_graph import graph_frames_from_tpch
+
+
+def test_is_cypher_dispatch():
+    assert is_cypher("MATCH (a) RETURN a")
+    assert is_cypher("  match (a:X) RETURN a")
+    assert not is_cypher("SELECT 1")
+
+
+def test_node_scan_translation():
+    sql = cypher_to_sql(
+        "MATCH (c:Customer {name: 'Alice'}) RETURN c.name AS name, c.acctbal",
+        "g_nodes", "g_rels",
+    )
+    assert "FROM g_nodes AS c" in sql
+    assert "array_contains(c.LABELS, 'Customer')" in sql
+    assert "c.name = 'Alice'" in sql
+    assert "c.acctbal AS c_acctbal" in sql
+
+
+def test_hop_translation_directions():
+    sql = cypher_to_sql(
+        "MATCH (a)-[r:PAYS]->(b) RETURN a.ID, b.ID", "n", "e"
+    )
+    assert "r.START_ID = a.ID" in sql and "b.ID = r.END_ID" in sql
+    sql = cypher_to_sql("MATCH (a)<-[r:PAYS]-(b) RETURN a.ID", "n", "e")
+    assert "r.END_ID = a.ID" in sql and "b.ID = r.START_ID" in sql
+
+
+def test_aggregate_implicit_grouping():
+    sql = cypher_to_sql(
+        "MATCH (a:X)-[r:T]->(b) RETURN b.name AS n, count(*) AS c ORDER BY c DESC LIMIT 5",
+        "n", "e",
+    )
+    assert "GROUP BY n" in sql
+    assert "ORDER BY c DESC" in sql and "LIMIT 5" in sql
+
+
+def test_unsupported_forms():
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql("MATCH (a)-[r]-(b) RETURN a.ID", "n", "e")  # undirected
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql("MATCH (a), (b) RETURN a.ID", "n", "e")  # multi pattern
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql("MATCH () RETURN 1", "n", "e")  # anonymous node
+    with pytest.raises(CypherSyntaxError):
+        cypher_to_sql("MATCH (a RETURN a.ID", "n", "e")
+
+
+@pytest.fixture(scope="module")
+def client(spark, sf_dir):
+    c = Neo4jArrowSpark(spark)
+    nodes, rels = graph_frames_from_tpch(
+        spark, load_tables(spark, sf_dir, ("customer", "supplier", "nation", "orders", "lineitem"))
+    )
+    c.catalog.register("cy", nodes, rels)
+    return c
+
+
+def test_cypher_end_to_end_label_scan(client):
+    job = client.cypher("MATCH (n:Nation) RETURN n.name AS name ORDER BY name LIMIT 3")
+    got = [r.name for r in client.stream(job, 60).collect()]
+    assert got == sorted(got) and len(got) == 3
+
+
+def test_cypher_end_to_end_hop_agg(client):
+    job = client.cypher(
+        "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+        "RETURN n.name AS nation, count(*) AS members "
+        "ORDER BY members DESC, nation ASC LIMIT 5"
+    )
+    rows = client.stream(job, 60).collect()
+    assert len(rows) == 5
+    assert rows[0].members >= rows[-1].members
+    total = client.stream(
+        client.cypher("MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) RETURN count(*) AS c")
+    ).collect()[0].c
+    assert total == 150  # every customer has one nation edge
+
+
+def test_cypher_where_and_props(client):
+    job = client.cypher(
+        "MATCH (c:Customer) WHERE c.acctbal > 5000.0 AND NOT c.acctbal > 9000.0 "
+        "RETURN count(*) AS n"
+    )
+    n = client.stream(job, 60).collect()[0].n
+    assert n > 0
+
+
+def test_cypher_two_hop_chain(client):
+    job = client.cypher(
+        "MATCH (c:Customer)-[b:BUYS_FROM]->(s:Supplier)-[i:IN_NATION]->(n:Nation) "
+        "RETURN n.name AS nation, count(*) AS edges ORDER BY nation"
+    )
+    rows = client.stream(job, 120).collect()
+    assert sum(r.edges for r in rows) == 6000  # one per lineitem
