@@ -148,16 +148,26 @@ class Neo4jArrowSpark:
 
     # -- writes ------------------------------------------------------------
 
+    def _as_df(self, data) -> DataFrame:
+        """Accept a DataFrame or a pyarrow.Table — the reference's
+        ``put()`` ships Arrow tables (neo4j_arrow.py:346-377)."""
+        if isinstance(data, DataFrame):
+            return data
+        return ingest.from_arrow(self.spark, data)
+
     def gds_write_nodes(
         self,
         graph: str,
-        nodes: DataFrame,
+        nodes,
         id_field: str = NodeField.ID,
         labels_field: str = NodeField.LABELS,
         database: str | None = None,
     ) -> Job:
-        """K1 (client: neo4j_arrow.py:200-211). Synchronous catalog
-        visibility on COMPLETE — fixes README.md:214-218."""
+        """K1 (client: neo4j_arrow.py:200-211). Accepts a DataFrame or
+        pyarrow.Table. Synchronous catalog visibility on COMPLETE —
+        fixes README.md:214-218."""
+        nodes = self._as_df(nodes)
+
         def run() -> DataFrame:
             g = ingest.gds_write_nodes(
                 self.catalog, graph, nodes, id_field, labels_field,
@@ -170,13 +180,15 @@ class Neo4jArrowSpark:
     def gds_write_relationships(
         self,
         graph: str,
-        rels: DataFrame,
+        rels,
         source_field: str = RelField.START_ID,
         target_field: str = RelField.END_ID,
         type_field: str = RelField.TYPE,
         database: str | None = None,
     ) -> Job:
         """K2 (client: neo4j_arrow.py:213-226)."""
+        rels = self._as_df(rels)
+
         def run() -> DataFrame:
             g = ingest.gds_write_relationships(
                 self.catalog, graph, rels, source_field, target_field, type_field,

@@ -171,7 +171,7 @@ class _Parser:
         if self.accept("->"):
             return _RelPat(var, rtype, "->")
         if self.accept("-"):
-            raise CypherUnsupported("undirected relationships are not supported (v1)")
+            return _RelPat(var, rtype, "-")
         raise CypherSyntaxError("malformed relationship pattern")
 
     def pattern(self) -> tuple[list[_NodePat], list[_RelPat]]:
@@ -333,13 +333,27 @@ def cypher_to_sql(query: str, nodes_view: str, rels_view: str) -> str:
     for i, r in enumerate(rels):
         rv = r.var or f"_r{i}"
         a, b = nodes[i].var, nodes[i + 1].var
-        if r.direction == "->":
-            on = f"{rv}.START_ID = {a}.ID"
-            on2 = f"{b}.ID = {rv}.END_ID"
-        else:
+        rel_src = f"{rels_view} AS {rv}"
+        if r.direction == "-":
+            # undirected: join against the natural+reverse union view —
+            # the reference's own projection trick (KHOP.md:55-70).
+            # Each physical edge matches in both orientations, exactly
+            # Cypher's undirected semantics. Only (ids, TYPE) survive
+            # the swap, so rel-property access on an undirected rel is
+            # rejected at parse level (var kept for pattern syntax).
+            rel_src = (
+                f"(SELECT START_ID, END_ID, TYPE FROM {rels_view}"
+                f" UNION ALL"
+                f" SELECT END_ID AS START_ID, START_ID AS END_ID, TYPE"
+                f" FROM {rels_view}) AS {rv}"
+            )
+        if r.direction == "<-":
             on = f"{rv}.END_ID = {a}.ID"
             on2 = f"{b}.ID = {rv}.START_ID"
-        joins.append(f"JOIN {rels_view} AS {rv} ON {on}")
+        else:  # '->' and the (already both-ways) undirected view
+            on = f"{rv}.START_ID = {a}.ID"
+            on2 = f"{b}.ID = {rv}.END_ID"
+        joins.append(f"JOIN {rel_src} ON {on}")
         joins.append(f"JOIN {nodes_view} AS {b} ON {on2}")
         if r.rtype:
             conds.append(f"{rv}.TYPE = '{r.rtype}'")
@@ -353,7 +367,10 @@ def cypher_to_sql(query: str, nodes_view: str, rels_view: str) -> str:
 
     select_parts = [f"{e} AS {a}" for e, a, _ in ast["items"]]
     select_sql = ("DISTINCT " if ast["distinct"] else "") + ", ".join(select_parts)
-    group_cols = [a for e, a, agg in ast["items"] if not agg]
+    # group by the underlying expressions, not the aliases: an alias
+    # that shadows a joined-table column (`id` vs a.ID/b.ID) makes
+    # GROUP BY <alias> ambiguous in Spark
+    group_cols = [e for e, _a, agg in ast["items"] if not agg]
     has_agg = any(agg for _, _, agg in ast["items"])
 
     sql = f"SELECT {select_sql}\nFROM {from_sql}"
@@ -363,17 +380,21 @@ def cypher_to_sql(query: str, nodes_view: str, rels_view: str) -> str:
         sql += "\nWHERE " + " AND ".join(conds)
     if has_agg and group_cols:
         sql += "\nGROUP BY " + ", ".join(group_cols)
-    if ast["order"]:
-        parts = []
-        for e, d in ast["order"]:
-            if e is None:
-                raise CypherSyntaxError("ORDER BY needs an expression")
-            parts.append(f"{_order_ref(e, ast['items'])} {d}")
-        sql += "\nORDER BY " + ", ".join(parts)
-    if ast["limit"] is not None:
-        sql += f"\nLIMIT {ast['limit']}"
-    if ast["skip"] is not None:
-        sql += f"\nOFFSET {ast['skip']}"
+    if ast["order"] or ast["limit"] is not None or ast["skip"] is not None:
+        # ORDER BY/LIMIT apply over the aliased projection in an outer
+        # query: a bare alias in ORDER BY would otherwise resolve
+        # ambiguously against same-named columns of the joined tables
+        # (e.g. alias `id` vs a.ID/b.ID).
+        sql = f"SELECT * FROM (\n{sql}\n) AS _projected"
+        if ast["order"]:
+            parts = []
+            for e, d in ast["order"]:
+                parts.append(f"{_order_ref(e, ast['items'])} {d}")
+            sql += "\nORDER BY " + ", ".join(parts)
+        if ast["limit"] is not None:
+            sql += f"\nLIMIT {ast['limit']}"
+        if ast["skip"] is not None:
+            sql += f"\nOFFSET {ast['skip']}"
     return sql
 
 

@@ -30,6 +30,41 @@ class DuplicateNodeId(ValueError):
     """Id-map collision check parity (GdsWriteJob.java:171-174)."""
 
 
+class RaggedFixedSizeList(ValueError):
+    """FixedSizeList violation: the reference types embedding columns as
+    FixedSizeList sized by the FIRST record (GdsActionHandler.java:
+    193-220) — later rows of a different length break the stream. Spark
+    has only variable ArrayType, so the contract is enforced by
+    validation (SURVEY §7.3)."""
+
+
+def validate_fixed_length(df: DataFrame, col: str) -> int:
+    """Check that every non-null array in ``col`` has one single
+    length; returns it. One aggregation pass (min==max of size)."""
+    row = df.agg(
+        F.min(F.size(F.col(col))).alias("lo"),
+        F.max(F.size(F.col(col))).alias("hi"),
+    ).collect()[0]
+    if row["lo"] is None:
+        return 0  # all null / empty table
+    if row["lo"] != row["hi"]:
+        raise RaggedFixedSizeList(
+            f"column {col}: array lengths vary ({row['lo']}..{row['hi']}); "
+            "FixedSizeList semantics require a single length"
+        )
+    return row["lo"]
+
+
+def from_arrow(spark: SparkSession, table) -> DataFrame:
+    """pyarrow.Table -> DataFrame — the ``put()`` ingest boundary of the
+    reference client (neo4j_arrow.py:346-377 writes Arrow batches).
+    Uses the Arrow-native createDataFrame path when available."""
+    try:
+        return spark.createDataFrame(table)  # Spark 4: direct Arrow table
+    except Exception:
+        return spark.createDataFrame(table.to_pandas())
+
+
 class UnresolvedEndpoint(ValueError):
     """Endpoint-resolution failure parity (GdsWriteJob.java:479-493
     throws when START_ID/END_ID is not in the node id map)."""

@@ -73,6 +73,12 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_undirected_degree",
+    "MATCH (n:Nation)-[r:IN_NATION]-(x) "
+    "RETURN n.name AS nation, count(*) AS degree",
+)
+
+_cypher_query(
     "cypher_where_filter",
     "MATCH (c:Customer) WHERE c.acctbal > 5000.0 AND c.acctbal <= 9000.0 "
     "RETURN c.ID AS id, c.acctbal AS acctbal ORDER BY id LIMIT 100",

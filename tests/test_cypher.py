@@ -44,13 +44,11 @@ def test_aggregate_implicit_grouping():
         "MATCH (a:X)-[r:T]->(b) RETURN b.name AS n, count(*) AS c ORDER BY c DESC LIMIT 5",
         "n", "e",
     )
-    assert "GROUP BY n" in sql
+    assert "GROUP BY b.name" in sql  # underlying expr, not alias (ambiguity)
     assert "ORDER BY c DESC" in sql and "LIMIT 5" in sql
 
 
 def test_unsupported_forms():
-    with pytest.raises(CypherUnsupported):
-        cypher_to_sql("MATCH (a)-[r]-(b) RETURN a.ID", "n", "e")  # undirected
     with pytest.raises(CypherUnsupported):
         cypher_to_sql("MATCH (a), (b) RETURN a.ID", "n", "e")  # multi pattern
     with pytest.raises(CypherUnsupported):
@@ -106,3 +104,22 @@ def test_cypher_two_hop_chain(client):
     )
     rows = client.stream(job, 120).collect()
     assert sum(r.edges for r in rows) == 6000  # one per lineitem
+
+
+def test_undirected_translation():
+    sql = cypher_to_sql("MATCH (a)-[r:T]-(b) RETURN a.ID, b.ID", "n", "e")
+    assert "UNION ALL" in sql and "END_ID AS START_ID" in sql
+
+
+def test_cypher_undirected_end_to_end(client):
+    # undirected matches each IN_NATION edge in both orientations:
+    # 150 customer edges + 10 supplier edges ... from the nation side too
+    job = client.cypher(
+        "MATCH (n:Nation)-[r:IN_NATION]-(x) RETURN count(*) AS deg"
+    )
+    deg = client.stream(job, 60).collect()[0].deg
+    job2 = client.cypher(
+        "MATCH (x)-[r:IN_NATION]->(n:Nation) RETURN count(*) AS deg"
+    )
+    directed = client.stream(job2, 60).collect()[0].deg
+    assert deg == directed  # every IN_NATION edge ends at a Nation node

@@ -85,3 +85,35 @@ def test_bulk_import_roundtrip(spark, cat, node_df, rel_df, tmp_path):
     assert (tmp_path / "db1" / "rels" / "TYPE=PAYS").exists()
     got = g.rels.filter(F.col("TYPE") == "PAYS").count()
     assert got == 2
+
+
+def test_arrow_table_ingest(spark, cat):
+    import pyarrow as pa
+
+    table = pa.table(
+        {
+            "ID": pa.array([100, 101], pa.int64()),
+            "LABELS": pa.array([["A"], ["A", "B"]], pa.list_(pa.string())),
+            "embedding": pa.array([[0.1, 0.2], [0.3, 0.4]], pa.list_(pa.float32())),
+        }
+    )
+    from neo4j_arrow_spark.operators.ingest import from_arrow, validate_fixed_length
+
+    df = from_arrow(spark, table)
+    assert df.count() == 2
+    assert validate_fixed_length(df, "embedding") == 2
+    g = gds_write_nodes(cat, "arrow_g", df, cache=False)
+    assert g.node_count() == 2
+
+
+def test_ragged_embedding_rejected(spark):
+    from neo4j_arrow_spark.operators.ingest import (
+        RaggedFixedSizeList,
+        validate_fixed_length,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3])], "ID long, embedding array<double>"
+    )
+    with pytest.raises(RaggedFixedSizeList):
+        validate_fixed_length(df, "embedding")
