@@ -13,11 +13,14 @@ from neo4j_arrow_spark.streaming.events import (
     stateful_user_counts,
     windowed_event_agg,
 )
+from neo4j_arrow_spark.streaming.ingest import refresh_graph, start_rel_ingest
 
 __all__ = [
     "read_event_stream",
+    "refresh_graph",
     "run_to_memory",
     "sessionize_batch",
+    "start_rel_ingest",
     "stateful_user_counts",
     "windowed_event_agg",
 ]

@@ -62,3 +62,47 @@ def test_stateful_user_counts(spark, sf_dir, batch_events):
     joined = got.join(want, "user_id").filter("n != count")
     assert joined.count() == 0
     assert got.count() == want.count()
+
+
+def test_continuous_rel_ingest(spark, sf_dir, tmp_path_factory):
+    """Streaming edges land in a parquet-backed graph; refresh makes
+    them catalog-visible; a second run of the same source is a no-op
+    (checkpointed exactly-once)."""
+    import pyspark.sql.functions as F
+
+    from neo4j_arrow_spark.catalog import GraphCatalog
+    from neo4j_arrow_spark.streaming.ingest import refresh_graph, start_rel_ingest
+
+    db = str(tmp_path_factory.mktemp("streamdb"))
+    cat = GraphCatalog(spark)
+
+    # nodes: the distinct users + event types of the fixture
+    batch = load_table(spark, sf_dir, "events")
+    users = batch.select(F.col("user_id").alias("ID")).distinct()
+    types = batch.select(
+        (F.abs(F.xxhash64("event_type")) % 1000 + 1_000_000).alias("ID")
+    ).distinct()
+    nodes = users.unionByName(types).distinct().withColumn(
+        "LABELS", F.array(F.lit("N"))
+    )
+    nodes.write.mode("overwrite").parquet(f"{db}/nodes")
+
+    edges = lambda df: df.select(
+        F.col("user_id").alias("START_ID"),
+        (F.abs(F.xxhash64("event_type")) % 1000 + 1_000_000).alias("END_ID"),
+        F.lit("DID").alias("TYPE"),
+        F.col("value").alias("weight"),
+    )
+    stream = edges(ev.read_event_stream(spark, sf_dir))
+    q = start_rel_ingest(stream, db)
+    q.processAllAvailable(); q.stop()
+
+    g = refresh_graph(spark, cat, "streamg", db)
+    n_events = batch.count()
+    assert g.rel_count() == n_events
+
+    # restart on the same checkpoint: no duplication
+    q2 = start_rel_ingest(edges(ev.read_event_stream(spark, sf_dir)), db)
+    q2.processAllAvailable(); q2.stop()
+    g = refresh_graph(spark, cat, "streamg", db)
+    assert g.rel_count() == n_events
