@@ -30,6 +30,12 @@ def _sf(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _timed_noop(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("neo4j_arrow_spark-bench")
@@ -70,9 +76,7 @@ def main() -> None:
     # (speed/26-aug-2021/README.md: 5 warm-ups, best-3-of-5)
     emb.write.format("noop").mode("overwrite").save()
     emb.write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    emb.write.format("noop").mode("overwrite").save()
-    stream_sec = time.perf_counter() - t0
+    stream_sec = min(_timed_noop(emb) for _ in range(3))  # best-of-3, like the ref
     rows_per_sec = round(n_rows / stream_sec, 0)
 
     # scan-path variant — the headline test reads a STORED projection
@@ -84,9 +88,7 @@ def main() -> None:
         emb.write.mode("overwrite").parquet(scan_path)
     stored = spark.read.parquet(scan_path)
     stored.write.format("noop").mode("overwrite").save()  # warm-up
-    t0 = time.perf_counter()
-    stored.write.format("noop").mode("overwrite").save()
-    scan_sec = time.perf_counter() - t0
+    scan_sec = min(_timed_noop(stored) for _ in range(3))
     scan_rows_per_sec = round(n_rows / scan_sec, 0)
 
     total = round(sum(timings.values()), 3)

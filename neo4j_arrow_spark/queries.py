@@ -16,6 +16,8 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -259,6 +261,71 @@ def gds_node_scan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # S4 — GDS relationship scan (type filter + property melt)
 # --------------------------------------------------------------------------
+
+@query(
+    "gds_node_scan_remap",
+    oracle="""
+    SELECT CAST(label AS BIGINT) AS ID,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+    FROM embeddings
+    """,
+)
+def gds_node_scan_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node-id remap: a property becomes the exported ID
+    (GdsReadJob.java:281-283,388-394; msg key node_id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nodes = emb.select(
+        F.col("vec_id").cast("long").alias("ID"),
+        F.array(F.lit("Embedding")).alias("LABELS"),
+        F.col("label").cast("long").alias("label"),
+        F.col("embedding"),
+    )
+    out = gds_nodes(nodes, properties=["embedding"], node_id="label")
+    return out.select(
+        "ID",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            4,
+        ).alias("norm"),
+    )
+
+
+@query(
+    "bulk_import_roundtrip",
+    oracle=f"""
+    WITH nodes AS ({NODES_SQL})
+    SELECT array_to_string(LABELS, ',') AS labels, count(*) AS n
+    FROM nodes GROUP BY 1
+    """,
+)
+def bulk_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 under the correctness gate: derive the graph, mint a parquet
+    database via bulk_import, read it BACK from storage, aggregate —
+    any loss/corruption in the write/read cycle breaks the hash."""
+    import tempfile
+
+    from neo4j_arrow_spark.catalog import GraphCatalog
+    from neo4j_arrow_spark.operators.ingest import bulk_import
+
+    nodes, rels = _graph(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"nas_bulk_roundtrip_{tag}")
+    g = bulk_import(
+        spark, GraphCatalog(spark), path, nodes, rels,
+        database_name=f"bulkrt_{tag}",
+    )
+    return (
+        g.nodes.groupBy(F.concat_ws(",", "LABELS").alias("labels"))
+        .agg(F.count("*").alias("n"))
+    )
+
 
 @query(
     "gds_rel_scan",

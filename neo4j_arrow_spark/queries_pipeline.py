@@ -75,6 +75,23 @@ def _duck_cos(a: str, b: str) -> str:
 # ---- exact dedup -----------------------------------------------------------
 
 @query(
+    "exact_dedup_keep",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    ) t WHERE rn = 1
+    """,
+)
+def exact_dedup_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materializing variant: keep one (min-id) row per content
+    group, all other columns surviving."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    return dedup.exact_dedup_keep(docs, ["text"], "doc_id").drop("text")
+
+
+@query(
     "exact_dedup_docs",
     oracle="""
     SELECT doc_id,
