@@ -137,13 +137,14 @@ class Neo4jArrowSpark:
         database: str | None = None,
         filters: Sequence[str] | None = None,
         list_size: int = DEFAULT_LIST_SIZE,
+        k: int = 2,
     ) -> Job:
-        """S5 (client: neo4j_arrow.py:256-279; k fixed at 2,
-        GdsReadJob.java:70-72)."""
+        """S5 (client: neo4j_arrow.py:256-279). The reference fixes k=2
+        (GdsReadJob.java:70-72); this engine generalizes k >= 1."""
         g = self.catalog.get(graph, database or self.database, self.username)
         return self.registry.submit(
             "gds.read/khop",
-            lambda: khop_fn(g.nodes, g.rels, filters, list_size),
+            lambda: khop_fn(g.nodes, g.rels, filters, list_size, k),
         )
 
     # -- writes ------------------------------------------------------------

@@ -204,15 +204,20 @@ def bulk_import(
     target_field: str = RelField.END_ID,
     type_field: str = RelField.TYPE,
     register: bool = True,
+    partition_nodes_by_label: bool = False,
 ) -> Graph | None:
     """K3 — mint a new "database" from two streams (BulkImportJob.java:
     99-184; client neo4j_arrow.py:454-467).
 
     The reference's queue-fed BatchImporter collapses to two parquet
-    writes: nodes partitioned-by-nothing (ID is high-cardinality),
-    relationships partitioned by TYPE so type-filtered scans prune whole
-    directories (the partition-pruning upgrade the reference lacks —
-    SURVEY.md §4.1)."""
+    writes: relationships partitioned by TYPE so type-filtered scans
+    prune whole directories (the partition-pruning upgrade the
+    reference lacks — SURVEY.md §4.1). With
+    ``partition_nodes_by_label`` the node table additionally gets a
+    ``_primary_label`` partition column (first label): scans filtering
+    on it skip whole directories — the 100 TB answer for
+    label-dominant access patterns. The ``LABELS`` array stays the
+    general (multi-label) filter."""
     database_name = database_name or os.path.basename(database_path.rstrip("/"))
     nodes = _rename(nodes, {id_field: NodeField.ID, labels_field: NodeField.LABELS})
     rels = _rename(
@@ -223,7 +228,13 @@ def bulk_import(
             type_field: RelField.TYPE,
         },
     )
-    nodes.write.mode("overwrite").parquet(os.path.join(database_path, "nodes"))
+    nodes_writer = nodes.write.mode("overwrite")
+    if partition_nodes_by_label:
+        nodes = nodes.withColumn(
+            "_primary_label", F.element_at(F.col(NodeField.LABELS), 1)
+        )
+        nodes_writer = nodes.write.mode("overwrite").partitionBy("_primary_label")
+    nodes_writer.parquet(os.path.join(database_path, "nodes"))
     rels.write.mode("overwrite").partitionBy(RelField.TYPE).parquet(
         os.path.join(database_path, "rels")
     )

@@ -62,8 +62,17 @@ def khop_flat(
     rels: DataFrame,
     filters: Sequence[str] | None = None,
     origins_complete: bool = True,
+    k: int = 2,
 ) -> DataFrame:
-    """Flat 2-hop edge sets: one row per (origin, src, dst).
+    """Flat k-hop edge sets: one row per (origin, src, dst).
+
+    ``edges(o) = {(s,d) ∈ E : s ∈ N≤k-1(o) or d ∈ N≤k-1(o)}`` — an edge
+    is within k hops iff an endpoint is within k-1 (KHOP.md semantics,
+    golden-tested for the reference's k=2). The reference hardcodes k=2
+    (GdsReadJob.java:70-72,115); here ``k`` generalizes by iterating
+    the undirected-neighbor closure k-1 times — each round is one
+    equi-join + dedup, so the shuffle budget grows linearly in k while
+    the (huge) final edge output still never shuffles.
 
     ``nodes`` supplies the origin universe ("for every node",
     GdsReadJob.java:128-135); isolated nodes yield no rows (the
@@ -75,12 +84,14 @@ def khop_flat(
     which lets the plan skip a semi-join shuffle against ``nodes``.
     Pass False when ``nodes`` is a strict subset of the endpoints.
 
-    Shuffle budget (the thing that matters at 100 TB): exactly four —
-    edge dedup, member dedup, the member equi-join, and the final
-    output dedup. ``incident`` is constructed duplicate-free (edges are
-    distinct and the dst-keyed copy excludes self-loops), so it needs
-    no shuffle; AQE skew-join splits hot members (supernodes).
+    Shuffle budget at k=2 (the thing that matters at 100 TB): exactly
+    four — edge dedup, member dedup, the member equi-join, and nothing
+    for the output. ``incident`` is constructed duplicate-free (edges
+    are distinct and the dst-keyed copy excludes self-loops), so it
+    needs no shuffle; AQE skew-join splits hot members (supernodes).
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     edges = _distinct_edges(rels, filters)
 
     identity = nodes.select(
@@ -91,7 +102,18 @@ def khop_flat(
     ).unionByName(
         edges.select(F.col("dst").alias("origin"), F.col("src").alias("member"))
     )
-    members = identity.unionByName(pairs).dropDuplicates(["origin", "member"])
+    und = pairs.dropDuplicates(["origin", "member"])
+    members = identity
+    if k >= 2:
+        members = identity.unionByName(pairs).dropDuplicates(["origin", "member"])
+    for _ in range(k - 2):
+        # extend the closure one hop: members' = members ∪ (members ⋈ und)
+        extended = (
+            members.withColumnRenamed("member", "_mid")
+            .join(und.withColumnRenamed("origin", "_mid"), "_mid")
+            .select("origin", "member")
+        )
+        members = members.unionByName(extended).dropDuplicates(["origin", "member"])
     if not origins_complete:
         members = members.join(
             nodes.select(F.col(NodeField.ID).alias("origin")), "origin", "left_semi"
@@ -125,6 +147,7 @@ def khop(
     rels: DataFrame,
     filters: Sequence[str] | None = None,
     list_size: int = DEFAULT_LIST_SIZE,
+    k: int = 2,
 ) -> DataFrame:
     """Reference wire shape: ``(_origin_id_ int, _source_ids_
     array<int>, _target_ids_ array<int>)`` (``SubGraphRecord.java:
@@ -133,7 +156,7 @@ def khop(
     nondeterministic in the reference too — ``KHOP.md:125-128`` — so
     only the flattened set is contract).
     """
-    flat = khop_flat(nodes, rels, filters)
+    flat = khop_flat(nodes, rels, filters, k=k)
     w = Window.partitionBy("origin").orderBy("src", "dst")
     chunked = flat.withColumn(
         "_chunk", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(list_size))

@@ -117,3 +117,18 @@ def test_ragged_embedding_rejected(spark):
     )
     with pytest.raises(RaggedFixedSizeList):
         validate_fixed_length(df, "embedding")
+
+
+def test_label_partitioned_nodes_prune(spark, cat, node_df, rel_df, tmp_path):
+    g = bulk_import(
+        spark, cat, str(tmp_path / "db2"),
+        node_df.toDF("ID", "LABELS", "age"),
+        rel_df.toDF("START_ID", "END_ID", "TYPE", "weight"),
+        database_name="db2p",
+        partition_nodes_by_label=True,
+    )
+    assert (tmp_path / "db2" / "nodes" / "_primary_label=User").exists()
+    scan = g.nodes.filter(F.col("_primary_label") == "User")
+    assert scan.count() == 2
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_primary_label" in plan

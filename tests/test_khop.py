@@ -70,3 +70,43 @@ def test_khop_dedups_parallel_edges(spark):
     for r in out.collect():
         got.setdefault(r.origin, set()).add((r.src, r.dst))
     assert got == {0: {(0, 1)}, 1: {(0, 1)}}
+
+
+def _py_khop(edges, origins, k):
+    nbrs = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    out = {}
+    for o in origins:
+        members = {o}
+        for _ in range(k - 1):
+            members = members | {m for x in members for m in nbrs.get(x, ())}
+        es = {(s, d) for (s, d) in edges if s in members or d in members}
+        if es:
+            out[o] = es
+    return out
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 4])
+def test_khop_general_k_matches_python_oracle(golden, k):
+    nodes, rels = golden
+    got = {}
+    for r in khop_flat(nodes, rels, k=k).collect():
+        got.setdefault(r.origin, set()).add((r.src, r.dst))
+    assert got == _py_khop(EDGES, set(range(6)), k)
+
+
+def test_khop_k1_is_incident_edges(golden):
+    nodes, rels = golden
+    got = {}
+    for r in khop_flat(nodes, rels, k=1).collect():
+        got.setdefault(r.origin, set()).add((r.src, r.dst))
+    assert got[5] == {(5, 4)}
+    assert got[0] == {(0, 1), (0, 2), (0, 3), (1, 0)}
+
+
+def test_khop_invalid_k(golden):
+    nodes, rels = golden
+    with pytest.raises(ValueError):
+        khop_flat(nodes, rels, k=0)
