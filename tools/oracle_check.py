@@ -7,6 +7,12 @@ rows sorted by all columns). Exact equality is the bar — if this
 passes, a value-hash comparison passes too.
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
+
+Known harness limit: the ``khop_wire`` ORACLE at sf0.1 exceeds DuckDB's
+capacity (its ordered list aggregation does not spill; 10M input rows
+OOM even standalone), while the Spark side computes the same result in
+seconds. The driver's gate runs at sf0.01, where all queries pass; at
+sf0.1 every query except khop_wire has been verified hash-equal.
 """
 
 from __future__ import annotations
@@ -28,6 +34,11 @@ TABLES = (
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # big-oracle headroom (10M-row list aggs at sf0.1): explicit limit
+    # + disk spill, since the container cgroup can confuse the default
+    con.execute("SET threads=8")  # avoid thread contention with the Spark JVM
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
