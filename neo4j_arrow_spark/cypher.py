@@ -40,7 +40,7 @@ class CypherUnsupported(ValueError):
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
-  | (?P<kw>(?i:MATCH|WHERE|RETURN|DISTINCT|ORDER|BY|SKIP|LIMIT|ASC|DESC|AND|OR|NOT|IS|NULL|IN|AS|TRUE|FALSE)\b)
+  | (?P<kw>(?i:OPTIONAL|MATCH|WHERE|RETURN|DISTINCT|ORDER|BY|SKIP|LIMIT|ASC|DESC|AND|OR|NOT|IS|NULL|IN|AS|TRUE|FALSE)\b)
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<str>'(?:[^'\\]|\\.)*')
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
@@ -273,8 +273,36 @@ class _Parser:
     def parse(self) -> dict:
         self.expect("MATCH")
         nodes, rels = self.pattern()
+        bound = {n.var for n in nodes}
+        optionals: list[tuple[list[_NodePat], list[_RelPat]]] = []
+        while self.peek()[1] == "OPTIONAL":
+            self.next()
+            self.expect("MATCH")
+            onodes, orels = self.pattern()
+            anchor = onodes[0]
+            if anchor.var not in bound:
+                raise CypherUnsupported(
+                    f"OPTIONAL MATCH must start from a bound variable; "
+                    f"{anchor.var!r} is not bound"
+                )
+            if anchor.labels or anchor.props:
+                raise CypherUnsupported(
+                    "labels/properties on the bound anchor of OPTIONAL MATCH "
+                    "are not supported; put them on the original MATCH"
+                )
+            if not orels:
+                raise CypherUnsupported("OPTIONAL MATCH needs a relationship pattern")
+            for n in onodes[1:]:
+                if n.var in bound:
+                    raise CypherUnsupported(
+                        f"OPTIONAL MATCH re-binding {n.var!r} is not supported"
+                    )
+                bound.add(n.var)
+            optionals.append((onodes, orels))
         where = None
         if self.accept("WHERE"):
+            # applies post-join (global filter); Cypher's per-OPTIONAL
+            # WHERE is out of scope — document divergence
             where = self.expr()
         self.expect("RETURN")
         distinct = self.accept("DISTINCT")
@@ -306,6 +334,7 @@ class _Parser:
         return {
             "nodes": nodes,
             "rels": rels,
+            "optionals": optionals,
             "where": where,
             "distinct": distinct,
             "items": items,
@@ -327,13 +356,7 @@ def cypher_to_sql(query: str, nodes_view: str, rels_view: str) -> str:
             raise CypherUnsupported(f"repeated node variable {n.var!r} (no cycles in v1)")
         seen.add(n.var)
 
-    from_sql = f"{nodes_view} AS {n0Var(nodes)}"
-    joins: list[str] = []
-    conds: list[str] = []
-    for i, r in enumerate(rels):
-        rv = r.var or f"_r{i}"
-        a, b = nodes[i].var, nodes[i + 1].var
-        rel_src = f"{rels_view} AS {rv}"
+    def rel_source(r: _RelPat, rv: str) -> str:
         if r.direction == "-":
             # undirected: join against the natural+reverse union view —
             # the reference's own projection trick (KHOP.md:55-70).
@@ -341,19 +364,27 @@ def cypher_to_sql(query: str, nodes_view: str, rels_view: str) -> str:
             # Cypher's undirected semantics. Only (ids, TYPE) survive
             # the swap, so rel-property access on an undirected rel is
             # rejected at parse level (var kept for pattern syntax).
-            rel_src = (
+            return (
                 f"(SELECT START_ID, END_ID, TYPE FROM {rels_view}"
                 f" UNION ALL"
                 f" SELECT END_ID AS START_ID, START_ID AS END_ID, TYPE"
                 f" FROM {rels_view}) AS {rv}"
             )
+        return f"{rels_view} AS {rv}"
+
+    def rel_keys(r: _RelPat, rv: str, a: str, b: str) -> tuple[str, str]:
         if r.direction == "<-":
-            on = f"{rv}.END_ID = {a}.ID"
-            on2 = f"{b}.ID = {rv}.START_ID"
-        else:  # '->' and the (already both-ways) undirected view
-            on = f"{rv}.START_ID = {a}.ID"
-            on2 = f"{b}.ID = {rv}.END_ID"
-        joins.append(f"JOIN {rel_src} ON {on}")
+            return f"{rv}.END_ID = {a}.ID", f"{b}.ID = {rv}.START_ID"
+        return f"{rv}.START_ID = {a}.ID", f"{b}.ID = {rv}.END_ID"
+
+    from_sql = f"{nodes_view} AS {n0Var(nodes)}"
+    joins: list[str] = []
+    conds: list[str] = []
+    for i, r in enumerate(rels):
+        rv = r.var or f"_r{i}"
+        a, b = nodes[i].var, nodes[i + 1].var
+        on, on2 = rel_keys(r, rv, a, b)
+        joins.append(f"JOIN {rel_source(r, rv)} ON {on}")
         joins.append(f"JOIN {nodes_view} AS {b} ON {on2}")
         if r.rtype:
             conds.append(f"{rv}.TYPE = '{r.rtype}'")
@@ -362,6 +393,28 @@ def cypher_to_sql(query: str, nodes_view: str, rels_view: str) -> str:
             conds.append(f"array_contains({n.var}.LABELS, '{lbl}')")
         for key, lit in n.props:
             conds.append(f"{n.var}.{key} = {lit}")
+
+    for oi, (onodes, orels) in enumerate(ast["optionals"]):
+        # LEFT-JOIN chain: pattern conditions live in the ON clause
+        # (WHERE would defeat the null-preservation). Non-anchor nodes
+        # must be bare — a failed label test on an optional target
+        # would have to null the whole pattern, which needs derived-
+        # table joins; out of scope v1.
+        for n in onodes[1:]:
+            if n.labels or n.props:
+                raise CypherUnsupported(
+                    "labels/properties on OPTIONAL MATCH target nodes are "
+                    "not supported (v1) — filter in WHERE with IS NULL guards"
+                )
+        for i, r in enumerate(orels):
+            rv = r.var or f"_o{oi}_{i}"
+            a, b = onodes[i].var, onodes[i + 1].var
+            on, on2 = rel_keys(r, rv, a, b)
+            if r.rtype:
+                on = f"{on} AND {rv}.TYPE = '{r.rtype}'"
+            joins.append(f"LEFT JOIN {rel_source(r, rv)} ON {on}")
+            joins.append(f"LEFT JOIN {nodes_view} AS {b} ON {on2}")
+
     if ast["where"]:
         conds.append(ast["where"])
 

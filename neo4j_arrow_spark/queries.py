@@ -81,6 +81,12 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_optional_match",
+    "MATCH (n:Nation) OPTIONAL MATCH (n)<-[r:IN_NATION]-(s) "
+    "RETURN n.ID AS id, n.name AS name, count(s.ID) AS members",
+)
+
+_cypher_query(
     "cypher_where_filter",
     "MATCH (c:Customer) WHERE c.acctbal > 5000.0 AND c.acctbal <= 9000.0 "
     "RETURN c.ID AS id, c.acctbal AS acctbal ORDER BY id LIMIT 100",

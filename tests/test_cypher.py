@@ -123,3 +123,39 @@ def test_cypher_undirected_end_to_end(client):
     )
     directed = client.stream(job2, 60).collect()[0].deg
     assert deg == directed  # every IN_NATION edge ends at a Nation node
+
+
+def test_optional_match_translation():
+    sql = cypher_to_sql(
+        "MATCH (a:X) OPTIONAL MATCH (a)-[r:T]->(b) RETURN a.ID AS id, b.ID AS nbr",
+        "n", "e",
+    )
+    assert "LEFT JOIN e AS r ON r.START_ID = a.ID AND r.TYPE = 'T'" in sql
+    assert "LEFT JOIN n AS b ON b.ID = r.END_ID" in sql
+
+
+def test_optional_match_requires_bound_anchor():
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql("MATCH (a:X) OPTIONAL MATCH (z)-[r:T]->(b) RETURN a.ID", "n", "e")
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql(
+            "MATCH (a:X) OPTIONAL MATCH (a)-[r:T]->(b:Lab) RETURN a.ID", "n", "e"
+        )
+
+
+def test_optional_match_end_to_end(client):
+    # suppliers have IN_NATION edges; BOUGHT_BY does not exist -> all null
+    job = client.cypher(
+        "MATCH (s:Supplier) OPTIONAL MATCH (s)-[r:NO_SUCH_TYPE]->(x) "
+        "RETURN s.ID AS sid, x.ID AS xid"
+    )
+    rows = client.stream(job, 60).collect()
+    assert len(rows) == 10  # sf0.001 supplier count preserved by left join
+    assert all(r.xid is None for r in rows)
+    # and a real optional hop keeps matched targets
+    job2 = client.cypher(
+        "MATCH (s:Supplier) OPTIONAL MATCH (s)-[r:IN_NATION]->(x) "
+        "RETURN count(*) AS n, count(x.ID) AS matched"
+    )
+    r = client.stream(job2, 60).collect()[0]
+    assert r.n == 10 and r.matched == 10
