@@ -663,3 +663,65 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return sessionize_batch(ev, gap_minutes=30)
+
+
+_ASOF_SQL = """
+WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+clicks AS (
+    SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY value DESC) AS rn
+        FROM events WHERE event_type = 'click') t
+    WHERE rn = 1
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       epoch_us(c.ts) AS asof_ts_us, c.value AS asof_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@query("events_asof_join", oracle=_ASOF_SQL)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: each purchase event picks up the most
+    recent prior click by the same user. Spark has no ASOF JOIN; the
+    operator (operators/temporal.py) is the union+running-last plan —
+    one shuffle on user_id, no inequality-join explosion. The DuckDB
+    oracle is a literal ``ASOF LEFT JOIN``."""
+    from neo4j_arrow_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = asof_join(purchases, clicks, on="user_id", payload=("value",))
+    # nullable timestamps cross engines as µs bigints (nullable
+    # datetime resolution is the one cross-engine footgun)
+    return out.withColumn("asof_ts_us", F.unix_micros("asof_ts")).drop("asof_ts")
+
+
+_RANGE_PAIRS_SQL = """
+SELECT a.user_id,
+       a.event_id AS a_id,
+       b.event_id AS b_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) - epoch_us(a.ts) > 0
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+"""
+
+
+@query("events_range_pairs", oracle=_RANGE_PAIRS_SQL)
+def events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded self-range-join: all same-user event pairs within one
+    hour. The operator quantizes time into window-width buckets so the
+    inequality join becomes an equi-join on (user, bucket ∈ {b, b+1})
+    with a residual filter (operators/temporal.py); the oracle is the
+    naive inequality join DuckDB can afford at oracle scale."""
+    from neo4j_arrow_spark.operators.temporal import range_pair_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return range_pair_join(ev, on="user_id", window_us=3_600_000_000)
