@@ -16,9 +16,13 @@ Implicit grouping follows Cypher: aggregate + non-aggregate return
 items ⇒ GROUP BY the non-aggregates. ``RETURN a`` returns the node id
 (``a.ID``) — the columnar engine has no "node object".
 
-Out of scope (raise :class:`CypherUnsupported`): undirected /
-variable-length / optional matches, multiple comma patterns, WITH
-chains, mutation clauses, path variables. The generated SQL uses only
+Also supported: undirected patterns (natural+reverse union view),
+``OPTIONAL MATCH`` (left-join chains), and bounded variable-length
+relationships ``-[:T*a..b]->`` (UNION ALL over fixed-length chains; see
+:func:`_varlength_sql` for the documented edge-uniqueness divergence).
+Out of scope (raise :class:`CypherUnsupported`): multiple comma
+patterns, WITH chains, mutation clauses, path variables, unbounded
+``*``. The generated SQL uses only
 constructs DuckDB executes identically (``array_contains``, ANSI
 joins), so transpiled queries plug into the oracle harness unchanged.
 """
@@ -47,7 +51,7 @@ _TOKEN_RE = re.compile(
   | (?P<arrow_r>->)
   | (?P<arrow_l><-)
   | (?P<cmp><=|>=|<>|!=|=|<|>)
-  | (?P<punct>[(){}\[\],.:*-])
+  | (?P<punct>[(){}\[\],.:*|-])
     """,
     re.VERBOSE,
 )
@@ -81,8 +85,14 @@ class _NodePat:
 @dataclass
 class _RelPat:
     var: str
-    rtype: str | None
-    direction: str  # '->' or '<-'
+    rtypes: list[str]  # empty = any type; >1 = alternation :A|B
+    direction: str  # '->', '<-' or '-' (undirected)
+    minlen: int = 1  # *a..b variable-length bounds; (1, 1) = fixed
+    maxlen: int = 1
+
+    @property
+    def is_varlength(self) -> bool:
+        return (self.minlen, self.maxlen) != (1, 1)
 
 
 class _Parser:
@@ -157,22 +167,60 @@ class _Parser:
         else:
             self.expect("-")
             direction = "?"
-        var, rtype = "", None
+        var, rtypes = "", []
+        minlen = maxlen = 1
         if self.accept("["):
             kind, tok = self.peek()
             if kind == "name":
                 var = self.expect_name()
             if self.accept(":"):
-                rtype = self.expect_name()
+                # type alternation: :A|B|C
+                rtypes.append(self.expect_name())
+                while self.accept("|"):
+                    rtypes.append(self.expect_name())
+            if self.accept("*"):
+                minlen, maxlen = self._varlength_bounds()
             self.expect("]")
         if direction == "<-":
             self.expect("-")
-            return _RelPat(var, rtype, "<-")
+            return _RelPat(var, rtypes, "<-", minlen, maxlen)
         if self.accept("->"):
-            return _RelPat(var, rtype, "->")
+            return _RelPat(var, rtypes, "->", minlen, maxlen)
         if self.accept("-"):
-            return _RelPat(var, rtype, "-")
+            return _RelPat(var, rtypes, "-", minlen, maxlen)
         raise CypherSyntaxError("malformed relationship pattern")
+
+    _VARLENGTH_CAP = 4
+
+    def _varlength_bounds(self) -> tuple[int, int]:
+        """``*n`` | ``*a..b`` after the ``*`` token. Unbounded (bare
+        ``*`` / ``*a..``) is rejected: each length becomes a join chain,
+        so the bounds must be finite and small."""
+        kind, tok = self.peek()
+        if kind != "num":
+            raise CypherUnsupported(
+                "unbounded variable-length (*) is not supported — give "
+                "explicit finite bounds like *1..2"
+            )
+        lo = int(self.next()[1])
+        hi = lo
+        if self.peek()[1] == ".":
+            self.expect(".")
+            self.expect(".")
+            kind, tok = self.peek()
+            if kind != "num":
+                raise CypherUnsupported(
+                    "open upper bound *a.. is not supported — give *a..b"
+                )
+            hi = int(self.next()[1])
+        if not (1 <= lo <= hi):
+            raise CypherSyntaxError(f"bad variable-length bounds *{lo}..{hi}")
+        if hi > self._VARLENGTH_CAP:
+            raise CypherUnsupported(
+                f"variable-length upper bound {hi} exceeds cap "
+                f"{self._VARLENGTH_CAP} (each length is a join chain)"
+            )
+        return lo, hi
 
     def pattern(self) -> tuple[list[_NodePat], list[_RelPat]]:
         nodes = [self.node()]
@@ -344,6 +392,65 @@ class _Parser:
         }
 
 
+def _rel_source(r: _RelPat, rv: str, rels_view: str) -> str:
+    if r.direction == "-":
+        # undirected: join against the natural+reverse union view —
+        # the reference's own projection trick (KHOP.md:55-70).
+        # Each physical edge matches in both orientations, exactly
+        # Cypher's undirected semantics. Only (ids, TYPE) survive
+        # the swap, so rel-property access on an undirected rel is
+        # rejected at parse level (var kept for pattern syntax).
+        return (
+            f"(SELECT START_ID, END_ID, TYPE FROM {rels_view}"
+            f" UNION ALL"
+            f" SELECT END_ID AS START_ID, START_ID AS END_ID, TYPE"
+            f" FROM {rels_view}) AS {rv}"
+        )
+    return f"{rels_view} AS {rv}"
+
+
+def _type_cond(r: _RelPat, rv: str) -> str | None:
+    if not r.rtypes:
+        return None
+    if len(r.rtypes) == 1:
+        return f"{rv}.TYPE = '{r.rtypes[0]}'"
+    types = ", ".join(f"'{t}'" for t in r.rtypes)
+    return f"{rv}.TYPE IN ({types})"
+
+
+def _rel_keys(r: _RelPat, rv: str, a: str, b: str) -> tuple[str, str]:
+    if r.direction == "<-":
+        return f"{rv}.END_ID = {a}.ID", f"{b}.ID = {rv}.START_ID"
+    return f"{rv}.START_ID = {a}.ID", f"{b}.ID = {rv}.END_ID"
+
+
+def _chain(
+    nodes: list[_NodePat],
+    rels: list[_RelPat],
+    nodes_view: str,
+    rels_view: str,
+    tag: str = "",
+) -> tuple[str, list[str], list[str]]:
+    """FROM/JOIN/WHERE fragments for one fixed-length pattern chain."""
+    from_sql = f"{nodes_view} AS {nodes[0].var}"
+    joins: list[str] = []
+    conds: list[str] = []
+    for i, r in enumerate(rels):
+        rv = r.var or f"_r{tag}{i}"
+        a, b = nodes[i].var, nodes[i + 1].var
+        on, on2 = _rel_keys(r, rv, a, b)
+        joins.append(f"JOIN {_rel_source(r, rv, rels_view)} ON {on}")
+        joins.append(f"JOIN {nodes_view} AS {b} ON {on2}")
+        if cond := _type_cond(r, rv):
+            conds.append(cond)
+    for n in nodes:
+        for lbl in n.labels:
+            conds.append(f"array_contains({n.var}.LABELS, '{lbl}')")
+        for key, lit in n.props:
+            conds.append(f"{n.var}.{key} = {lit}")
+    return from_sql, joins, conds
+
+
 def cypher_to_sql(query: str, nodes_view: str, rels_view: str) -> str:
     """Transpile the Cypher subset to one ANSI SQL string over the
     graph views (executable identically by Spark and DuckDB)."""
@@ -356,43 +463,10 @@ def cypher_to_sql(query: str, nodes_view: str, rels_view: str) -> str:
             raise CypherUnsupported(f"repeated node variable {n.var!r} (no cycles in v1)")
         seen.add(n.var)
 
-    def rel_source(r: _RelPat, rv: str) -> str:
-        if r.direction == "-":
-            # undirected: join against the natural+reverse union view —
-            # the reference's own projection trick (KHOP.md:55-70).
-            # Each physical edge matches in both orientations, exactly
-            # Cypher's undirected semantics. Only (ids, TYPE) survive
-            # the swap, so rel-property access on an undirected rel is
-            # rejected at parse level (var kept for pattern syntax).
-            return (
-                f"(SELECT START_ID, END_ID, TYPE FROM {rels_view}"
-                f" UNION ALL"
-                f" SELECT END_ID AS START_ID, START_ID AS END_ID, TYPE"
-                f" FROM {rels_view}) AS {rv}"
-            )
-        return f"{rels_view} AS {rv}"
+    if any(r.is_varlength for r in rels):
+        return _varlength_sql(ast, nodes_view, rels_view)
 
-    def rel_keys(r: _RelPat, rv: str, a: str, b: str) -> tuple[str, str]:
-        if r.direction == "<-":
-            return f"{rv}.END_ID = {a}.ID", f"{b}.ID = {rv}.START_ID"
-        return f"{rv}.START_ID = {a}.ID", f"{b}.ID = {rv}.END_ID"
-
-    from_sql = f"{nodes_view} AS {n0Var(nodes)}"
-    joins: list[str] = []
-    conds: list[str] = []
-    for i, r in enumerate(rels):
-        rv = r.var or f"_r{i}"
-        a, b = nodes[i].var, nodes[i + 1].var
-        on, on2 = rel_keys(r, rv, a, b)
-        joins.append(f"JOIN {rel_source(r, rv)} ON {on}")
-        joins.append(f"JOIN {nodes_view} AS {b} ON {on2}")
-        if r.rtype:
-            conds.append(f"{rv}.TYPE = '{r.rtype}'")
-    for n in nodes:
-        for lbl in n.labels:
-            conds.append(f"array_contains({n.var}.LABELS, '{lbl}')")
-        for key, lit in n.props:
-            conds.append(f"{n.var}.{key} = {lit}")
+    from_sql, joins, conds = _chain(nodes, rels, nodes_view, rels_view)
 
     for oi, (onodes, orels) in enumerate(ast["optionals"]):
         # LEFT-JOIN chain: pattern conditions live in the ON clause
@@ -409,10 +483,10 @@ def cypher_to_sql(query: str, nodes_view: str, rels_view: str) -> str:
         for i, r in enumerate(orels):
             rv = r.var or f"_o{oi}_{i}"
             a, b = onodes[i].var, onodes[i + 1].var
-            on, on2 = rel_keys(r, rv, a, b)
-            if r.rtype:
-                on = f"{on} AND {rv}.TYPE = '{r.rtype}'"
-            joins.append(f"LEFT JOIN {rel_source(r, rv)} ON {on}")
+            on, on2 = _rel_keys(r, rv, a, b)
+            if cond := _type_cond(r, rv):
+                on = f"{on} AND {cond}"
+            joins.append(f"LEFT JOIN {_rel_source(r, rv, rels_view)} ON {on}")
             joins.append(f"LEFT JOIN {nodes_view} AS {b} ON {on2}")
 
     if ast["where"]:
@@ -443,6 +517,122 @@ def cypher_to_sql(query: str, nodes_view: str, rels_view: str) -> str:
             parts = []
             for e, d in ast["order"]:
                 parts.append(f"{_order_ref(e, ast['items'])} {d}")
+            sql += "\nORDER BY " + ", ".join(parts)
+        if ast["limit"] is not None:
+            sql += f"\nLIMIT {ast['limit']}"
+        if ast["skip"] is not None:
+            sql += f"\nOFFSET {ast['skip']}"
+    return sql
+
+
+_MAX_VARLENGTH_BRANCHES = 8
+
+
+def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
+    """Variable-length patterns (``-[:T*a..b]->``) as a UNION ALL of
+    fixed-length join chains under one outer projection/aggregation —
+    each length L ∈ [a, b] expands to L joins through synthetic
+    intermediate nodes, and RETURN aggregates see path rows across all
+    lengths (Cypher's row semantics).
+
+    Documented divergence: per-path relationship uniqueness (Cypher
+    forbids reusing an edge within one path) is NOT enforced — the two
+    differ only on graphs with directed cycles; enforcing it would need
+    pairwise edge-key inequalities across segments.
+    """
+    import itertools
+
+    nodes, rels = ast["nodes"], ast["rels"]
+    if ast["optionals"]:
+        raise CypherUnsupported(
+            "OPTIONAL MATCH combined with variable-length is not supported"
+        )
+    for r in rels:
+        if r.is_varlength and r.var:
+            raise CypherUnsupported(
+                "binding a variable-length relationship to a variable is "
+                "not supported (it would be a list of relationships)"
+            )
+        if r.is_varlength and r.direction == "-":
+            raise CypherUnsupported(
+                "undirected variable-length is not supported (v1)"
+            )
+
+    combos = list(
+        itertools.product(*[range(r.minlen, r.maxlen + 1) for r in rels])
+    )
+    if len(combos) > _MAX_VARLENGTH_BRANCHES:
+        raise CypherUnsupported(
+            f"pattern expands to {len(combos)} length combinations "
+            f"(cap {_MAX_VARLENGTH_BRANCHES})"
+        )
+
+    # every var.prop the outer query needs from the branches
+    known = {n.var for n in nodes} | {r.var for r in rels if r.var}
+    outer_exprs = [e for e, _a, _g in ast["items"]] + [
+        e for e, _d in ast["order"]
+    ]
+    refs: set[tuple[str, str]] = set()
+    for e in outer_exprs:
+        for var, prop in re.findall(r"\b([A-Za-z_][A-Za-z0-9_]*)\.(\w+)", e):
+            if var in known:
+                refs.add((var, prop))
+    ref_list = sorted(refs)
+
+    branches: list[str] = []
+    for bi, lengths in enumerate(combos):
+        bnodes = [nodes[0]]
+        brels: list[_RelPat] = []
+        for i, (r, L) in enumerate(zip(rels, lengths)):
+            for k in range(L):
+                is_last = k == L - 1
+                target = (
+                    nodes[i + 1]
+                    if is_last
+                    else _NodePat(f"_v{bi}_{i}_{k}")
+                )
+                brels.append(
+                    _RelPat(
+                        r.var if not r.is_varlength else "", r.rtypes, r.direction
+                    )
+                )
+                bnodes.append(target)
+        from_sql, joins, conds = _chain(
+            bnodes, brels, nodes_view, rels_view, tag=f"b{bi}_"
+        )
+        if ast["where"]:
+            conds.append(ast["where"])
+        select = (
+            ", ".join(f"{v}.{p} AS {v}_{p}" for v, p in ref_list) or "1 AS _one"
+        )
+        b_sql = f"SELECT {select}\nFROM {from_sql}"
+        for j in joins:
+            b_sql += f"\n{j}"
+        if conds:
+            b_sql += "\nWHERE " + " AND ".join(conds)
+        branches.append(b_sql)
+
+    union = "\nUNION ALL\n".join(branches)
+
+    def rewrite(e: str) -> str:
+        for v, p in ref_list:
+            e = re.sub(rf"\b{v}\.{p}\b", f"{v}_{p}", e)
+        return e
+
+    items = [(rewrite(e), a, g) for e, a, g in ast["items"]]
+    select_parts = [f"{e} AS {a}" for e, a, _ in items]
+    select_sql = ("DISTINCT " if ast["distinct"] else "") + ", ".join(select_parts)
+    group_cols = [e for e, _a, agg in items if not agg]
+    has_agg = any(agg for _, _, agg in items)
+
+    sql = f"SELECT {select_sql}\nFROM (\n{union}\n) AS _paths"
+    if has_agg and group_cols:
+        sql += "\nGROUP BY " + ", ".join(group_cols)
+    if ast["order"] or ast["limit"] is not None or ast["skip"] is not None:
+        sql = f"SELECT * FROM (\n{sql}\n) AS _projected"
+        if ast["order"]:
+            order_items = [(rewrite(e), d) for e, d in ast["order"]]
+            parts = [f"{_order_ref(e, items)} {d}" for e, d in order_items]
             sql += "\nORDER BY " + ", ".join(parts)
         if ast["limit"] is not None:
             sql += f"\nLIMIT {ast['limit']}"

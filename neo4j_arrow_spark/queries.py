@@ -87,6 +87,12 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_varlength_path",
+    "MATCH (c:Customer)-[:BUYS_FROM|IN_NATION*1..2]->(x) "
+    "RETURN x.name AS name, count(*) AS paths",
+)
+
+_cypher_query(
     "cypher_where_filter",
     "MATCH (c:Customer) WHERE c.acctbal > 5000.0 AND c.acctbal <= 9000.0 "
     "RETURN c.ID AS id, c.acctbal AS acctbal ORDER BY id LIMIT 100",

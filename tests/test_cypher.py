@@ -159,3 +159,51 @@ def test_optional_match_end_to_end(client):
     )
     r = client.stream(job2, 60).collect()[0]
     assert r.n == 10 and r.matched == 10
+
+
+def test_varlength_translation():
+    sql = cypher_to_sql(
+        "MATCH (a:X)-[:T*1..2]->(b) RETURN b.ID AS id, count(*) AS n", "n", "e"
+    )
+    assert "UNION ALL" in sql
+    assert sql.count("JOIN e AS") == 3  # 1 + 2 rel joins across branches
+    assert "b.ID AS b_ID" in sql and "GROUP BY b_ID" in sql
+    # exact length *2: single branch, two joins, no union
+    sql2 = cypher_to_sql("MATCH (a)-[:T*2]->(b) RETURN count(*) AS n", "n", "e")
+    assert "UNION ALL" not in sql2 and sql2.count("JOIN e AS") == 2
+
+
+def test_varlength_rejections():
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql("MATCH (a)-[:T*]->(b) RETURN a.ID", "n", "e")
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql("MATCH (a)-[r:T*1..2]->(b) RETURN a.ID", "n", "e")
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql("MATCH (a)-[:T*1..9]->(b) RETURN a.ID", "n", "e")
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql("MATCH (a)-[:T*1..2]-(b) RETURN a.ID", "n", "e")
+
+
+def test_type_alternation_translation():
+    sql = cypher_to_sql("MATCH (a)-[r:A|B]->(b) RETURN a.ID", "n", "e")
+    assert "r.TYPE IN ('A', 'B')" in sql
+
+
+def test_varlength_end_to_end(client):
+    # chain graph: 1->2->3->4 (type T); *1..3 from node 1 = 3 paths
+    spark = client.spark
+    nodes = spark.createDataFrame(
+        [(i, ["N"]) for i in (1, 2, 3, 4)], "ID long, LABELS array<string>"
+    )
+    rels = spark.createDataFrame(
+        [(1, 2, "T"), (2, 3, "T"), (3, 4, "T")],
+        "START_ID long, END_ID long, TYPE string",
+    )
+    client.gds_write_nodes("chain", nodes).result()
+    client.gds_write_relationships("chain", rels).result()
+    job = client.cypher(
+        "MATCH (a {ID: 1})-[:T*1..3]->(b) RETURN b.ID AS target",
+        graph="chain",
+    )
+    got = sorted(r.target for r in client.stream(job, 60).collect())
+    assert got == [2, 3, 4]
