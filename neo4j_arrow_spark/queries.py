@@ -564,6 +564,130 @@ def adjacency_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COPURCHASE_EDGES_SQL = """SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+WHERE a.l_quantity >= 45 AND b.l_quantity >= 45"""
+
+
+@query(
+    "connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS ({_COPURCHASE_EDGES_SQL}),
+    nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+    undirected AS (SELECT u, v FROM edges
+                   UNION ALL SELECT v AS u, u AS v FROM edges),
+    reach(node, comp) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.node, e.v AS comp
+        FROM reach r JOIN undirected e ON e.u = r.comp
+    )
+    SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    """,
+)
+def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the part co-purchase graph (parts linked
+    when bought together in large quantity). Spark side: O(log n)
+    alternating star contraction (operators/components.py); oracle:
+    transitive-closure recursive CTE — feasible only at oracle scale,
+    which is exactly why the operator exists."""
+    from neo4j_arrow_spark.operators.components import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 45).select("l_orderkey", "l_partkey")
+    edges = (
+        a.alias("a")
+        .join(a.alias("b"), on="l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    return connected_components(edges)
+
+
+def _pagerank_oracle(iterations: int, scale: int) -> str:
+    """Unrolled fixed-point PageRank as pure SQL: one CTE per
+    iteration. `//` is DuckDB integer division — order-independent, so
+    it matches Spark's `div` bit-for-bit (the whole point of the
+    integer quantization; see operators/pagerank.py)."""
+    base = 15 * scale // 100
+    ctes = [
+        f"""predges AS (
+    SELECT DISTINCT o.o_custkey AS u, l.l_suppkey + 1000000 AS v
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    UNION
+    SELECT s_suppkey + 1000000 AS u, s_nationkey + 2000000 AS v FROM supplier
+    UNION
+    SELECT c_custkey AS u, c_nationkey + 2000000 AS v FROM customer
+    UNION
+    SELECT n_nationkey + 2000000 AS u, n_regionkey + 3000000 AS v FROM nation
+)""",
+        "prnodes AS (SELECT u AS node FROM predges"
+        " UNION SELECT v AS node FROM predges)",
+        "proutdeg AS (SELECT u AS node, count(*) AS deg"
+        " FROM predges GROUP BY u)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM prnodes)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""r{i + 1} AS (
+    SELECT n.node,
+           CAST({base} + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
+    FROM prnodes n LEFT JOIN (
+        SELECT e.v AS node, sum(r{i}.rank // d.deg) AS c
+        FROM predges e
+        JOIN r{i} ON r{i}.node = e.u
+        JOIN proutdeg d ON d.node = e.u
+        GROUP BY e.v
+    ) s ON s.node = n.node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iterations}"
+    )
+
+
+@query("pagerank3", oracle=_pagerank_oracle(3, 1_000_000))
+def pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three fixed-point PageRank iterations over the directed
+    customer→supplier→nation→region graph. Rank quantized to integer
+    micro-units so every sum is order-independent — the oracle is the
+    same recurrence unrolled to SQL and matches exactly."""
+    from neo4j_arrow_spark.operators.pagerank import pagerank_fixed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    buys = (
+        od.join(li, od["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + 1_000_000).alias("v"),
+        )
+        .distinct()
+    )
+    sup_nat = su.select(
+        (F.col("s_suppkey") + 1_000_000).alias("u"),
+        (F.col("s_nationkey") + 2_000_000).alias("v"),
+    )
+    cust_nat = cu.select(
+        F.col("c_custkey").alias("u"),
+        (F.col("c_nationkey") + 2_000_000).alias("v"),
+    )
+    nat_reg = na.select(
+        (F.col("n_nationkey") + 2_000_000).alias("u"),
+        (F.col("n_regionkey") + 3_000_000).alias("v"),
+    )
+    edges = buys.unionByName(sup_nat).unionByName(cust_nat).unionByName(nat_reg)
+    return pagerank_fixed(edges, iterations=3)
+
+
 # --------------------------------------------------------------------------
 # S1 — SQL read over registered views (cypher_read -> spark.sql)
 # --------------------------------------------------------------------------
