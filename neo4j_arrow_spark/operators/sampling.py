@@ -1,0 +1,90 @@
+"""Dataset splitting, stratified sampling, vocabulary building —
+the selection layer of a training-data pipeline.
+
+All three are deterministic functions of the data (hash-based, never
+``rand()``): reruns, retries, and engine changes reproduce the same
+split — a hard requirement for leakage-free train/test protocols —
+and the DuckDB oracle can verify them exactly.
+
+Scale notes: ``hash_split`` is map-only (no shuffle at any size).
+``stratified_sample`` is one shuffle on the label; a skewed label is
+one hot partition — acceptable because the window only keeps k rows
+per label (rank short-circuits are not available, but AQE splits the
+sort). ``build_vocab`` is the classic two-aggregation plan (per-doc
+distinct -> df count); the top-n is a single-partition sort of an
+already-df-filtered vocabulary, the same budget as the minhash df-cap
+in operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from neo4j_arrow_spark.functions.hashing import hash64
+from neo4j_arrow_spark.functions.textfns import tokens
+
+__all__ = ["hash_split", "stratified_sample", "build_vocab"]
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, int] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Assign every row to a named split by hashing its id: bucket =
+    md5-hash(id) % 100, split = the bucket's range in cumulative
+    percentage order. ``splits`` maps name -> percentage and must sum
+    to 100. Map-only; adding data never reassigns existing rows."""
+    splits = splits or {"train": 98, "valid": 1, "test": 1}
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percentages must sum to 100: {splits}")
+    bucket = F.pmod(hash64(F.col(id_col).cast("string"), seed=seed), F.lit(100))
+    expr = None
+    cum = 0
+    for name, pct in splits.items():
+        cum += pct
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame, label_col: str, id_col: str, k: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic k rows per label value: rank rows within each
+    label by (md5-hash(id), id) and keep the first k — a reproducible
+    uniform-without-replacement sample per stratum."""
+    w = Window.partitionBy(label_col).orderBy(
+        hash64(F.col(id_col).cast("string"), seed=seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def build_vocab(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_df: int = 2,
+    top_n: int = 200,
+) -> DataFrame:
+    """Token vocabulary by document frequency: ``(token, df, rank)``
+    for the ``top_n`` tokens appearing in at least ``min_df`` distinct
+    documents. Rank order (df desc, token asc) is total, so the cut is
+    deterministic."""
+    tok_docs = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .dropDuplicates([id_col, "token"])
+    )
+    dfreq = tok_docs.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.orderBy(F.col("df").desc(), F.col("token"))
+    return (
+        dfreq.filter(F.col("df") >= min_df)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )

@@ -35,26 +35,78 @@ def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> Column:
-    """Predicted language: CJK-codepoint presence short-circuits to
-    'zh'; otherwise the stopword vote with deterministic tie-break
-    (highest count, then alphabetical language code); no hits → 'und'.
-    """
+    """Predicted language as a Column: CJK-codepoint presence
+    short-circuits to 'zh'; otherwise the stopword vote with
+    deterministic tie-break (highest count, then alphabetical language
+    code); no hits → 'und'.
+
+    Each per-language score expression appears exactly once inside an
+    array_max over (hits, tiebreak, code) structs — a chained
+    ``when(score > running_best)`` fold duplicates the running best
+    into every comparison and blows the expression tree up
+    exponentially (measured 10× slowdown at sf0.1). For bulk scoring
+    prefer :func:`lang_id_table`, which keeps the whole vote in
+    whole-stage codegen."""
     toks = tokens(text_col)
     has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
-    scores = [
-        (code, _stopword_hits(toks, words))
-        for code, words in sorted(LANG_STOPWORDS.items())
+    entries = [
+        F.struct(
+            _stopword_hits(toks, words).alias("h"),
+            F.lit(-i).alias("tb"),  # ties -> alphabetically first code
+            F.lit(code).alias("code"),
+        )
+        for i, (code, words) in enumerate(sorted(LANG_STOPWORDS.items()))
     ]
-    best = None
-    best_code = F.lit("und")
-    for code, score in scores:
-        if best is None:
-            best, best_code = score, F.when(score > 0, F.lit(code)).otherwise(F.lit("und"))
-        else:
-            improved = score > best
-            best_code = F.when(improved, F.lit(code)).otherwise(best_code)
-            best = F.when(improved, score).otherwise(best)
-    return F.when(has_cjk, F.lit("zh")).otherwise(best_code)
+    best = F.array_max(F.array(*entries))
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when(best["h"] > 0, best["code"])
+        .otherwise(F.lit("und"))
+    )
+
+
+def lang_id_table(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Bulk language ID: ``(id_col, lang_pred)`` with the same
+    semantics as :func:`lang_id`, computed via explode → codegen
+    conditional aggregation → array_max pick. No higher-order (hence
+    interpreted) array expressions anywhere: the token walk happens
+    once per document as plain rows inside whole-stage codegen, and the
+    only exchange is the |docs|-sized groupBy on the id."""
+    codes = sorted(LANG_STOPWORDS)
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("_t")
+    )
+    hits = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("_t").isin(*LANG_STOPWORDS[c]), 1).otherwise(0)
+            ).alias(f"_h_{c}")
+            for c in codes
+        ]
+    )
+    entries = [
+        F.struct(
+            F.col(f"_h_{c}").alias("h"),
+            F.lit(-i).alias("tb"),
+            F.lit(c).alias("code"),
+        )
+        for i, c in enumerate(codes)
+    ]
+    best = F.array_max(F.array(*entries))
+    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+    return (
+        df.select(id_col, text_col)
+        .join(hits, id_col)
+        .select(
+            F.col(id_col),
+            F.when(has_cjk, F.lit("zh"))
+            .when(best["h"] > 0, best["code"])
+            .otherwise(F.lit("und"))
+            .alias("lang_pred"),
+        )
+    )
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

@@ -609,6 +609,40 @@ def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+_MEDIA_STATS_SQL = """
+SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+       count(*) AS n_items,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+       CAST(sum(CASE WHEN doc_id % 3 + 1 = 1
+                     THEN doc_id % 640 + 16 END) AS BIGINT) AS total_width
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("media_byte_stats", oracle=_MEDIA_STATS_SQL)
+def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked end to end: documents →
+    binary payload column + typed media metadata (operators/multimodal.
+    fake_payloads — the deterministic stand-in for real media bytes,
+    see the stub boundary there) → per-media-type byte statistics.
+    Exercises the binary column path (payload bytes are aggregated,
+    never shuffled row-wise)."""
+    from neo4j_arrow_spark.operators.multimodal import fake_payloads
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = fake_payloads(docs, "doc_id", "text")
+    return media.groupBy(
+        F.col("media.media_type").alias("media_type")
+    ).agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.max(F.length("payload")).cast("long").alias("max_bytes"),
+        F.sum("media.width").alias("total_width"),
+    )
+
+
 def _pagerank_oracle(iterations: int, scale: int) -> str:
     """Unrolled fixed-point PageRank as pure SQL: one CTE per
     iteration. `//` is DuckDB integer division — order-independent, so

@@ -368,7 +368,7 @@ _LANG_CASE = (
 )
 def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.lang_id(docs).alias("lang_pred"))
+    return text.lang_id_table(docs, "doc_id")
 
 
 # ---- similarity search --------------------------------------------------------
@@ -461,3 +461,74 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         nprobe=1,
     )
+
+
+# ---- dataset selection: split / stratify / vocabulary -------------------------
+
+_SPLIT_HASH = duck_hash64("doc_id::VARCHAR")
+
+
+@query(
+    "split_assignment",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN h < 98 THEN 'train'
+                WHEN h < 99 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {_SPLIT_HASH} % 100 AS h FROM documents) t
+    """,
+)
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/valid/test split (98/1/1) —
+    map-only at any scale; adding documents never reassigns old ones
+    (operators/sampling.py)."""
+    from neo4j_arrow_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, "doc_id")
+
+
+@query(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_SPLIT_HASH}, doc_id) AS rn
+        FROM documents) t
+    WHERE rn <= 20
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 20-docs-per-language sample: rank within stratum by
+    (md5 hash, id) — uniform-without-replacement, engine-independent."""
+    from neo4j_arrow_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", "doc_id", k=20)
+
+
+@query(
+    "vocab_top200",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest({duck_tokens("text")}) AS token
+        FROM documents
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token)
+    SELECT token, df, rank FROM (
+        SELECT token, df,
+               CAST(row_number() OVER (ORDER BY df DESC, token) AS BIGINT)
+                   AS rank
+        FROM dfreq WHERE df >= 2) t
+    WHERE rank <= 200
+    """,
+)
+def vocab_top200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary by document frequency: top-200 tokens with
+    df >= 2, totally ordered (df desc, token asc) so the cut is exact."""
+    from neo4j_arrow_spark.operators.sampling import build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocab(docs, "doc_id", min_df=2, top_n=200)

@@ -72,6 +72,20 @@ def test_lang_id(docs):
     assert got[5] == "und"
 
 
+def test_lang_id_table_matches_column_form(docs):
+    # the bulk (explode+agg) form must agree with the Column form on
+    # every row, including empty text and CJK short-circuit
+    col_form = {
+        r.doc_id: r.pred
+        for r in docs.select("doc_id", text.lang_id(docs).alias("pred")).collect()
+    }
+    table_form = {
+        r.doc_id: r.lang_pred
+        for r in text.lang_id_table(docs, "doc_id").collect()
+    }
+    assert table_form == col_form
+
+
 def test_token_stats(docs):
     got = {r.doc_id: r for r in text.token_stats(docs, "doc_id").collect()}
     assert got[0].n_tokens == 12
