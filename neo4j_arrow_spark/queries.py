@@ -643,6 +643,74 @@ def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "triangle_counts",
+    oracle="""
+    WITH raw AS (
+        SELECT c_custkey AS a, c_nationkey + 2000000 AS b FROM customer
+        UNION
+        SELECT s_suppkey + 1000000, s_nationkey + 2000000 FROM supplier
+        UNION
+        SELECT DISTINCT o.o_custkey, l.l_suppkey + 1000000
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+            FROM raw WHERE a <> b),
+    deg AS (SELECT node, count(*) AS d
+            FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY node),
+    oriented AS (
+        SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u < v)
+                    THEN u ELSE v END AS s,
+               CASE WHEN (da.d < db.d) OR (da.d = db.d AND u < v)
+                    THEN v ELSE u END AS t
+        FROM und JOIN deg da ON da.node = u JOIN deg db ON db.node = v
+    ),
+    tri AS (
+        SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        FROM oriented e1
+        JOIN oriented e2 ON e1.t = e2.s
+        JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+    )
+    SELECT node, count(*) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) corners GROUP BY node
+    """,
+)
+def triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected customer/supplier/
+    nation graph — degree-ordered orientation bounds the wedge join at
+    O(m^1.5) (operators/triangles.py), the ordering answer to the
+    supernode problem the reference solves with caches."""
+    from neo4j_arrow_spark.operators.triangles import triangle_counts
+
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = (
+        cu.select(
+            F.col("c_custkey").alias("u"),
+            (F.col("c_nationkey") + 2_000_000).alias("v"),
+        )
+        .unionByName(
+            su.select(
+                (F.col("s_suppkey") + 1_000_000).alias("u"),
+                (F.col("s_nationkey") + 2_000_000).alias("v"),
+            )
+        )
+        .unionByName(
+            od.join(li, od["o_orderkey"] == li["l_orderkey"]).select(
+                F.col("o_custkey").alias("u"),
+                (F.col("l_suppkey") + 1_000_000).alias("v"),
+            )
+        )
+    )
+    return triangle_counts(raw)
+
+
 def _pagerank_oracle(iterations: int, scale: int) -> str:
     """Unrolled fixed-point PageRank as pure SQL: one CTE per
     iteration. `//` is DuckDB integer division — order-independent, so
