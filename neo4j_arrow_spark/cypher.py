@@ -17,12 +17,15 @@ items ⇒ GROUP BY the non-aggregates. ``RETURN a`` returns the node id
 (``a.ID``) — the columnar engine has no "node object".
 
 Also supported: undirected patterns (natural+reverse union view),
-``OPTIONAL MATCH`` (left-join chains), and bounded variable-length
+``OPTIONAL MATCH`` (left-join chains), bounded variable-length
 relationships ``-[:T*a..b]->`` (UNION ALL over fixed-length chains; see
-:func:`_varlength_sql` for the documented edge-uniqueness divergence).
+:func:`_varlength_sql` for the documented edge-uniqueness divergence),
+type alternation ``:A|B``, and a single ``WITH`` pipeline stage
+(aggregate → filter → re-project/re-aggregate; Cypher scope rules:
+pattern variables die at the WITH boundary).
 Out of scope (raise :class:`CypherUnsupported`): multiple comma
-patterns, WITH chains, mutation clauses, path variables, unbounded
-``*``. The generated SQL uses only
+patterns, multi-stage WITH chains, MATCH after WITH, mutation clauses,
+path variables, unbounded ``*``. The generated SQL uses only
 constructs DuckDB executes identically (``array_contains``, ANSI
 joins), so transpiled queries plug into the oracle harness unchanged.
 """
@@ -44,7 +47,7 @@ class CypherUnsupported(ValueError):
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
-  | (?P<kw>(?i:OPTIONAL|MATCH|WHERE|RETURN|DISTINCT|ORDER|BY|SKIP|LIMIT|ASC|DESC|AND|OR|NOT|IS|NULL|IN|AS|TRUE|FALSE)\b)
+  | (?P<kw>(?i:OPTIONAL|MATCH|WHERE|WITH|RETURN|DISTINCT|ORDER|BY|SKIP|LIMIT|ASC|DESC|AND|OR|NOT|IS|NULL|IN|AS|TRUE|FALSE)\b)
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<str>'(?:[^'\\]|\\.)*')
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
@@ -253,10 +256,27 @@ class _Parser:
             return f"(NOT {self.not_expr()})"
         return self.comparison()
 
+    #: when not None, we are past a WITH: only these aliases are in
+    #: scope and bare names refer to them (not to node ids)
+    aliases: set[str] | None = None
+
     def operand(self) -> str:
         kind, tok = self.peek()
         if kind == "name":
             var = self.expect_name()
+            if self.aliases is not None:
+                if self.accept("."):
+                    raise CypherUnsupported(
+                        f"{var}.{self.expect_name()}: pattern variables are "
+                        "out of scope after WITH — carry values through as "
+                        "WITH aliases"
+                    )
+                if var not in self.aliases:
+                    raise CypherSyntaxError(
+                        f"unknown alias {var!r} after WITH "
+                        f"(in scope: {sorted(self.aliases)})"
+                    )
+                return var
             if self.accept("."):
                 prop = self.expect_name()
                 return f"{var}.{prop}"
@@ -352,6 +372,19 @@ class _Parser:
             # applies post-join (global filter); Cypher's per-OPTIONAL
             # WHERE is out of scope — document divergence
             where = self.expr()
+        with_ = None
+        if self.accept("WITH"):
+            wdistinct = self.accept("DISTINCT")
+            witems = [self.return_item()]
+            while self.accept(","):
+                witems.append(self.return_item())
+            # everything after WITH sees only the aliases (Cypher scope
+            # rule); the post-WITH WHERE is SQL HAVING when it touches
+            # an aggregate alias — same thing here, the inner query has
+            # already aggregated
+            self.aliases = {a for _, a, _ in witems}
+            wwhere = self.expr() if self.accept("WHERE") else None
+            with_ = {"items": witems, "distinct": wdistinct, "where": wwhere}
         self.expect("RETURN")
         distinct = self.accept("DISTINCT")
         items = [self.return_item()]
@@ -384,6 +417,7 @@ class _Parser:
             "rels": rels,
             "optionals": optionals,
             "where": where,
+            "with_": with_,
             "distinct": distinct,
             "items": items,
             "order": order,
@@ -463,9 +497,51 @@ def cypher_to_sql(query: str, nodes_view: str, rels_view: str) -> str:
             raise CypherUnsupported(f"repeated node variable {n.var!r} (no cycles in v1)")
         seen.add(n.var)
 
-    if any(r.is_varlength for r in rels):
+    varlength = any(r.is_varlength for r in rels)
+    if ast["with_"]:
+        # WITH pipeline: the pattern + WITH items become the inner
+        # query; RETURN projects/aggregates over its aliases, and the
+        # post-WITH WHERE is an outer filter (HAVING when the alias is
+        # an aggregate — the inner query has already aggregated).
+        inner_ast = {
+            **ast,
+            "items": ast["with_"]["items"],
+            "distinct": ast["with_"]["distinct"],
+            "order": [],
+            "skip": None,
+            "limit": None,
+            "with_": None,
+        }
+        base = (
+            _varlength_sql(inner_ast, nodes_view, rels_view)
+            if varlength
+            else _plain_sql(inner_ast, nodes_view, rels_view)
+        )
+        return _with_outer_sql(ast, base)
+    if varlength:
         return _varlength_sql(ast, nodes_view, rels_view)
+    return _plain_sql(ast, nodes_view, rels_view)
 
+
+def _with_outer_sql(ast: dict, base_sql: str) -> str:
+    """RETURN-over-WITH projection: SELECT over the inner query's
+    aliases, optional filter, implicit grouping, ORDER/SKIP/LIMIT."""
+    items = ast["items"]
+    select_parts = [f"{e} AS {a}" for e, a, _ in items]
+    select_sql = ("DISTINCT " if ast["distinct"] else "") + ", ".join(select_parts)
+    group_cols = [e for e, _a, agg in items if not agg]
+    has_agg = any(agg for _, _, agg in items)
+
+    sql = f"SELECT {select_sql}\nFROM (\n{base_sql}\n) AS _with"
+    if ast["with_"]["where"]:
+        sql += f"\nWHERE {ast['with_']['where']}"
+    if has_agg and group_cols:
+        sql += "\nGROUP BY " + ", ".join(group_cols)
+    return _order_limit_tail(sql, ast)
+
+
+def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
+    nodes, rels = ast["nodes"], ast["rels"]
     from_sql, joins, conds = _chain(nodes, rels, nodes_view, rels_view)
 
     for oi, (onodes, orels) in enumerate(ast["optionals"]):
@@ -507,11 +583,14 @@ def cypher_to_sql(query: str, nodes_view: str, rels_view: str) -> str:
         sql += "\nWHERE " + " AND ".join(conds)
     if has_agg and group_cols:
         sql += "\nGROUP BY " + ", ".join(group_cols)
+    return _order_limit_tail(sql, ast)
+
+
+def _order_limit_tail(sql: str, ast: dict) -> str:
+    """ORDER BY/LIMIT over the aliased projection in an outer query: a
+    bare alias in ORDER BY would otherwise resolve ambiguously against
+    same-named columns of the joined tables (alias `id` vs a.ID)."""
     if ast["order"] or ast["limit"] is not None or ast["skip"] is not None:
-        # ORDER BY/LIMIT apply over the aliased projection in an outer
-        # query: a bare alias in ORDER BY would otherwise resolve
-        # ambiguously against same-named columns of the joined tables
-        # (e.g. alias `id` vs a.ID/b.ID).
         sql = f"SELECT * FROM (\n{sql}\n) AS _projected"
         if ast["order"]:
             parts = []

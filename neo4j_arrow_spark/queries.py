@@ -87,6 +87,14 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_with_pipeline",
+    "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "WITH n.name AS nation, count(*) AS members, min(c.acctbal) AS min_bal "
+    "WHERE members > 40 "
+    "RETURN nation, members, min_bal ORDER BY members DESC, nation LIMIT 10",
+)
+
+_cypher_query(
     "cypher_varlength_path",
     "MATCH (c:Customer)-[:BUYS_FROM|IN_NATION*1..2]->(x) "
     "RETURN x.name AS name, count(*) AS paths",

@@ -207,3 +207,35 @@ def test_varlength_end_to_end(client):
     )
     got = sorted(r.target for r in client.stream(job, 60).collect())
     assert got == [2, 3, 4]
+
+
+def test_with_pipeline_translation():
+    sql = cypher_to_sql(
+        "MATCH (a:X)-[r:T]->(b) WITH b.name AS n, count(*) AS c "
+        "WHERE c > 2 RETURN n, c ORDER BY c DESC",
+        "n", "e",
+    )
+    assert ") AS _with" in sql and "WHERE (c > 2)" in sql
+    assert "GROUP BY b.name" in sql  # inner aggregation
+
+
+def test_with_scope_rules():
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql(
+            "MATCH (a:X) WITH a.ID AS i RETURN a.name", "n", "e"
+        )
+    with pytest.raises(CypherSyntaxError):
+        cypher_to_sql("MATCH (a:X) WITH a.ID AS i RETURN j", "n", "e")
+
+
+def test_with_end_to_end(client):
+    # nations with >=1 member, re-aggregated after WITH
+    job = client.cypher(
+        "MATCH (s:Supplier)-[r:IN_NATION]->(n:Nation) "
+        "WITH n.name AS nation, count(*) AS sups "
+        "RETURN count(*) AS n_nations, sum(sups) AS total",
+        graph="cy",
+    )
+    r = client.stream(job, 60).collect()[0]
+    assert r.total == 10  # all sf0.001 suppliers counted exactly once
+    assert 1 <= r.n_nations <= 10
