@@ -905,6 +905,31 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(ev, gap_minutes=30)
 
 
+_ATTRIBUTION_SQL = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+       p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
+"""
+
+
+@query("click_attribution", oracle=_ATTRIBUTION_SQL)
+def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution within one hour — batch twin of the
+    watermarked stream-stream join (streaming/events.py;
+    stream == batch parity pinned in tests/test_streaming.py)."""
+    from neo4j_arrow_spark.streaming.events import attribution_join_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_join_batch(ev, window_minutes=60)
+
+
 _ASOF_SQL = """
 WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
 clicks AS (

@@ -164,3 +164,75 @@ def stateful_user_counts(events: DataFrame, timeout: str = "NoTimeout") -> DataF
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def attribution_join_batch(events: DataFrame, window_minutes: int = 60) -> DataFrame:
+    """Click→purchase attribution pairs: every (click, purchase) by the
+    same user with the purchase at or within ``window_minutes`` after
+    the click. The batch twin of :func:`attribution_join_stream` (the
+    oracle-checked side)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    gap = F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+    return (
+        clicks.join(purchases, "user_id")
+        .filter((gap >= 0) & (gap <= window_minutes * 60 * 1_000_000))
+        .select(
+            "user_id", "click_id", "purchase_id",
+            gap.alias("gap_us"), "purchase_value",
+        )
+    )
+
+
+def attribution_join_stream(
+    events: DataFrame, window_minutes: int = 60, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join (the §2.8 capability the reference's
+    bounded streams cannot express): both sides watermarked, join
+    condition = equi-key + event-time range, so state for a click can
+    be dropped once the watermark passes click_ts + window. Same
+    output schema/semantics as :func:`attribution_join_batch`."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (clicks["user_id"] == purchases["p_user_id"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (
+            purchases["purchase_ts"]
+            <= clicks["click_ts"] + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    gap = F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+    return (
+        clicks.join(purchases, cond)
+        .select(
+            "user_id", "click_id", "purchase_id",
+            gap.alias("gap_us"), "purchase_value",
+        )
+    )

@@ -106,3 +106,17 @@ def test_continuous_rel_ingest(spark, sf_dir, tmp_path_factory):
     q2.processAllAvailable(); q2.stop()
     g = refresh_graph(spark, cat, "streamg", db)
     assert g.rel_count() == n_events
+
+
+def test_stream_stream_attribution_equals_batch(spark, sf_dir, batch_events):
+    """Watermarked stream-stream join over the bounded fixture must
+    produce exactly the batch twin's pairs."""
+    stream = ev.read_event_stream(spark, sf_dir)
+    joined = ev.attribution_join_stream(stream, window_minutes=60)
+    assert joined.isStreaming
+    ev.run_to_memory(joined, "attr_test", output_mode="append")
+    got = spark.sql("SELECT * FROM attr_test")
+    want = ev.attribution_join_batch(batch_events, window_minutes=60)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
