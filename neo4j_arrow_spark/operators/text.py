@@ -172,3 +172,43 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
         hash64(F.array_join(toks, " ")).alias("fp_exact"),
         hash64(F.array_join(F.array_sort(toks), " ")).alias("fp_sorted"),
     )
+
+
+def tfidf(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_df: int = 2,
+    top_n: int = 200,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Sparse TF-IDF-style document vectors over the df-built
+    vocabulary: ``(id, token, tf, df, tfidf_q)`` where ``tfidf_q =
+    (tf * scale * N) div df`` — the log-free rational variant
+    (tf x N/df), quantized to integers so the score is bit-exact on
+    any engine/partitioning (a float ln() differs in last-ulp between
+    libm implementations; see the fixed-point rationale in
+    operators/pagerank.py). Monotone in tf and in 1/df, which is what
+    downstream ranking consumes.
+
+    Plan: explode -> (doc, token) counts -> broadcast-join the
+    (tiny, top_n-bounded) vocabulary. N is computed once (scalar)."""
+    from neo4j_arrow_spark.operators.sampling import build_vocab
+
+    n_docs = docs.count()
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = build_vocab(docs, id_col, text_col, min_df=min_df, top_n=top_n)
+    return (
+        tf.join(F.broadcast(vocab.select("token", "df")), "token")
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            "df",
+            F.expr(f"(tf * {scale} * {n_docs}) div df").alias("tfidf_q"),
+        )
+    )

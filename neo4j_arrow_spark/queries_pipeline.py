@@ -532,3 +532,35 @@ def vocab_top200(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return build_vocab(docs, "doc_id", min_df=2, top_n=200)
+
+
+@query(
+    "tfidf_vectors",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({duck_tokens("text")}) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df
+              FROM tok GROUP BY token),
+    vocab AS (
+        SELECT token, df FROM (
+            SELECT token, df,
+                   row_number() OVER (ORDER BY df DESC, token) AS rank
+            FROM dfreq WHERE df >= 2) t
+        WHERE rank <= 200
+    )
+    SELECT tf.doc_id, tf.token,
+           CAST(tf.tf AS BIGINT) AS tf,
+           CAST(v.df AS BIGINT) AS df,
+           CAST((tf.tf * 1000000 * (SELECT count(*) FROM documents)) // v.df
+                AS BIGINT) AS tfidf_q
+    FROM tf JOIN vocab v USING (token)
+    """,
+)
+def tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF document vectors over the df-capped vocabulary —
+    integer-quantized rational idf (tf x N/df) so the score is
+    bit-exact cross-engine (operators/text.tfidf)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf(docs, "doc_id")

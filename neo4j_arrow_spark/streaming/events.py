@@ -236,3 +236,14 @@ def attribution_join_stream(
             gap.alias("gap_us"), "purchase_value",
         )
     )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once event stream by id: duplicates arriving within the
+    watermark window are dropped and the dedup state is pruned as the
+    watermark advances (unbounded-state-safe, unlike a plain streaming
+    dropDuplicates without an event-time bound). The streaming face of
+    operators/dedup.exact_dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

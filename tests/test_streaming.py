@@ -120,3 +120,17 @@ def test_stream_stream_attribution_equals_batch(spark, sf_dir, batch_events):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, batch_events):
+    """A doubled stream deduped by event_id must reproduce the distinct
+    batch events exactly."""
+    s1 = ev.read_event_stream(spark, sf_dir)
+    s2 = ev.read_event_stream(spark, sf_dir)
+    doubled = s1.unionByName(s2)
+    deduped = ev.dedup_events_stream(doubled)
+    assert deduped.isStreaming
+    ev.run_to_memory(deduped, "dedup_test", output_mode="append")
+    got = spark.sql("SELECT * FROM dedup_test")
+    assert got.count() == batch_events.count()
+    assert got.select("event_id").distinct().count() == batch_events.count()
