@@ -20,12 +20,12 @@ Also supported: undirected patterns (natural+reverse union view),
 ``OPTIONAL MATCH`` (left-join chains), bounded variable-length
 relationships ``-[:T*a..b]->`` (UNION ALL over fixed-length chains; see
 :func:`_varlength_sql` for the documented edge-uniqueness divergence),
-type alternation ``:A|B``, and a single ``WITH`` pipeline stage
-(aggregate → filter → re-project/re-aggregate; Cypher scope rules:
-pattern variables die at the WITH boundary).
+type alternation ``:A|B``, and ``WITH`` pipeline chains (aggregate →
+filter → re-project/re-aggregate, any depth; Cypher scope rules:
+pattern variables die at the first WITH boundary).
 Out of scope (raise :class:`CypherUnsupported`): multiple comma
-patterns, multi-stage WITH chains, MATCH after WITH, mutation clauses,
-path variables, unbounded ``*``. The generated SQL uses only
+patterns, MATCH after WITH, mutation clauses, path variables,
+unbounded ``*``. The generated SQL uses only
 constructs DuckDB executes identically (``array_contains``, ANSI
 joins), so transpiled queries plug into the oracle harness unchanged.
 """
@@ -372,19 +372,19 @@ class _Parser:
             # applies post-join (global filter); Cypher's per-OPTIONAL
             # WHERE is out of scope — document divergence
             where = self.expr()
-        with_ = None
-        if self.accept("WITH"):
+        withs = []
+        while self.accept("WITH"):
             wdistinct = self.accept("DISTINCT")
             witems = [self.return_item()]
             while self.accept(","):
                 witems.append(self.return_item())
             # everything after WITH sees only the aliases (Cypher scope
             # rule); the post-WITH WHERE is SQL HAVING when it touches
-            # an aggregate alias — same thing here, the inner query has
+            # an aggregate alias — same thing here, the stage below has
             # already aggregated
             self.aliases = {a for _, a, _ in witems}
             wwhere = self.expr() if self.accept("WHERE") else None
-            with_ = {"items": witems, "distinct": wdistinct, "where": wwhere}
+            withs.append({"items": witems, "distinct": wdistinct, "where": wwhere})
         self.expect("RETURN")
         distinct = self.accept("DISTINCT")
         items = [self.return_item()]
@@ -417,7 +417,7 @@ class _Parser:
             "rels": rels,
             "optionals": optionals,
             "where": where,
-            "with_": with_,
+            "withs": withs,
             "distinct": distinct,
             "items": items,
             "order": order,
@@ -498,46 +498,65 @@ def cypher_to_sql(query: str, nodes_view: str, rels_view: str) -> str:
         seen.add(n.var)
 
     varlength = any(r.is_varlength for r in rels)
-    if ast["with_"]:
-        # WITH pipeline: the pattern + WITH items become the inner
-        # query; RETURN projects/aggregates over its aliases, and the
-        # post-WITH WHERE is an outer filter (HAVING when the alias is
-        # an aggregate — the inner query has already aggregated).
+    if ast["withs"]:
+        # WITH pipeline: the pattern + first WITH's items become the
+        # innermost query; each further stage (and finally RETURN)
+        # projects/aggregates over the previous stage's aliases, with
+        # its leading WHERE as the stage filter (HAVING-equivalent when
+        # the alias is an aggregate — the stage below has aggregated).
+        first = ast["withs"][0]
         inner_ast = {
             **ast,
-            "items": ast["with_"]["items"],
-            "distinct": ast["with_"]["distinct"],
+            "items": first["items"],
+            "distinct": first["distinct"],
             "order": [],
             "skip": None,
             "limit": None,
-            "with_": None,
+            "withs": [],
         }
-        base = (
+        sql = (
             _varlength_sql(inner_ast, nodes_view, rels_view)
             if varlength
             else _plain_sql(inner_ast, nodes_view, rels_view)
         )
-        return _with_outer_sql(ast, base)
+        # middle stages: WITH i+1's items over stage i, filtered by
+        # stage i's trailing WHERE; the final stage is RETURN itself
+        stages = [
+            (w["items"], w["distinct"], prev["where"])
+            for prev, w in zip(ast["withs"], ast["withs"][1:])
+        ]
+        stages.append((ast["items"], ast["distinct"], ast["withs"][-1]["where"]))
+        for i, (items, distinct, where) in enumerate(stages):
+            last = i == len(stages) - 1
+            sql = _stage_sql(sql, items, distinct, where, i)
+            if last:
+                sql = _order_limit_tail(sql, ast)
+        return sql
     if varlength:
         return _varlength_sql(ast, nodes_view, rels_view)
     return _plain_sql(ast, nodes_view, rels_view)
 
 
-def _with_outer_sql(ast: dict, base_sql: str) -> str:
-    """RETURN-over-WITH projection: SELECT over the inner query's
-    aliases, optional filter, implicit grouping, ORDER/SKIP/LIMIT."""
-    items = ast["items"]
+def _stage_sql(
+    base_sql: str,
+    items: list[tuple[str, str, bool]],
+    distinct: bool,
+    where: str | None,
+    depth: int,
+) -> str:
+    """One pipeline stage: SELECT items over the previous stage's
+    aliases, optional filter, implicit grouping."""
     select_parts = [f"{e} AS {a}" for e, a, _ in items]
-    select_sql = ("DISTINCT " if ast["distinct"] else "") + ", ".join(select_parts)
+    select_sql = ("DISTINCT " if distinct else "") + ", ".join(select_parts)
     group_cols = [e for e, _a, agg in items if not agg]
     has_agg = any(agg for _, _, agg in items)
 
-    sql = f"SELECT {select_sql}\nFROM (\n{base_sql}\n) AS _with"
-    if ast["with_"]["where"]:
-        sql += f"\nWHERE {ast['with_']['where']}"
+    sql = f"SELECT {select_sql}\nFROM (\n{base_sql}\n) AS _with{depth}"
+    if where:
+        sql += f"\nWHERE {where}"
     if has_agg and group_cols:
         sql += "\nGROUP BY " + ", ".join(group_cols)
-    return _order_limit_tail(sql, ast)
+    return sql
 
 
 def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:

@@ -239,3 +239,16 @@ def test_with_end_to_end(client):
     r = client.stream(job, 60).collect()[0]
     assert r.total == 10  # all sf0.001 suppliers counted exactly once
     assert 1 <= r.n_nations <= 10
+
+
+def test_multi_with_chain(client):
+    job = client.cypher(
+        "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+        "WITH n.name AS nation, count(*) AS members "
+        "WITH nation, members WHERE members > 1 "
+        "RETURN count(*) AS n_nations, sum(members) AS covered",
+        graph="cy",
+    )
+    r = client.stream(job, 60).collect()[0]
+    # sf0.001: 150 customers over nations; only multi-member nations
+    assert r.covered <= 150 and r.n_nations >= 1
