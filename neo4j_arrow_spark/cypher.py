@@ -20,12 +20,12 @@ Also supported: undirected patterns (natural+reverse union view),
 ``OPTIONAL MATCH`` (left-join chains), bounded variable-length
 relationships ``-[:T*a..b]->`` (UNION ALL over fixed-length chains; see
 :func:`_varlength_sql` for the documented edge-uniqueness divergence),
-type alternation ``:A|B``, and ``WITH`` pipeline chains (aggregate →
+type alternation ``:A|B``, ``WITH`` pipeline chains (aggregate →
 filter → re-project/re-aggregate, any depth; Cypher scope rules:
-pattern variables die at the first WITH boundary).
+pattern variables die at the first WITH boundary), and MATCH after
+WITH anchored on a carried alias (re-join into the graph).
 Out of scope (raise :class:`CypherUnsupported`): multiple comma
-patterns, MATCH after WITH, mutation clauses, path variables,
-unbounded ``*``. The generated SQL uses only
+patterns, mutation clauses, path variables, unbounded ``*``. The generated SQL uses only
 constructs DuckDB executes identically (``array_contains``, ANSI
 joins), so transpiled queries plug into the oracle harness unchanged.
 """
@@ -259,6 +259,9 @@ class _Parser:
     #: when not None, we are past a WITH: only these aliases are in
     #: scope and bare names refer to them (not to node ids)
     aliases: set[str] | None = None
+    #: node/rel variables of a MATCH that follows WITH — full
+    #: ``var.prop`` access again, alongside the aliases
+    post_vars: frozenset[str] = frozenset()
 
     def operand(self) -> str:
         kind, tok = self.peek()
@@ -266,17 +269,21 @@ class _Parser:
             var = self.expect_name()
             if self.aliases is not None:
                 if self.accept("."):
+                    prop = self.expect_name()
+                    if var in self.post_vars:
+                        return f"{var}.{prop}"
                     raise CypherUnsupported(
-                        f"{var}.{self.expect_name()}: pattern variables are "
-                        "out of scope after WITH — carry values through as "
-                        "WITH aliases"
+                        f"{var}.{prop}: pattern variables are out of scope "
+                        "after WITH — carry values through as WITH aliases"
                     )
-                if var not in self.aliases:
-                    raise CypherSyntaxError(
-                        f"unknown alias {var!r} after WITH "
-                        f"(in scope: {sorted(self.aliases)})"
-                    )
-                return var
+                if var in self.aliases:
+                    return var
+                if var in self.post_vars:
+                    return f"{var}.ID"
+                raise CypherSyntaxError(
+                    f"unknown alias {var!r} after WITH "
+                    f"(in scope: {sorted(self.aliases | self.post_vars)})"
+                )
             if self.accept("."):
                 prop = self.expect_name()
                 return f"{var}.{prop}"
@@ -385,6 +392,45 @@ class _Parser:
             self.aliases = {a for _, a, _ in witems}
             wwhere = self.expr() if self.accept("WHERE") else None
             withs.append({"items": witems, "distinct": wdistinct, "where": wwhere})
+        post_match = None
+        if withs and self.peek()[1] == "MATCH":
+            # MATCH after WITH: re-anchor the pipeline on a carried
+            # alias. The first pattern node must BE an alias (anchored
+            # by id); the rest are fresh variables with full property
+            # access again.
+            self.next()
+            pnodes, prels = self.pattern()
+            anchor = pnodes[0]
+            if anchor.var not in self.aliases:
+                raise CypherUnsupported(
+                    f"MATCH after WITH must start from a carried alias; "
+                    f"{anchor.var!r} is not one of {sorted(self.aliases)}"
+                )
+            if anchor.labels or anchor.props:
+                raise CypherUnsupported(
+                    "labels/properties on the anchor of MATCH-after-WITH "
+                    "are not supported (it is already bound)"
+                )
+            fresh = set()
+            for n in pnodes[1:]:
+                if n.var in self.aliases or n.var in fresh:
+                    raise CypherUnsupported(
+                        f"MATCH after WITH re-binding {n.var!r} is not "
+                        "supported (only the first node may be an alias)"
+                    )
+                fresh.add(n.var)
+            for r in prels:
+                if r.is_varlength:
+                    raise CypherUnsupported(
+                        "variable-length in MATCH after WITH is not supported"
+                    )
+                if r.var:
+                    fresh.add(r.var)
+            # the anchor is rejoined to the node table, so its
+            # properties are accessible again (anchor.prop)
+            self.post_vars = frozenset(fresh | {anchor.var})
+            pwhere = self.expr() if self.accept("WHERE") else None
+            post_match = {"nodes": pnodes, "rels": prels, "where": pwhere}
         self.expect("RETURN")
         distinct = self.accept("DISTINCT")
         items = [self.return_item()]
@@ -418,6 +464,7 @@ class _Parser:
             "optionals": optionals,
             "where": where,
             "withs": withs,
+            "post_match": post_match,
             "distinct": distinct,
             "items": items,
             "order": order,
@@ -521,10 +568,15 @@ def cypher_to_sql(query: str, nodes_view: str, rels_view: str) -> str:
         )
         # middle stages: WITH i+1's items over stage i, filtered by
         # stage i's trailing WHERE; the final stage is RETURN itself
+        # (or the MATCH-after-WITH join, which consumes the last WHERE)
         stages = [
             (w["items"], w["distinct"], prev["where"])
             for prev, w in zip(ast["withs"], ast["withs"][1:])
         ]
+        if ast["post_match"]:
+            for i, (items, distinct, where) in enumerate(stages):
+                sql = _stage_sql(sql, items, distinct, where, i)
+            return _post_match_sql(ast, sql, nodes_view, rels_view)
         stages.append((ast["items"], ast["distinct"], ast["withs"][-1]["where"]))
         for i, (items, distinct, where) in enumerate(stages):
             last = i == len(stages) - 1
@@ -535,6 +587,52 @@ def cypher_to_sql(query: str, nodes_view: str, rels_view: str) -> str:
     if varlength:
         return _varlength_sql(ast, nodes_view, rels_view)
     return _plain_sql(ast, nodes_view, rels_view)
+
+
+def _post_match_sql(
+    ast: dict, base_sql: str, nodes_view: str, rels_view: str
+) -> str:
+    """MATCH after WITH: join the pipeline stage back to the graph,
+    anchored on the carried alias (``JOIN nodes ON nodes.ID = alias``),
+    then extend along the fresh pattern and project RETURN."""
+    pm = ast["post_match"]
+    pnodes, prels = pm["nodes"], pm["rels"]
+    stage = "_scope"
+    anchor = pnodes[0].var
+    joins = [f"JOIN {nodes_view} AS {anchor} ON {anchor}.ID = {stage}.{anchor}"]
+    conds: list[str] = []
+    if ast["withs"][-1]["where"]:
+        conds.append(ast["withs"][-1]["where"])
+    for i, r in enumerate(prels):
+        rv = r.var or f"_p{i}"
+        a, b = pnodes[i].var, pnodes[i + 1].var
+        on, on2 = _rel_keys(r, rv, a, b)
+        joins.append(f"JOIN {_rel_source(r, rv, rels_view)} ON {on}")
+        joins.append(f"JOIN {nodes_view} AS {b} ON {on2}")
+        if cond := _type_cond(r, rv):
+            conds.append(cond)
+    for n in pnodes[1:]:
+        for lbl in n.labels:
+            conds.append(f"array_contains({n.var}.LABELS, '{lbl}')")
+        for key, lit in n.props:
+            conds.append(f"{n.var}.{key} = {lit}")
+    if pm["where"]:
+        conds.append(pm["where"])
+
+    items = ast["items"]
+    select_parts = [f"{e} AS {a}" for e, a, _ in items]
+    select_sql = ("DISTINCT " if ast["distinct"] else "") + ", ".join(select_parts)
+    group_cols = [e for e, _a, agg in items if not agg]
+    has_agg = any(agg for _, _, agg in items)
+
+    sql = f"SELECT {select_sql}\nFROM (\n{base_sql}\n) AS {stage}"
+    for j in joins:
+        sql += f"\n{j}"
+    if conds:
+        sql += "\nWHERE " + " AND ".join(conds)
+    if has_agg and group_cols:
+        sql += "\nGROUP BY " + ", ".join(group_cols)
+    return _order_limit_tail(sql, ast)
 
 
 def _stage_sql(

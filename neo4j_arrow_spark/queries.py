@@ -95,6 +95,14 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_match_after_with",
+    "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "WITH n AS nid, count(*) AS members WHERE members > 40 "
+    "MATCH (nid)<-[r2:IN_NATION]-(s:Supplier) "
+    "RETURN nid.name AS nation, members, count(*) AS suppliers",
+)
+
+_cypher_query(
     "cypher_varlength_path",
     "MATCH (c:Customer)-[:BUYS_FROM|IN_NATION*1..2]->(x) "
     "RETURN x.name AS name, count(*) AS paths",

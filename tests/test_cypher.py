@@ -252,3 +252,38 @@ def test_multi_with_chain(client):
     r = client.stream(job, 60).collect()[0]
     # sf0.001: 150 customers over nations; only multi-member nations
     assert r.covered <= 150 and r.n_nations >= 1
+
+
+def test_match_after_with_translation():
+    sql = cypher_to_sql(
+        "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+        "WITH n AS nid, count(*) AS members WHERE members > 2 "
+        "MATCH (nid)<-[r2:IN_NATION]-(s:Supplier) "
+        "RETURN nid.name AS nation, members, count(*) AS sups",
+        "gn", "ge",
+    )
+    assert "JOIN gn AS nid ON nid.ID = _scope.nid" in sql
+    assert "WHERE (members > 2)" in sql
+    assert "GROUP BY nid.name, members" in sql
+
+
+def test_match_after_with_requires_alias_anchor():
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql(
+            "MATCH (a:X) WITH a.ID AS i MATCH (z)-[r:T]->(b) RETURN i",
+            "n", "e",
+        )
+
+
+def test_match_after_with_end_to_end(client):
+    # nations that have customers -> count their suppliers
+    job = client.cypher(
+        "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+        "WITH n AS nid, count(*) AS members WHERE members > 0 "
+        "MATCH (nid)<-[r2:IN_NATION]-(s:Supplier) "
+        "RETURN count(*) AS pairs",
+        graph="cy",
+    )
+    pairs = client.stream(job, 60).collect()[0].pairs
+    # every supplier counted once per customer-bearing nation it is in
+    assert pairs >= 1
