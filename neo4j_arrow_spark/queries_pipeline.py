@@ -564,3 +564,69 @@ def tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact cross-engine (operators/text.tfidf)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.tfidf(docs, "doc_id")
+
+
+# ---- k-means (IVF training) ---------------------------------------------------
+
+def _kmeans_oracle(k: int, iterations: int, dim: int) -> str:
+    """Unrolled integer-exact Lloyd's iterations as DuckDB SQL — the
+    same recurrence as operators/clustering.kmeans_fixed."""
+    from neo4j_arrow_spark.operators.dedup import QUANT_SCALE
+
+    def dist(c_alias: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> (q.qv[i] - {c_alias}.cv[i]) * (q.qv[i] - {c_alias}.cv[i])))"
+        )
+
+    ctes = [
+        "q AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> round(x::DOUBLE * {QUANT_SCALE})::BIGINT) AS qv FROM embeddings)",
+        f"""c0 AS (
+    SELECT CAST(rn - 1 AS BIGINT) AS cluster, qv AS cv FROM (
+        SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM q) t
+    WHERE rn <= {k})""",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""a{t} AS (
+    SELECT vec_id, cluster FROM (
+        SELECT q.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {dist('c')}, c.cluster) AS rn
+        FROM q CROSS JOIN c{t - 1} c) t
+    WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""c{t} AS (
+    SELECT cluster, list(m ORDER BY pos) AS cv FROM (
+        SELECT a.cluster, d.i AS pos,
+               sum(q.qv[d.i]) // count(*) AS m
+        FROM a{t} a JOIN q USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) d
+        GROUP BY a.cluster, d.i) t
+    GROUP BY cluster)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT vec_id, cluster, qdist FROM (
+        SELECT q.vec_id, c.cluster, {dist('c')} AS qdist,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {dist('c')}, c.cluster) AS rn
+        FROM q CROSS JOIN c{iterations} c) t
+    WHERE rn = 1"""
+    )
+
+
+@query("kmeans_assign", oracle=_kmeans_oracle(4, 2, 64))
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd's iterations over the embeddings, integer-exact
+    (quantized vectors, integer squared-L2, integer-mean centroids) so
+    fixed-iteration k-means is bit-identical cross-engine — the
+    training step that produces operators/similarity.py's IVF
+    centroid table."""
+    from neo4j_arrow_spark.operators.clustering import kmeans_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fixed(emb, "vec_id", "embedding", k=4, iterations=2)
