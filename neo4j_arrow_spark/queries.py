@@ -727,6 +727,31 @@ def triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(raw)
 
 
+@query("media_features")  # no oracle: sha256 expansion isn't SQL-expressible
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal Pandas-UDF path live in the gate: documents →
+    binary payloads → Arrow-batched ``mapInPandas`` feature extraction
+    (deterministic fake decode standing in for the codec layer — see
+    operators/multimodal.py stub boundary). Driver records the
+    rows-only check; the plumbing (schema, batch iterator, payload
+    locality) is the product."""
+    from neo4j_arrow_spark.operators.multimodal import (
+        extract_features,
+        fake_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = fake_payloads(docs, "doc_id", "text")
+    feats = extract_features(media, "doc_id", dim=16)
+    return feats.select(
+        "doc_id",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feat_sum"
+        ),
+        F.size("feature").alias("dim"),
+    )
+
+
 def _pagerank_oracle(iterations: int, scale: int) -> str:
     """Unrolled fixed-point PageRank as pure SQL: one CTE per
     iteration. `//` is DuckDB integer division — order-independent, so
