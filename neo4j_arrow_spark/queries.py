@@ -752,6 +752,49 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from neo4j_arrow_spark.functions.hashing import MASK_BITS as _MB
+from neo4j_arrow_spark.functions.hashing import duck_hash64 as _dh
+
+
+@query(
+    "kmv_distinct_customers",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_nationkey AS nation, o_custkey AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    hashed AS (
+        SELECT DISTINCT nation, {_dh("v::VARCHAR")} AS h FROM base
+    ),
+    ranked AS (
+        SELECT nation, h,
+               row_number() OVER (PARTITION BY nation ORDER BY h) AS rn
+        FROM hashed
+    )
+    SELECT nation,
+           CASE WHEN count(*) < 64 THEN count(*)
+                ELSE CAST(floor(63 * CAST({1 << _MB} AS DOUBLE)
+                                / CAST(max(h) AS DOUBLE)) AS BIGINT)
+           END AS n_kmv
+    FROM ranked WHERE rn <= 64
+    GROUP BY nation
+    """,
+)
+def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct ordering-customers per nation via the KMV
+    sketch (operators/sketches.py) — the reproducible alternative to
+    HLL: same data, same estimate, any engine. Groups under k report
+    exact counts."""
+    from neo4j_arrow_spark.operators.sketches import kmv_distinct
+
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    base = od.join(cu, od["o_custkey"] == cu["c_custkey"]).select(
+        F.col("c_nationkey").alias("nation"), F.col("o_custkey").alias("v")
+    )
+    return kmv_distinct(base, ["nation"], "v", k=64)
+
+
 def _pagerank_oracle(iterations: int, scale: int) -> str:
     """Unrolled fixed-point PageRank as pure SQL: one CTE per
     iteration. `//` is DuckDB integer division — order-independent, so
