@@ -535,7 +535,7 @@ def khop_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(floor(log10(degree)) AS BIGINT) AS magnitude,
            count(*) AS n_nodes,
-           sum(degree) AS total_degree
+           CAST(sum(degree) AS BIGINT) AS total_degree
     FROM degrees
     GROUP BY 1
     """,

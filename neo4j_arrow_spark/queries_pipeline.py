@@ -610,7 +610,7 @@ def _kmeans_oracle(k: int, iterations: int, dim: int) -> str:
         )
     return (
         "WITH " + ",\n".join(ctes) + f"""
-    SELECT vec_id, cluster, qdist FROM (
+    SELECT vec_id, cluster, CAST(qdist AS BIGINT) AS qdist FROM (
         SELECT q.vec_id, c.cluster, {dist('c')} AS qdist,
                row_number() OVER (PARTITION BY q.vec_id
                                   ORDER BY {dist('c')}, c.cluster) AS rn

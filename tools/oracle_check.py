@@ -69,6 +69,14 @@ def compare(name: str, spark_df, duck_df: pd.DataFrame) -> list[str]:
         return problems
     for col in sp.columns:
         a, b = sp[col], du[col]
+        # dtype-strict: the driver hashes raw values, so a DuckDB HUGEINT
+        # (-> float64 in pandas) vs Spark int64 is a hash mismatch even
+        # when every value is equal (bit us in round 1: degree_histogram,
+        # kmeans_assign). Flag any numeric-kind difference.
+        if a.dtype.kind != b.dtype.kind:
+            problems.append(
+                f"column {col}: dtype kind differs: spark={a.dtype} duck={b.dtype}"
+            )
         try:
             pd.testing.assert_series_equal(
                 a, b, check_dtype=False, check_exact=True, check_names=False
