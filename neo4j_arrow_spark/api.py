@@ -57,16 +57,29 @@ class Neo4jArrowSpark:
         ``graph`` names the graph for Cypher queries; defaults to the
         only registered graph when unambiguous.
         ``params`` are Spark SQL named parameters (SQL mode only)."""
-        from neo4j_arrow_spark.cypher import cypher_to_sql, is_cypher
+        from neo4j_arrow_spark.cypher import CypherUnsupported, cypher_to_sql, is_cypher
 
         if is_cypher(query):
+            if params:
+                raise CypherUnsupported(
+                    "params are not supported for Cypher queries; "
+                    "inline literals or use SQL mode with named parameters"
+                )
+            db = database or self.database
             if graph is None:
-                names = {k[2] for k in self.catalog.list()}
+                names = {
+                    k[2]
+                    for k in self.catalog.list()
+                    if k[0] == self.username and k[1] == db
+                }
                 if len(names) != 1:
                     raise ValueError(
-                        f"Cypher needs graph=... (registered: {sorted(names)})"
+                        f"Cypher needs graph=... (registered under "
+                        f"({self.username}, {db}): {sorted(names)})"
                     )
                 graph = names.pop()
+            else:
+                self.catalog.get(graph, db, self.username)  # raises GraphNotFound
             sql = cypher_to_sql(query, f"{graph}_nodes", f"{graph}_rels")
             return self.registry.submit("cypher.read", lambda: self.spark.sql(sql))
         if params:

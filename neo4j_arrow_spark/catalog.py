@@ -61,6 +61,16 @@ class GraphCatalog:
         key = self._key(name, database, username)
         if key in self._graphs and not overwrite:
             raise GraphAlreadyExists(f"graph {key} already registered")
+        # The temp views are named by graph name alone, so a same-named
+        # graph under a different (user, db) key would silently clobber
+        # them (and drop() would yank views the other graph still
+        # needs). Reject cross-key name reuse outright.
+        clash = next((k for k in self._graphs if k[2] == name and k != key), None)
+        if clash is not None:
+            raise GraphAlreadyExists(
+                f"graph name {name!r} already registered under {clash}; "
+                f"temp views {name}_nodes/{name}_rels are a single namespace"
+            )
         if validate:
             validate_nodes(nodes)
             if rels is not None:

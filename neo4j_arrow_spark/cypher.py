@@ -60,6 +60,43 @@ _TOKEN_RE = re.compile(
 )
 
 
+_STR_ESCAPES = {"'": "'", '"': '"', "\\": "\\", "n": "\n", "t": "\t", "r": "\r"}
+
+
+def _normalize_str_literal(tok: str) -> str:
+    """Decode Cypher backslash escapes, then re-emit the string in the
+    one form Spark and DuckDB read identically: single quotes doubled
+    (``''``), no backslashes. Spark treats ``\\`` in literals as an
+    escape while DuckDB reads it verbatim, so any decoded content that
+    still needs a backslash (or control chars) cannot be represented
+    dialect-neutrally — reject it rather than silently diverge from the
+    oracle."""
+    body = tok[1:-1]
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\":
+            i += 1
+            mapped = _STR_ESCAPES.get(body[i]) if i < len(body) else None
+            if mapped is None:
+                raise CypherSyntaxError(
+                    f"unsupported escape in string literal: {tok!r}"
+                )
+            out.append(mapped)
+        else:
+            out.append(c)
+        i += 1
+    s = "".join(out)
+    if any(ch in s for ch in "\\\n\t\r"):
+        raise CypherUnsupported(
+            "string literals containing backslashes or control characters "
+            "have no dialect-neutral SQL form (Spark escapes \\, DuckDB "
+            "does not)"
+        )
+    return "'" + s.replace("'", "''") + "'"
+
+
 def _tokenize(q: str) -> list[tuple[str, str]]:
     out, i = [], 0
     while i < len(q):
@@ -129,13 +166,23 @@ class _Parser:
             raise CypherSyntaxError(f"expected identifier, got {tok!r}")
         return tok
 
+    def expect_count(self, what: str) -> str:
+        """SKIP/LIMIT operand: a bare non-negative integer only — never
+        interpolate an arbitrary token into the generated SQL."""
+        kind, tok = self.next()
+        if kind != "num" or not tok.isdigit():
+            raise CypherSyntaxError(
+                f"{what} expects a non-negative integer literal, got {tok!r}"
+            )
+        return tok
+
     # -- literals ----------------------------------------------------------
     def literal(self) -> str:
         kind, tok = self.next()
         if kind == "num":
             return tok
         if kind == "str":
-            return tok
+            return _normalize_str_literal(tok)
         if tok in ("TRUE", "FALSE"):
             return tok
         if tok == "NULL":
@@ -453,9 +500,9 @@ class _Parser:
                     break
         skip = limit = None
         if self.accept("SKIP"):
-            skip = self.next()[1]
+            skip = self.expect_count("SKIP")
         if self.accept("LIMIT"):
-            limit = self.next()[1]
+            limit = self.expect_count("LIMIT")
         if self.peek()[0] != "eof":
             raise CypherSyntaxError(f"unexpected trailing input: {self.peek()[1]!r}")
         return {

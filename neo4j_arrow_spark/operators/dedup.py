@@ -24,6 +24,31 @@ from neo4j_arrow_spark.functions.hashing import hash64, hash_bit
 from neo4j_arrow_spark.functions.textfns import shingles, tokens  # noqa: F401 — shingles kept as the column-level API
 
 # --------------------------------------------------------------------------
+# persisted-intermediate bookkeeping
+# --------------------------------------------------------------------------
+
+def _with_intermediates(out: DataFrame, frames: list[DataFrame]) -> DataFrame:
+    """Record the persisted intermediate frames on the result so callers
+    can release them (``unpersist_intermediates``) once the result is
+    consumed. The handles are plan-sized Python objects, not data."""
+    out._persisted_intermediates = frames  # type: ignore[attr-defined]
+    return out
+
+
+def unpersist_intermediates(df: DataFrame, blocking: bool = False) -> None:
+    """Release the cached partitions behind a result of
+    ``minhash_lsh_pairs`` / ``simhash_pairs`` / ``ngram_jaccard_pairs``.
+
+    Those operators persist() doc-sized subframes referenced by several
+    plan branches; in a long-lived session the caller should release
+    them after fully consuming (or writing out) the result — re-running
+    the result's plan after release recomputes them silently. No-op for
+    DataFrames without recorded intermediates."""
+    for frame in getattr(df, "_persisted_intermediates", ()):  # type: ignore[attr-defined]
+        frame.unpersist(blocking)
+
+
+# --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
 
@@ -175,7 +200,8 @@ def minhash_lsh_pairs(
     are persisted: each is referenced by 2+ plan branches and would be
     recomputed — including its explode and md5 work — once per branch
     otherwise. They are |docs|- and |shingles|-sized (MEMORY_AND_DISK,
-    spillable), never output-sized.
+    spillable), never output-sized. Release them with
+    :func:`unpersist_intermediates` after consuming the result.
     """
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n, include_size=True
@@ -220,7 +246,9 @@ def minhash_lsh_pairs(
             ).alias("jaccard"),
         )
     )
-    return jac.filter(F.col("jaccard") >= threshold)
+    return _with_intermediates(
+        jac.filter(F.col("jaccard") >= threshold), [sig, buckets, sh]
+    )
 
 
 # --------------------------------------------------------------------------
@@ -293,14 +321,15 @@ def simhash_pairs(
             F.col("b.simhash").alias("sh_b"),
         )
         pairs = p if pairs is None else pairs.unionByName(p)
-    return (
+    return _with_intermediates(
         pairs.distinct()
         .withColumn(
             "hamming",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming"),
+        [chunked],
     )
 
 
@@ -353,7 +382,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    return _with_intermediates(
         inter.join(sizes.alias("za"), F.col("id_a") == F.col("za.doc"))
         .join(sizes.alias("zb"), F.col("id_b") == F.col("zb.doc"))
         .select(
@@ -364,7 +393,8 @@ def ngram_jaccard_pairs(
                 6,
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        [indexed],
     )
 
 

@@ -52,13 +52,21 @@ def asof_join(
     """
     payload = tuple(payload)
     # Deduplicate right to one row per (key, ts): deterministic winner.
-    dedup_w = Window.partitionBy(on, ts).orderBy(*[F.col(c).desc() for c in payload])
-    r = (
-        right.select(on, ts, *payload)
-        .withColumn("_rn", F.row_number().over(dedup_w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    # With no payload columns the rows are identical per (key, ts), so a
+    # plain dropDuplicates suffices (an empty window ORDER BY is a Spark
+    # analysis error).
+    if payload:
+        dedup_w = Window.partitionBy(on, ts).orderBy(
+            *[F.col(c).desc() for c in payload]
+        )
+        r = (
+            right.select(on, ts, *payload)
+            .withColumn("_rn", F.row_number().over(dedup_w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        r = right.select(on, ts).dropDuplicates([on, ts])
 
     # Union-marker: right rows sort strictly before left rows at equal
     # ts (_side 0 < 1) so the inclusive `r.ts <= l.ts` match holds.
