@@ -50,14 +50,27 @@ def main() -> None:
     # volumes — different generated code. Discarding compile runs is
     # the reference's own methodology (speed/26-aug-2021/README.md:
     # 5 warm-ups, best-3-of-5).
+    max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "4"))
     timings: dict[str, float] = {}
     for name, fn in sorted(queries().items()):
         best = float("inf")
-        for _ in range(runs):
+        n = 0
+        improving = True
+        while n < runs or (
+            # adaptive steady-state detection: C2 compilation of wide
+            # generated code can take 2-3 executions to kick in
+            # (observed 64s -> 26s -> 9s on khop_wire); keep running
+            # while the latest run improved the best by >20%, bounded
+            # by max_runs so cheap queries stay at `runs`.
+            n < max_runs and improving and best > 2.0
+        ):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            last = time.perf_counter() - t0
+            improving = last < best * 0.8
+            best = min(best, last)
+            n += 1
             # operators persist shared subframes; drop them so queries
             # are independent and memory pressure can't accumulate
             spark.catalog.clearCache()

@@ -56,14 +56,19 @@ def kmeans_fixed(
     final centroid (quantized units)."""
     q = vectors.select(F.col(id_col), _quantize(vec_col).alias("qv"))
 
-    seed_w = Window.orderBy(F.col(id_col))
+    # distributed top-k (TakeOrderedAndProject) instead of a global
+    # row_number window — the seed scan never single-partitions the
+    # corpus. The 0-based seed rank over the k survivors is computed
+    # windowless (rank = |seeds with smaller id|, broadcast self-join
+    # over k rows) since an unpartitioned window warns + single-
+    # partitions even on bounded input.
+    seeds = q.orderBy(F.col(id_col)).limit(k)
+    sa, sb = seeds.alias("sa"), seeds.alias("sb")
     centroids = (
-        q.withColumn("_rn", F.row_number().over(seed_w))
-        .filter(F.col("_rn") <= k)
-        .select(
-            (F.col("_rn") - 1).cast("long").alias("cluster"),
-            F.col("qv").alias("cv"),
-        )
+        sa.join(F.broadcast(sb), F.col(f"sb.{id_col}") < F.col(f"sa.{id_col}"), "left")
+        .groupBy(F.col(f"sa.{id_col}"), F.col("sa.qv").alias("cv"))
+        .agg(F.count(f"sb.{id_col}").alias("cluster"))
+        .select("cluster", "cv")
         .localCheckpoint()
     )
 

@@ -82,9 +82,24 @@ def build_vocab(
         .dropDuplicates([id_col, "token"])
     )
     dfreq = tok_docs.groupBy("token").agg(F.count("*").alias("df"))
-    w = Window.orderBy(F.col("df").desc(), F.col("token"))
-    return (
+    # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    # top-k (per-partition heaps, merged at the driver), unlike a global
+    # row_number window which drags the whole vocabulary into a single
+    # partition. Ranking the surviving top_n rows then needs no window
+    # at all (an unpartitioned window single-partitions and warns even
+    # over tiny inputs): rank = 1 + |rows strictly ahead|, a broadcast
+    # self-join over at most top_n rows.
+    top = (
         dfreq.filter(F.col("df") >= min_df)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
+        .orderBy(F.col("df").desc(), F.col("token"))
+        .limit(top_n)
+    )
+    a, b = top.alias("a"), top.alias("b")
+    ahead = (F.col("b.df") > F.col("a.df")) | (
+        (F.col("b.df") == F.col("a.df")) & (F.col("b.token") < F.col("a.token"))
+    )
+    return (
+        a.join(F.broadcast(b), ahead, "left")
+        .groupBy(F.col("a.token").alias("token"), F.col("a.df").alias("df"))
+        .agg((F.count("b.token") + 1).alias("rank"))
     )
