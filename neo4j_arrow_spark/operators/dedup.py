@@ -251,6 +251,47 @@ def minhash_lsh_pairs(
     )
 
 
+def neardup_clusters(
+    pairs: DataFrame, docs: DataFrame, id_col: str
+) -> DataFrame:
+    """Corpus-level dedup: turn a near-duplicate PAIR list (id_a, id_b —
+    any of the pair generators above) into duplicate CLUSTERS and pick
+    one canonical document per cluster. This is the step that actually
+    shrinks a training corpus: transitive near-dups (a~b, b~c) collapse
+    into one cluster even when a,c were never compared.
+
+    Clusters = connected components over the pair graph (O(log n)
+    star-contraction rounds — operators/components.py); canonical = the
+    minimum doc id of the cluster (deterministic). Docs in no pair are
+    their own canonical, via a left join — never materializing the
+    (corpus-sized) singleton edge set.
+
+    Returns ``(id_col, canonical_id, is_duplicate, cluster_size)``.
+    """
+    from neo4j_arrow_spark.operators.components import connected_components
+
+    labels = connected_components(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    )
+    canon = (
+        docs.select(F.col(id_col))
+        .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("comp", F.col(id_col)).alias("canonical_id"),
+        )
+    )
+    sizes = canon.groupBy("canonical_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return canon.join(sizes, "canonical_id").select(
+        F.col(id_col),
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+        "cluster_size",
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -1,4 +1,5 @@
-"""Cardinality sketches: K-Minimum-Values (KMV) distinct counting.
+"""Data sketches: KMV distinct counting and Count-Min frequency
+estimation — deterministic, oracle-verifiable variants.
 
 Spark's ``approx_count_distinct`` (HyperLogLog++) is
 implementation-defined — no other engine reproduces its estimates, so
@@ -31,7 +32,7 @@ from pyspark.sql import functions as F
 
 from neo4j_arrow_spark.functions.hashing import MASK_BITS, hash64
 
-__all__ = ["kmv_distinct"]
+__all__ = ["kmv_distinct", "cms_estimates"]
 
 
 def kmv_distinct(
@@ -53,4 +54,45 @@ def kmv_distinct(
             f"ELSE CAST(floor(({k} - 1) * CAST({1 << MASK_BITS} AS DOUBLE)"
             f" / CAST(max(_h) AS DOUBLE)) AS BIGINT) END"
         ).alias("n_kmv")
+    )
+
+
+def cms_estimates(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-Min sketch frequency estimates (Cormode & Muthukrishnan
+    2005): ``depth`` hash rows × ``width`` buckets; a key's estimate is
+    the minimum of its bucket counts — an overestimate bounded by
+    collision mass, never an undercount.
+
+    Returns ``(key_col, true_cnt, cms_est)`` per distinct key so
+    callers (and the oracle) can see the guaranteed ``cms_est >=
+    true_cnt`` relationship and the collision error. Deterministic: the
+    bucket assignment is the shared md5 hash family, so DuckDB builds
+    the identical sketch.
+
+    Scale shape: the sketch itself is ``depth × width`` cells built by
+    one groupBy over exploded (row, bucket) pairs — constant size
+    regardless of input (the whole point at 100 TB) — then broadcast
+    back onto the distinct keys. The ``true_cnt`` column is for
+    verification; a production sketch-only pass skips it and the key
+    dedup entirely.
+    """
+    key_s = F.col(key_col).cast("string")
+    arms = F.array(
+        *[F.pmod(hash64(key_s, seed=r), F.lit(width)) for r in range(depth)]
+    )
+    cells = (
+        df.select(F.posexplode(arms).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cell_cnt"))
+    )
+    keys = df.groupBy(key_col).agg(F.count("*").alias("true_cnt"))
+    key_arms = keys.select(
+        key_col, "true_cnt", F.posexplode(arms).alias("row", "bucket")
+    )
+    return (
+        key_arms.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy(key_col, "true_cnt")
+        .agg(F.min("cell_cnt").alias("cms_est"))
     )

@@ -174,6 +174,75 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
+#: PII patterns — plain character classes + bounded repetition only, so
+#: Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+LONGNUM_RE = "[0-9][0-9][0-9][0-9][0-9][0-9]+"
+
+
+def redact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """PII scrub for training corpora: replace email addresses with
+    ``<EMAIL>`` and 6+-digit runs (phone/account/ssn-shaped) with
+    ``<NUM>``; reports per-document redaction counts. Emails first —
+    their local parts may contain digit runs. Pure codegen
+    ``regexp_replace``/``regexp_count``, no UDFs."""
+    emails_gone = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(emails_gone, LONGNUM_RE, "<NUM>").alias("clean_text"),
+        F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).cast("long").alias(
+            "n_emails"
+        ),
+        F.regexp_count(emails_gone, F.lit(LONGNUM_RE)).cast("long").alias(
+            "n_numbers"
+        ),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sequence chunking for training prep: split each document's token
+    stream into windows of ``chunk_tokens`` with ``overlap`` tokens of
+    context between consecutive chunks (stride = chunk_tokens -
+    overlap). The last chunk is the tail window — every token appears
+    in at least one chunk, and chunk boundaries are a pure function of
+    the text (deterministic on any engine/partitioning).
+
+    Returns ``(id_col, chunk_id int, n_tokens long, chunk_text)``.
+    Documents shorter than one chunk yield a single (possibly empty)
+    chunk. Map-only: no shuffle at any scale."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
+    stride = chunk_tokens - overlap
+    with_toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    n = F.size("_toks")
+    # integer-exact chunk count; the <= guard keeps the arithmetic
+    # strictly positive (negative `div` rounds differently across
+    # engines)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.expr(f"(size(_toks) - {chunk_tokens} + {stride - 1}) div {stride}")
+    )
+    with_toks = with_toks.withColumn("_n_chunks", n_chunks)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("_n_chunks") - 1),
+        lambda i: F.slice("_toks", i * stride + 1, chunk_tokens),
+    )
+    return with_toks.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_ctoks")
+    ).select(
+        F.col(id_col),
+        "chunk_id",
+        F.size("_ctoks").cast("long").alias("n_tokens"),
+        F.array_join("_ctoks", " ").alias("chunk_text"),
+    )
+
+
 def tfidf(
     docs: DataFrame,
     id_col: str,

@@ -1066,3 +1066,128 @@ def events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return range_pair_join(ev, on="user_id", window_us=3_600_000_000)
+
+
+# --------------------------------------------------------------------------
+# Graph algorithms: BFS shortest hops, label propagation
+# --------------------------------------------------------------------------
+
+@query(
+    "bfs_hops_buysfrom",
+    oracle=f"""
+    WITH RECURSIVE rels AS ({RELS_SQL}),
+    e AS (
+        SELECT DISTINCT START_ID AS u, END_ID AS v
+        FROM rels WHERE TYPE = 'BUYS_FROM'
+    ),
+    und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    src AS (SELECT min(u) AS node FROM e),
+    b(node, hop) AS (
+        SELECT node, 0 FROM src
+        UNION
+        SELECT und.v, b.hop + 1
+        FROM b JOIN und ON b.node = und.u
+        WHERE b.hop < 3
+    )
+    SELECT node, CAST(min(hop) AS INT) AS hop FROM b GROUP BY node
+    """,
+)
+def bfs_hops_buysfrom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (<= 3) from the lowest-id customer over the
+    undirected BUYS_FROM graph — the shortestPath/GDS-BFS analogue
+    (operators/graph_algs.bfs_hops: frontier expansion, per-round
+    shuffle bounded by |frontier| x degree). Oracle: recursive CTE,
+    min-hop over all reached (node, hop) pairs."""
+    from neo4j_arrow_spark.operators.graph_algs import bfs_hops
+
+    _, rels = _graph(spark, sf_dir)
+    edges = rels.filter(F.col("TYPE") == "BUYS_FROM").select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    sources = edges.agg(F.min("u").alias("node"))
+    return bfs_hops(edges, sources, max_hops=3)
+
+
+def _lpa_oracle(iterations: int) -> str:
+    ctes = [
+        f"edges AS ({_COPURCHASE_EDGES_SQL})",
+        """und AS (
+        SELECT u, v FROM edges WHERE u <> v
+        UNION
+        SELECT v, u FROM edges WHERE u <> v
+    )""",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(f"""l{t} AS (
+        SELECT node, label FROM (
+            SELECT und.u AS node, l.label, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY und.u
+                                      ORDER BY count(*) DESC, l.label) AS rn
+            FROM und JOIN l{t - 1} l ON und.v = l.node
+            GROUP BY und.u, l.label
+        ) t WHERE rn = 1
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, label FROM l{iterations}"
+    )
+
+
+@query("label_propagation2", oracle=_lpa_oracle(2))
+def label_propagation2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous rounds of frequency label propagation over the
+    part co-purchase graph (operators/graph_algs.label_propagation, the
+    GDS LPA analogue made deterministic via (count desc, label asc)
+    tie-breaks). Oracle: the unrolled two-round relabel as window SQL."""
+    from neo4j_arrow_spark.operators.graph_algs import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 45).select("l_orderkey", "l_partkey")
+    edges = (
+        a.alias("a")
+        .join(a.alias("b"), on="l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    return label_propagation(edges, iterations=2)
+
+
+# --------------------------------------------------------------------------
+# Grouped exact quantiles
+# --------------------------------------------------------------------------
+
+_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+@query(
+    "group_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(quantile_cont(l_quantity, 0.25), 2) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 2) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 2) AS p75,
+           round(quantile_cont(l_quantity, 0.95), 2) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated per-group quantiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation at rank
+    (n-1)*q). Spark's percentile is a full-sort-per-group aggregate —
+    the exact path; `approx_percentile` (KLL-sketch-ish, mergeable,
+    bounded memory) is the 100 TB default when estimates suffice, but
+    its estimates are implementation-defined and can never hash-match
+    an oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(F.expr(f"percentile(l_quantity, {q})"), 2).alias(
+                f"p{int(q * 100)}"
+            )
+            for q in _QUANTILES
+        ],
+    )

@@ -107,10 +107,9 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- minhash ---------------------------------------------------------------
 
-@query(
-    "minhash_lsh_pairs",
-    oracle=f"""
-    WITH {_SH_CTE},
+#: full CTE chain ending in ``pairs(id_a, id_b, jaccard)`` — shared by
+#: the pair query and the cluster query built on top of it
+_MINHASH_PAIRS_CTES = f"""{_SH_CTE},
     {_SIG_CTE},
     buckets AS (
 {_BAND_ARMS}
@@ -128,13 +127,22 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sh sa ON id_a = sa.doc
         JOIN sh sb ON id_b = sb.doc AND sa.shingle = sb.shingle
         GROUP BY id_a, id_b
-    )
-    SELECT id_a, id_b,
-           round(n / (za.sz + zb.sz - n), 6) AS jaccard
-    FROM inter
-    JOIN sizes za ON id_a = za.doc
-    JOIN sizes zb ON id_b = zb.doc
-    WHERE round(n / (za.sz + zb.sz - n), 6) >= 0.3
+    ),
+    pairs AS (
+        SELECT id_a, id_b,
+               round(n / (za.sz + zb.sz - n), 6) AS jaccard
+        FROM inter
+        JOIN sizes za ON id_a = za.doc
+        JOIN sizes zb ON id_b = zb.doc
+        WHERE round(n / (za.sz + zb.sz - n), 6) >= 0.3
+    )"""
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTES}
+    SELECT id_a, id_b, jaccard FROM pairs
     """,
 )
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,3 +638,184 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_fixed(emb, "vec_id", "embedding", k=4, iterations=2)
+
+
+# ---- corpus-level dedup (pairs -> clusters -> canonical docs) --------------
+
+@query(
+    "neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    e2 AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM e2
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
+    ),
+    canon AS (SELECT a, least(min(b), a) AS comp FROM reach GROUP BY a),
+    lab AS (
+        SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN canon c ON d.doc_id = c.a
+    ),
+    sz AS (SELECT canonical_id, count(*) AS cluster_size
+           FROM lab GROUP BY canonical_id)
+    SELECT lab.doc_id, lab.canonical_id,
+           lab.doc_id <> lab.canonical_id AS is_duplicate,
+           sz.cluster_size
+    FROM lab JOIN sz USING (canonical_id)
+    """,
+)
+def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that actually shrinks a corpus: MinHash pair list ->
+    connected components -> one canonical doc per near-dup cluster
+    (operators/dedup.neardup_clusters). Oracle: the shared pairs CTEs +
+    a recursive transitive closure — feasible at oracle scale only,
+    which is why the Spark side uses O(log n) star contraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    prs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3, threshold=0.3,
+    )
+    return dedup.neardup_clusters(prs, docs, "doc_id")
+
+
+# ---- training-prep text ops ------------------------------------------------
+
+_CHUNK, _OVERLAP = 64, 48  # stride 16
+_STRIDE = _CHUNK - _OVERLAP
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {duck_tokens("text")} AS toks FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) <= {_CHUNK} THEN 1
+                    ELSE 1 + (len(toks) - {_CHUNK} + {_STRIDE - 1}) // {_STRIDE}
+               END AS n_chunks
+        FROM t
+    ),
+    x AS (
+        SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM c
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(toks[chunk_id * {_STRIDE} + 1 :
+                        chunk_id * {_STRIDE} + {_CHUNK}]) AS BIGINT)
+               AS n_tokens,
+           array_to_string(toks[chunk_id * {_STRIDE} + 1 :
+                                chunk_id * {_STRIDE} + {_CHUNK}], ' ')
+               AS chunk_text
+    FROM x
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence chunking for training prep: 64-token windows with
+    48-token overlap (stride 16) per document — every token covered,
+    boundaries a pure function of the text (operators/text.
+    chunk_documents). Map-only at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=_CHUNK, overlap=_OVERLAP
+    )
+
+
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || doc_id || '@mail.example.com ref '"
+    " || (1000000 + doc_id * 7919)"
+)
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH pii AS (SELECT doc_id, {_PII_SUFFIX_SQL} AS text FROM documents),
+    e AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '{text.EMAIL_RE}', '<EMAIL>', 'g')
+                   AS no_email
+        FROM pii
+    )
+    SELECT doc_id,
+           regexp_replace(no_email, '{text.LONGNUM_RE}', '<NUM>', 'g')
+               AS clean_text,
+           CAST(len(regexp_extract_all(text, '{text.EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(no_email, '{text.LONGNUM_RE}'))
+                AS BIGINT) AS n_numbers
+    FROM e
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.redact): emails -> <EMAIL>, 6+-digit
+    runs -> <NUM>, with per-doc counts. The documents fixture has no
+    organic PII, so a deterministic contact line is appended first —
+    the oracle appends the identical line."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ref "),
+            (F.lit(1_000_000) + F.col("doc_id") * 7919).cast("string"),
+        ).alias("text"),
+    )
+    return text.redact(docs, "doc_id", "text")
+
+
+# ---- Count-Min sketch ------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
+
+
+def _cms_oracle(depth: int, width: int) -> str:
+    from neo4j_arrow_spark.functions.hashing import duck_hash64
+
+    def bucket(r: int) -> str:
+        return f"({duck_hash64('l_suppkey::VARCHAR', r)}) % {width}"
+
+    cell_arms = "\n        UNION ALL\n".join(
+        f"        SELECT {r} AS row, {bucket(r)} AS bucket FROM base"
+        for r in range(depth)
+    )
+    key_arms = "\n        UNION ALL\n".join(
+        f"        SELECT l_suppkey, true_cnt, {r} AS row, {bucket(r)} AS bucket"
+        " FROM keys"
+        for r in range(depth)
+    )
+    return f"""
+    WITH base AS (SELECT l_suppkey FROM lineitem),
+    cells AS (
+        SELECT row, bucket, count(*) AS cell_cnt FROM (
+{cell_arms}
+        ) GROUP BY row, bucket
+    ),
+    keys AS (SELECT l_suppkey, count(*) AS true_cnt FROM base GROUP BY 1),
+    key_arms AS (
+{key_arms}
+    )
+    SELECT l_suppkey, true_cnt, min(cell_cnt) AS cms_est
+    FROM key_arms JOIN cells USING (row, bucket)
+    GROUP BY l_suppkey, true_cnt
+    """
+
+
+@query("cms_heavy_hitters", oracle=_cms_oracle(_CMS_DEPTH, _CMS_WIDTH))
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates over lineitem suppliers
+    (operators/sketches.cms_estimates): a 4x64-cell sketch — constant
+    size regardless of input, the 100 TB shape — with the exact count
+    alongside so the overestimate-only guarantee is oracle-checked
+    (width < |keys| forces real collisions)."""
+    from neo4j_arrow_spark.operators.sketches import cms_estimates
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return cms_estimates(li, "l_suppkey", depth=_CMS_DEPTH, width=_CMS_WIDTH)
