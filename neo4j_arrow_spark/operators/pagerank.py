@@ -30,24 +30,51 @@ SCALE = 1_000_000
 
 
 def pagerank_fixed(
-    edges: DataFrame, iterations: int = 3, scale: int = SCALE
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = SCALE,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """Integer-quantized PageRank over directed ``edges (u, v)``.
     Returns ``(node long, rank long)`` for every node appearing as
-    source or target. Parallel edges are deduplicated."""
+    source or target. Parallel edges are deduplicated.
+
+    ``sources`` (a ``(node)`` frame) switches to PERSONALIZED PageRank:
+    initial mass and the per-iteration teleport term go only to the
+    source set (GDS ``sourceNodes`` semantics) — rank then measures
+    proximity to the sources rather than global importance. The source
+    flag rides along as a column on the node frame (one broadcast-able
+    left join at setup, zero extra per-iteration work).
+    """
     e = edges.select(F.col("u").cast("long"), F.col("v").cast("long")).distinct()
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .distinct()
-        .persist()
     )
+    if sources is None:
+        nodes = nodes.withColumn("_base", F.lit(15 * scale // 100).cast("long"))
+        init = F.lit(scale).cast("long")
+    else:
+        src = sources.select(F.col("node").cast("long")).distinct().withColumn(
+            "_is_src", F.lit(True)
+        )
+        nodes = nodes.join(F.broadcast(src), "node", "left").select(
+            "node",
+            F.when(F.col("_is_src"), F.lit(15 * scale // 100))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_base"),
+        )
+        init = F.when(F.col("_base") > 0, F.lit(scale)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    nodes = nodes.persist()
     outdeg = e.groupBy("u").agg(F.count("*").alias("deg"))
     fanout = e.join(outdeg, "u").persist()
     fanout.count()  # materialize once; reused every iteration
 
-    base = 15 * scale // 100
-    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    ranks = nodes.select("node", init.alias("rank"))
     for _ in range(iterations):
         contribs = (
             fanout.join(ranks, fanout["u"] == ranks["node"])
@@ -59,7 +86,7 @@ def pagerank_fixed(
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
-                F.expr(f"{base} + (85 * coalesce(c, 0)) div 100").alias("rank"),
+                F.expr("_base + (85 * coalesce(c, 0)) div 100").alias("rank"),
             )
             .localCheckpoint()
         )

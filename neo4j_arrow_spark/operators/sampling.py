@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from neo4j_arrow_spark.functions.hashing import hash64
 from neo4j_arrow_spark.functions.textfns import tokens
 
-__all__ = ["hash_split", "stratified_sample", "build_vocab"]
+__all__ = ["hash_split", "stratified_sample", "build_vocab", "weighted_sample"]
 
 
 def hash_split(
@@ -64,6 +64,23 @@ def stratified_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, seed: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli sampling with per-row keep probability
+    ``weight_col`` (a [0,1] column — e.g. a quality score): keep a row
+    iff ``hash(id) mod 1e6 < round(weight * 1e6)``. This is the
+    quality-weighted subsampling step of a corpus pipeline (keep good
+    documents with high probability, down-weight boilerplate) made
+    reproducible: the decision is a pure integer function of (id,
+    weight, seed), so reruns and engines agree row-for-row — unlike
+    ``rand()``-based sampling, which can never be oracle-verified.
+    Map-only: no shuffle at any scale."""
+    thresh = F.round(F.col(weight_col) * 1_000_000, 0).cast("long")
+    draw = F.pmod(hash64(F.col(id_col).cast("string"), seed=seed), F.lit(1_000_000))
+    return df.filter(draw < thresh)
 
 
 def build_vocab(

@@ -243,6 +243,63 @@ def chunk_documents(
     )
 
 
+def collocations(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Bigram collocation mining: adjacent token pairs scored by
+    integer-quantized lift ``c(w1,w2) · N · 1000 div (c(w1) · c(w2))``
+    (N = total token count) — monotone in PMI but computed entirely in
+    integers, so the score is order-independent and bit-identical on
+    any engine (no float log). High scores = tokens that co-occur far
+    more than their frequencies predict — phrase/term detection for
+    corpus analysis.
+
+    Returns ``(w1, w2, n_pair, lift_q)`` for pairs seen at least
+    ``min_count`` times. Plan: two explode+count aggregations (bigram,
+    unigram) + two joins of the min_count-filtered bigram table against
+    unigram counts; the total-count scalar rides in via a literal-sized
+    cross join. The min_count filter runs BEFORE the joins, so join
+    input is the (small) frequent-pair set, not the raw bigram stream.
+    """
+    toks = docs.select(tokens(text_col).alias("_toks"))
+    uni = (
+        toks.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs_arr = F.when(
+        F.size("_toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(_toks) - 1),"
+            " i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    bi = (
+        toks.select(F.explode(pairs_arr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    total = uni.agg(F.sum("cnt").alias("_n"))
+    c1 = uni.select(F.col("w").alias("w1"), F.col("cnt").alias("_c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("cnt").alias("_c2"))
+    return (
+        bi.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.expr("(n_pair * _n * 1000) div (_c1 * _c2)").alias("lift_q"),
+        )
+    )
+
+
 def tfidf(
     docs: DataFrame,
     id_col: str,

@@ -164,6 +164,20 @@ _sql_query(
 )
 
 _sql_query(
+    "sql_cube_shipyear",
+    """
+    SELECT coalesce(CAST(EXTRACT(YEAR FROM l_shipdate) AS STRING), 'ALL')
+               AS ship_year,
+           coalesce(l_returnflag, 'ALL') AS rf,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY CUBE (EXTRACT(YEAR FROM l_shipdate), l_returnflag)
+    """,
+    ("lineitem",),
+)
+
+_sql_query(
     "sql_running_spend",
     """
     SELECT o_custkey, o_orderkey,
@@ -795,12 +809,23 @@ def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(base, ["nation"], "v", k=64)
 
 
-def _pagerank_oracle(iterations: int, scale: int) -> str:
+def _pagerank_oracle(
+    iterations: int, scale: int, personalized: bool = False
+) -> str:
     """Unrolled fixed-point PageRank as pure SQL: one CTE per
     iteration. `//` is DuckDB integer division — order-independent, so
     it matches Spark's `div` bit-for-bit (the whole point of the
-    integer quantization; see operators/pagerank.py)."""
+    integer quantization; see operators/pagerank.py). With
+    ``personalized``, initial mass and teleport go only to nation-0
+    customers (the Spark query's source set)."""
     base = 15 * scale // 100
+    if personalized:
+        src = "(SELECT c_custkey FROM customer WHERE c_nationkey = 0)"
+        base_expr = f"CASE WHEN n.node IN {src} THEN {base} ELSE 0 END"
+        init_expr = f"CASE WHEN node IN {src} THEN {scale} ELSE 0 END"
+    else:
+        base_expr = str(base)
+        init_expr = str(scale)
     ctes = [
         f"""predges AS (
     SELECT DISTINCT o.o_custkey AS u, l.l_suppkey + 1000000 AS v
@@ -816,13 +841,14 @@ def _pagerank_oracle(iterations: int, scale: int) -> str:
         " UNION SELECT v AS node FROM predges)",
         "proutdeg AS (SELECT u AS node, count(*) AS deg"
         " FROM predges GROUP BY u)",
-        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM prnodes)",
+        f"r0 AS (SELECT node, CAST({init_expr} AS BIGINT) AS rank"
+        " FROM prnodes)",
     ]
     for i in range(iterations):
         ctes.append(
             f"""r{i + 1} AS (
     SELECT n.node,
-           CAST({base} + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
+           CAST(({base_expr}) + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
     FROM prnodes n LEFT JOIN (
         SELECT e.v AS node, sum(r{i}.rank // d.deg) AS c
         FROM predges e
@@ -837,14 +863,9 @@ def _pagerank_oracle(iterations: int, scale: int) -> str:
     )
 
 
-@query("pagerank3", oracle=_pagerank_oracle(3, 1_000_000))
-def pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three fixed-point PageRank iterations over the directed
-    customer→supplier→nation→region graph. Rank quantized to integer
-    micro-units so every sum is order-independent — the oracle is the
-    same recurrence unrolled to SQL and matches exactly."""
-    from neo4j_arrow_spark.operators.pagerank import pagerank_fixed
-
+def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The directed customer→supplier→nation→region rank graph shared
+    by the PageRank queries (id spaces offset to disjoint ranges)."""
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
     cu = load_table(spark, sf_dir, "customer")
@@ -870,8 +891,87 @@ def pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_nationkey") + 2_000_000).alias("u"),
         (F.col("n_regionkey") + 3_000_000).alias("v"),
     )
-    edges = buys.unionByName(sup_nat).unionByName(cust_nat).unionByName(nat_reg)
-    return pagerank_fixed(edges, iterations=3)
+    return buys.unionByName(sup_nat).unionByName(cust_nat).unionByName(nat_reg)
+
+
+@query("pagerank3", oracle=_pagerank_oracle(3, 1_000_000))
+def pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three fixed-point PageRank iterations over the directed
+    customer→supplier→nation→region graph. Rank quantized to integer
+    micro-units so every sum is order-independent — the oracle is the
+    same recurrence unrolled to SQL and matches exactly."""
+    from neo4j_arrow_spark.operators.pagerank import pagerank_fixed
+
+    return pagerank_fixed(_pr_edges(spark, sf_dir), iterations=3)
+
+
+@query(
+    "ppr_nation0", oracle=_pagerank_oracle(3, 1_000_000, personalized=True)
+)
+def ppr_nation0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (GDS sourceNodes semantics): teleport mass
+    restricted to nation-0 customers, so rank measures proximity to
+    that cohort — the recommender/expansion primitive. Same integer
+    fixed-point recurrence as pagerank3; oracle is the unrolled SQL
+    with the personalized teleport term."""
+    from neo4j_arrow_spark.operators.pagerank import pagerank_fixed
+
+    cu = load_table(spark, sf_dir, "customer")
+    sources = cu.filter(F.col("c_nationkey") == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    return pagerank_fixed(_pr_edges(spark, sf_dir), iterations=3, sources=sources)
+
+
+@query(
+    "node_similarity_buysfrom",
+    oracle=f"""
+    WITH rels AS ({RELS_SQL}),
+    e AS (
+        SELECT DISTINCT START_ID AS u, END_ID AS v
+        FROM rels
+        WHERE TYPE = 'BUYS_FROM'
+          AND START_ID IN (SELECT c_custkey FROM customer
+                           WHERE c_nationkey = 0)
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+    inter AS (
+        SELECT a.u AS node_a, b.u AS node_b,
+               CAST(count(*) AS BIGINT) AS intersection
+        FROM e a JOIN e b ON a.v = b.v AND a.u < b.u
+        GROUP BY 1, 2
+    )
+    SELECT node_a, node_b, intersection,
+           round(intersection / (da.deg + db.deg - intersection), 6)
+               AS similarity
+    FROM inter
+    JOIN deg da ON node_a = da.u
+    JOIN deg db ON node_b = db.u
+    WHERE round(intersection / (da.deg + db.deg - intersection), 6) >= 0.25
+    """,
+)
+def node_similarity_buysfrom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDS nodeSimilarity parity: Jaccard over customers' supplier
+    neighborhoods in the BUYS_FROM graph, threshold 0.25, scoped to
+    nation-0 customers (operators/graph_algs.node_similarity — wedge
+    join on the shared target, then one agg + broadcast degree joins).
+    The cohort scope bounds the wedge join: this fixture's graph is
+    DENSE (every customer touches ~40% of suppliers), so all-pairs
+    similarity is quadratic in customers by construction — the realistic
+    per-cohort framing keeps output ∝ cohort², not corpus²."""
+    from neo4j_arrow_spark.operators.graph_algs import node_similarity
+
+    _, rels = _graph(spark, sf_dir)
+    cu = load_table(spark, sf_dir, "customer")
+    cohort = cu.filter(F.col("c_nationkey") == 0).select(
+        F.col("c_custkey").alias("u")
+    )
+    edges = (
+        rels.filter(F.col("TYPE") == "BUYS_FROM")
+        .select(F.col("START_ID").alias("u"), F.col("END_ID").alias("v"))
+        .join(F.broadcast(cohort), "u", "left_semi")
+    )
+    return node_similarity(edges, threshold=0.25)
 
 
 # --------------------------------------------------------------------------

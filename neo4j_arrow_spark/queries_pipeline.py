@@ -347,6 +347,32 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(docs, "doc_id")
 
 
+def _weighted_sample_oracle() -> str:
+    from neo4j_arrow_spark.functions.hashing import duck_hash64
+
+    h = duck_hash64("doc_id::VARCHAR", 0)
+    return f"""
+    WITH q AS ({_QUALITY_ORACLE})
+    SELECT doc_id, quality FROM q
+    WHERE ({h}) % 1000000 < CAST(round(quality * 1000000, 0) AS BIGINT)
+    """
+
+
+@query("quality_weighted_sample", oracle=_weighted_sample_oracle())
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsampling: keep each document with
+    probability equal to its quality score, decided by an integer
+    hash-vs-threshold test (operators/sampling.weighted_sample) — the
+    reproducible alternative to rand()-based sampling. High-quality
+    docs survive, boilerplate is thinned, and the keep set is a pure
+    function of (doc_id, score, seed)."""
+    from neo4j_arrow_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs, "doc_id")
+    return weighted_sample(scored, "doc_id", "quality")
+
+
 _LANG_CODES = sorted(text.LANG_STOPWORDS)
 _LANG_HITS = ", ".join(
     "len(list_filter(t, x -> list_contains({words}, x))) AS {code}_hits".format(
@@ -769,6 +795,41 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.redact(docs, "doc_id", "text")
+
+
+# ---- bigram collocations ---------------------------------------------------
+
+@query(
+    "bigram_collocations",
+    oracle=f"""
+    WITH t AS (SELECT {duck_tokens("text")} AS toks FROM documents),
+    uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+    ),
+    bi AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)
+        ) GROUP BY w1, w2
+        HAVING count(*) >= 5
+    ),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS _n FROM uni)
+    SELECT w1, w2, n_pair,
+           (n_pair * _n * 1000) // (c1.cnt * c2.cnt) AS lift_q
+    FROM bi
+    JOIN uni c1 ON bi.w1 = c1.w
+    JOIN uni c2 ON bi.w2 = c2.w
+    CROSS JOIN n
+    """,
+)
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase detection by integer-quantized lift (operators/text.
+    collocations): adjacent token pairs that co-occur far beyond what
+    their unigram frequencies predict — PMI-monotone but float-free,
+    so bit-identical cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.collocations(docs, "doc_id", min_count=5)
 
 
 # ---- Count-Min sketch ------------------------------------------------------

@@ -1,0 +1,129 @@
+"""BFS hop distance, label propagation, node similarity, personalized
+PageRank (operators/graph_algs.py, operators/pagerank.py sources=):
+hand-computed tiny graphs and invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neo4j_arrow_spark.operators.graph_algs import (
+    bfs_hops,
+    label_propagation,
+    node_similarity,
+)
+from neo4j_arrow_spark.operators.pagerank import pagerank_fixed
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "node long")
+
+
+# ---- bfs_hops --------------------------------------------------------------
+
+def test_bfs_path_graph(spark):
+    # 1-2-3-4-5 path, source 1: hops are the positions
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {r["node"]: r["hop"] for r in bfs_hops(e, _nodes(spark, [1])).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops > max_hops=3
+
+
+def test_bfs_undirected_and_min_hop(spark):
+    # edge direction must not matter; min over multiple routes wins
+    e = _edges(spark, [(2, 1), (2, 3), (1, 3)])
+    got = {r["node"]: r["hop"] for r in bfs_hops(e, _nodes(spark, [1])).collect()}
+    assert got == {1: 0, 2: 1, 3: 1}
+
+
+def test_bfs_multi_source_and_early_stop(spark):
+    e = _edges(spark, [(1, 2), (10, 11)])
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(e, _nodes(spark, [1, 10]), max_hops=3).collect()
+    }
+    assert got == {1: 0, 10: 0, 2: 1, 11: 1}
+
+
+# ---- label_propagation -----------------------------------------------------
+
+def test_lpa_triangle_converges_to_min_label(spark):
+    # triangle: after one sync round every node adopts its smallest
+    # neighbor label; ties broken by smallest label
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, iterations=2).collect()
+    }
+    # round1: n1 <- min(2,3) tie count 1 -> 2; n2 <- min(1,3) -> 1; n3 -> 1
+    # round2: n1 <- labels{n2:1, n3:1} count 2 -> 1; n2 <- {2,1} -> 1
+    #         (freq tie, min label); n3 <- {2,1} -> 1
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_lpa_synchronous_not_asynchronous(spark):
+    # star 1-2, 1-3: round 1 uses the SNAPSHOT labels, so leaves adopt
+    # 1's label while 1 adopts the min leaf label simultaneously
+    e = _edges(spark, [(1, 2), (1, 3)])
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, iterations=1).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 1}
+
+
+# ---- node_similarity -------------------------------------------------------
+
+def test_node_similarity_jaccard_values(spark):
+    # a:{x,y}, b:{x,y}, c:{x}  (targets 100=x, 101=y)
+    e = _edges(
+        spark, [(1, 100), (1, 101), (2, 100), (2, 101), (3, 100)]
+    )
+    rows = node_similarity(e).collect()
+    got = {(r["node_a"], r["node_b"]): (r["intersection"], r["similarity"]) for r in rows}
+    assert got[(1, 2)] == (2, 1.0)
+    assert got[(1, 3)] == (1, 0.5)
+    assert got[(2, 3)] == (1, 0.5)
+
+
+def test_node_similarity_threshold_and_no_shared(spark):
+    e = _edges(spark, [(1, 100), (2, 101), (3, 100), (3, 102)])
+    rows = node_similarity(e, threshold=0.6).collect()
+    # (1,3): inter 1, union 2 -> 0.5 < 0.6 filtered; (1,2) share nothing
+    assert rows == []
+
+
+def test_node_similarity_degree_cutoff(spark):
+    e = _edges(spark, [(1, 100), (2, 100), (2, 101), (3, 100), (3, 101)])
+    rows = node_similarity(e, degree_cutoff=2).collect()
+    got = {(r["node_a"], r["node_b"]) for r in rows}
+    assert got == {(2, 3)}  # node 1 (degree 1) dropped before pairing
+
+
+# ---- personalized pagerank -------------------------------------------------
+
+def test_ppr_mass_only_from_sources(spark):
+    # 1->2, 3->2: with sources={1}, node 3 gets rank 0 and 2 only
+    # receives 1's contribution
+    e = _edges(spark, [(1, 2), (3, 2)])
+    out = pagerank_fixed(e, iterations=1, sources=_nodes(spark, [1]))
+    got = {r["node"]: r["rank"] for r in out.collect()}
+    # base=150000 at source only; r0: 1->1e6, 3->0
+    # iter1: r(1)=150000; r(3)=0; r(2)=0 + 85*(1e6//1 + 0//1)//100=850000
+    assert got == {1: 150000, 3: 0, 2: 850000}
+
+
+def test_ppr_defaults_match_global_pagerank(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    all_nodes = _nodes(spark, [1, 2, 3])
+    global_ = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed(e, iterations=2).collect()
+    }
+    personalized_all = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed(e, iterations=2, sources=all_nodes).collect()
+    }
+    assert global_ == personalized_all

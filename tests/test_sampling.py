@@ -68,3 +68,22 @@ def test_build_vocab_order_and_cut(spark):
     got = [(r["token"], r["df"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])]
     # df: apple 3 docs, banana 2; cherry/durian below min_df
     assert got == [("apple", 3, 1), ("banana", 2, 2)]
+
+
+def test_weighted_sample_extremes_and_determinism(spark):
+    from neo4j_arrow_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(50)] + [(i, 0.0) for i in range(50, 100)],
+        "doc_id long, w double",
+    )
+    kept = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w").collect())
+    # weight 1.0 always kept, weight 0.0 never
+    assert kept == list(range(50))
+    # mid-probability: reproducible, seed-sensitive, roughly proportional
+    half = spark.createDataFrame([(i, 0.5) for i in range(1000)], "doc_id long, w double")
+    a = sorted(r["doc_id"] for r in weighted_sample(half, "doc_id", "w").collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(half, "doc_id", "w").collect())
+    c = sorted(r["doc_id"] for r in weighted_sample(half, "doc_id", "w", seed=7).collect())
+    assert a == b and a != c
+    assert 400 < len(a) < 600

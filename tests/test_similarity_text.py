@@ -107,3 +107,22 @@ def test_fingerprint_order_sensitivity(spark):
     assert got[0].fp_exact == got[2].fp_exact
     assert got[0].fp_exact != got[1].fp_exact
     assert got[0].fp_sorted == got[1].fp_sorted  # order-insensitive hash
+
+
+def test_collocations_lift(spark):
+    from neo4j_arrow_spark.operators.text import collocations
+
+    # "new york" always adjacent; extra bare "the"s dilute the-pairs
+    docs = spark.createDataFrame(
+        [(i, "the cat saw new york and the dog in new york") for i in range(5)]
+        + [(99, "the the the the the")],
+        "doc_id long, text string",
+    )
+    rows = collocations(docs, "doc_id", min_count=5).collect()
+    got = {(r["w1"], r["w2"]): (r["n_pair"], r["lift_q"]) for r in rows}
+    assert got[("new", "york")][0] == 10
+    # N = 5*11 + 5 = 60 tokens; c(new)=c(york)=10
+    assert got[("new", "york")][1] == 10 * 60 * 1000 // (10 * 10)
+    # c(the)=15 now, so "the cat" (5 pairs) scores below "new york"
+    assert got[("the", "cat")][1] == 5 * 60 * 1000 // (15 * 5)
+    assert got[("the", "cat")][1] < got[("new", "york")][1]
