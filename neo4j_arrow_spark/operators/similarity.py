@@ -16,10 +16,17 @@ id tie-breaks — reproducible on DuckDB for the correctness gate.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from neo4j_arrow_spark.operators.dedup import cosine, cosine_prenormed, norm
+from neo4j_arrow_spark.operators.dedup import (
+    QUANT_SCALE,
+    cosine,
+    cosine_prenormed,
+    norm,
+)
 
 
 def cosine_topk(
@@ -59,6 +66,112 @@ def cosine_topk(
     )
     if not include_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cos")
+    )
+
+
+def lsh_signs(n_bits: int, dim: int, seed: int = 0) -> list[list[int]]:
+    """±1 random-hyperplane coefficients as a pure function of
+    ``(seed, bit, dim)`` via md5 — both engines (and the oracle
+    builder) regenerate the identical planes from the parameters, so
+    no plane table needs to ship anywhere."""
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}:{b}:{i}".encode()).hexdigest()[:15], 16)
+            & 1
+            else -1
+            for i in range(dim)
+        ]
+        for b in range(n_bits)
+    ]
+
+
+def _lsh_bucket_sql(signs: list[list[int]], arr: str, one_based: bool) -> str:
+    """Bucket id = Σ_b [plane_b · v ≥ 0] · 2^b over a quantized integer
+    vector column ``arr`` — shared SQL generator for Spark (0-based
+    indexing) and DuckDB (1-based)."""
+    terms = []
+    for b, row in enumerate(signs):
+        dot = " + ".join(
+            f"{'' if s > 0 else '-'}{arr}[{i + 1 if one_based else i}]"
+            for i, s in enumerate(row)
+        )
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def lsh_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_bits: int = 8,
+    k: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: vectors hash to a ``n_bits``-bit
+    signature (sign of the dot with each deterministic hyperplane);
+    candidates are pairs in the SAME bucket, ranked exactly by cosine.
+    Queries whose bucket holds no other vector yield no rows — the
+    standard single-probe LSH recall trade-off (more bits → fewer,
+    closer candidates).
+
+    The signature is computed on the QUANTIZED integer vector (same
+    20-bit fixed point as k-means/near-dup), so the sign sums are
+    integer-exact and any engine agrees on every bucket. The candidate
+    pairing is an equi-join on bucket id — at 100 TB this is the
+    whole point: |Q|·|N| collapses to Σ_bucket |Q_b|·|N_b| and the
+    join shuffles on a uniformly-hashed key.
+
+    Output: (query_id, neighbor_id, rank, cos).
+    """
+    signs = lsh_signs(n_bits, dim, seed)
+    qvec = F.transform(
+        F.col(vec_col), lambda x: F.round(x * QUANT_SCALE).cast("long")
+    )
+    bucket = F.expr(_lsh_bucket_sql(signs, "_qv", one_based=False))
+    it = (
+        items.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nv"),
+            norm(F.col(vec_col)).alias("nn"),
+            qvec.alias("_qv"),
+        )
+        .withColumn("bucket", bucket)
+        .drop("_qv")
+    )
+    qs = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
+            qvec.alias("_qv"),
+        )
+        .withColumn("bucket", bucket)
+        .drop("_qv")
+    )
+    scored = (
+        qs.join(it, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_prenormed(
+                    F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )

@@ -497,6 +497,56 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_oracle(n_bits: int, dim: int, k: int) -> str:
+    from neo4j_arrow_spark.operators.dedup import QUANT_SCALE
+    from neo4j_arrow_spark.operators.similarity import (
+        _lsh_bucket_sql,
+        lsh_signs,
+    )
+
+    bucket = _lsh_bucket_sql(lsh_signs(n_bits, dim), "qv", one_based=True)
+    return f"""
+    WITH q AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                   x -> round(x::DOUBLE * {QUANT_SCALE})::BIGINT) AS qv
+        FROM embeddings
+    ),
+    b AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM q),
+    cand AS (
+        SELECT a.vec_id AS query_id, n.vec_id AS neighbor_id,
+               {_duck_cos("a.embedding", "n.embedding")} AS cos
+        FROM b a JOIN b n ON a.bucket = n.bucket AND a.vec_id <> n.vec_id
+        WHERE a.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM cand
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ann_lsh_topk", oracle=_lsh_oracle(8, 64, 5))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third ANN path: random-hyperplane LSH (operators/similarity.
+    lsh_topk) — 8-bit signatures over the quantized vectors, candidates
+    = same-bucket pairs, exact cosine rank within. Complements brute
+    (exact) and IVF (centroid-probed); bucket equi-join is the 100 TB
+    shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        dim=64,
+        n_bits=8,
+        k=5,
+    )
+
+
 # ---- dataset selection: split / stratify / vocabulary -------------------------
 
 _SPLIT_HASH = duck_hash64("doc_id::VARCHAR")
