@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bfs_hops", "label_propagation", "node_similarity"]
+__all__ = [
+    "bfs_hops",
+    "label_propagation",
+    "node_similarity",
+    "shortest_paths",
+    "random_walks",
+]
 
 
 def _undirected(edges: DataFrame) -> DataFrame:
@@ -123,6 +129,111 @@ def node_similarity(
         .select("node_a", "node_b", "intersection", sim.alias("similarity"))
         .filter(F.col("similarity") >= threshold)
     )
+
+
+def shortest_paths(
+    edges: DataFrame, sources: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Bounded weighted shortest paths (the GDS Dijkstra/delta-stepping
+    analogue as synchronous Bellman-Ford rounds): ``edges (u, v, w)``
+    directed with non-negative INTEGER weights, ``sources (node)`` at
+    distance 0. After ``rounds`` relaxations every node reachable
+    within ``rounds`` edges carries the exact shortest distance among
+    paths of that length — fixed iteration count, so the result is a
+    pure function of the graph (and an unrolled SQL oracle can verify
+    it exactly; integer weights make min() order-independent).
+
+    Per round: one equi-join (distances onto edge sources) + one
+    min-aggregation — the Pregel relaxation step; no priority queue, no
+    driver-side state. Parallel edges collapse to their min weight up
+    front. Returns ``(node long, dist long)``.
+    """
+    e = (
+        edges.select(
+            F.col("u").cast("long"),
+            F.col("v").cast("long"),
+            F.col("w").cast("long"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    dist = (
+        sources.select(F.col("node").cast("long"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relaxed = e.join(dist, e["u"] == dist["node"]).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return dist
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    walk_len: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic "random" walks (the GDS randomWalk analogue made
+    reproducible): from every start node, take ``walk_len`` steps; at
+    step t the walker at node n moves to the neighbor v minimizing
+    ``md5hash(seed:walk_id:t:v)`` — a uniform-ish choice that is a pure
+    function of (walk, step, neighbor), so any engine and any
+    partitioning traces the identical walks. Reruns of a sampling
+    pipeline reproduce the same corpus — same motivation as the
+    hash-based samplers in operators/sampling.py.
+
+    ``edges (u, v)`` is used as given (pass a symmetrized frame for
+    undirected walks); ``starts (walk_id, node)`` — walk ids let one
+    node launch many walks. Walks ending at a sink node stop (emit no
+    further steps). Per step: one equi-join frontier⋈edges + one
+    min-struct argmin aggregation — shuffle bounded by |frontier| ×
+    avg-degree. Returns ``(walk_id long, step int, node long)`` with
+    step 0 = the start node.
+    """
+    from neo4j_arrow_spark.functions.hashing import hash64
+
+    e = edges.select(F.col("u").cast("long"), F.col("v").cast("long")).distinct()
+    cur = (
+        starts.select(F.col("walk_id").cast("long"), F.col("node").cast("long"))
+        .withColumn("step", F.lit(0))
+        .localCheckpoint()
+    )
+    out = cur
+    for t in range(1, walk_len + 1):
+        draw = hash64(
+            F.concat_ws(
+                ":",
+                F.col("walk_id").cast("string"),
+                F.lit(str(t)),
+                F.col("v").cast("string"),
+            ),
+            seed=seed,
+        )
+        cur = (
+            cur.join(e, cur["node"] == e["u"])
+            .select("walk_id", F.col("v"), draw.alias("_d"))
+            .groupBy("walk_id")
+            .agg(F.min(F.struct("_d", "v")).alias("_best"))
+            .select(
+                "walk_id",
+                F.lit(t).alias("step"),
+                F.col("_best.v").alias("node"),
+            )
+            .localCheckpoint()
+        )
+        out = out.unionByName(cur)
+    return out
 
 
 def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:

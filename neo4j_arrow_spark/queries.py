@@ -1255,6 +1255,122 @@ def label_propagation2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Weighted shortest paths, deterministic random walks
+# --------------------------------------------------------------------------
+
+def _sssp_oracle(rounds: int) -> str:
+    ctes = [
+        """se0 AS (
+    SELECT o_custkey AS u, l_suppkey + 1000000 AS v,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        """seu AS (
+    SELECT u, v, min(w) AS w FROM (
+        SELECT u, v, w FROM se0 UNION ALL SELECT v, u, w FROM se0
+    ) GROUP BY u, v
+)""",
+        "sd0 AS (SELECT c_custkey AS node, CAST(0 AS BIGINT) AS dist"
+        " FROM customer WHERE c_nationkey = 0)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""sd{t} AS (
+    SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM sd{t - 1}
+        UNION ALL
+        SELECT e.v AS node, d.dist + e.w AS dist
+        FROM seu e JOIN sd{t - 1} d ON e.u = d.node
+    ) GROUP BY node
+)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, dist FROM sd{rounds}"
+
+
+@query("sssp_nation0", oracle=_sssp_oracle(3))
+def sssp_nation0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted shortest paths (GDS Dijkstra analogue as three
+    Bellman-Ford relaxation rounds, operators/graph_algs.shortest_
+    paths) from nation-0 customers over the undirected BUYS_FROM graph
+    weighted by integer price cents. Oracle: the unrolled min-relax
+    recurrence."""
+    from neo4j_arrow_spark.operators.graph_algs import shortest_paths
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    fwd = od.join(li, od["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("u"),
+        (F.col("l_suppkey") + 1_000_000).alias("v"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    sources = cu.filter(F.col("c_nationkey") == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    return shortest_paths(edges, sources, rounds=3)
+
+
+def _walk_oracle(walk_len: int) -> str:
+    from neo4j_arrow_spark.functions.hashing import duck_hash64
+
+    ctes = [
+        """we0 AS (
+    SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        "weu AS (SELECT u, v FROM we0 UNION SELECT v, u FROM we0)",
+        "ws0 AS (SELECT c_custkey AS walk_id, c_custkey AS node"
+        " FROM customer WHERE c_custkey < 20)",
+    ]
+    for t in range(1, walk_len + 1):
+        h = duck_hash64(f"w.walk_id::VARCHAR || ':{t}:' || e.v::VARCHAR", 0)
+        ctes.append(f"""ws{t} AS (
+    SELECT walk_id, node FROM (
+        SELECT w.walk_id, e.v AS node,
+               row_number() OVER (PARTITION BY w.walk_id
+                                  ORDER BY {h}, e.v) AS rn
+        FROM ws{t - 1} w JOIN weu e ON w.node = e.u
+    ) WHERE rn = 1
+)""")
+    steps = "\nUNION ALL\n".join(
+        f"SELECT walk_id, {t} AS step, node FROM ws{t}"
+        for t in range(walk_len + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + steps
+
+
+@query("random_walks3", oracle=_walk_oracle(3))
+def random_walks3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks (GDS randomWalk analogue,
+    operators/graph_algs.random_walks): 3 steps from each customer with
+    id < 20 over the undirected BUYS_FROM graph; the neighbor choice at
+    each step is the md5-argmin — reproducible sampling for graph
+    embeddings/subgraph extraction. Oracle: per-step argmin unrolled as
+    window SQL."""
+    from neo4j_arrow_spark.operators.graph_algs import random_walks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    fwd = (
+        od.join(li, od["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + 1_000_000).alias("v"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    starts = cu.filter(F.col("c_custkey") < 20).select(
+        F.col("c_custkey").alias("walk_id"), F.col("c_custkey").alias("node")
+    )
+    return random_walks(edges, starts, walk_len=3)
+
+
+# --------------------------------------------------------------------------
 # Grouped exact quantiles
 # --------------------------------------------------------------------------
 

@@ -127,3 +127,65 @@ def test_ppr_defaults_match_global_pagerank(spark):
         for r in pagerank_fixed(e, iterations=2, sources=all_nodes).collect()
     }
     assert global_ == personalized_all
+
+
+# ---- shortest_paths --------------------------------------------------------
+
+def test_sssp_picks_cheaper_two_hop(spark):
+    from neo4j_arrow_spark.operators.graph_algs import shortest_paths
+
+    # 1->3 direct costs 10; 1->2->3 costs 3+4=7
+    e = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 3), (2, 3, 4)], "u long, v long, w long"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(e, _nodes(spark, [1]), rounds=2).collect()
+    }
+    assert got == {1: 0, 2: 3, 3: 7}
+
+
+def test_sssp_round_bound_and_parallel_edges(spark):
+    from neo4j_arrow_spark.operators.graph_algs import shortest_paths
+
+    e = spark.createDataFrame(
+        [(1, 2, 5), (1, 2, 2), (2, 3, 1), (3, 4, 1)], "u long, v long, w long"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(e, _nodes(spark, [1]), rounds=2).collect()
+    }
+    # parallel 1->2 collapses to min (2); node 4 is 3 rounds away -> absent
+    assert got == {1: 0, 2: 2, 3: 3}
+
+
+# ---- random_walks ----------------------------------------------------------
+
+def test_random_walks_deterministic_and_stop_at_sink(spark):
+    from neo4j_arrow_spark.operators.graph_algs import random_walks
+
+    # path 1->2->3, 3 is a sink: walk emits steps 0..2 then stops
+    e = _edges(spark, [(1, 2), (2, 3)])
+    starts = spark.createDataFrame([(7, 1)], "walk_id long, node long")
+    rows = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(e, starts, walk_len=5).collect()
+    )
+    assert rows == [(7, 0, 1), (7, 1, 2), (7, 2, 3)]
+
+
+def test_random_walks_choice_is_hash_argmin(spark):
+    import hashlib
+
+    from neo4j_arrow_spark.operators.graph_algs import random_walks
+
+    e = _edges(spark, [(1, 10), (1, 11), (1, 12)])
+    starts = spark.createDataFrame([(42, 1)], "walk_id long, node long")
+    (row,) = [
+        r for r in random_walks(e, starts, walk_len=1).collect() if r["step"] == 1
+    ]
+    expect = min(
+        (int(hashlib.md5(f"0:42:1:{v}".encode()).hexdigest()[:15], 16), v)
+        for v in (10, 11, 12)
+    )[1]
+    assert row["node"] == expect
