@@ -370,6 +370,42 @@ def bulk_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "arrow_source_scan",
+    oracle=f"""
+    WITH rels AS ({RELS_SQL})
+    SELECT START_ID, END_ID, TYPE FROM rels WHERE TYPE = 'IN_NATION'
+    """,
+)
+def arrow_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-based DataFrame reader under the gate: mint a parquet
+    database (bulk_import), then read the rel table back through
+    spark.read.format("neo4j_arrow") (sources/arrow_source.py — Python
+    DataSource streaming pyarrow RecordBatches, TYPE filter pruned to
+    one partition directory at planning time). Any batch-assembly or
+    partition-value-reinjection bug breaks the hash."""
+    import tempfile
+
+    from neo4j_arrow_spark.catalog import GraphCatalog
+    from neo4j_arrow_spark.operators.ingest import bulk_import
+    from neo4j_arrow_spark.sources.arrow_source import GraphArrowDataSource
+
+    nodes, rels = _graph(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"nas_arrow_src_{tag}")
+    bulk_import(
+        spark, GraphCatalog(spark), path, nodes, rels, register=False
+    )
+    spark.dataSource.register(GraphArrowDataSource)
+    return (
+        spark.read.format("neo4j_arrow")
+        .option("path", os.path.join(path, "rels"))
+        .load()
+        .filter(F.col("TYPE") == "IN_NATION")
+        .select("START_ID", "END_ID", "TYPE")
+    )
+
+
+@query(
     "gds_rel_scan",
     oracle=f"""
     WITH rels AS ({RELS_SQL})

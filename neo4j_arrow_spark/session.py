@@ -35,6 +35,9 @@ _BASE_CONF = {
     # timestamp in sources.tpch.load_table)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # the Python DataSource reader (sources/arrow_source.py) prunes
+    # partition directories via pushFilters — off by default in 4.1
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
 }
