@@ -22,8 +22,12 @@ relationships ``-[:T*a..b]->`` (UNION ALL over fixed-length chains; see
 :func:`_varlength_sql` for the documented edge-uniqueness divergence),
 type alternation ``:A|B``, ``WITH`` pipeline chains (aggregate →
 filter → re-project/re-aggregate, any depth; Cypher scope rules:
-pattern variables die at the first WITH boundary), and MATCH after
-WITH anchored on a carried alias (re-join into the graph).
+pattern variables die at the first WITH boundary), MATCH after
+WITH anchored on a carried alias (re-join into the graph), arithmetic
+expressions (``+ - * / %``, parentheses) in RETURN/WITH/WHERE, and a
+dialect-neutral scalar-function whitelist (upper, lower, length, abs,
+round, coalesce, substring — identical semantics in Spark and DuckDB;
+computed return items need an explicit ``AS``).
 Out of scope (raise :class:`CypherUnsupported`): multiple comma
 patterns, mutation clauses, path variables, unbounded ``*``. The generated SQL uses only
 constructs DuckDB executes identically (``array_contains``, ANSI
@@ -54,7 +58,7 @@ _TOKEN_RE = re.compile(
   | (?P<arrow_r>->)
   | (?P<arrow_l><-)
   | (?P<cmp><=|>=|<>|!=|=|<|>)
-  | (?P<punct>[(){}\[\],.:*|-])
+  | (?P<punct>[(){}\[\],.:*|+/%-])
     """,
     re.VERBOSE,
 )
@@ -310,6 +314,73 @@ class _Parser:
     #: ``var.prop`` access again, alongside the aliases
     post_vars: frozenset[str] = frozenset()
 
+    #: scalar functions with identical name/arity/semantics in Spark
+    #: and DuckDB (all 1-based string indexing) — the dialect-neutral
+    #: whitelist; anything else raises CypherUnsupported
+    _FNS = ("UPPER", "LOWER", "LENGTH", "ABS", "ROUND", "COALESCE", "SUBSTRING")
+
+    def value(self) -> str:
+        """Arithmetic expression: term (('+'|'-') term)*."""
+        left = self.term()
+        while True:
+            kind, tok = self.peek()
+            if tok in ("+", "-"):
+                self.next()
+                left = f"({left} {tok} {self.term()})"
+            elif kind == "num" and tok.startswith("-"):
+                # '2-1' tokenizes the minus into the number; re-split
+                self.next()
+                left = f"({left} - {tok[1:]})"
+            else:
+                return left
+
+    def term(self) -> str:
+        left = self.factor()
+        while self.peek()[1] in ("*", "/", "%"):
+            op = self.next()[1]
+            left = f"({left} {op} {self.factor()})"
+        return left
+
+    #: set by factor() when an aggregate call occurs anywhere in the
+    #: expression being parsed; return_item() reads+resets it
+    _saw_agg: bool = False
+
+    def factor(self) -> str:
+        kind, tok = self.peek()
+        if tok == "(":
+            self.next()
+            inner = self.value()
+            self.expect(")")
+            return f"({inner})"
+        if kind == "name" and self.toks[self.pos + 1][1] == "(":
+            fn = tok.upper()
+            if fn in self._FNS:
+                self.next()
+                self.expect("(")
+                args = [self.value()]
+                while self.accept(","):
+                    args.append(self.value())
+                self.expect(")")
+                return f"{fn}({', '.join(args)})"
+            if fn in self._AGGS:
+                self.next()
+                self.expect("(")
+                self._saw_agg = True
+                if fn == "COUNT" and self.accept("*"):
+                    inner = "*"
+                else:
+                    distinct = self.accept("DISTINCT")
+                    inner = self.value()
+                    if distinct:
+                        inner = f"DISTINCT {inner}"
+                self.expect(")")
+                return f"{fn}({inner})"
+            raise CypherUnsupported(
+                f"function {tok!r} is not in the dialect-neutral "
+                f"whitelist {self._FNS} or aggregates {self._AGGS}"
+            )
+        return self.operand()
+
     def operand(self) -> str:
         kind, tok = self.peek()
         if kind == "name":
@@ -342,7 +413,7 @@ class _Parser:
             inner = self.expr()
             self.expect(")")
             return f"({inner})"
-        left = self.operand()
+        left = self.value()
         kind, tok = self.peek()
         if tok == "IS":
             self.next()
@@ -363,32 +434,30 @@ class _Parser:
             raise CypherSyntaxError(f"expected comparison after {left}, got {tok!r}")
         self.next()
         op = "<>" if tok == "!=" else tok
-        return f"({left} {op} {self.operand()})"
+        return f"({left} {op} {self.value()})"
 
     # -- RETURN items --------------------------------------------------------
     _AGGS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
 
     def return_item(self) -> tuple[str, str, bool]:
-        """-> (sql_expr, alias, is_aggregate)"""
-        kind, tok = self.peek()
-        if kind == "name" and tok.upper() in self._AGGS and self.toks[self.pos + 1][1] == "(":
-            fn = self.next()[1].upper()
-            self.expect("(")
-            if fn == "COUNT" and self.accept("*"):
-                inner = "*"
-            else:
-                distinct = self.accept("DISTINCT")
-                inner = self.operand()
-                if distinct:
-                    inner = f"DISTINCT {inner}"
-            self.expect(")")
-            expr, default_alias = f"{fn}({inner})", fn.lower()
-            is_agg = True
+        """-> (sql_expr, alias, is_aggregate) — aggregate means an
+        aggregate call appears ANYWHERE in the expression (Cypher's
+        implicit-grouping rule), including nested in scalar functions
+        or arithmetic, e.g. ``round(sum(x) / count(*), 2)``."""
+        self._saw_agg = False
+        expr = self.value()
+        is_agg = self._saw_agg
+        m = re.fullmatch(r"(COUNT|SUM|AVG|MIN|MAX)\(.*\)", expr)
+        default_alias = m.group(1).lower() if m else expr.replace(".", "_")
+        if self.accept("AS"):
+            alias = self.expect_name()
         else:
-            expr = self.operand()
-            default_alias = expr.replace(".", "_")
-            is_agg = False
-        alias = self.expect_name() if self.accept("AS") else default_alias
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", default_alias):
+                raise CypherUnsupported(
+                    f"computed return item {expr!r} needs an explicit "
+                    "AS alias"
+                )
+            alias = default_alias
         return expr, alias, is_agg
 
     # -- full query ----------------------------------------------------------

@@ -114,6 +114,14 @@ _cypher_query(
     "RETURN c.ID AS id, c.acctbal AS acctbal ORDER BY id LIMIT 100",
 )
 
+_cypher_query(
+    "cypher_expr_projection",
+    "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "WHERE length(c.name) > 5 AND c.acctbal * 2 >= 1000.0 "
+    "RETURN upper(n.name) AS nation, "
+    "round(sum(c.acctbal * 2 + 1) / count(*), 2) AS avg_score",
+)
+
 
 def _sql_query(name: str, sql: str, tables: tuple[str, ...]):
     """Register a query whose Spark plan IS the oracle SQL — one ANSI

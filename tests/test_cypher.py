@@ -287,3 +287,43 @@ def test_match_after_with_end_to_end(client):
     pairs = client.stream(job, 60).collect()[0].pairs
     # every supplier counted once per customer-bearing nation it is in
     assert pairs >= 1
+
+
+def test_arithmetic_and_functions_translation():
+    sql = cypher_to_sql(
+        "MATCH (c:Customer) WHERE c.acctbal * 2 >= 1000 "
+        "RETURN upper(c.name) AS uname, round(c.acctbal + 10, 1) AS score",
+        "gn", "ge",
+    )
+    assert "UPPER(c.name) AS uname" in sql
+    assert "ROUND((c.acctbal + 10), 1) AS score" in sql
+    assert "((c.acctbal * 2) >= 1000)" in sql
+
+
+def test_arithmetic_in_aggregate_and_precedence():
+    sql = cypher_to_sql(
+        "MATCH (c:Customer) RETURN sum(c.acctbal * 2 + 1) AS s", "gn", "ge"
+    )
+    assert "SUM(((c.acctbal * 2) + 1)) AS s" in sql
+
+
+def test_computed_item_requires_alias():
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql("MATCH (c:X) RETURN c.acctbal + 1", "gn", "ge")
+
+
+def test_unknown_function_rejected():
+    with pytest.raises((CypherUnsupported, CypherSyntaxError)):
+        cypher_to_sql("MATCH (c:X) RETURN sqrt(c.acctbal) AS r", "gn", "ge")
+
+
+def test_arithmetic_end_to_end(client):
+    job = client.cypher(
+        "MATCH (c:Customer) WHERE length(c.name) > 0 "
+        "RETURN upper(c.name) AS uname, round(c.acctbal / 2, 2) AS half "
+        "ORDER BY uname LIMIT 5",
+        graph="cy",
+    )
+    rows = client.stream(job, 60).collect()
+    assert len(rows) == 5
+    assert all(r.uname == r.uname.upper() for r in rows)
