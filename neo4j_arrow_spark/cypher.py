@@ -24,10 +24,14 @@ type alternation ``:A|B``, ``WITH`` pipeline chains (aggregate →
 filter → re-project/re-aggregate, any depth; Cypher scope rules:
 pattern variables die at the first WITH boundary), MATCH after
 WITH anchored on a carried alias (re-join into the graph), arithmetic
-expressions (``+ - * / %``, parentheses) in RETURN/WITH/WHERE, and a
+expressions (``+ - * / %``, parentheses) in RETURN/WITH/WHERE, a
 dialect-neutral scalar-function whitelist (upper, lower, length, abs,
 round, coalesce, substring — identical semantics in Spark and DuckDB;
-computed return items need an explicit ``AS``).
+computed return items need an explicit ``AS``), ``collect([DISTINCT]
+x)`` (emitted as a SORTED comma-joined string — documented divergence
+from Cypher's encounter order, which no distributed engine reproduces
+deterministically), and ``UNWIND labels(n) AS x`` (LATERAL VIEW
+explode / unnest per dialect).
 Out of scope (raise :class:`CypherUnsupported`): multiple comma
 patterns, mutation clauses, path variables, unbounded ``*``. The generated SQL uses only
 constructs DuckDB executes identically (``array_contains``, ANSI
@@ -51,7 +55,7 @@ class CypherUnsupported(ValueError):
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
-  | (?P<kw>(?i:OPTIONAL|MATCH|WHERE|WITH|RETURN|DISTINCT|ORDER|BY|SKIP|LIMIT|ASC|DESC|AND|OR|NOT|IS|NULL|IN|AS|TRUE|FALSE)\b)
+  | (?P<kw>(?i:OPTIONAL|MATCH|WHERE|WITH|RETURN|DISTINCT|ORDER|BY|SKIP|LIMIT|ASC|DESC|AND|OR|NOT|IS|NULL|IN|AS|TRUE|FALSE|UNWIND)\b)
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<str>'(?:[^'\\]|\\.)*')
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
@@ -140,9 +144,13 @@ class _RelPat:
 
 
 class _Parser:
-    def __init__(self, query: str):
+    def __init__(self, query: str, dialect: str = "spark"):
+        if dialect not in ("spark", "duckdb"):
+            raise ValueError(f"unknown dialect {dialect!r}")
         self.toks = _tokenize(query)
         self.pos = 0
+        self.dialect = dialect
+        self.unwind_aliases: set[str] = set()
 
     # -- token helpers -----------------------------------------------------
     def peek(self) -> tuple[str, str]:
@@ -375,9 +383,28 @@ class _Parser:
                         inner = f"DISTINCT {inner}"
                 self.expect(")")
                 return f"{fn}({inner})"
+            if fn == "COLLECT":
+                # Cypher's list aggregate. Emitted per dialect as a
+                # SORTED comma-joined string (documented divergence:
+                # Cypher preserves encounter order, which a distributed
+                # engine cannot reproduce deterministically — sorting
+                # makes the result a pure function of the data, which
+                # is also what lets the oracle verify it).
+                self.next()
+                self.expect("(")
+                self._saw_agg = True
+                distinct = self.accept("DISTINCT")
+                inner = self.value()
+                if distinct:
+                    inner = f"DISTINCT {inner}"
+                self.expect(")")
+                if self.dialect == "spark":
+                    return f"array_join(sort_array(collect_list({inner})), ',')"
+                return f"array_to_string(list_sort(list({inner})), ',')"
             raise CypherUnsupported(
                 f"function {tok!r} is not in the dialect-neutral "
-                f"whitelist {self._FNS} or aggregates {self._AGGS}"
+                f"whitelist {self._FNS}, aggregates {self._AGGS}, or "
+                "collect()"
             )
         return self.operand()
 
@@ -385,6 +412,8 @@ class _Parser:
         kind, tok = self.peek()
         if kind == "name":
             var = self.expect_name()
+            if var in self.unwind_aliases:
+                return var  # an UNWIND-bound scalar, not a node
             if self.aliases is not None:
                 if self.accept("."):
                     prop = self.expect_name()
@@ -495,6 +524,24 @@ class _Parser:
             # applies post-join (global filter); Cypher's per-OPTIONAL
             # WHERE is out of scope — document divergence
             where = self.expr()
+        unwinds: list[tuple[str, str]] = []
+        while self.accept("UNWIND"):
+            # v1 source grammar: labels(var) — the only list-valued
+            # expression in the data model
+            fn = self.expect_name()
+            if fn.lower() != "labels":
+                raise CypherUnsupported(
+                    f"UNWIND supports labels(var) only, got {fn!r}(...)"
+                )
+            self.expect("(")
+            uvar = self.expect_name()
+            if uvar not in bound:
+                raise CypherSyntaxError(f"labels({uvar}): unbound variable")
+            self.expect(")")
+            self.expect("AS")
+            alias = self.expect_name()
+            self.unwind_aliases.add(alias)
+            unwinds.append((uvar, alias))
         withs = []
         while self.accept("WITH"):
             wdistinct = self.accept("DISTINCT")
@@ -574,11 +621,16 @@ class _Parser:
             limit = self.expect_count("LIMIT")
         if self.peek()[0] != "eof":
             raise CypherSyntaxError(f"unexpected trailing input: {self.peek()[1]!r}")
+        if unwinds and (withs or post_match):
+            raise CypherUnsupported(
+                "UNWIND combined with WITH pipelines is not supported (v1)"
+            )
         return {
             "nodes": nodes,
             "rels": rels,
             "optionals": optionals,
             "where": where,
+            "unwinds": unwinds,
             "withs": withs,
             "post_match": post_match,
             "distinct": distinct,
@@ -586,6 +638,7 @@ class _Parser:
             "order": order,
             "skip": skip,
             "limit": limit,
+            "dialect": self.dialect,
         }
 
 
@@ -648,11 +701,18 @@ def _chain(
     return from_sql, joins, conds
 
 
-def cypher_to_sql(query: str, nodes_view: str, rels_view: str) -> str:
-    """Transpile the Cypher subset to one ANSI SQL string over the
-    graph views (executable identically by Spark and DuckDB)."""
-    ast = _Parser(query).parse()
+def cypher_to_sql(
+    query: str, nodes_view: str, rels_view: str, dialect: str = "spark"
+) -> str:
+    """Transpile the Cypher subset to one SQL string over the graph
+    views. Every construct except ``collect()`` and ``UNWIND`` emits
+    dialect-neutral ANSI (identical text for both dialects); those two
+    have no shared surface (collect_list/LATERAL VIEW vs list/unnest),
+    so the oracle harness transpiles once per ``dialect``."""
+    ast = _Parser(query, dialect).parse()
     nodes, rels = ast["nodes"], ast["rels"]
+    if ast["unwinds"] and any(r.is_varlength for r in rels):
+        raise CypherUnsupported("UNWIND with variable-length is not supported")
 
     seen = set()
     for n in nodes:
@@ -812,6 +872,11 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     sql = f"SELECT {select_sql}\nFROM {from_sql}"
     for j in joins:
         sql += f"\n{j}"
+    for i, (uvar, alias) in enumerate(ast.get("unwinds", ())):
+        if ast["dialect"] == "spark":
+            sql += f"\nLATERAL VIEW explode({uvar}.LABELS) _u{i} AS {alias}"
+        else:
+            sql += f"\nCROSS JOIN unnest({uvar}.LABELS) AS _u{i}({alias})"
     if conds:
         sql += "\nWHERE " + " AND ".join(conds)
     if has_agg and group_cols:

@@ -43,8 +43,9 @@ def _cypher_query(name: str, cypher_text: str):
     the transpiler AND the engine in one go."""
     from neo4j_arrow_spark.cypher import cypher_to_sql
 
-    sql = cypher_to_sql(cypher_text, "gnodes", "grels")
-    oracle = f"WITH gnodes AS ({NODES_SQL}),\ngrels AS ({RELS_SQL})\n{sql}"
+    sql = cypher_to_sql(cypher_text, "gnodes", "grels", dialect="spark")
+    duck_sql = cypher_to_sql(cypher_text, "gnodes", "grels", dialect="duckdb")
+    oracle = f"WITH gnodes AS ({NODES_SQL}),\ngrels AS ({RELS_SQL})\n{duck_sql}"
 
     @query(name, oracle=oracle)
     def run(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
@@ -112,6 +113,12 @@ _cypher_query(
     "cypher_where_filter",
     "MATCH (c:Customer) WHERE c.acctbal > 5000.0 AND c.acctbal <= 9000.0 "
     "RETURN c.ID AS id, c.acctbal AS acctbal ORDER BY id LIMIT 100",
+)
+
+_cypher_query(
+    "cypher_unwind_labels",
+    "MATCH (n)-[r:IN_NATION]->(m) UNWIND labels(n) AS lbl "
+    "RETURN lbl, count(*) AS n_nodes, collect(DISTINCT m.name) AS nations",
 )
 
 _cypher_query(

@@ -327,3 +327,47 @@ def test_arithmetic_end_to_end(client):
     rows = client.stream(job, 60).collect()
     assert len(rows) == 5
     assert all(r.uname == r.uname.upper() for r in rows)
+
+
+def test_unwind_collect_dialect_fork():
+    q = (
+        "MATCH (n:Customer) UNWIND labels(n) AS lbl "
+        "RETURN lbl, collect(n.name) AS names"
+    )
+    spark_sql = cypher_to_sql(q, "gn", "ge", dialect="spark")
+    duck_sql = cypher_to_sql(q, "gn", "ge", dialect="duckdb")
+    assert "LATERAL VIEW explode(n.LABELS) _u0 AS lbl" in spark_sql
+    assert "array_join(sort_array(collect_list(n.name)), ',')" in spark_sql
+    assert "CROSS JOIN unnest(n.LABELS) AS _u0(lbl)" in duck_sql
+    assert "array_to_string(list_sort(list(n.name)), ',')" in duck_sql
+    # everything else must be dialect-neutral: strip the two forked
+    # fragments and the queries agree
+    assert spark_sql.count("GROUP BY lbl") == duck_sql.count("GROUP BY lbl") == 1
+
+
+def test_unwind_requires_labels_and_bound_var():
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql("MATCH (n:X) UNWIND foo(n) AS a RETURN a", "gn", "ge")
+    with pytest.raises(CypherSyntaxError):
+        cypher_to_sql("MATCH (n:X) UNWIND labels(z) AS a RETURN a", "gn", "ge")
+
+
+def test_unwind_with_pipeline_rejected():
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql(
+            "MATCH (n:X) UNWIND labels(n) AS a WITH a AS b RETURN b",
+            "gn", "ge",
+        )
+
+
+def test_unwind_end_to_end(client):
+    job = client.cypher(
+        "MATCH (n)-[r:IN_NATION]->(m:Nation) UNWIND labels(n) AS lbl "
+        "RETURN lbl, count(*) AS n ORDER BY lbl",
+        graph="cy",
+    )
+    rows = client.stream(job, 60).collect()
+    got = {r.lbl: r.n for r in rows}
+    # every customer carries Customer + its mktsegment label; suppliers
+    # carry Supplier — label counts cover both node families
+    assert got["Customer"] == 150 and got["Supplier"] == 10
