@@ -28,6 +28,7 @@ __all__ = [
     "node_similarity",
     "shortest_paths",
     "random_walks",
+    "kcore",
 ]
 
 
@@ -234,6 +235,38 @@ def random_walks(
         )
         out = out.unionByName(cur)
     return out
+
+
+def kcore(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+    """Bounded k-core peeling (the GDS kCore analogue): repeatedly drop
+    nodes whose undirected degree is below ``k``, ``rounds`` times.
+    With enough rounds this converges to the exact k-core; a fixed
+    round budget keeps the plan static and the result a pure function
+    of the graph (each round can only shrink the survivor set, so
+    early convergence is just idempotent extra rounds).
+
+    Per round: one degree aggregation + two semi-joins restricting the
+    edge set to surviving endpoints — no driver-side state, shuffle
+    bounded by the shrinking |E|. Returns ``(node long, degree long)``
+    for survivors, with their degree inside the peeled subgraph.
+    """
+    und = _undirected(edges).localCheckpoint()
+    for _ in range(rounds):
+        alive = (
+            und.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+        )
+        und = (
+            und.join(alive, "u", "left_semi")
+            .join(alive.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
 
 
 def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:

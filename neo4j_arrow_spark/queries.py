@@ -1305,6 +1305,52 @@ def label_propagation2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, iterations=2)
 
 
+def _kcore_oracle(k: int, rounds: int) -> str:
+    ctes = [
+        f"kedges AS ({_COPURCHASE_EDGES_SQL})",
+        """ke0 AS (
+    SELECT u, v FROM kedges WHERE u <> v
+    UNION
+    SELECT v, u FROM kedges WHERE u <> v
+)""",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"ka{t} AS (SELECT u FROM ke{t - 1} GROUP BY u"
+            f" HAVING count(*) >= {k})"
+        )
+        ctes.append(f"""ke{t} AS (
+    SELECT u, v FROM ke{t - 1}
+    WHERE u IN (SELECT u FROM ka{t}) AND v IN (SELECT u FROM ka{t})
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM ke{rounds} GROUP BY u"""
+    )
+
+
+@query("kcore3", oracle=_kcore_oracle(3, 3))
+def kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (GDS kCore analogue, operators/
+    graph_algs.kcore): three rounds of dropping degree<3 nodes from the
+    part co-purchase graph — the dense-subgraph extractor. Oracle: the
+    peel rounds unrolled as HAVING + semi-join CTEs."""
+    from neo4j_arrow_spark.operators.graph_algs import kcore
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 45).select("l_orderkey", "l_partkey")
+    edges = (
+        a.alias("a")
+        .join(a.alias("b"), on="l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    return kcore(edges, k=3, rounds=3)
+
+
 # --------------------------------------------------------------------------
 # Weighted shortest paths, deterministic random walks
 # --------------------------------------------------------------------------

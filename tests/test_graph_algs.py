@@ -189,3 +189,27 @@ def test_random_walks_choice_is_hash_argmin(spark):
         for v in (10, 11, 12)
     )[1]
     assert row["node"] == expect
+
+
+# ---- kcore -----------------------------------------------------------------
+
+def test_kcore_peels_tail_and_recomputes_degrees(spark):
+    from neo4j_arrow_spark.operators.graph_algs import kcore
+
+    # triangle 1-2-3 plus a pendant 3-4: 2-core drops 4, then degrees
+    # inside the core are all 2
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    got = {r["node"]: r["degree"] for r in kcore(e, k=2, rounds=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascading_peel_needs_rounds(spark):
+    from neo4j_arrow_spark.operators.graph_algs import kcore
+
+    # chain 1-2-3-4-5: peeling for k=2 cascades from both ends; after
+    # enough rounds nothing survives
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    one = {r["node"] for r in kcore(e, k=2, rounds=1).collect()}
+    assert one == {2, 3, 4}  # endpoints peeled first
+    done = kcore(e, k=2, rounds=3).collect()
+    assert done == []
