@@ -215,6 +215,16 @@ _sql_query(
 )
 
 _sql_query(
+    "sql_status_except",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    ("orders",),
+)
+
+_sql_query(
     "sql_anti_join",
     """
     SELECT c_custkey, c_name FROM customer
@@ -1303,6 +1313,34 @@ def label_propagation2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return label_propagation(edges, iterations=2)
+
+
+_PROFILE_COLS = ("l_suppkey", "l_quantity", "l_returnflag", "l_shipdate")
+
+
+@query(
+    "table_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS STRING) AS min_s,
+           CAST(max({c}) AS STRING) AS max_s
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-time data-quality audit (operators/profiling.
+    profile_table): per-column nulls / exact distincts / min / max for
+    lineitem in one scan (single multi-distinct aggregation + literal
+    explode — not a scan per column). Oracle: per-column UNION ALL."""
+    from neo4j_arrow_spark.operators.profiling import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(li, _PROFILE_COLS)
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:
