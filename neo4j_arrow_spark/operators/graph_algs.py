@@ -204,7 +204,11 @@ def random_walks(
     """
     from neo4j_arrow_spark.functions.hashing import hash64
 
-    e = edges.select(F.col("u").cast("long"), F.col("v").cast("long")).distinct()
+    e = (
+        edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+        .distinct()
+        .persist()
+    )
     cur = (
         starts.select(F.col("walk_id").cast("long"), F.col("node").cast("long"))
         .withColumn("step", F.lit(0))
@@ -234,6 +238,7 @@ def random_walks(
             .localCheckpoint()
         )
         out = out.unionByName(cur)
+    e.unpersist()  # safe: every round is eagerly checkpointed
     return out
 
 
