@@ -251,6 +251,82 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_incremental(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_new: Column,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection — the daily-ingest shape: check a
+    NEW batch (rows where ``is_new``) against the whole corpus WITHOUT
+    re-comparing corpus-internal pairs. Candidate generation joins only
+    the new batch's band buckets against all buckets, so per-ingest
+    cost is ∝ |new| · bucket-density, not |corpus|² — at 100 TB this is
+    the difference between a daily job and an impossible one.
+
+    Output is identical in shape to :func:`minhash_lsh_pairs` and
+    equals its all-pairs output filtered to pairs touching a new doc
+    (the oracle states it exactly that way). Same persist contract
+    (:func:`unpersist_intermediates`).
+    """
+    flagged = df.withColumn("_new", is_new)
+    sig = minhash_signatures(
+        flagged, id_col, text_col, num_hashes, shingle_n, include_size=True
+    ).persist()
+    buckets = minhash_band_buckets(sig, num_hashes, bands).persist()
+    new_ids = flagged.filter(F.col("_new")).select(
+        F.col(id_col).alias("doc")
+    )
+    new_buckets = buckets.join(F.broadcast(new_ids), "doc", "left_semi")
+
+    a, b = new_buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(
+            F.least("a.doc", "b.doc").alias("id_a"),
+            F.greatest("a.doc", "b.doc").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    sh = shingle_table(flagged, id_col, text_col, shingle_n).persist()
+    sizes = sig.select("doc", "sz")
+    inter = (
+        cands.join(sh.alias("sa"), F.col("id_a") == F.col("sa.doc"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col("sb.doc"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        inter.join(sizes.alias("za"), F.col("id_a") == F.col("za.doc"))
+        .join(sizes.alias("zb"), F.col("id_b") == F.col("zb.doc"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("za.sz") + F.col("zb.sz") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return _with_intermediates(
+        jac.filter(F.col("jaccard") >= threshold), [sig, buckets, sh]
+    )
+
+
 def neardup_clusters(
     pairs: DataFrame, docs: DataFrame, id_col: str
 ) -> DataFrame:

@@ -716,6 +716,29 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fixed(emb, "vec_id", "embedding", k=4, iterations=2)
 
 
+@query(
+    "minhash_incremental_pairs",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTES}
+    SELECT id_a, id_b, jaccard FROM pairs
+    WHERE id_a % 5 = 0 OR id_b % 5 = 0
+    """,
+)
+def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-ingest) near-dup check: docs with id % 5 = 0
+    play the new batch, candidates join only new buckets against all
+    buckets (operators/dedup.minhash_lsh_pairs_incremental) — per-
+    ingest cost ∝ |new|, old-old pairs never re-checked. Oracle: the
+    all-pairs result filtered to pairs touching a new doc, which the
+    incremental plan must equal exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_incremental(
+        docs, "doc_id", "text",
+        is_new=F.col("doc_id") % 5 == 0,
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3, threshold=0.3,
+    )
+
+
 # ---- corpus-level dedup (pairs -> clusters -> canonical docs) --------------
 
 @query(

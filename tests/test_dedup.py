@@ -83,3 +83,33 @@ def test_embedding_neardup(spark):
              dedup.embedding_neardup_pairs(emb, "vec_id", "embedding", 0.99).collect()}
     assert list(pairs) == [(0, 1)]
     assert pairs[(0, 1)] > 0.999
+
+
+def test_incremental_pairs_equal_filtered_all_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from neo4j_arrow_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+        unpersist_intermediates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(8)]
+        + [(100 + i, f"totally different text number {i} with unique words") for i in range(4)],
+        "doc_id long, text string",
+    )
+    allp = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
+    new = F.col("doc_id") >= 6  # docs 6,7 (dups of 0-5) + 100.. are "new"
+    inc = minhash_lsh_pairs_incremental(docs, "doc_id", "text", is_new=new, threshold=0.3)
+
+    all_rows = {(r.id_a, r.id_b) for r in allp.collect()}
+    inc_rows = {(r.id_a, r.id_b) for r in inc.collect()}
+    expected = {(a, b) for a, b in all_rows if a >= 6 or b >= 6}
+    assert inc_rows == expected
+    # old-old pairs exist in the full result but not the incremental one
+    assert any(a < 6 and b < 6 for a, b in all_rows)
+    assert not any(a < 6 and b < 6 for a, b in inc_rows)
+    unpersist_intermediates(allp)
+    unpersist_intermediates(inc)
