@@ -87,3 +87,71 @@ def test_exact_dedup_partition_laws(spark, rows):
         # canonical shares the text and is its own canonical
         assert texts_by_id[r.canonical_id] == texts_by_id[r.doc_id]
         assert by_id[r.canonical_id].canonical_id == r.canonical_id
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc xyz", min_size=0, max_size=120), min_size=1, max_size=8
+    ),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_window_law(spark, texts_, chunk, overlap):
+    """Every chunk is exactly tokens[i*stride : i*stride+chunk]; the
+    windows cover every token position."""
+    from neo4j_arrow_spark.operators.text import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    docs = spark.createDataFrame(
+        list(enumerate(texts_)), "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, "doc_id", "text", chunk, overlap).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (r["n_tokens"], r["chunk_text"])
+    for i, t in enumerate(texts_):
+        toks = [w for w in re.split(r"[^0-9A-Za-z]+", t.lower()) if w]
+        n = len(toks)
+        if n <= chunk:
+            n_chunks = 1
+        else:
+            n_chunks = 1 + -(-(n - chunk) // stride)
+        chunks = got[i]
+        assert sorted(chunks) == list(range(n_chunks))
+        covered = set()
+        for cid, (ntok, ctext) in chunks.items():
+            expect = toks[cid * stride : cid * stride + chunk]
+            assert ctext == " ".join(expect) and ntok == len(expect)
+            covered.update(range(cid * stride, min(cid * stride + chunk, n)))
+        assert covered == set(range(n))
+
+
+@given(
+    st.lists(st.tuples(ids, st.integers(0, 1000)), min_size=1, max_size=60, unique_by=lambda t: t[0])
+)
+@settings(**SETTINGS)
+def test_weighted_sample_matches_hash_formula(spark, rows):
+    """The keep set is exactly the md5-threshold formula, independent of
+    partitioning."""
+    import hashlib
+
+    from neo4j_arrow_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, k / 1000.0) for i, k in rows], "doc_id long, w double"
+    )
+    kept = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w").collect()}
+    kept_repart = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(7), "doc_id", "w").collect()
+    }
+    expect = {
+        i
+        for i, k in rows
+        if int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+        < k * 1000
+    }
+    assert kept == expect == kept_repart
