@@ -5,6 +5,7 @@ The reference's sources are Cypher scans and GDS projections
 """
 
 from neo4j_arrow_spark.sources.bucketed import colocated_join, write_bucketed
+from neo4j_arrow_spark.sources.jsonl import read_documents_jsonl, split_corrupt
 from neo4j_arrow_spark.sources.tpch import TPCH_TABLES, load_tables
 from neo4j_arrow_spark.sources.tpch_graph import graph_frames_from_tpch
 
@@ -14,4 +15,6 @@ __all__ = [
     "graph_frames_from_tpch",
     "write_bucketed",
     "colocated_join",
+    "read_documents_jsonl",
+    "split_corrupt",
 ]
