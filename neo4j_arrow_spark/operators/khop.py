@@ -106,10 +106,18 @@ def khop_flat(
     members = identity
     if k >= 2:
         members = identity.unionByName(pairs).dropDuplicates(["origin", "member"])
+    par = nodes.sparkSession.sparkContext.defaultParallelism
     for _ in range(k - 2):
         # extend the closure one hop: members' = members ∪ (members ⋈ und)
+        # The explicit repartition spreads the stream side BEFORE the
+        # fan-out: AQE coalesces the (byte-tiny, compressible) member
+        # frame to ~1 partition, and a broadcast join inherits the
+        # stream side's partitioning — so without this, the join's
+        # multiplied output (deg(member) rows per input row) is
+        # produced and aggregated on a single core.
         extended = (
             members.withColumnRenamed("member", "_mid")
+            .repartition(par, "_mid")
             .join(und.withColumnRenamed("origin", "_mid"), "_mid")
             .select("origin", "member")
         )
@@ -132,14 +140,35 @@ def khop_flat(
     inc_dst = edges.filter(F.col("src") != F.col("dst")).select(
         F.col("dst").alias("member"), "src", "dst"
     )
-    a = members.join(inc_src, "member").select("origin", "src", "dst")
-    b = members.join(inc_dst, "member").select("origin", "src", "dst")
-    b_only = b.join(
-        members.select("origin", F.col("member").alias("src")),
-        ["origin", "src"],
-        "left_anti",
+    # Same fan-out hazard as the closure loop: the member frame is
+    # byte-tiny but each row multiplies by deg(member) through the
+    # incident joins. Pre-hash it on the join key so the (enormous)
+    # output is born spread across all cores, whichever physical join
+    # AQE picks.
+    members = members.repartition(par, "member")
+    if k <= 2:
+        # |members| ≤ |V| + 2|E| — small next to the output
+        # Σ_m deg(m), so spending an anti-join on ~2×|members| rows to
+        # make A ∪ B' a disjoint union (no dedup of the output, which
+        # therefore NEVER shuffles) is the right trade at scale.
+        a = members.join(inc_src, "member").select("origin", "src", "dst")
+        b = members.join(inc_dst, "member").select("origin", "src", "dst")
+        b_only = b.join(
+            members.select("origin", F.col("member").alias("src")),
+            ["origin", "src"],
+            "left_anti",
+        )
+        return a.unionByName(b_only)
+    # k ≥ 3: the closure inflates |members| toward Σ_o |reach(o)| — the
+    # same order as the output itself — so the anti-join would shuffle
+    # ~2×output anyway. One incident join + one output dedup shuffles
+    # strictly less, and AQE skew-splits the hot members (supernodes).
+    incident = inc_src.unionByName(inc_dst)
+    return (
+        members.join(incident, "member")
+        .dropDuplicates(["origin", "src", "dst"])
+        .select("origin", "src", "dst")
     )
-    return a.unionByName(b_only)
 
 
 def khop(
@@ -157,6 +186,11 @@ def khop(
     only the flattened set is contract).
     """
     flat = khop_flat(nodes, rels, filters, k=k)
+    # One exchange total: the window shuffles on origin, and the
+    # (origin, _chunk) groupBy is satisfied by that same partitioning
+    # (ClusteredDistribution on a superset key), so no second shuffle.
+    # Array-slicing variants measured slower: exploding chunk indices
+    # copies each origin's full pair array once per chunk.
     w = Window.partitionBy("origin").orderBy("src", "dst")
     chunked = flat.withColumn(
         "_chunk", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(list_size))

@@ -23,6 +23,13 @@ _BASE_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE sizes post-shuffle partitions by COMPRESSED bytes. Graph id
+    # columns (sequential longs) compress ~100x, so a 10M-row member
+    # frame can coalesce to ONE partition and every downstream
+    # fan-out join/agg runs single-threaded. A small floor keeps
+    # parallelism-first sizing in charge for compressible shuffles;
+    # at cluster scale total/parallelism >> 64k, so this is inert.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
     "spark.sql.session.timeZone": "UTC",
