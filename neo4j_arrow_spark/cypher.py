@@ -55,7 +55,7 @@ class CypherUnsupported(ValueError):
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
-  | (?P<kw>(?i:OPTIONAL|MATCH|WHERE|WITH|RETURN|DISTINCT|ORDER|BY|SKIP|LIMIT|ASC|DESC|AND|OR|NOT|IS|NULL|IN|AS|TRUE|FALSE|UNWIND)\b)
+  | (?P<kw>(?i:OPTIONAL|MATCH|WHERE|WITH|RETURN|DISTINCT|ORDER|BY|SKIP|LIMIT|ASC|DESC|AND|OR|NOT|IS|NULL|IN|AS|TRUE|FALSE|UNWIND|CASE|WHEN|THEN|ELSE|END)\b)
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<str>'(?:[^'\\]|\\.)*')
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
@@ -355,6 +355,21 @@ class _Parser:
 
     def factor(self) -> str:
         kind, tok = self.peek()
+        if tok == "CASE":
+            # searched CASE only (CASE WHEN cond THEN val ... [ELSE val]
+            # END) — identical syntax/semantics in Spark SQL and DuckDB,
+            # so it passes through dialect-neutral
+            self.next()
+            arms = []
+            while self.accept("WHEN"):
+                cond = self.expr()
+                self.expect("THEN")
+                arms.append(f"WHEN {cond} THEN {self.value()}")
+            if not arms:
+                raise CypherSyntaxError("CASE requires at least one WHEN arm")
+            els = f" ELSE {self.value()}" if self.accept("ELSE") else ""
+            self.expect("END")
+            return "(CASE " + " ".join(arms) + els + " END)"
         if tok == "(":
             self.next()
             inner = self.value()

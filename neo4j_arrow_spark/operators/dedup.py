@@ -704,3 +704,27 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def normalized_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Canonicalized exact dedup: normalize the text (lowercase,
+    collapse every non-alphanumeric run to one space, trim) and group
+    identical canonical forms. Catches whitespace/punctuation/case
+    variants that byte-exact dedup misses, at exact-dedup cost — one
+    hash shuffle on the canonical string (at 100 TB, shuffle a 64-bit
+    hash of the canonical form instead of the text itself).
+
+    Returns one row per input doc: ``(id_col, keeper, group_size)``
+    where ``keeper`` is the smallest id with the same canonical form.
+    """
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-zA-Z0-9]+", " ")
+    )
+    canonical = df.select(F.col(id_col), canon.alias("_canon"))
+    groups = canonical.groupBy("_canon").agg(
+        F.min(id_col).alias("keeper"), F.count("*").alias("group_size")
+    )
+    return (
+        canonical.join(groups, "_canon")
+        .select(F.col(id_col), "keeper", "group_size")
+    )

@@ -273,3 +273,52 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cos")
     )
+
+
+def quantize_int8(
+    vectors: DataFrame, id_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the
+    compression step before an ANN index ships vectors to disk (4x
+    smaller than float32, dot products stay in integer SIMD range).
+
+    Per vector: scale by max |component| so values span [-127, 127].
+    All arithmetic is integer (inputs pass through the shared
+    QUANT_SCALE fixed-point grid first, rounding is the exact
+    ``(2*254*|q| + 2*qmax) div (4*qmax)`` rational — no float rounding
+    ambiguity cross-engine). Map-only: no shuffle at any scale.
+
+    Returns ``(id_col, qmax, q8)`` with ``q8`` the comma-joined int8
+    components and ``qmax`` the per-vector scale denominator (restore
+    ``x ≈ q8/127 * qmax/QUANT_SCALE``).
+    """
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x * QUANT_SCALE).cast("long")
+    )
+    src = vectors.select(F.col(id_col), qv.alias("_qv"))
+    qmax = F.array_max(F.transform(F.col("_qv"), F.abs))
+
+    def q8(x):
+        # round(|x| * 127 / qmax) as exact integer arithmetic:
+        # (|x|*254 + qmax) div (2*qmax), then re-apply the sign.
+        # floor() on the double quotient is exact here: numerator
+        # < 2^38, so a non-integer true quotient can never round
+        # across an integer boundary (error < 1 ulp << gap).
+        mag = F.floor(
+            (F.abs(x) * 254 + F.col("_qmax")) / (2 * F.col("_qmax"))
+        ).cast("long")
+        return F.when(x < 0, -mag).otherwise(mag)
+
+    return (
+        src.withColumn("_qmax", qmax)
+        .select(
+            F.col(id_col),
+            F.col("_qmax").alias("qmax"),
+            F.when(
+                F.col("_qmax") > 0,
+                F.array_join(F.transform(F.col("_qv"), q8), ","),
+            )
+            .otherwise(F.array_join(F.transform(F.col("_qv"), lambda x: F.lit(0)), ","))
+            .alias("q8"),
+        )
+    )

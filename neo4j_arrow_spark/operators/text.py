@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from neo4j_arrow_spark.functions.hashing import hash64
-from neo4j_arrow_spark.functions.textfns import tokens
+from neo4j_arrow_spark.functions.textfns import shingles, tokens
 
 #: Tiny per-language stopword lists for the n-gram/stopword vote.
 #: Deliberately small: each word is matched as a whole token.
@@ -337,4 +337,58 @@ def tfidf(
             "df",
             F.expr(f"(tf * {scale} * {n_docs}) div df").alias("tfidf_q"),
         )
+    )
+
+
+def repetition_scores(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``top_word_frac`` — occurrences of the most frequent word / total
+      words (catches keyword-stuffed / templated docs);
+    - ``dup_bigram_frac`` — 1 - distinct-bigrams/total-bigrams
+      (catches loops and boilerplate repetition).
+
+    Published repetition filters (duplicate-line / n-gram fractions)
+    drop documents above fixed thresholds; this operator emits the raw
+    fractions so the caller picks thresholds. All counts are integers
+    and the fractions are single IEEE divisions — bit-stable across
+    engines.
+
+    Plan: two explode->count aggregations joined back to the doc ids;
+    each is a (doc_id, gram) shuffle with map-side partial counts — no
+    per-doc UDF, no window.
+    """
+    base = df.select(F.col(id_col), F.col(text_col))
+    words = base.select(id_col, F.explode(tokens(text_col)).alias("w"))
+    wc = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    wstats = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_word_count"),
+    )
+    bigrams = base.select(id_col, F.explode(shingles(text_col, 2)).alias("g"))
+    gc = bigrams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    gstats = gc.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+    )
+    out = (
+        base.select(id_col)
+        .join(wstats, id_col, "left")
+        .join(gstats, id_col, "left")
+    )
+    n_words = F.coalesce(F.col("n_words"), F.lit(0)).cast("long")
+    top = F.coalesce(F.col("top_word_count"), F.lit(0)).cast("long")
+    n_bg = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+    n_dbg = F.coalesce(F.col("n_distinct_bigrams"), F.lit(0)).cast("long")
+    return out.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.when(n_words > 0, top / n_words).otherwise(F.lit(0.0)).alias(
+            "top_word_frac"
+        ),
+        F.when(n_bg > 0, F.lit(1.0) - n_dbg / n_bg)
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
     )

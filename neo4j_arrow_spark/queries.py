@@ -129,6 +129,29 @@ _cypher_query(
     "round(sum(c.acctbal * 2 + 1) / count(*), 2) AS avg_score",
 )
 
+_cypher_query(
+    "cypher_case_tiers",
+    "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "RETURN n.name AS nation, "
+    "CASE WHEN c.acctbal > 5000.0 THEN 'high' "
+    "WHEN c.acctbal > 0.0 THEN 'mid' ELSE 'low' END AS tier, "
+    "count(*) AS members, round(sum(c.acctbal), 2) AS total_bal",
+)
+
+_cypher_query(
+    "cypher_in_filter",
+    "MATCH (n:Nation)<-[r:IN_NATION]-(c:Customer) "
+    "WHERE n.name IN ['NATION_0', 'NATION_7', 'NATION_19'] "
+    "RETURN n.name AS nation, count(*) AS members",
+)
+
+_cypher_query(
+    "cypher_skip_limit",
+    "MATCH (c:Customer) WHERE c.acctbal > 5000.0 "
+    "RETURN c.ID AS id, c.acctbal AS acctbal "
+    "ORDER BY acctbal DESC, id SKIP 20 LIMIT 50",
+)
+
 
 def _sql_query(name: str, sql: str, tables: tuple[str, ...]):
     """Register a query whose Spark plan IS the oracle SQL — one ANSI
@@ -222,6 +245,20 @@ _sql_query(
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     """,
     ("orders",),
+)
+
+_sql_query(
+    "sql_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(CAST(EXTRACT(YEAR FROM l_shipdate) AS STRING), 'ALL')
+               AS ship_year,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (EXTRACT(YEAR FROM l_shipdate)), ())
+    """,
+    ("lineitem",),
 )
 
 _sql_query(
@@ -1101,6 +1138,36 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return windowed_event_agg(ev)
+
+
+_HOPPING_SQL = """
+WITH e AS (
+    SELECT event_type, value, epoch_us(ts) // 300000000 AS b FROM events
+),
+x AS (
+    SELECT make_timestamp(b * 300000000) AS window_start, event_type, value
+    FROM e
+    UNION ALL
+    SELECT make_timestamp((b - 1) * 300000000), event_type, value FROM e
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM x GROUP BY 1, 2
+"""
+
+
+@query("events_hopping_window", oracle=_HOPPING_SQL)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (10 min wide, 5 min slide) window aggregate — each event
+    contributes to width/slide = 2 overlapping windows. Spark's
+    window(ts, width, slide) generates the copies natively; the oracle
+    derives both window starts arithmetically (w ∈ {floor5(ts)−5,
+    floor5(ts)} µs-exact)."""
+    from neo4j_arrow_spark.streaming.events import hopping_event_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return hopping_event_agg(ev)
 
 
 _SESSIONS_SQL = """

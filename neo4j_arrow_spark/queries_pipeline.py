@@ -953,3 +953,107 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return cms_estimates(li, "l_suppkey", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+
+
+# ---- repetition / normalization quality (round 2) --------------------------
+
+_REPETITION_SQL = f"""
+    WITH w AS (
+        SELECT doc_id, unnest({duck_tokens("text")}) AS w FROM documents
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+    wstats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(max(c) AS BIGINT) AS top_word_count
+        FROM wc GROUP BY doc_id
+    ),
+    g AS (
+        SELECT doc_id, unnest({duck_shingles("text", 2)}) AS g FROM documents
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+    gstats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(count(*) AS BIGINT) AS n_distinct_bigrams
+        FROM gc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_words, 0) AS n_words,
+           CASE WHEN coalesce(n_words, 0) > 0
+                THEN top_word_count / CAST(n_words AS DOUBLE)
+                ELSE 0.0 END AS top_word_frac,
+           CASE WHEN coalesce(n_bigrams, 0) > 0
+                THEN 1.0 - n_distinct_bigrams / CAST(n_bigrams AS DOUBLE)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM documents d
+    LEFT JOIN wstats USING (doc_id)
+    LEFT JOIN gstats USING (doc_id)
+"""
+
+
+@query("repetition_scores", oracle=_REPETITION_SQL)
+def repetition_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: most-frequent-word fraction and
+    duplicate-bigram fraction per document (operators/text.
+    repetition_scores) — the standard drop-rules for templated/looping
+    documents in a pretraining corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_scores(docs, "doc_id")
+
+
+_NORMALIZED_DEDUP_SQL = """
+    WITH c AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-zA-Z0-9]+', ' ', 'g'))
+                   AS canon
+        FROM documents
+    ),
+    g AS (
+        SELECT canon, min(doc_id) AS keeper, count(*) AS group_size
+        FROM c GROUP BY canon
+    )
+    SELECT c.doc_id, g.keeper, g.group_size
+    FROM c JOIN g USING (canon)
+"""
+
+
+@query("normalized_dedup", oracle=_NORMALIZED_DEDUP_SQL)
+def normalized_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form exact dedup (case/whitespace/punctuation
+    -insensitive): every doc mapped to the min-id keeper of its
+    canonical group (operators/dedup.normalized_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.normalized_dedup(docs, "doc_id")
+
+
+from neo4j_arrow_spark.operators.dedup import QUANT_SCALE as _QS
+
+_QUANTIZE_SQL = f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> round(x::DOUBLE * {_QS})::BIGINT) AS qv
+        FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, qv,
+               list_max(list_transform(qv, x -> abs(x))) AS qmax
+        FROM q
+    )
+    SELECT vec_id, qmax,
+           CASE WHEN qmax > 0 THEN array_to_string(
+               list_transform(qv, x -> CASE WHEN x < 0
+                   THEN -((abs(x) * 254 + qmax) // (2 * qmax))
+                   ELSE (abs(x) * 254 + qmax) // (2 * qmax) END), ',')
+           ELSE array_to_string(list_transform(qv, x -> 0), ',')
+           END AS q8
+    FROM m
+"""
+
+
+@query("embedding_quantize", oracle=_QUANTIZE_SQL)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (operators/similarity.
+    quantize_int8): map-only, integer-exact, the storage-compression
+    leg of the ANN stack."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(vecs, "vec_id")

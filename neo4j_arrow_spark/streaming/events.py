@@ -69,6 +69,35 @@ def windowed_event_agg(
     )
 
 
+def hopping_event_agg(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Hopping (sliding) window count/sum per event type — each event
+    lands in ``width/slide`` overlapping windows. Same stream/batch
+    duality as :func:`windowed_event_agg`; Spark's ``window(ts, width,
+    slide)`` generates the per-event window copies natively (no
+    self-join)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w").start.alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_to_memory(
     agg: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:
