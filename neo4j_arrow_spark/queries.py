@@ -864,6 +864,54 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hex4(pos: str) -> str:
+    """DuckDB: parse 4 hex chars of ``hx`` starting at 1-based ``pos``
+    into the big-endian uint16 the fake decoder emits."""
+    digit = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
+    terms = [
+        f"{digit.format(p=f'{pos} + {o}')} * {1 << (4 * (3 - o))}" for o in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_MEDIA_FEATURE_SQL = f"""
+    WITH h AS (
+        SELECT doc_id,
+               sha256(text || chr(0) || chr(0) || chr(0) || chr(0)) AS hx
+        FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+               list_transform(range(0, 16), i -> {_hex4('4*i + 1')}), ',')
+               AS vq
+    FROM h
+"""
+
+
+@query("media_feature_check", oracle=_MEDIA_FEATURE_SQL)
+def media_feature_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas feature path, oracle-checked end to end: the
+    fake decoder expands sha256(payload||counter) into uint16-derived
+    floats (operators/multimodal._fake_decode); re-quantizing
+    ``round((f+1)·32768)`` recovers those uint16s exactly (dyadic
+    rationals — every step is exact in double). The DuckDB oracle
+    recomputes them from sha256 hex, so the whole Python-UDF leg —
+    Arrow batching, payload bytes, decode loop — is value-verified,
+    not just row-counted."""
+    from neo4j_arrow_spark.operators.multimodal import (
+        extract_features,
+        fake_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = fake_payloads(docs, "doc_id", "text")
+    feats = extract_features(media, "doc_id", dim=16)
+    vints = F.transform(
+        F.col("feature"), lambda f: F.round((f + 1.0) * 32768).cast("long")
+    )
+    return feats.select("doc_id", F.array_join(vints, ",").alias("vq"))
+
+
 from neo4j_arrow_spark.functions.hashing import MASK_BITS as _MB
 from neo4j_arrow_spark.functions.hashing import duck_hash64 as _dh
 
