@@ -12,16 +12,21 @@ bit-identical on any engine/partitioning. (Float k-means is famously
 run-to-run unstable; fixing iterations + integer arithmetic is what
 makes an exact cross-engine oracle possible at all.)
 
-Scale shape per iteration: assignment is a broadcast cross join
-(k centroids ship to every executor; one narrow pass over vectors),
-update is one shuffle of (vector × dim) rows grouped by
-(cluster, position). Seeding: the k lowest-id vectors (deterministic;
-swap in k-means|| offline if quality matters more than replay).
+Scale shape: centroids are MODEL PARAMETERS (k × dim integers), so
+they live on the driver between iterations — exactly how spark.ml's
+KMeans iterates — and enter each pass as literal arrays, making
+assignment a map-only argmin over the data (no join, no window, no
+shuffle). The per-iteration update is ONE hash aggregation with
+map-side partial combine: ``groupBy(cluster).agg(sum(qv[i])...)``
+— dim sum columns, not a posexplode row blowup. Per iteration that
+is a single narrow job; the only shuffled rows are k per partition.
+Seeding: the k lowest-id vectors (deterministic; swap in k-means||
+offline if quality matters more than replay).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from neo4j_arrow_spark.operators.dedup import QUANT_SCALE
@@ -43,6 +48,28 @@ def _sqdist(a, b):
     )
 
 
+def _lit_vec(values: list[int]):
+    # one ArrayType Literal node — NOT CreateArray over dim scalar
+    # literals, which inflates analysis/codegen time quadratically
+    return F.lit([int(v) for v in values]).cast("array<long>")
+
+
+def _assign(q: DataFrame, centroids: list[tuple[int, list[int]]], id_col: str):
+    """Map-only argmin against literal centroids: ``(id, cluster,
+    qdist)``. Ties break to the lowest cluster id (scan order)."""
+    dists = [
+        _sqdist(F.col("qv"), _lit_vec(cv)).alias(f"_d{c}") for c, cv in centroids
+    ]
+    scored = q.select(F.col(id_col), F.col("qv"), *dists)
+    best = F.least(*[F.col(f"_d{c}") for c, _ in centroids])
+    cluster = F.lit(None).cast("long")
+    for c, _ in reversed([*centroids]):
+        cluster = F.when(F.col(f"_d{c}") == best, F.lit(c)).otherwise(cluster)
+    return scored.select(
+        F.col(id_col), F.col("qv"), cluster.alias("cluster"), best.alias("qdist")
+    )
+
+
 def kmeans_fixed(
     vectors: DataFrame,
     id_col: str,
@@ -53,64 +80,33 @@ def kmeans_fixed(
     """Run ``iterations`` rounds of Lloyd's algorithm and return the
     final assignment ``(id_col, cluster, qdist)`` — cluster is the
     0-based seed rank, qdist the integer squared-L2 distance to the
-    final centroid (quantized units)."""
+    final centroid (quantized units). Clusters that lose all members
+    drop out (matching the unrolled SQL oracle)."""
     q = vectors.select(F.col(id_col), _quantize(vec_col).alias("qv"))
 
-    # distributed top-k (TakeOrderedAndProject) instead of a global
-    # row_number window — the seed scan never single-partitions the
-    # corpus. The 0-based seed rank over the k survivors is computed
-    # windowless (rank = |seeds with smaller id|, broadcast self-join
-    # over k rows) since an unpartitioned window warns + single-
-    # partitions even on bounded input.
-    seeds = q.orderBy(F.col(id_col)).limit(k)
-    sa, sb = seeds.alias("sa"), seeds.alias("sb")
-    centroids = (
-        sa.join(F.broadcast(sb), F.col(f"sb.{id_col}") < F.col(f"sa.{id_col}"), "left")
-        .groupBy(F.col(f"sa.{id_col}"), F.col("sa.qv").alias("cv"))
-        .agg(F.count(f"sb.{id_col}").alias("cluster"))
-        .select("cluster", "cv")
-        .localCheckpoint()
-    )
+    # seeds: k lowest ids — a TakeOrdered, never a global sort
+    seed_rows = q.orderBy(F.col(id_col)).limit(k).collect()
+    centroids = [(i, list(r["qv"])) for i, r in enumerate(seed_rows)]
+    dim = len(centroids[0][1])
 
-    assign = None
+    sums = [F.sum(F.col("qv")[i]).alias(f"_s{i}") for i in range(dim)]
     for _ in range(iterations):
-        scored = q.join(F.broadcast(centroids), how="cross").select(
-            F.col(id_col),
-            "cluster",
-            _sqdist(F.col("qv"), F.col("cv")).alias("qdist"),
+        assigned = _assign(q, centroids, id_col)
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(F.count("*").alias("_n"), *sums)
+            .collect()
         )
-        w = Window.partitionBy(id_col).orderBy("qdist", "cluster")
-        assign = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, "cluster", "qdist")
-        )
-        # element-wise integer mean over members -> next centroids
-        elems = q.join(assign.select(id_col, "cluster"), id_col).select(
-            "cluster", F.posexplode("qv").alias("pos", "val")
-        )
-        centroids = (
-            elems.groupBy("cluster", "pos")
-            .agg(F.expr("sum(val) div count(*)").alias("m"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
+        def _tdiv(a: int, b: int) -> int:
+            # truncation toward zero — Spark `div` and DuckDB `//`
+            # semantics (Python's // floors, which differs on negatives)
+            return -(-a // b) if a < 0 else a // b
+
+        centroids = sorted(
+            (
+                int(r["cluster"]),
+                [_tdiv(int(r[f"_s{i}"]), int(r["_n"])) for i in range(dim)],
             )
-            .localCheckpoint()
+            for r in rows
         )
-    # distances in the returned frame are to the PREVIOUS round's
-    # centroids; recompute against the final ones for a clean contract
-    final = q.join(F.broadcast(centroids), how="cross").select(
-        F.col(id_col),
-        "cluster",
-        _sqdist(F.col("qv"), F.col("cv")).alias("qdist"),
-    )
-    w = Window.partitionBy(id_col).orderBy("qdist", "cluster")
-    return (
-        final.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "cluster", "qdist")
-    )
+    return _assign(q, centroids, id_col).select(id_col, "cluster", "qdist")
