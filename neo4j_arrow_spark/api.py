@@ -248,6 +248,22 @@ class Neo4jArrowSpark:
         """S7 — stream discovery (Producer.java:412-416)."""
         return self.catalog.list()
 
+    def list_actions(self) -> list[str]:
+        """Flight list-actions parity (Producer.java:543-550): the
+        action strings of §2.10, i.e. every job type this engine
+        dispatches."""
+        return [
+            "cypher.read",
+            "cypher.write",
+            "gds.read",
+            "gds.write.nodes",
+            "gds.write.relationships",
+            "import.bulk",
+            "job.status",
+            "info.jobs",
+            "info.version",
+        ]
+
     # -- streams -----------------------------------------------------------
 
     def stream(self, job: Job, timeout: float | None = None) -> DataFrame:
