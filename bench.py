@@ -115,27 +115,72 @@ def main() -> None:
     scan_sec = min(_timed_noop(stored) for _ in range(3))
     scan_rows_per_sec = round(n_rows / scan_sec, 0)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    total = round(sum(timings.values()), 2)
+    stream_blob = {
+        "rows": n_rows,
+        "dim": dim,
+        "synth_rps": rows_per_sec,
+        "scan_rps": scan_rows_per_sec,
+        "baseline_rps": 1_031_461,
+    }
+    # Full per-query dump goes to a side file (the driver's tail buffer
+    # is 2000 chars — round 2's all-queries line overflowed it and the
+    # driver recorded parsed:null, losing the round's perf record).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+        json.dump(
             {
                 "metric": "registry_queries_total_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
                 "sf": _sf(sf_dir),
-                "embedding_stream": {
-                    "rows": n_rows,
-                    "dim": dim,
-                    "synth_sec": round(stream_sec, 3),
-                    "synth_rows_per_sec": rows_per_sec,
-                    "scan_sec": round(scan_sec, 3),
-                    "scan_rows_per_sec": scan_rows_per_sec,
-                    "baseline_rows_per_sec": 1_031_461,
-                },
-            }
+                "embedding_stream": stream_blob,
+            },
+            fh,
+            indent=1,
         )
-    )
+
+    # Final line: budget-capped so the whole line always fits the tail.
+    # Headline queries first (one per operator family), then the slowest
+    # of the rest until the byte budget runs out.
+    headline = [
+        "khop_wire", "khop3_in_nation", "khop_in_nation", "pagerank3",
+        "connected_components", "triangle_counts", "sssp_nation0",
+        "gds_node_scan", "gds_rel_scan", "cypher_hop_agg",
+        "cypher_varlength_path", "minhash_lsh_pairs", "simhash_pairs",
+        "ngram_jaccard_pairs", "embedding_neardup", "exact_dedup_docs",
+        "ann_topk_brute", "ann_ivf_topk", "tfidf_vectors", "kmeans_assign",
+        "quality_scores", "token_stats", "lang_id_pred", "repetition_scores",
+        "events_window_agg", "events_asof_join", "event_sessions",
+        "sql_topk_per_brand", "sql_revenue_by_nation", "bulk_import_roundtrip",
+        "media_features", "neardup_clusters",
+    ]
+    order = [q for q in headline if q in timings]
+    order += [
+        q for q, _ in sorted(timings.items(), key=lambda kv: -kv[1])
+        if q not in set(order)
+    ]
+    base = {
+        "metric": "registry_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "n_queries": len(timings),
+        "sf": _sf(sf_dir),
+        "embedding_stream": stream_blob,
+    }
+    budget = 1600  # hard cap well under the 2000-char tail buffer
+    picked: dict[str, float] = {}
+    for q in order:
+        trial = dict(base)
+        trial["queries"] = {**picked, q: round(timings[q], 2)}
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        picked[q] = round(timings[q], 2)
+    base["queries"] = picked
+    print(json.dumps(base, separators=(",", ":")))
 
 
 if __name__ == "__main__":
