@@ -356,33 +356,57 @@ def repetition_scores(
     and the fractions are single IEEE divisions — bit-stable across
     engines.
 
-    Plan: two explode->count aggregations joined back to the doc ids;
-    each is a (doc_id, gram) shuffle with map-side partial counts — no
-    per-doc UDF, no window.
+    Plan: entirely narrow — per-row higher-order functions over the
+    token array (top word count = longest equal-run in the sorted
+    array; distinct bigrams via array_distinct). Zero shuffles, zero
+    joins: at 100 TB this is a pure map stage that scales linearly
+    with input splits, where the explode->groupBy formulation costs
+    four (doc_id, gram) shuffles plus two join exchanges.
     """
-    base = df.select(F.col(id_col), F.col(text_col))
-    words = base.select(id_col, F.explode(tokens(text_col)).alias("w"))
-    wc = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
-    wstats = wc.groupBy(id_col).agg(
-        F.sum("c").alias("n_words"),
-        F.max("c").alias("top_word_count"),
+
+    def _longest_run(sorted_arr: Column) -> Column:
+        # max multiplicity of any element == longest run of equal
+        # adjacent elements once sorted. Single fold, O(n) per row.
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            run = (
+                F.when(x == acc["prev"], acc["run"] + F.lit(1).cast("long"))
+                .otherwise(F.lit(1).cast("long"))
+            )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+    base = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_toks", tokens(text_col)
     )
-    bigrams = base.select(id_col, F.explode(shingles(text_col, 2)).alias("g"))
-    gc = bigrams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
-    gstats = gc.groupBy(id_col).agg(
-        F.sum("c").alias("n_bigrams"),
-        F.count("*").alias("n_distinct_bigrams"),
+    # bigrams from the materialized token column (same strings as
+    # shingles(text, 2), minus a second tokenization pass)
+    toks = F.col("_toks")
+    base = base.withColumn(
+        "_bg",
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.array_join(F.slice(toks, i, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
-    out = (
-        base.select(id_col)
-        .join(wstats, id_col, "left")
-        .join(gstats, id_col, "left")
-    )
-    n_words = F.coalesce(F.col("n_words"), F.lit(0)).cast("long")
-    top = F.coalesce(F.col("top_word_count"), F.lit(0)).cast("long")
-    n_bg = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
-    n_dbg = F.coalesce(F.col("n_distinct_bigrams"), F.lit(0)).cast("long")
-    return out.select(
+    n_words = F.size("_toks").cast("long")
+    top = _longest_run(F.array_sort("_toks"))
+    n_bg = F.size("_bg").cast("long")
+    n_dbg = F.size(F.array_distinct("_bg")).cast("long")
+    return base.select(
         F.col(id_col),
         n_words.alias("n_words"),
         F.when(n_words > 0, top / n_words).otherwise(F.lit(0.0)).alias(
@@ -391,4 +415,121 @@ def repetition_scores(
         F.when(n_bg > 0, F.lit(1.0) - n_dbg / n_bg)
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
+    )
+
+
+def contamination_overlap(
+    df: DataFrame,
+    id_col: str,
+    eval_pred: Column,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-decontamination check (the GPT-3/C4 procedure): for
+    every non-eval document, the fraction of its distinct word
+    ``n``-gram shingles that also occur anywhere in the held-out eval
+    split (``eval_pred`` marks eval rows). Training docs above a
+    threshold get dropped to avoid eval leakage.
+
+    Output: ``(id, n_shingles, n_contaminated, contamination_frac)``;
+    docs with no shingles (< n tokens) report 0/0/0.0.
+
+    Scale shape: per-doc ``array_distinct`` runs narrow (no dedup
+    shuffle); the eval shingle set is globally distinct (one shuffle
+    over eval rows only — the small split) and the train-side probe is
+    a single equi-join on the shingle string that AQE can
+    broadcast when the eval split fits, else shuffle-hash. No
+    cross join, no per-row UDF.
+    """
+    base = df.select(F.col(id_col), F.col(text_col), eval_pred.alias("_eval"))
+    sh = base.select(
+        id_col,
+        "_eval",
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("g"),
+    )
+    eval_sh = (
+        sh.filter(F.col("_eval"))
+        .select("g")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = sh.filter(~F.col("_eval"))
+    per_doc = (
+        train.join(eval_sh, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+        )
+    )
+    out = (
+        base.filter(~F.col("_eval"))
+        .select(id_col)
+        .join(per_doc, id_col, "left")
+    )
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long")
+    n_hit = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
+    return out.select(
+        F.col(id_col),
+        n_sh.alias("n_shingles"),
+        n_hit.alias("n_contaminated"),
+        F.when(n_sh > 0, n_hit / n_sh).otherwise(F.lit(0.0)).alias(
+            "contamination_frac"
+        ),
+    )
+
+
+def boilerplate_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    min_doc_frac: float = 0.04,
+) -> DataFrame:
+    """Boilerplate signal: the fraction of a document's distinct word
+    ``n``-grams that are corpus-wide boilerplate — occurring in at
+    least ``max(2, floor(min_doc_frac * total_docs))`` distinct
+    documents (headers, footers, license blurbs, nav chrome).
+
+    Output: ``(id, n_shingles, n_boilerplate, boilerplate_frac)``.
+
+    The threshold is relative to the corpus size via a broadcast
+    scalar aggregate, so the operator is scale-invariant; the heavy
+    frames shuffle once each (shingle doc-frequency, probe join).
+    """
+    base = df.select(F.col(id_col), F.col(text_col))
+    sh = base.select(
+        id_col, F.explode(F.array_distinct(shingles(text_col, n))).alias("g")
+    )
+    total = base.select(
+        F.greatest(
+            F.lit(2), F.floor(F.count("*") * F.lit(min_doc_frac))
+        ).alias("_min_docs")
+    )
+    boiler = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("_df"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_df") >= F.col("_min_docs"))
+        .select("g")
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        sh.join(boiler, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_boilerplate"),
+        )
+    )
+    out = base.select(id_col).join(per_doc, id_col, "left")
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long")
+    n_b = F.coalesce(F.col("n_boilerplate"), F.lit(0)).cast("long")
+    return out.select(
+        F.col(id_col),
+        n_sh.alias("n_shingles"),
+        n_b.alias("n_boilerplate"),
+        F.when(n_sh > 0, n_b / n_sh).otherwise(F.lit(0.0)).alias(
+            "boilerplate_frac"
+        ),
     )

@@ -1057,3 +1057,94 @@ def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg of the ANN stack."""
     vecs = load_table(spark, sf_dir, "embeddings")
     return similarity.quantize_int8(vecs, "vec_id")
+
+
+# ---- decontamination / boilerplate (round 3) -------------------------------
+
+_CONTAM_N = 5
+
+_CONTAMINATION_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id, (doc_id % 20 = 0) AS is_eval,
+               unnest(list_distinct({duck_shingles("text", _CONTAM_N)})) AS g
+        FROM documents
+    ),
+    ev AS (SELECT DISTINCT g, 1 AS hit FROM sh WHERE is_eval),
+    pd AS (
+        SELECT sh.doc_id,
+               CAST(count(*) AS BIGINT) AS n_sh,
+               CAST(sum(CASE WHEN ev.hit IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM sh LEFT JOIN ev USING (g)
+        WHERE NOT sh.is_eval
+        GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_sh, 0) AS n_shingles,
+           coalesce(n_hit, 0) AS n_contaminated,
+           CASE WHEN coalesce(n_sh, 0) > 0
+                THEN n_hit / CAST(n_sh AS DOUBLE) ELSE 0.0
+           END AS contamination_frac
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    WHERE d.doc_id % 20 <> 0
+"""
+
+
+@query("contamination_check", oracle=_CONTAMINATION_SQL)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/C4-style benchmark decontamination: per training doc, the
+    fraction of its distinct 5-gram shingles that appear anywhere in
+    the held-out eval split (doc_id % 20 == 0 here) — docs above a
+    threshold leak eval data and get dropped
+    (operators/text.contamination_overlap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.contamination_overlap(
+        docs, "doc_id", F.col("doc_id") % 20 == 0, n=_CONTAM_N
+    )
+
+
+_BOILER_N, _BOILER_FRAC = 3, 0.04
+
+_BOILERPLATE_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct({duck_shingles("text", _BOILER_N)})) AS g
+        FROM documents
+    ),
+    t AS (
+        SELECT greatest(2, CAST(floor(count(*) * {_BOILER_FRAC}) AS BIGINT))
+               AS min_docs
+        FROM documents
+    ),
+    b AS (
+        SELECT g, 1 AS hit FROM sh
+        GROUP BY g HAVING count(*) >= (SELECT min_docs FROM t)
+    ),
+    pd AS (
+        SELECT sh.doc_id,
+               CAST(count(*) AS BIGINT) AS n_sh,
+               CAST(sum(CASE WHEN b.hit IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM sh LEFT JOIN b USING (g)
+        GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_sh, 0) AS n_shingles,
+           coalesce(n_b, 0) AS n_boilerplate,
+           CASE WHEN coalesce(n_sh, 0) > 0
+                THEN n_b / CAST(n_sh AS DOUBLE) ELSE 0.0
+           END AS boilerplate_frac
+    FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
+@query("boilerplate_fraction", oracle=_BOILERPLATE_SQL)
+def boilerplate_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate n-gram signal: fraction of each doc's distinct
+    3-grams occurring in >= max(2, 4% of docs) documents — the
+    header/footer/license-blurb detector of a web-corpus pipeline
+    (operators/text.boilerplate_fraction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.boilerplate_fraction(
+        docs, "doc_id", n=_BOILER_N, min_doc_frac=_BOILER_FRAC
+    )

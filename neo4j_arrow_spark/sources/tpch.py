@@ -44,6 +44,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer `div`, NOT floor(double /): int64 nanos exceed the
             # 53-bit double mantissa and double division is off by ±1 µs
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            # newer fixtures write TIMESTAMP(MICROS) without tz → Spark
+            # reads TIMESTAMP_NTZ, which watermarks reject. Session tz
+            # is pinned UTC, so this cast is numerically the identity
+            # and lands on the same TimestampType the nanos path (and
+            # every oracle-verified run) produced.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -14,32 +14,35 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: the events schema after ns->us conversion (sources.tpch.load_table)
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw parquet: nanos as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet file with the ns->µs
-    timestamp conversion applied (same as the batch loader)."""
+    """``readStream`` over the events parquet file with the SAME ts
+    normalization as the batch loader (sources.tpch.load_table).
+
+    readStream needs an explicit schema; take it from the parquet
+    footer (one driver-side metadata read) rather than hardcoding —
+    the fixture's ts physical type has changed across driver versions
+    (TIMESTAMP(NANOS) read as long vs native TIMESTAMP(MICROS)), and
+    the batch/stream twins must stay in lockstep under both."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
     # FileStreamSource wants a directory; point it at the sf dir and
     # glob-filter to the events table.
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # integer div: see sources.tpch.load_table (double division loses µs)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # nanos-as-long fixture: integer `div` to µs (double division
+        # loses µs past the 53-bit mantissa) — see tpch.load_table
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # TIMESTAMP_NTZ can't carry a watermark; UTC session tz makes
+        # this cast the identity (same normalization as load_table)
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def windowed_event_agg(
