@@ -19,8 +19,10 @@ frontier/relabel loops of bounded, fixed shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from neo4j_arrow_spark.functions.hashing import hash64
 
 __all__ = [
     "bfs_hops",
@@ -29,6 +31,7 @@ __all__ = [
     "shortest_paths",
     "random_walks",
     "kcore",
+    "neighbor_sample",
 ]
 
 
@@ -68,6 +71,9 @@ def bfs_hops(
     )
     frontier = visited.select("node")
     for h in range(1, max_hops + 1):
+        # only the new frontier is checkpointed; `visited` stays a
+        # lazy union of already-checkpointed rounds (shallow lineage),
+        # saving one materialization job per round
         nxt = (
             frontier.join(und, frontier["node"] == und["u"])
             .select(F.col("v").alias("node"))
@@ -78,7 +84,7 @@ def bfs_hops(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     und.unpersist()
     return visited
@@ -202,8 +208,6 @@ def random_walks(
     avg-degree. Returns ``(walk_id long, step int, node long)`` with
     step 0 = the start node.
     """
-    from neo4j_arrow_spark.functions.hashing import hash64
-
     e = (
         edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
         .distinct()
@@ -312,3 +316,48 @@ def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
         )
     und.unpersist()
     return labels
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts: tuple[int, ...] = (10, 5),
+    seed: int = 0,
+) -> DataFrame:
+    """GraphSAGE-style minibatch neighbor sampling over the undirected
+    view of ``edges (u, v)``: starting from ``seeds (node)``, keep at
+    most ``fanouts[l-1]`` neighbors per frontier node at hop ``l``; the
+    sampled nodes become the next frontier. Returns one row per
+    sampled edge: ``(hop int, u long, v long)``.
+
+    Sampling is DETERMINISTIC: a frontier node's neighbors are ranked
+    by the cross-engine md5 hash of "u:v" (tie-break v) and the top-f
+    kept — same data, same sample, on any engine (reproducible GNN
+    minibatches; no RNG state on executors).
+
+    Scale shape: hop ``l`` shuffles |frontier_l| x avg-degree candidate
+    rows for the per-u top-f window — the minimum any fan-out sampler
+    touches; the fanout cap keeps frontier growth geometric in the
+    fanouts, not the degree distribution (supernode-proof: a hub
+    contributes at most f edges per appearance).
+    """
+    und = _undirected(edges).persist()
+    frontier = seeds.select(F.col("node").cast("long")).distinct()
+    out = None
+    for hop, f in enumerate(fanouts, start=1):
+        w = Window.partitionBy("u").orderBy(
+            hash64(F.concat_ws(":", F.col("u"), F.col("v")), seed=seed),
+            F.col("v"),
+        )
+        samp = (
+            frontier.join(und, frontier["node"] == und["u"])
+            .select("u", "v")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= f)
+            .select(F.lit(hop).alias("hop"), "u", "v")
+            .localCheckpoint()
+        )
+        out = samp if out is None else out.unionByName(samp)
+        frontier = samp.select(F.col("v").alias("node")).distinct()
+    und.unpersist()
+    return out

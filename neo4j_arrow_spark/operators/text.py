@@ -434,39 +434,37 @@ def contamination_overlap(
     Output: ``(id, n_shingles, n_contaminated, contamination_frac)``;
     docs with no shingles (< n tokens) report 0/0/0.0.
 
-    Scale shape: per-doc ``array_distinct`` runs narrow (no dedup
-    shuffle); the eval shingle set is globally distinct (one shuffle
-    over eval rows only — the small split) and the train-side probe is
-    a single equi-join on the shingle string that AQE can
-    broadcast when the eval split fits, else shuffle-hash. No
-    cross join, no per-row UDF.
+    Scale shape: shingling goes through dedup.shingle_table
+    (posexplode + window lead — whole-stage codegen; the
+    array-expression form re-tokenizes per element, quadratic per
+    doc); the eval shingle set is globally distinct (one shuffle over
+    eval rows only — the small split) and the train-side probe is a
+    single equi-join on the shingle string that AQE can broadcast
+    when the eval split fits, else shuffle-hash. No cross join, no
+    per-row UDF.
     """
+    from neo4j_arrow_spark.operators.dedup import shingle_table
+
     base = df.select(F.col(id_col), F.col(text_col), eval_pred.alias("_eval"))
-    sh = base.select(
-        id_col,
-        "_eval",
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("g"),
-    )
     eval_sh = (
-        sh.filter(F.col("_eval"))
-        .select("g")
+        shingle_table(base.filter(F.col("_eval")), id_col, text_col, n)
+        .select("shingle")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    train = sh.filter(~F.col("_eval"))
+    train_docs = base.filter(~F.col("_eval"))
+    train = shingle_table(train_docs, id_col, text_col, n).withColumnRenamed(
+        "doc", id_col
+    )
     per_doc = (
-        train.join(eval_sh, "g", "left")
+        train.join(eval_sh, "shingle", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_shingles"),
             F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
         )
     )
-    out = (
-        base.filter(~F.col("_eval"))
-        .select(id_col)
-        .join(per_doc, id_col, "left")
-    )
+    out = train_docs.select(id_col).join(per_doc, id_col, "left")
     n_sh = F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long")
     n_hit = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
     return out.select(
@@ -495,11 +493,15 @@ def boilerplate_fraction(
 
     The threshold is relative to the corpus size via a broadcast
     scalar aggregate, so the operator is scale-invariant; the heavy
-    frames shuffle once each (shingle doc-frequency, probe join).
+    frames shuffle once each (shingle doc-frequency, probe join) and
+    shingling goes through dedup.shingle_table (codegen posexplode +
+    lead — NOT the quadratic array-expression form).
     """
+    from neo4j_arrow_spark.operators.dedup import shingle_table
+
     base = df.select(F.col(id_col), F.col(text_col))
-    sh = base.select(
-        id_col, F.explode(F.array_distinct(shingles(text_col, n))).alias("g")
+    sh = shingle_table(base, id_col, text_col, n).withColumnRenamed(
+        "doc", id_col
     )
     total = base.select(
         F.greatest(
@@ -507,15 +509,15 @@ def boilerplate_fraction(
         ).alias("_min_docs")
     )
     boiler = (
-        sh.groupBy("g")
+        sh.groupBy("shingle")
         .agg(F.count("*").alias("_df"))
         .crossJoin(F.broadcast(total))
         .filter(F.col("_df") >= F.col("_min_docs"))
-        .select("g")
+        .select("shingle")
         .withColumn("_hit", F.lit(1))
     )
     per_doc = (
-        sh.join(boiler, "g", "left")
+        sh.join(boiler, "shingle", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_shingles"),

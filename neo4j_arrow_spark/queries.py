@@ -1657,3 +1657,69 @@ def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in _QUANTILES
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# GNN minibatch neighbor sampling (GraphSAGE fan-out)
+# --------------------------------------------------------------------------
+
+def _ns_hash(u: str, v: str) -> str:
+    from neo4j_arrow_spark.functions.hashing import duck_hash64
+
+    return duck_hash64(f"CAST({u} AS VARCHAR) || ':' || CAST({v} AS VARCHAR)")
+
+
+@query(
+    "gnn_neighbor_sample",
+    oracle=f"""
+    WITH rels AS ({RELS_SQL}),
+    e AS (
+        SELECT DISTINCT START_ID AS u, END_ID AS v
+        FROM rels WHERE TYPE = 'BUYS_FROM'
+    ),
+    und AS (
+        SELECT u, v FROM e WHERE u <> v
+        UNION
+        SELECT v, u FROM e WHERE u <> v
+    ),
+    seeds AS (SELECT DISTINCT u AS node FROM e WHERE u % 250 = 0),
+    c1 AS (
+        SELECT und.u, und.v,
+               row_number() OVER (
+                   PARTITION BY und.u
+                   ORDER BY {{h}}, und.v
+               ) AS rn
+        FROM und JOIN seeds ON und.u = seeds.node
+    ),
+    s1 AS (SELECT 1 AS hop, u, v FROM c1 WHERE rn <= 10),
+    f2 AS (SELECT DISTINCT v AS node FROM s1),
+    c2 AS (
+        SELECT und.u, und.v,
+               row_number() OVER (
+                   PARTITION BY und.u
+                   ORDER BY {{h}}, und.v
+               ) AS rn
+        FROM und JOIN f2 ON und.u = f2.node
+    ),
+    s2 AS (SELECT 2 AS hop, u, v FROM c2 WHERE rn <= 5)
+    SELECT hop, CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v FROM s1
+    UNION ALL
+    SELECT hop, CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v FROM s2
+    """.replace("{h}", _ns_hash("und.u", "und.v")),
+)
+def gnn_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style 2-level fan-out (10, then 5) from every 250th
+    customer over the undirected BUYS_FROM graph — deterministic
+    hash-ranked neighbor choice, so the minibatch is reproducible on
+    any engine (operators/graph_algs.neighbor_sample). Output: one row
+    per sampled edge (hop, u, v)."""
+    from neo4j_arrow_spark.operators.graph_algs import neighbor_sample
+
+    _, rels = _graph(spark, sf_dir)
+    edges = rels.filter(F.col("TYPE") == "BUYS_FROM").select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    seeds = edges.filter(F.col("u") % 250 == 0).select(
+        F.col("u").alias("node")
+    )
+    return neighbor_sample(edges, seeds, fanouts=(10, 5))

@@ -1148,3 +1148,28 @@ def boilerplate_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.boilerplate_fraction(
         docs, "doc_id", n=_BOILER_N, min_doc_frac=_BOILER_FRAC
     )
+
+
+_GROUP_SPLIT_HASH = duck_hash64("source")
+
+
+@query(
+    "group_split_by_source",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE WHEN h < 98 THEN 'train'
+                WHEN h < 99 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, source, {_GROUP_SPLIT_HASH} % 100 AS h
+          FROM documents) t
+    """,
+)
+def group_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware split: hash the SOURCE (domain) instead of the doc
+    id, so every document from one source lands in the same split —
+    the standard guard against near-duplicate leakage across
+    train/test (operators/sampling.hash_split on the group key)."""
+    from neo4j_arrow_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_split(docs, "source")
