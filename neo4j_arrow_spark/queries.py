@@ -1723,3 +1723,32 @@ def gnn_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("node")
     )
     return neighbor_sample(edges, seeds, fanouts=(10, 5))
+
+
+_TRENDING_SQL = """
+WITH c AS (
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           event_type, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, rnk FROM (
+    SELECT window_start, event_type, n_events,
+           CAST(row_number() OVER (
+               PARTITION BY window_start
+               ORDER BY n_events DESC, event_type
+           ) AS INT) AS rnk
+    FROM c
+) WHERE rnk <= 3
+"""
+
+
+@query("events_trending_topk", oracle=_TRENDING_SQL)
+def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 15-minute window by count — the trending
+    -topics pattern: windowed aggregation + per-window deterministic
+    ranking (streaming.events.trending_topk; the streaming face emits
+    the counts, ranking isn't incrementally maintainable)."""
+    from neo4j_arrow_spark.streaming.events import trending_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    return trending_topk(ev)

@@ -279,3 +279,44 @@ def dedup_events_stream(events: DataFrame, watermark: str = "30 minutes") -> Dat
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def trending_topk(
+    events: DataFrame,
+    window: str = "15 minutes",
+    k: int = 3,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Top-k event types per tumbling window by count (the "trending
+    topics" pattern): windowed count + per-window dense ranking with a
+    deterministic (count desc, event_type asc) order. Batch and
+    streaming share the aggregation; in streaming mode the rank is
+    applied by the consumer per emitted window (rank-over-window isn't
+    incrementally maintainable, so the streaming face stops at the
+    counts — documented divergence).
+
+    Output: (window_start, event_type, n_events, rnk) with rnk <= k.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    counts = src.groupBy(F.window("ts", window).alias("w"), "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    if events.isStreaming:
+        return counts.select(
+            F.col("w").start.alias("window_start"), "event_type", "n_events"
+        )
+    rw = Window.partitionBy("w").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("w").start.alias("window_start"),
+            "event_type",
+            "n_events",
+            "rnk",
+        )
+    )
