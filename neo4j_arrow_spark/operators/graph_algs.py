@@ -32,6 +32,7 @@ __all__ = [
     "random_walks",
     "kcore",
     "neighbor_sample",
+    "hits_fixed",
 ]
 
 
@@ -360,4 +361,75 @@ def neighbor_sample(
         out = samp if out is None else out.unionByName(samp)
         frontier = samp.select(F.col("v").alias("node")).distinct()
     und.unpersist()
+    return out
+
+
+def hits_fixed(
+    edges: DataFrame, iterations: int = 2, scale: int = 1_000_000
+) -> DataFrame:
+    """HITS hubs & authorities over directed ``edges (u, v)`` with
+    fixed-point integer arithmetic. Returns ``(node long, hub long,
+    auth long)`` for every node appearing as source or target.
+
+    Classic HITS normalizes by the L2 norm — a float reduction whose
+    value depends on summation order, unverifiable by an exact oracle.
+    Here each half-step renormalizes by the MAX score instead
+    (``x' = x * scale // max(x)``): integer sums, integer max, and
+    integer division are all associative/order-independent, so the
+    result is bit-identical on any partitioning or engine (same trick
+    as operators/pagerank.py). The top hub/authority always scores
+    exactly ``scale``; relative ordering matches L2-normalized HITS.
+
+    Overflow bound: per-node sums are <= max_degree * scale and the
+    rescale multiplies by ``scale`` before dividing — keep
+    ``max_degree * scale^2 < 2^63`` (at the default scale: degree up
+    to ~9e6).
+
+    Per iteration: two equi-join + shuffle-agg rounds (auth from hubs
+    over in-edges, hubs from auth over out-edges) plus two broadcast
+    scalar maxes — the Pregel-shaped plan; no driver-side state.
+    """
+    e = (
+        edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    auth = None
+
+    def _half(scores: DataFrame, col: str, join_key: str, out_key: str, out: str):
+        """One HITS half-step: sum `col` over edges grouped by the
+        other endpoint, then max-rescale. The raw sums are
+        checkpointed ONCE — they feed both the scalar max and the
+        rescale; leaving them lazy recomputes the join+agg twice."""
+        raw = (
+            e.join(scores, e[join_key] == scores["node"])
+            .groupBy(F.col(out_key).alias("node"))
+            .agg(F.sum(col).alias("s"))
+        )
+        full = (
+            nodes.join(raw, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s"),
+            )
+            .localCheckpoint()
+        )
+        m = full.agg(F.max("s").alias("_m"))
+        return full.crossJoin(F.broadcast(m)).select(
+            "node", F.expr(f"CAST(s * {scale} div _m AS BIGINT)").alias(out)
+        )
+
+    for _ in range(iterations):
+        auth = _half(hub, "hub", "u", "v", "auth")
+        hub = _half(auth, "auth", "v", "u", "hub")
+    out = hub.join(auth, "node")
+    e.unpersist()
+    nodes.unpersist()
     return out

@@ -1752,3 +1752,68 @@ def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return trending_topk(ev)
+
+
+def _hits_oracle(iterations: int, scale: int) -> str:
+    """Unrolled max-normalized fixed-point HITS as pure SQL (one pair
+    of CTEs per iteration); `//` integer division matches Spark `div`
+    bit-for-bit — see operators/graph_algs.hits_fixed."""
+    ctes = [
+        f"""he AS (
+    SELECT DISTINCT o.o_custkey AS u, l.l_suppkey + 1000000 AS v
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)""",
+        "hn AS (SELECT u AS node FROM he UNION SELECT v AS node FROM he)",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM hn)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""a{i + 1} AS (
+    SELECT n.node,
+           CAST(COALESCE(s.s, 0) * {scale}
+                // (SELECT max(COALESCE(s2.s, 0)) FROM hn n2
+                    LEFT JOIN (SELECT e.v AS node, sum(h.hub) AS s
+                               FROM he e JOIN h{i} h ON h.node = e.u
+                               GROUP BY e.v) s2 ON s2.node = n2.node)
+                AS BIGINT) AS auth
+    FROM hn n LEFT JOIN (SELECT e.v AS node, sum(h.hub) AS s
+                         FROM he e JOIN h{i} h ON h.node = e.u
+                         GROUP BY e.v) s ON s.node = n.node
+)"""
+        )
+        ctes.append(
+            f"""h{i + 1} AS (
+    SELECT n.node,
+           CAST(COALESCE(s.s, 0) * {scale}
+                // (SELECT max(COALESCE(s2.s, 0)) FROM hn n2
+                    LEFT JOIN (SELECT e.u AS node, sum(a.auth) AS s
+                               FROM he e JOIN a{i + 1} a ON a.node = e.v
+                               GROUP BY e.u) s2 ON s2.node = n2.node)
+                AS BIGINT) AS hub
+    FROM hn n LEFT JOIN (SELECT e.u AS node, sum(a.auth) AS s
+                         FROM he e JOIN a{i + 1} a ON a.node = e.v
+                         GROUP BY e.u) s ON s.node = n.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT h.node, h.hub, a.auth"
+        f"\nFROM h{iterations} h JOIN a{iterations} a ON a.node = h.node"
+    )
+
+
+@query("hits2_buysfrom", oracle=_hits_oracle(2, 1_000_000))
+def hits2_buysfrom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two HITS iterations over the customer→supplier BUYS_FROM
+    bipartite graph (customers are hubs, suppliers authorities) —
+    max-normalized integer fixed-point so the scores are bit-identical
+    cross-engine (operators/graph_algs.hits_fixed; oracle is the same
+    recurrence unrolled to SQL)."""
+    from neo4j_arrow_spark.operators.graph_algs import hits_fixed
+
+    _, rels = _graph(spark, sf_dir)
+    edges = rels.filter(F.col("TYPE") == "BUYS_FROM").select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    return hits_fixed(edges, iterations=2)

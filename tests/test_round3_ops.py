@@ -94,3 +94,24 @@ def test_neighbor_sample_fanout_and_determinism(spark):
     # deterministic: rerun gives the identical edge multiset
     again = neighbor_sample(e, seeds, fanouts=(3, 2)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_hits_fixed_star(spark):
+    from neo4j_arrow_spark.operators.graph_algs import hits_fixed
+
+    # two hubs point at shared authority 10; hub 1 also points at 11
+    e = spark.createDataFrame(
+        [(1, 10), (2, 10), (1, 11)], "u long, v long"
+    )
+    out = {r.node: r for r in hits_fixed(e, iterations=2).collect()}
+    S = 1_000_000
+    # node 10 (in-deg 2) is the top authority, node 1 the top hub
+    assert out[10].auth == S and out[1].hub == S
+    assert out[11].auth < S and out[2].hub < S
+    # pure sources have auth 0; pure sinks have hub 0
+    assert out[1].auth == 0 and out[10].hub == 0
+    # deterministic across reruns
+    again = {r.node: r for r in hits_fixed(e, iterations=2).collect()}
+    assert {k: (v.hub, v.auth) for k, v in out.items()} == {
+        k: (v.hub, v.auth) for k, v in again.items()
+    }
