@@ -212,20 +212,17 @@ def sample_frames(
     if not fake:
         raise CodecUnavailable("video codecs not available in this build")
 
+    # integer `div`, not double /: cross-engine exact (oracle parity)
+    n_last = F.greatest(
+        F.expr(f"{media_col}.duration_ms div {every_ms}") - 1,
+        F.lit(0).cast("long"),
+    )
     frames = df.filter(F.col(f"{media_col}.media_type") == "video").select(
         F.col(id_col),
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(
-                    (F.col(f"{media_col}.duration_ms") / every_ms).cast("long") - 1,
-                    F.lit(0),
-                ),
-            )
-        ).alias("frame_idx"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_last)).alias("frame_idx"),
     )
     return frames.select(
         id_col,
         "frame_idx",
-        (F.col("frame_idx") * every_ms).alias("frame_ts_ms"),
+        (F.col("frame_idx") * every_ms).cast("long").alias("frame_ts_ms"),
     )

@@ -1817,3 +1817,30 @@ def hits2_buysfrom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
     )
     return hits_fixed(edges, iterations=2)
+
+
+_FRAME_SAMPLE_SQL = """
+WITH v AS (
+    SELECT doc_id, CAST((doc_id * 40) % 90000 AS BIGINT) AS duration_ms
+    FROM documents WHERE doc_id % 3 + 1 = 3
+)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(f * 1000 AS BIGINT) AS frame_ts_ms
+FROM v, unnest(range(0, greatest(duration_ms // 1000 - 1, 0) + 1)) AS t(f)
+"""
+
+
+@query("media_frame_sample", oracle=_FRAME_SAMPLE_SQL)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.
+    sample_frames): one row per 1s-sampled frame timestamp, fan-out
+    derived from metadata duration map-side — payload bytes never
+    shuffle; the decode of the frame itself sits behind the stubbed
+    codec boundary. Oracle re-derives the fake fixture's duration
+    arithmetic in SQL."""
+    from neo4j_arrow_spark.operators.multimodal import fake_payloads, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = fake_payloads(docs, "doc_id", "text")
+    return sample_frames(media, "doc_id", every_ms=1000)
