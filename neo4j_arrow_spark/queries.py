@@ -274,6 +274,36 @@ _sql_query(
 )
 
 _sql_query(
+    "sql_exists_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity >= 49
+    )
+    GROUP BY o_orderpriority
+    """,
+    ("orders", "lineitem"),
+)
+
+_sql_query(
+    "sql_full_outer_recon",
+    """
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers
+    FROM (SELECT c_nationkey, count(*) AS n_customers
+          FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey, count(*) AS n_suppliers
+          FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey) s
+    ON c.c_nationkey = s.s_nationkey
+    """,
+    ("customer", "supplier"),
+)
+
+_sql_query(
     "sql_pivot_status",
     """
     SELECT l_returnflag,
