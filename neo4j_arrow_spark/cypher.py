@@ -30,8 +30,10 @@ round, coalesce, substring — identical semantics in Spark and DuckDB;
 computed return items need an explicit ``AS``), ``collect([DISTINCT]
 x)`` (emitted as a SORTED comma-joined string — documented divergence
 from Cypher's encounter order, which no distributed engine reproduces
-deterministically), and ``UNWIND labels(n) AS x`` (LATERAL VIEW
-explode / unnest per dialect).
+deterministically), ``UNWIND labels(n) AS x`` (LATERAL VIEW
+explode / unnest per dialect), and ``MATCH p = shortestPath((a)-[:T*a..b]->(b))``
+with ``length(p)`` (UNION-of-chains + MIN over the per-branch length;
+one row per endpoint pair, Cypher's multiplicity).
 Out of scope (raise :class:`CypherUnsupported`): multiple comma
 patterns, mutation clauses, path variables, unbounded ``*``. The generated SQL uses only
 constructs DuckDB executes identically (``array_contains``, ANSI
@@ -505,9 +507,70 @@ class _Parser:
         return expr, alias, is_agg
 
     # -- full query ----------------------------------------------------------
+    def _splice_pathlen(self, path_var: str) -> None:
+        """Rewrite every remaining ``length(<path_var>)`` token run to
+        the single scalar marker ``_pathlen`` (bound like an UNWIND
+        alias so bare-name resolution applies); emission maps it to the
+        per-branch path length / its MIN."""
+        i = self.pos
+        while i < len(self.toks) - 3:
+            if (
+                self.toks[i][0] == "name"
+                and self.toks[i][1].lower() == "length"
+                and self.toks[i + 1][1] == "("
+                and self.toks[i + 2] == ("name", path_var)
+                and self.toks[i + 3][1] == ")"
+            ):
+                self.toks[i : i + 4] = [("name", "_pathlen")]
+            i += 1
+        self.unwind_aliases.add("_pathlen")
+
+    def _shortest_prefix(self):
+        """``[p =] shortestPath( pattern )`` after MATCH; returns
+        (shortest, path_var, nodes, rels) — or None if the MATCH is a
+        plain pattern."""
+        k0, t0 = self.peek()
+        path_var = None
+        if (
+            k0 == "name"
+            and t0.lower() != "shortestpath"
+            and self.toks[self.pos + 1][1] == "="
+        ):
+            path_var = t0
+            self.pos += 2
+            k0, t0 = self.peek()
+        if not (k0 == "name" and t0.lower() == "shortestpath"):
+            if path_var is not None:
+                raise CypherUnsupported(
+                    "path binding (p = ...) is supported only with "
+                    "shortestPath(...)"
+                )
+            return None
+        self.next()
+        self.expect("(")
+        nodes, rels = self.pattern()
+        self.expect(")")
+        if len(nodes) < 2:
+            raise CypherSyntaxError("shortestPath needs a two-endpoint pattern")
+        for r in rels:
+            if not r.is_varlength:
+                raise CypherUnsupported(
+                    "shortestPath needs a bounded variable-length pattern "
+                    "(-[:T*a..b]->)"
+                )
+        if path_var is not None:
+            self._splice_pathlen(path_var)
+        return (True, path_var, nodes, rels)
+
     def parse(self) -> dict:
         self.expect("MATCH")
-        nodes, rels = self.pattern()
+        sp = self._shortest_prefix()
+        if sp is not None:
+            _, path_var, nodes, rels = sp
+            shortest = True
+        else:
+            shortest, path_var = False, None
+            nodes, rels = self.pattern()
         bound = {n.var for n in nodes}
         optionals: list[tuple[list[_NodePat], list[_RelPat]]] = []
         while self.peek()[1] == "OPTIONAL":
@@ -640,7 +703,18 @@ class _Parser:
             raise CypherUnsupported(
                 "UNWIND combined with WITH pipelines is not supported (v1)"
             )
+        if shortest and (optionals or unwinds or withs or post_match):
+            raise CypherUnsupported(
+                "shortestPath combined with OPTIONAL MATCH / UNWIND / WITH "
+                "is not supported (v1)"
+            )
+        if shortest and where and re.search(r"\b_pathlen\b", where):
+            raise CypherUnsupported(
+                "length(path) in WHERE is not supported — filter on the "
+                "RETURN alias instead"
+            )
         return {
+            "shortest": shortest,
             "nodes": nodes,
             "rels": rels,
             "optionals": optionals,
@@ -997,6 +1071,10 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         select = (
             ", ".join(f"{v}.{p} AS {v}_{p}" for v, p in ref_list) or "1 AS _one"
         )
+        if ast.get("shortest"):
+            # this branch's total path length, a per-row constant the
+            # outer MIN(_pathlen) aggregates into the shortest length
+            select += f", {sum(lengths)} AS _pathlen"
         b_sql = f"SELECT {select}\nFROM {from_sql}"
         for j in joins:
             b_sql += f"\n{j}"
@@ -1012,8 +1090,23 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         return e
 
     items = [(rewrite(e), a, g) for e, a, g in ast["items"]]
+    distinct = ast["distinct"]
+    if ast.get("shortest"):
+        # length(p) (the _pathlen marker) aggregates to the shortest
+        # length per endpoint group; an already-aggregate item (e.g.
+        # min(length(p))) is left as written. Without any aggregate,
+        # Cypher's one-row-per-endpoint-pair multiplicity is DISTINCT
+        # over the projected endpoint properties.
+        items = [
+            (re.sub(r"\b_pathlen\b", "MIN(_pathlen)", e), a, True)
+            if (not g and re.search(r"\b_pathlen\b", e))
+            else (e, a, g)
+            for e, a, g in items
+        ]
+        if not any(g for _, _, g in items):
+            distinct = True
     select_parts = [f"{e} AS {a}" for e, a, _ in items]
-    select_sql = ("DISTINCT " if ast["distinct"] else "") + ", ".join(select_parts)
+    select_sql = ("DISTINCT " if distinct else "") + ", ".join(select_parts)
     group_cols = [e for e, _a, agg in items if not agg]
     has_agg = any(agg for _, _, agg in items)
 

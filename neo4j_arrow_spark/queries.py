@@ -152,6 +152,14 @@ _cypher_query(
     "ORDER BY acctbal DESC, id SKIP 20 LIMIT 50",
 )
 
+_cypher_query(
+    "cypher_shortest_path",
+    "MATCH p = shortestPath("
+    "(c:Customer)-[:BUYS_FROM|IN_NATION*1..3]->(n:Nation)) "
+    "WHERE c.acctbal > 9500.0 "
+    "RETURN c.ID AS cust, n.name AS nation, length(p) AS hops",
+)
+
 
 def _sql_query(name: str, sql: str, tables: tuple[str, ...]):
     """Register a query whose Spark plan IS the oracle SQL — one ANSI

@@ -371,3 +371,62 @@ def test_unwind_end_to_end(client):
     # every customer carries Customer + its mktsegment label; suppliers
     # carry Supplier — label counts cover both node families
     assert got["Customer"] == 150 and got["Supplier"] == 10
+
+
+def test_shortest_path_min_over_lengths(spark):
+    from neo4j_arrow_spark.cypher import cypher_to_sql
+
+    # diamond: 1 -> 2 -> 4 and 1 -> 4 direct; shortest 1->4 is 1 hop
+    nodes = spark.createDataFrame(
+        [(i, ["N"], f"n{i}") for i in (1, 2, 4)],
+        "ID long, LABELS array<string>, name string",
+    )
+    rels = spark.createDataFrame(
+        [(1, 2, "E"), (2, 4, "E"), (1, 4, "E")],
+        "START_ID long, END_ID long, TYPE string",
+    )
+    nodes.createOrReplaceTempView("sp_nodes")
+    rels.createOrReplaceTempView("sp_rels")
+    sql = cypher_to_sql(
+        "MATCH p = shortestPath((a:N)-[:E*1..3]->(b:N)) "
+        "RETURN a.ID AS src, b.ID AS dst, length(p) AS hops",
+        "sp_nodes",
+        "sp_rels",
+    )
+    got = {(r.src, r.dst): r.hops for r in spark.sql(sql).collect()}
+    assert got[(1, 4)] == 1      # direct edge wins over the 2-hop path
+    assert got[(1, 2)] == 1 and got[(2, 4)] == 1
+
+
+def test_shortest_path_without_length_dedups(spark):
+    from neo4j_arrow_spark.cypher import cypher_to_sql
+
+    sql = cypher_to_sql(
+        "MATCH p = shortestPath((a:N)-[:E*1..3]->(b:N)) "
+        "RETURN a.ID AS src, b.ID AS dst",
+        "sp_nodes",
+        "sp_rels",
+    )
+    rows = spark.sql(sql).collect()
+    # one row per endpoint pair even when two path lengths exist
+    assert len(rows) == len({(r.src, r.dst) for r in rows})
+
+
+def test_shortest_path_rejections():
+    import pytest as _pytest
+
+    from neo4j_arrow_spark.cypher import CypherUnsupported, cypher_to_sql
+
+    with _pytest.raises(CypherUnsupported, match="variable-length"):
+        cypher_to_sql(
+            "MATCH p = shortestPath((a:N)-[:E]->(b:N)) RETURN a",
+            "n", "r",
+        )
+    with _pytest.raises(CypherUnsupported, match="WHERE"):
+        cypher_to_sql(
+            "MATCH p = shortestPath((a:N)-[:E*1..2]->(b:N)) "
+            "WHERE length(p) > 1 RETURN a",
+            "n", "r",
+        )
+    with _pytest.raises(CypherUnsupported, match="shortestPath"):
+        cypher_to_sql("MATCH p = (a:N)-[:E*1..2]->(b:N) RETURN a", "n", "r")
