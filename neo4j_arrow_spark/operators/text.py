@@ -8,7 +8,7 @@ and all deterministic/DuckDB-reproducible for the correctness gate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from neo4j_arrow_spark.functions.hashing import hash64
@@ -535,3 +535,41 @@ def boilerplate_fraction(
             "boilerplate_frac"
         ),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", min_count: int = 2
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair frequencies over the
+    whitespace-token stream — the inner statistic of a BPE tokenizer
+    training round (the highest-count pair is the next merge).
+    Symbols here are characters within a token; pairs never span
+    tokens. Output: ``(lhs string, rhs string, n_pairs long)`` with
+    ``n_pairs >= min_count`` (lhs/rhs — LEFT/RIGHT are SQL keywords).
+
+    Plan: tokens explode (codegen) → per-token character posexplode →
+    adjacent pairing with a (token-instance, pos) window lead — one
+    shuffle keyed by token instance (high-cardinality, skew-free).
+    The final pair count has few distinct keys (alphabet²) but
+    map-side partial aggregation compresses each task's output to at
+    most that many rows before the exchange, so the hot keys never
+    concentrate rows.
+    """
+    toks = df.select(
+        F.posexplode(tokens(text_col)).alias("_ti", "_tok"),
+        F.monotonically_increasing_id().alias("_row"),
+    )
+    chars = toks.select(
+        "_row",
+        "_ti",
+        F.posexplode(F.split("_tok", "")).alias("_ci", "_ch"),
+    ).filter(F.col("_ch") != "")
+    w = Window.partitionBy("_row", "_ti").orderBy("_ci")
+    pairs = (
+        chars.withColumn("_next", F.lead("_ch").over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(F.col("_ch").alias("lhs"), F.col("_next").alias("rhs"))
+        .agg(F.count("*").alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_count)
+    )
+    return pairs

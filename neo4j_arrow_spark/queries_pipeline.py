@@ -1173,3 +1173,26 @@ def group_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return hash_split(docs, "source")
+
+
+_BPE_PAIRS_SQL = f"""
+    WITH t AS (
+        SELECT unnest({duck_tokens("text")}) AS tok FROM documents
+    ),
+    p AS (
+        SELECT substring(tok, i, 1) AS lhs, substring(tok, i + 1, 1) AS rhs
+        FROM t, unnest(range(1, length(tok))) AS r(i)
+        WHERE length(tok) >= 2
+    )
+    SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+@query("bpe_pair_counts", oracle=_BPE_PAIRS_SQL)
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-character pair frequencies within tokens —
+    the merge statistic of one BPE tokenizer-training round
+    (operators/text.bpe_pair_counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(docs, "text", min_count=2)
