@@ -35,7 +35,8 @@ explode / unnest per dialect), and ``MATCH p = shortestPath((a)-[:T*a..b]->(b))`
 with ``length(p)`` (UNION-of-chains + MIN over the per-branch length;
 one row per endpoint pair, Cypher's multiplicity).
 Out of scope (raise :class:`CypherUnsupported`): multiple comma
-patterns, mutation clauses, path variables, unbounded ``*``. The generated SQL uses only
+patterns, mutation clauses, path variables outside shortestPath,
+unbounded ``*``. The generated SQL uses only
 constructs DuckDB executes identically (``array_contains``, ANSI
 joins), so transpiled queries plug into the oracle harness unchanged.
 """

@@ -134,3 +134,28 @@ def test_stream_dedup_within_watermark(spark, sf_dir, batch_events):
     got = spark.sql("SELECT * FROM dedup_test")
     assert got.count() == batch_events.count()
     assert got.select("event_id").distinct().count() == batch_events.count()
+
+
+def test_trending_topk_stream_counts_match_batch(spark, sf_dir, batch_events):
+    """The streaming face of trending_topk emits per-window counts;
+    ranking happens consumer-side. Counts must equal the batch twin's
+    pre-rank aggregation."""
+    stream = ev.read_event_stream(spark, sf_dir)
+    agg = ev.trending_topk(stream)
+    ev.run_to_memory(agg, "trend_stream_test", output_mode="complete")
+    got = spark.sql(
+        "SELECT window_start, event_type, n_events FROM trend_stream_test"
+    )
+    want = (
+        batch_events.groupBy(
+            F.window("ts", "15 minutes").alias("w"), "event_type"
+        )
+        .count()
+        .select(
+            F.col("w").start.alias("window_start"),
+            "event_type",
+            F.col("count").alias("n_events"),
+        )
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
