@@ -33,6 +33,7 @@ __all__ = [
     "kcore",
     "neighbor_sample",
     "hits_fixed",
+    "modularity",
 ]
 
 
@@ -432,4 +433,71 @@ def hits_fixed(
     out = hub.join(auth, "node")
     e.unpersist()
     nodes.unpersist()
+    return out
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a community assignment over the undirected
+    simple graph of ``edges (u, v)`` — the quality score for LPA/
+    Louvain-style partitions. ``labels`` is ``(node, label)``.
+
+    Exact cross-engine arithmetic: with m = |undirected edges|,
+    e_c = intra-community edges, d_c = total degree of community c,
+
+        Q = (1/(4m^2)) * SUM_c (4m * e_c - d_c^2)
+
+    The numerator is pure int64 (exact on any engine); the single
+    final IEEE division is exactly specified — so Q hash-matches an
+    oracle bit-for-bit, unlike the textbook sum of per-community
+    doubles (order-dependent). Overflow: needs 4m * max(e_c) and
+    max(d_c)^2 < 2^63 — fine below ~10^9 edges; beyond that, scale
+    with the decimal(38,0) variant.
+
+    Returns one row: ``(m long, q_numerator long, modularity double)``.
+    One shuffle for the canonical edge dedup, two broadcast-able label
+    joins, then scalar aggregation.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col("u"), F.col("v")).cast("long").alias("a"),
+            F.greatest(F.col("u"), F.col("v")).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    lab = labels.select(
+        F.col("node").cast("long"), F.col("label").cast("long")
+    )
+    la = lab.select(F.col("node").alias("a"), F.col("label").alias("_la"))
+    lb = lab.select(F.col("node").alias("b"), F.col("label").alias("_lb"))
+    tagged = canon.join(la, "a").join(lb, "b").persist()
+    m = tagged.count()
+    intra = (
+        tagged.filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    deg = (
+        tagged.select(F.col("a").alias("node"), "_la")
+        .unionAll(tagged.select(F.col("b").alias("node"), "_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count("*").alias("d_c"))
+    )
+    per_c = deg.join(intra, "label", "left").select(
+        "label",
+        F.coalesce(F.col("e_c"), F.lit(0)).cast("long").alias("e_c"),
+        F.col("d_c").cast("long").alias("d_c"),
+    )
+    out = per_c.agg(
+        F.sum(
+            F.lit(4 * m) * F.col("e_c") - F.col("d_c") * F.col("d_c")
+        ).alias("q_numerator")
+    ).select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("q_numerator").cast("long").alias("q_numerator"),
+        (F.col("q_numerator") / F.lit(float(4 * m * m))).alias("modularity"),
+    )
+    canon.unpersist()
+    tagged.unpersist()
     return out

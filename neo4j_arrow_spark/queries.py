@@ -1882,3 +1882,68 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     media = fake_payloads(docs, "doc_id", "text")
     return sample_frames(media, "doc_id", every_ms=1000)
+
+
+def _modularity_oracle(iterations: int) -> str:
+    """LPA communities (reusing _lpa_oracle's CTE chain) + exact
+    integer-numerator modularity — see operators/graph_algs.modularity."""
+    lpa = _lpa_oracle(iterations)
+    # _lpa_oracle ends with "SELECT node, label FROM l{n}" — rewrap it
+    body, tail = lpa.rsplit("\n    SELECT node, label FROM", 1)
+    final = f"lfin AS (SELECT node, label FROM{tail})"
+    return f"""{body},
+    {final},
+    canon AS (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM edges WHERE u <> v
+    ),
+    tagged AS (
+        SELECT canon.a, canon.b, la.label AS _la, lb.label AS _lb
+        FROM canon
+        JOIN lfin la ON la.node = canon.a
+        JOIN lfin lb ON lb.node = canon.b
+    ),
+    mm AS (SELECT count(*) AS m FROM tagged),
+    intra AS (
+        SELECT _la AS label, count(*) AS e_c FROM tagged
+        WHERE _la = _lb GROUP BY 1
+    ),
+    deg AS (
+        SELECT label, count(*) AS d_c FROM (
+            SELECT a AS node, _la AS label FROM tagged
+            UNION ALL SELECT b, _lb FROM tagged
+        ) GROUP BY label
+    ),
+    per_c AS (
+        SELECT deg.label, coalesce(e_c, 0) AS e_c, d_c
+        FROM deg LEFT JOIN intra USING (label)
+    )
+    SELECT CAST((SELECT m FROM mm) AS BIGINT) AS m,
+           CAST(sum(4 * (SELECT m FROM mm) * e_c - d_c * d_c) AS BIGINT)
+               AS q_numerator,
+           CAST(sum(4 * (SELECT m FROM mm) * e_c - d_c * d_c) AS BIGINT)
+               / CAST(4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS DOUBLE)
+               AS modularity
+    FROM per_c"""
+
+
+@query("lpa_modularity", oracle=_modularity_oracle(2))
+def lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 2-round LPA communities on the part
+    co-purchase graph — the partition-quality score, computed with an
+    exact int64 numerator (SUM_c 4m*e_c - d_c^2) and a single final
+    IEEE division so the double hash-matches cross-engine
+    (operators/graph_algs.modularity)."""
+    from neo4j_arrow_spark.operators.graph_algs import label_propagation, modularity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 45).select("l_orderkey", "l_partkey")
+    edges = (
+        a.alias("a")
+        .join(a.alias("b"), on="l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    labels = label_propagation(edges, iterations=2)
+    return modularity(edges, labels)

@@ -115,3 +115,26 @@ def test_hits_fixed_star(spark):
     assert {k: (v.hub, v.auth) for k, v in out.items()} == {
         k: (v.hub, v.auth) for k, v in again.items()
     }
+
+
+def test_modularity_two_cliques(spark):
+    from neo4j_arrow_spark.operators.graph_algs import modularity
+
+    # two triangles joined by one bridge edge: strong community split
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "u long, v long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)], "node long, label long"
+    )
+    row = modularity(e, labels).collect()[0]
+    assert row.m == 7
+    # e_c = 3 each, d_0 = d_1 = 7: numerator = 2*(4*7*3 - 49) = 70
+    assert row.q_numerator == 70
+    assert row.modularity == 70 / (4 * 49)
+    # the all-in-one partition scores 0
+    one = spark.createDataFrame(
+        [(i, 0) for i in range(1, 7)], "node long, label long"
+    )
+    assert modularity(e, one).collect()[0].modularity == 0.0
