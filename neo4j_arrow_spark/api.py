@@ -151,13 +151,21 @@ class Neo4jArrowSpark:
         filters: Sequence[str] | None = None,
         list_size: int = DEFAULT_LIST_SIZE,
         k: int = 2,
+        node_id: str | None = None,
+        rel_property: str = "_type_",
     ) -> Job:
         """S5 (client: neo4j_arrow.py:256-279). The reference fixes k=2
-        (GdsReadJob.java:70-72); this engine generalizes k >= 1."""
+        (GdsReadJob.java:70-72); this engine generalizes k >= 1.
+        ``node_id`` remaps exported ids through a node property (client
+        parity). ``rel_property`` is accepted for message parity but
+        unused: it names the property the reference abuses to encode
+        edge orientation through a GDS projection (KHOP.md:55-70) —
+        this engine handles undirected semantics natively."""
+        del rel_property  # orientation is handled natively (see docstring)
         g = self.catalog.get(graph, database or self.database, self.username)
         return self.registry.submit(
             "gds.read/khop",
-            lambda: khop_fn(g.nodes, g.rels, filters, list_size, k),
+            lambda: khop_fn(g.nodes, g.rels, filters, list_size, k, node_id),
         )
 
     # -- writes ------------------------------------------------------------

@@ -177,6 +177,7 @@ def khop(
     filters: Sequence[str] | None = None,
     list_size: int = DEFAULT_LIST_SIZE,
     k: int = 2,
+    node_id: str | None = None,
 ) -> DataFrame:
     """Reference wire shape: ``(_origin_id_ int, _source_ids_
     array<int>, _target_ids_ array<int>)`` (``SubGraphRecord.java:
@@ -184,8 +185,26 @@ def khop(
     chunked into rows of at most ``list_size`` pairs (batch splitting is
     nondeterministic in the reference too — ``KHOP.md:125-128`` — so
     only the flattened set is contract).
+
+    ``node_id`` substitutes a node property for the exported ids
+    (the client's ``khop(node_id=...)`` remap, ``neo4j_arrow.py:
+    256-268`` / ``GdsReadJob.java:281-283``): origin/src/dst are
+    re-keyed through the property BEFORE chunking — three equi-joins
+    on the flat set (broadcast when the node map is small; the remap
+    property must be integral since the wire shape is int lists).
     """
     flat = khop_flat(nodes, rels, filters, k=k)
+    if node_id is not None:
+        idmap = nodes.select(
+            F.col(NodeField.ID).alias("_k"),
+            F.col(node_id).cast("long").alias("_m"),
+        )
+        for col in ("origin", "src", "dst"):
+            flat = (
+                flat.join(idmap, flat[col] == idmap["_k"])
+                .drop(col, "_k")
+                .withColumnRenamed("_m", col)
+            )
     # One exchange total: the window shuffles on origin, and the
     # (origin, _chunk) groupBy is satisfied by that same partitioning
     # (ClusteredDistribution on a superset key), so no second shuffle.

@@ -110,3 +110,24 @@ def test_khop_invalid_k(golden):
     nodes, rels = golden
     with pytest.raises(ValueError):
         khop_flat(nodes, rels, k=0)
+
+
+def test_khop_node_id_remap(spark):
+    """Client parity: khop(node_id=...) substitutes a node property for
+    every exported id (origin and the pair lists)."""
+    from neo4j_arrow_spark.operators.khop import khop
+
+    nodes = spark.createDataFrame(
+        [(1, ["N"], 101), (2, ["N"], 102), (3, ["N"], 103)],
+        "ID long, LABELS array<string>, alt long",
+    )
+    rels = spark.createDataFrame(
+        [(1, 2, "E"), (2, 3, "E")], "START_ID long, END_ID long, TYPE string"
+    )
+    out = khop(nodes, rels, node_id="alt").collect()
+    ids = {r._origin_id_ for r in out}
+    flat = {
+        x for r in out for x in list(r._source_ids_) + list(r._target_ids_)
+    }
+    assert ids <= {101, 102, 103}
+    assert flat <= {101, 102, 103}
