@@ -177,48 +177,93 @@ class Neo4jArrowSpark:
             return data
         return ingest.from_arrow(self.spark, data)
 
+    def _deferred(self, job_type: str, consume) -> Job:
+        """Two-phase write parity: the reference tickets a write job
+        first and the data arrives later via ``do_put`` (``put()``,
+        neo4j_arrow.py:325-344; WriteJob.java:47-50). The job thread
+        blocks until :meth:`put` supplies the data."""
+        import threading
+
+        holder: dict = {"evt": threading.Event(), "data": None}
+
+        def run() -> DataFrame:
+            holder["evt"].wait()
+            return consume(self._as_df(holder["data"]))
+
+        job = self.registry.submit(job_type, run)
+        job._put_holder = holder  # type: ignore[attr-defined]
+        return job
+
+    def put(self, job, data):
+        """do_put parity: supply the Arrow table / DataFrame a ticketed
+        write job is waiting for. Accepts the Job or its ticket string.
+        Returns (rows, nbytes) for a pyarrow.Table — (-1, -1) for a
+        DataFrame, whose size is unknown until the job materializes."""
+        if isinstance(job, str):
+            job = self.registry.get(job)
+        holder = getattr(job, "_put_holder", None)
+        if holder is None:
+            raise ValueError(
+                f"job {job.ticket} is not awaiting a put() "
+                "(it was submitted with inline data)"
+            )
+        holder["data"] = data
+        holder["evt"].set()
+        try:
+            return (data.num_rows, data.nbytes)
+        except AttributeError:
+            return (-1, -1)
+
     def gds_write_nodes(
         self,
         graph: str,
-        nodes,
+        nodes=None,
         id_field: str = NodeField.ID,
         labels_field: str = NodeField.LABELS,
         database: str | None = None,
     ) -> Job:
         """K1 (client: neo4j_arrow.py:200-211). Accepts a DataFrame or
-        pyarrow.Table. Synchronous catalog visibility on COMPLETE —
-        fixes README.md:214-218."""
-        nodes = self._as_df(nodes)
+        pyarrow.Table inline, or ``nodes=None`` for the reference's
+        two-phase flow (ticket now, data via :meth:`put`). Synchronous
+        catalog visibility on COMPLETE — fixes README.md:214-218."""
 
-        def run() -> DataFrame:
+        def consume(df: DataFrame) -> DataFrame:
             g = ingest.gds_write_nodes(
-                self.catalog, graph, nodes, id_field, labels_field,
+                self.catalog, graph, df, id_field, labels_field,
                 database=database or self.database,
             )
             return g.nodes
 
-        return self.registry.submit("gds.write.nodes", run)
+        if nodes is None:
+            return self._deferred("gds.write.nodes", consume)
+        nodes = self._as_df(nodes)
+        return self.registry.submit("gds.write.nodes", lambda: consume(nodes))
 
     def gds_write_relationships(
         self,
         graph: str,
-        rels,
+        rels=None,
         source_field: str = RelField.START_ID,
         target_field: str = RelField.END_ID,
         type_field: str = RelField.TYPE,
         database: str | None = None,
     ) -> Job:
-        """K2 (client: neo4j_arrow.py:213-226)."""
-        rels = self._as_df(rels)
+        """K2 (client: neo4j_arrow.py:213-226). Same inline/two-phase
+        duality as :meth:`gds_write_nodes`."""
 
-        def run() -> DataFrame:
+        def consume(df: DataFrame) -> DataFrame:
             g = ingest.gds_write_relationships(
-                self.catalog, graph, rels, source_field, target_field, type_field,
+                self.catalog, graph, df, source_field, target_field, type_field,
                 database=database or self.database,
             )
             return g.rels
 
-        return self.registry.submit("gds.write.relationships", run)
+        if rels is None:
+            return self._deferred("gds.write.relationships", consume)
+        rels = self._as_df(rels)
+        return self.registry.submit(
+            "gds.write.relationships", lambda: consume(rels)
+        )
 
     def bulk_import(
         self,
@@ -247,6 +292,10 @@ class Neo4jArrowSpark:
         return self.registry.jobs()
 
     def version(self) -> dict[str, str]:
+        return self.registry.version()
+
+    def info(self) -> dict[str, str]:
+        """info.version action parity (client: neo4j_arrow.py:143-154)."""
         return self.registry.version()
 
     def wait_for_job(self, ticket: str, timeout: float = 60.0) -> bool:

@@ -82,3 +82,38 @@ def test_scan_partitions_and_batch_size(client):
     assert (
         client.spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "123"
     )
+
+
+def test_two_phase_put_write(spark):
+    """Reference flow parity: ticket the write job first, stream the
+    table afterwards with put(); catalog visible on COMPLETE."""
+    import pyarrow as pa
+
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    client = Neo4jArrowSpark(spark)
+    job = client.gds_write_nodes("twophase")
+    assert client.job_status(job.ticket) in ("PENDING", "PRODUCING")
+    table = pa.table(
+        {"ID": [1, 2], "LABELS": [["A"], ["B"]], "p": [1.0, 2.0]}
+    )
+    rows, nbytes = client.put(job, table)
+    assert rows == 2 and nbytes > 0
+    assert job.result(60).count() == 2
+    assert "twophase" in client.catalog
+    # put on an inline-data job is an error
+    inline = client.gds_write_nodes(
+        "twophase2", spark.createDataFrame([(9, ["A"])], "ID long, LABELS array<string>")
+    )
+    inline.result(60)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not awaiting"):
+        client.put(inline, table)
+    # ticket-string addressing works too
+    job2 = client.gds_write_relationships("twophase")
+    rels = pa.table(
+        {"START_ID": [1], "END_ID": [2], "TYPE": ["E"]}
+    )
+    client.put(job2.ticket, rels)
+    assert job2.result(60).count() == 1
