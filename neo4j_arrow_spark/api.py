@@ -194,13 +194,44 @@ class Neo4jArrowSpark:
         job._put_holder = holder  # type: ignore[attr-defined]
         return job
 
-    def put(self, job, data):
+    @staticmethod
+    def _sizes(data):
+        try:
+            return (data.num_rows, data.nbytes)
+        except AttributeError:
+            return (-1, -1)
+
+    def put(self, job, data, stream_type: str | None = None):
         """do_put parity: supply the Arrow table / DataFrame a ticketed
         write job is waiting for. Accepts the Job or its ticket string.
         Returns (rows, nbytes) for a pyarrow.Table — (-1, -1) for a
-        DataFrame, whose size is unknown until the job materializes."""
+        DataFrame, whose size is unknown until the job materializes.
+
+        A bulk-import job takes TWO puts whose role is signaled by the
+        ``stream.type`` schema custom metadata (``node`` | ``rels``) —
+        the reference's exact protocol (BulkImportJob.java:49-51,82-97;
+        client neo4j_arrow.py:454-467). ``stream_type`` overrides for
+        DataFrames, which carry no schema metadata."""
         if isinstance(job, str):
             job = self.registry.get(job)
+        streams = getattr(job, "_put_streams", None)
+        if streams is not None:
+            role = stream_type
+            if role is None:
+                md = getattr(getattr(data, "schema", None), "metadata", None) or {}
+                raw = md.get(b"stream.type", md.get("stream.type"))
+                role = raw.decode() if isinstance(raw, bytes) else raw
+            if role not in ("node", "rels"):
+                # invalid-metadata rejection parity (BulkImportJob.java:192-198)
+                raise ValueError(
+                    "bulk import streams need stream.type metadata "
+                    "'node' or 'rels' (or pass stream_type=...)"
+                )
+            with streams["lock"]:
+                streams[role] = data
+                if streams["node"] is not None and streams["rels"] is not None:
+                    streams["evt"].set()
+            return self._sizes(data)
         holder = getattr(job, "_put_holder", None)
         if holder is None:
             raise ValueError(
@@ -209,10 +240,7 @@ class Neo4jArrowSpark:
             )
         holder["data"] = data
         holder["evt"].set()
-        try:
-            return (data.num_rows, data.nbytes)
-        except AttributeError:
-            return (-1, -1)
+        return self._sizes(data)
 
     def gds_write_nodes(
         self,
@@ -269,19 +297,45 @@ class Neo4jArrowSpark:
         self,
         database: str,
         database_path: str,
-        nodes: DataFrame,
-        rels: DataFrame,
+        nodes: DataFrame | None = None,
+        rels: DataFrame | None = None,
         **fields,
     ) -> Job:
-        """K3 (client: neo4j_arrow.py:454-467)."""
-        def run() -> DataFrame:
+        """K3 (client: neo4j_arrow.py:454-467). Inline frames, or the
+        reference's two-stream flow: omit both and send each stream via
+        :meth:`put` with ``stream.type`` metadata (``node``/``rels``,
+        BulkImportJob.java:82-97) — the job runs once both arrive."""
+        def consume2(nodes_df: DataFrame, rels_df: DataFrame) -> DataFrame:
             g = ingest.bulk_import(
-                self.spark, self.catalog, database_path, nodes, rels,
+                self.spark, self.catalog, database_path, nodes_df, rels_df,
                 database_name=database, **fields,
             )
             return g.nodes
 
-        return self.registry.submit("import.bulk", run)
+        if nodes is None and rels is None:
+            import threading
+
+            streams: dict = {
+                "evt": threading.Event(),
+                "lock": threading.Lock(),
+                "node": None,
+                "rels": None,
+            }
+
+            def run() -> DataFrame:
+                streams["evt"].wait()
+                return consume2(
+                    self._as_df(streams["node"]), self._as_df(streams["rels"])
+                )
+
+            job = self.registry.submit("import.bulk", run)
+            job._put_streams = streams  # type: ignore[attr-defined]
+            return job
+        if nodes is None or rels is None:
+            raise ValueError("pass both nodes and rels inline, or neither")
+        return self.registry.submit(
+            "import.bulk", lambda: consume2(nodes, rels)
+        )
 
     # -- control plane -----------------------------------------------------
 

@@ -117,3 +117,33 @@ def test_two_phase_put_write(spark):
     )
     client.put(job2.ticket, rels)
     assert job2.result(60).count() == 1
+
+
+def test_bulk_import_two_stream_metadata(spark, tmp_path):
+    """K3 protocol parity: two puts routed by stream.type schema
+    metadata; the import runs once both streams arrive."""
+    import pyarrow as pa
+
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    client = Neo4jArrowSpark(spark)
+    job = client.bulk_import("bulk2db", str(tmp_path / "bulk2db"))
+    nodes = pa.table(
+        {"ID": [1, 2], "LABELS": [["A"], ["A"]]}
+    ).replace_schema_metadata({b"stream.type": b"node"})
+    rels = pa.table(
+        {"START_ID": [1], "END_ID": [2], "TYPE": ["E"]}
+    ).replace_schema_metadata({b"stream.type": b"rels"})
+    # order doesn't matter; the job blocks until both are in
+    client.put(job, rels)
+    assert client.job_status(job.ticket) in ("PENDING", "PRODUCING")
+    client.put(job, nodes)
+    assert job.result(120).count() == 2
+    # missing/invalid metadata is rejected like BulkImportJob.java:192-198
+    job2 = client.bulk_import("bulk2db2", str(tmp_path / "bulk2db2"))
+    bad = pa.table({"ID": [1], "LABELS": [["A"]]})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stream.type"):
+        client.put(job2, bad)
+    client.put(job2, bad, stream_type="node")  # explicit override works
