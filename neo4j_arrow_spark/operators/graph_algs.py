@@ -408,29 +408,36 @@ def hits_fixed(
         """One HITS half-step: sum `col` over edges grouped by the
         other endpoint, then max-rescale. The raw sums are
         checkpointed ONCE — they feed both the scalar max and the
-        rescale; leaving them lazy recomputes the join+agg twice."""
+        rescale; leaving them lazy recomputes the join+agg twice.
+        Score frames stay SPARSE (touched nodes only): an absent node
+        scores 0, contributes nothing to the next half-step's sums,
+        and (scores being non-negative with at least one positive) the
+        max over present rows equals the max over all nodes. Zeros are
+        filled once at the end instead of per half-step — halves the
+        per-iteration join count."""
         raw = (
             e.join(scores, e[join_key] == scores["node"])
             .groupBy(F.col(out_key).alias("node"))
-            .agg(F.sum(col).alias("s"))
-        )
-        full = (
-            nodes.join(raw, "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s"),
-            )
+            .agg(F.sum(col).cast("long").alias("s"))
             .localCheckpoint()
         )
-        m = full.agg(F.max("s").alias("_m"))
-        return full.crossJoin(F.broadcast(m)).select(
+        m = raw.agg(F.max("s").alias("_m"))
+        return raw.crossJoin(F.broadcast(m)).select(
             "node", F.expr(f"CAST(s * {scale} div _m AS BIGINT)").alias(out)
         )
 
     for _ in range(iterations):
         auth = _half(hub, "hub", "u", "v", "auth")
         hub = _half(auth, "auth", "v", "u", "hub")
-    out = hub.join(auth, "node")
+    out = (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0)).cast("long").alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0)).cast("long").alias("auth"),
+        )
+    )
     e.unpersist()
     nodes.unpersist()
     return out
