@@ -573,3 +573,41 @@ def bpe_pair_counts(
         .filter(F.col("n_pairs") >= min_count)
     )
     return pairs
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    text_col: str = "text",
+    seq_len: int = 512,
+) -> DataFrame:
+    """Sequence packing for pretraining: documents are concatenated in
+    id order within each ``group_col`` shard and cut into fixed
+    ``seq_len``-token training sequences; a document's pack is the
+    sequence its first token lands in. Output: ``(id, group, n_tokens,
+    start_offset, pack_id)``.
+
+    Packing per shard (source/domain) rather than globally is both the
+    scalable plan — the running sum is a window per shard key, one
+    shuffle, no single-partition global prefix scan — and what real
+    pipelines do (shard-local packing keeps workers independent).
+    Token counts use the BPE-ish regex of :func:`token_stats`.
+    """
+    n_tok = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPEISH_RE), 0))
+        .cast("long")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (
+        df.select(F.col(id_col), F.col(group_col), n_tok.alias("n_tokens"))
+        .withColumn("start_offset", start)
+        .withColumn(
+            "pack_id", F.expr(f"start_offset div {seq_len}").cast("long")
+        )
+    )

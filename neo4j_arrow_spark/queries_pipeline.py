@@ -1196,3 +1196,58 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.bpe_pair_counts)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_pair_counts(docs, "text", min_count=2)
+
+
+_PACK_SQL = """
+    SELECT doc_id, source, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // 512 AS BIGINT) AS pack_id
+    FROM (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r]'))::BIGINT
+                   AS n_tokens
+        FROM documents
+    )
+"""
+
+
+@query("sequence_packing", oracle=_PACK_SQL)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-local sequence packing: concatenate each source's docs in
+    id order and cut into 512-token training sequences; every doc maps
+    to the pack its first token lands in
+    (operators/text.pack_sequences)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pack_sequences(docs, "doc_id", "source", seq_len=512)
+
+
+_QUALITY_FILTER_SQL = f"""
+    WITH q AS ({_QUALITY_ORACLE}),
+    t AS (SELECT quantile_cont(quality, 0.25) AS thr FROM q)
+    SELECT doc_id, quality FROM q
+    WHERE quality >= (SELECT thr FROM t)
+"""
+
+
+@query("quality_filtered_corpus", oracle=_QUALITY_FILTER_SQL)
+def quality_filtered_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-thresholded quality filter: keep documents at or
+    above the corpus 25th quality percentile — the relative (corpus-
+    calibrated) variant of a fixed-threshold drop rule. Spark's exact
+    `percentile` matches DuckDB's quantile_cont (both linear
+    interpolation); the scalar threshold broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs, "doc_id")
+    thr = scored.agg(F.expr("percentile(quality, 0.25)").alias("thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("thr"))
+        .select("doc_id", "quality")
+    )

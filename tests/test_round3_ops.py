@@ -138,3 +138,21 @@ def test_modularity_two_cliques(spark):
         [(i, 0) for i in range(1, 7)], "node long, label long"
     )
     assert modularity(e, one).collect()[0].modularity == 0.0
+
+
+def test_pack_sequences_offsets(spark):
+    from neo4j_arrow_spark.operators.text import pack_sequences
+
+    rows = [
+        (1, "s1", "aaa bbb"),            # 2 tokens
+        (2, "s1", "c d e f"),            # 4 tokens
+        (3, "s1", "gg hh"),              # 2 tokens
+        (4, "s2", "x y z"),              # other shard restarts at 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in pack_sequences(df, "doc_id", "source", seq_len=4).collect()}
+    assert out[1].start_offset == 0 and out[1].pack_id == 0
+    assert out[2].start_offset == 2 and out[2].pack_id == 0
+    assert out[3].start_offset == 6 and out[3].pack_id == 1
+    assert out[4].start_offset == 0 and out[4].pack_id == 0
+    assert out[2].n_tokens == 4
