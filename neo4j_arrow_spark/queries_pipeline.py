@@ -407,9 +407,8 @@ def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- similarity search --------------------------------------------------------
 
-@query(
-    "ann_topk_brute",
-    oracle=f"""
+def _ann_brute_sql(k: int) -> str:
+    return f"""
     WITH scored AS (
         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                {_duck_cos("q.embedding", "n.embedding")} AS cos
@@ -424,9 +423,11 @@ def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
     )
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
-    FROM ranked WHERE rank <= 5
-    """,
-)
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("ann_topk_brute", oracle=_ann_brute_sql(5))
 def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(
@@ -434,9 +435,8 @@ def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_ivf_topk",
-    oracle=f"""
+def _ann_ivf_sql(k: int) -> str:
+    return f"""
     WITH centroids AS (SELECT vec_id AS bucket, embedding AS cv
                        FROM embeddings WHERE vec_id < 8),
     iscore AS (
@@ -481,9 +481,11 @@ def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM searched
     )
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
-    FROM ranked WHERE rank <= 3
-    """,
-)
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("ann_ivf_topk", oracle=_ann_ivf_sql(3))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
@@ -1250,4 +1252,51 @@ def quality_filtered_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.crossJoin(F.broadcast(thr))
         .filter(F.col("quality") >= F.col("thr"))
         .select("doc_id", "quality")
+    )
+
+
+_RECALL_SQL = f"""
+    WITH brute AS ({_ann_brute_sql(3)}),
+    ivf AS ({_ann_ivf_sql(3)}),
+    hits AS (
+        SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM brute b JOIN ivf i
+          ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+        GROUP BY b.query_id
+    ),
+    qs AS (SELECT DISTINCT query_id FROM brute)
+    SELECT q.query_id,
+           coalesce(n_hits, 0) AS n_hits,
+           coalesce(n_hits, 0) / 3.0 AS recall
+    FROM qs q LEFT JOIN hits USING (query_id)
+"""
+
+
+@query("ann_ivf_recall", oracle=_RECALL_SQL)
+def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@3 of the IVF(nprobe=1) index
+    against the exact brute-force top-3 per query — the measurement
+    loop that tunes nlist/nprobe at scale. Both legs are the
+    oracle-verified operators; recall is their per-query overlap / k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk(emb, queries_df, "vec_id", "embedding", k=3)
+    ivf = similarity.ivf_topk(
+        emb, queries_df, emb.filter(F.col("vec_id") < 8),
+        "vec_id", "embedding", k=3, nprobe=1,
+    )
+    hits = (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(3.0)).alias("recall"),
+        )
     )
