@@ -33,7 +33,10 @@ from Cypher's encounter order, which no distributed engine reproduces
 deterministically), ``UNWIND labels(n) AS x`` (LATERAL VIEW
 explode / unnest per dialect), and ``MATCH p = shortestPath((a)-[:T*a..b]->(b))``
 with ``length(p)`` (UNION-of-chains + MIN over the per-branch length;
-one row per endpoint pair, Cypher's multiplicity).
+one row per endpoint pair, Cypher's multiplicity), and
+``[NOT] EXISTS((a)-[:T]->(b[:Label]))`` pattern predicates in WHERE
+(ANSI EXISTS subqueries — semi/anti joins; target bound, labeled, or
+fully existential; ``-`` checks both orientations).
 Out of scope (raise :class:`CypherUnsupported`): multiple comma
 patterns, mutation clauses, path variables outside shortestPath,
 unbounded ``*``. The generated SQL uses only
@@ -455,7 +458,93 @@ class _Parser:
             return f"{var}.ID"
         return self.literal()
 
+    def _exists_pattern(self) -> str:
+        """``EXISTS((a)-[:T]->(b[:Label]))`` pattern predicate: an
+        existential single-hop check from a BOUND variable. Emits an
+        ANSI EXISTS subquery against the ``__RELS__``/``__NODES__``
+        placeholders (the view names are only known at emission —
+        :func:`cypher_to_sql` substitutes them last). The target is
+        either a bound variable (edge-existence between two bound
+        nodes) or a fresh existential one, optionally label-filtered.
+        Direction ``-`` checks both orientations. Called with the
+        outer ``EXISTS(`` already consumed; node() consumes the
+        pattern's own parens."""
+        src = self.node()
+        r = self.rel()
+        dst = self.node()
+        if src.labels or src.props or dst.props:
+            raise CypherUnsupported(
+                "EXISTS pattern supports labels only on the target node"
+            )
+        if r.is_varlength:
+            raise CypherUnsupported("variable-length EXISTS is not supported")
+        bound = getattr(self, "_bound", set())
+        if src.var not in bound:
+            raise CypherUnsupported(
+                f"EXISTS must start from a bound variable; {src.var!r} is not"
+            )
+        self._exists_n = getattr(self, "_exists_n", 0) + 1
+        ev = f"_ex{self._exists_n}"
+
+        def leg(start: str, end: str) -> str:
+            conds = [f"{ev}.START_ID = {start}.ID"]  # start is always bound
+            tc = _type_cond(r, ev)
+            if tc:
+                conds.append(tc)
+            if end in bound:
+                conds.append(f"{ev}.END_ID = {end}.ID")
+            elif dst.labels:
+                lbl = dst.labels[0]
+                conds.append(
+                    f"{ev}.END_ID IN (SELECT ID FROM __NODES__ "
+                    f"WHERE array_contains(LABELS, '{lbl}'))"
+                )
+            return (
+                f"EXISTS (SELECT 1 FROM __RELS__ AS {ev} WHERE "
+                + " AND ".join(conds)
+                + ")"
+            )
+
+        def rleg() -> str:
+            # reversed orientation: src is the edge TARGET
+            conds = [f"{ev}.END_ID = {src.var}.ID"]
+            tc = _type_cond(r, ev)
+            if tc:
+                conds.append(tc)
+            if dst.var in bound:
+                conds.append(f"{ev}.START_ID = {dst.var}.ID")
+            elif dst.labels:
+                lbl = dst.labels[0]
+                conds.append(
+                    f"{ev}.START_ID IN (SELECT ID FROM __NODES__ "
+                    f"WHERE array_contains(LABELS, '{lbl}'))"
+                )
+            return (
+                f"EXISTS (SELECT 1 FROM __RELS__ AS {ev} WHERE "
+                + " AND ".join(conds)
+                + ")"
+            )
+
+        if len(dst.labels) > 1:
+            raise CypherUnsupported("EXISTS target supports one label")
+        if r.direction == "->":
+            return "(" + leg(src.var, dst.var) + ")"
+        if r.direction == "<-":
+            return "(" + rleg() + ")"
+        return "(" + leg(src.var, dst.var) + " OR " + rleg() + ")"
+
     def comparison(self) -> str:
+        kind0, tok0 = self.peek()
+        if (
+            kind0 == "name"
+            and tok0.lower() == "exists"
+            and self.toks[self.pos + 1][1] == "("
+        ):
+            self.next()
+            self.expect("(")
+            out = self._exists_pattern()
+            self.expect(")")
+            return out
         if self.accept("("):
             inner = self.expr()
             self.expect(")")
@@ -602,6 +691,7 @@ class _Parser:
         if self.accept("WHERE"):
             # applies post-join (global filter); Cypher's per-OPTIONAL
             # WHERE is out of scope — document divergence
+            self._bound = set(bound)  # EXISTS pattern anchor check
             where = self.expr()
         unwinds: list[tuple[str, str]] = []
         while self.accept("UNWIND"):
@@ -791,6 +881,12 @@ def _chain(
     return from_sql, joins, conds
 
 
+def _subst_views(sql: str, nodes_view: str, rels_view: str) -> str:
+    """Resolve the EXISTS-predicate placeholders (the WHERE parser has
+    no access to the view names; see _Parser._exists_pattern)."""
+    return sql.replace("__NODES__", nodes_view).replace("__RELS__", rels_view)
+
+
 def cypher_to_sql(
     query: str, nodes_view: str, rels_view: str, dialect: str = "spark"
 ) -> str:
@@ -842,17 +938,25 @@ def cypher_to_sql(
         if ast["post_match"]:
             for i, (items, distinct, where) in enumerate(stages):
                 sql = _stage_sql(sql, items, distinct, where, i)
-            return _post_match_sql(ast, sql, nodes_view, rels_view)
+            return _subst_views(
+                _post_match_sql(ast, sql, nodes_view, rels_view),
+                nodes_view,
+                rels_view,
+            )
         stages.append((ast["items"], ast["distinct"], ast["withs"][-1]["where"]))
         for i, (items, distinct, where) in enumerate(stages):
             last = i == len(stages) - 1
             sql = _stage_sql(sql, items, distinct, where, i)
             if last:
                 sql = _order_limit_tail(sql, ast)
-        return sql
+        return _subst_views(sql, nodes_view, rels_view)
     if varlength:
-        return _varlength_sql(ast, nodes_view, rels_view)
-    return _plain_sql(ast, nodes_view, rels_view)
+        return _subst_views(
+            _varlength_sql(ast, nodes_view, rels_view), nodes_view, rels_view
+        )
+    return _subst_views(
+        _plain_sql(ast, nodes_view, rels_view), nodes_view, rels_view
+    )
 
 
 def _post_match_sql(

@@ -153,6 +153,22 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_exists_semi",
+    "MATCH (c:Customer) "
+    "WHERE EXISTS((c)-[:BUYS_FROM]->(s:Supplier)) AND c.acctbal > 9000.0 "
+    "RETURN c.ID AS id, c.acctbal AS acctbal",
+)
+
+_cypher_query(
+    "cypher_not_exists_anti",
+    # same-nation customer/supplier pairs with no purchase edge —
+    # the bound-to-bound anti-join form of the EXISTS predicate
+    "MATCH (c:Customer)-[:IN_NATION]->(n:Nation)<-[:IN_NATION]-(s:Supplier) "
+    "WHERE NOT EXISTS((c)-[:BUYS_FROM]->(s)) "
+    "RETURN c.ID AS cust, s.ID AS supp",
+)
+
+_cypher_query(
     "cypher_shortest_path",
     "MATCH p = shortestPath("
     "(c:Customer)-[:BUYS_FROM|IN_NATION*1..3]->(n:Nation)) "

@@ -430,3 +430,56 @@ def test_shortest_path_rejections():
         )
     with _pytest.raises(CypherUnsupported, match="shortestPath"):
         cypher_to_sql("MATCH p = (a:N)-[:E*1..2]->(b:N) RETURN a", "n", "r")
+
+
+def test_exists_pattern_rejections():
+    import pytest as _pytest
+
+    from neo4j_arrow_spark.cypher import CypherUnsupported, cypher_to_sql
+
+    with _pytest.raises(CypherUnsupported, match="bound"):
+        cypher_to_sql(
+            "MATCH (a:N) WHERE EXISTS((z)-[:E]->(b)) RETURN a", "n", "r"
+        )
+    with _pytest.raises(CypherUnsupported, match="variable-length"):
+        cypher_to_sql(
+            "MATCH (a:N) WHERE EXISTS((a)-[:E*1..2]->(b)) RETURN a", "n", "r"
+        )
+
+
+def test_exists_semi_anti_semantics(spark):
+    from neo4j_arrow_spark.cypher import cypher_to_sql
+
+    nodes = spark.createDataFrame(
+        [(1, ["N"]), (2, ["N"]), (3, ["N"])], "ID long, LABELS array<string>"
+    )
+    rels = spark.createDataFrame(
+        [(1, 2, "E")], "START_ID long, END_ID long, TYPE string"
+    )
+    nodes.createOrReplaceTempView("ex_nodes")
+    rels.createOrReplaceTempView("ex_rels")
+    semi = spark.sql(
+        cypher_to_sql(
+            "MATCH (a:N) WHERE EXISTS((a)-[:E]->(b)) RETURN a.ID AS id",
+            "ex_nodes",
+            "ex_rels",
+        )
+    ).collect()
+    assert {r.id for r in semi} == {1}
+    anti = spark.sql(
+        cypher_to_sql(
+            "MATCH (a:N) WHERE NOT EXISTS((a)-[:E]->(b)) RETURN a.ID AS id",
+            "ex_nodes",
+            "ex_rels",
+        )
+    ).collect()
+    assert {r.id for r in anti} == {2, 3}
+    # undirected checks both orientations
+    und = spark.sql(
+        cypher_to_sql(
+            "MATCH (a:N) WHERE EXISTS((a)-[:E]-(b)) RETURN a.ID AS id",
+            "ex_nodes",
+            "ex_rels",
+        )
+    ).collect()
+    assert {r.id for r in und} == {1, 2}
