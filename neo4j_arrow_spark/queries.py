@@ -1963,3 +1963,40 @@ def lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = label_propagation(edges, iterations=2)
     return modularity(edges, labels)
+
+
+@query(
+    "bfs_multisource",
+    oracle=f"""
+    WITH RECURSIVE rels AS ({RELS_SQL}),
+    e AS (
+        SELECT DISTINCT START_ID AS u, END_ID AS v
+        FROM rels WHERE TYPE = 'BUYS_FROM'
+    ),
+    und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    src AS (SELECT DISTINCT u AS node FROM e WHERE u % 500 = 0),
+    b(node, hop) AS (
+        SELECT node, 0 FROM src
+        UNION
+        SELECT und.v, b.hop + 1
+        FROM b JOIN und ON b.node = und.u
+        WHERE b.hop < 2
+    )
+    SELECT node, CAST(min(hop) AS INT) AS hop FROM b GROUP BY node
+    """,
+)
+def bfs_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: hop distance to the NEAREST of a seed set
+    (every 500th customer) — the distance-to-nearest-landmark feature;
+    same frontier expansion as bfs_hops, the frontier just starts as a
+    set (operators/graph_algs.bfs_hops)."""
+    from neo4j_arrow_spark.operators.graph_algs import bfs_hops
+
+    _, rels = _graph(spark, sf_dir)
+    edges = rels.filter(F.col("TYPE") == "BUYS_FROM").select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    sources = edges.filter(F.col("u") % 500 == 0).select(
+        F.col("u").alias("node")
+    ).distinct()
+    return bfs_hops(edges, sources, max_hops=2)
