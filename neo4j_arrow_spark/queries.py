@@ -2000,3 +2000,48 @@ def bfs_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("node")
     ).distinct()
     return bfs_hops(edges, sources, max_hops=2)
+
+
+@query(
+    "khop_subset_origins",
+    oracle=f"""
+    WITH nodes AS ({NODES_SQL}),
+    rels AS ({RELS_SQL}),
+    origins AS (
+        SELECT ID FROM nodes
+        WHERE list_contains(LABELS, 'Customer') AND ID % 7 = 0
+    ),
+    edges AS (
+        SELECT DISTINCT START_ID AS src, END_ID AS dst
+        FROM rels WHERE TYPE = 'IN_NATION'
+    ),
+    neighbors AS (
+        SELECT src AS origin, dst AS member FROM edges
+        UNION
+        SELECT dst AS origin, src AS member FROM edges
+    ),
+    members AS (
+        SELECT ID AS origin, ID AS member FROM origins
+        UNION
+        SELECT n.origin, n.member
+        FROM neighbors n JOIN origins o ON n.origin = o.ID
+    ),
+    incident AS (
+        SELECT src AS member, src, dst FROM edges
+        UNION
+        SELECT dst AS member, src, dst FROM edges
+    )
+    SELECT DISTINCT m.origin AS origin, i.src AS src, i.dst AS dst
+    FROM members m JOIN incident i ON m.member = i.member
+    """,
+)
+def khop_subset_origins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop edge sets for a strict SUBSET of origins (every 7th
+    customer) — the origins_complete=False leg of khop_flat, where the
+    member closure is semi-joined against the origin set instead of
+    assuming every endpoint is an origin."""
+    nodes, rels = _graph(spark, sf_dir)
+    origins = nodes.filter(
+        F.array_contains(F.col("LABELS"), "Customer") & (F.col("ID") % 7 == 0)
+    )
+    return khop_flat(origins, rels, filters=["IN_NATION"], origins_complete=False)
