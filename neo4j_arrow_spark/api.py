@@ -35,6 +35,11 @@ class Neo4jArrowSpark:
     Spark deployment, not the library.
     """
 
+    #: default seconds a ticketed two-phase write waits for ``put()``
+    #: before failing to ERROR — an orphaned ticket must not pin its
+    #: job thread forever (override per-instance or per-call)
+    put_timeout: float = 600.0
+
     def __init__(self, spark: SparkSession, username: str = "neo4j", database: str = "neo4j"):
         self.spark = spark
         self.username = username
@@ -177,17 +182,24 @@ class Neo4jArrowSpark:
             return data
         return ingest.from_arrow(self.spark, data)
 
-    def _deferred(self, job_type: str, consume) -> Job:
+    def _deferred(self, job_type: str, consume, timeout: float | None = None) -> Job:
         """Two-phase write parity: the reference tickets a write job
         first and the data arrives later via ``do_put`` (``put()``,
         neo4j_arrow.py:325-344; WriteJob.java:47-50). The job thread
-        blocks until :meth:`put` supplies the data."""
+        blocks until :meth:`put` supplies the data — bounded by
+        ``timeout`` (default :attr:`put_timeout`): an orphaned ticket
+        fails to ERROR and releases its thread instead of leaking."""
         import threading
 
         holder: dict = {"evt": threading.Event(), "data": None}
+        wait_s = self.put_timeout if timeout is None else timeout
 
         def run() -> DataFrame:
-            holder["evt"].wait()
+            if not holder["evt"].wait(wait_s):
+                raise TimeoutError(
+                    f"{job_type}: no put() within {wait_s:g}s — "
+                    "ticket orphaned, job failed"
+                )
             return consume(self._as_df(holder["data"]))
 
         job = self.registry.submit(job_type, run)

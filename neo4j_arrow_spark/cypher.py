@@ -1178,8 +1178,15 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         )
         if ast.get("shortest"):
             # this branch's total path length, a per-row constant the
-            # outer MIN(_pathlen) aggregates into the shortest length
+            # outer MIN(_pathlen) aggregates into the shortest length —
+            # plus the endpoint node identities, so multiplicity is one
+            # row per endpoint PAIR, not per distinct projected value
+            # (two pairs sharing a projected a.name must not collapse)
             select += f", {sum(lengths)} AS _pathlen"
+            select += (
+                f", {nodes[0].var}.ID AS _ep_a"
+                f", {nodes[-1].var}.ID AS _ep_b"
+            )
         b_sql = f"SELECT {select}\nFROM {from_sql}"
         for j in joins:
             b_sql += f"\n{j}"
@@ -1196,27 +1203,32 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
 
     items = [(rewrite(e), a, g) for e, a, g in ast["items"]]
     distinct = ast["distinct"]
+    ep_group: list[str] = []
     if ast.get("shortest"):
         # length(p) (the _pathlen marker) aggregates to the shortest
-        # length per endpoint group; an already-aggregate item (e.g.
-        # min(length(p))) is left as written. Without any aggregate,
-        # Cypher's one-row-per-endpoint-pair multiplicity is DISTINCT
-        # over the projected endpoint properties.
+        # length per endpoint pair; an already-aggregate item written
+        # by the user (e.g. min(length(p))) keeps Cypher's global
+        # aggregation semantics. Otherwise multiplicity is one row per
+        # endpoint NODE pair — grouped by the branch-emitted _ep_a/_ep_b
+        # identities, never by projected values (two endpoint pairs
+        # sharing projected values must stay two rows).
+        user_agg = any(g for _, _, g in items)
         items = [
             (re.sub(r"\b_pathlen\b", "MIN(_pathlen)", e), a, True)
             if (not g and re.search(r"\b_pathlen\b", e))
             else (e, a, g)
             for e, a, g in items
         ]
-        if not any(g for _, _, g in items):
-            distinct = True
+        if not user_agg:
+            ep_group = ["_ep_a", "_ep_b"]
+            distinct = False
     select_parts = [f"{e} AS {a}" for e, a, _ in items]
     select_sql = ("DISTINCT " if distinct else "") + ", ".join(select_parts)
-    group_cols = [e for e, _a, agg in items if not agg]
+    group_cols = [e for e, _a, agg in items if not agg] + ep_group
     has_agg = any(agg for _, _, agg in items)
 
     sql = f"SELECT {select_sql}\nFROM (\n{union}\n) AS _paths"
-    if has_agg and group_cols:
+    if (has_agg or ep_group) and group_cols:
         sql += "\nGROUP BY " + ", ".join(group_cols)
     if ast["order"] or ast["limit"] is not None or ast["skip"] is not None:
         sql = f"SELECT * FROM (\n{sql}\n) AS _projected"

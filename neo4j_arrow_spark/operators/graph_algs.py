@@ -463,6 +463,12 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     Returns one row: ``(m long, q_numerator long, modularity double)``.
     One shuffle for the canonical edge dedup, two broadcast-able label
     joins, then scalar aggregation.
+
+    Edges whose endpoints lack a label row are EXCLUDED from m (the
+    label joins are inner): Q is the modularity of the labeled
+    subgraph. m == 0 (empty or fully-unlabeled edge set) short-circuits
+    to Q = 0.0 — the defined no-structure value — instead of NULL from
+    a 0/0 division.
     """
     canon = (
         edges.select(
@@ -496,14 +502,22 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         F.coalesce(F.col("e_c"), F.lit(0)).cast("long").alias("e_c"),
         F.col("d_c").cast("long").alias("d_c"),
     )
+    q_col = (
+        (F.col("q_numerator") / F.lit(float(4 * m * m)))
+        if m > 0
+        else F.lit(0.0)
+    )
     out = per_c.agg(
-        F.sum(
-            F.lit(4 * m) * F.col("e_c") - F.col("d_c") * F.col("d_c")
+        F.coalesce(
+            F.sum(
+                F.lit(4 * m) * F.col("e_c") - F.col("d_c") * F.col("d_c")
+            ),
+            F.lit(0),
         ).alias("q_numerator")
     ).select(
         F.lit(m).cast("long").alias("m"),
         F.col("q_numerator").cast("long").alias("q_numerator"),
-        (F.col("q_numerator") / F.lit(float(4 * m * m))).alias("modularity"),
+        q_col.alias("modularity"),
     )
     canon.unpersist()
     tagged.unpersist()

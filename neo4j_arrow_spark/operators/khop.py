@@ -192,6 +192,13 @@ def khop(
     re-keyed through the property BEFORE chunking — three equi-joins
     on the flat set (broadcast when the node map is small; the remap
     property must be integral since the wire shape is int lists).
+
+    A referenced id whose node row is missing, whose property is NULL,
+    or whose value doesn't cast to an integer FAILS the job (left join
+    + raise_error) instead of silently shrinking the edge set — the
+    reference surfaces missing remap properties as NOT_FOUND errors
+    (GdsReadJob.java:281-283). raise_error is evaluated inside the
+    remap projection, so the check costs no extra Spark job.
     """
     flat = khop_flat(nodes, rels, filters, k=k)
     if node_id is not None:
@@ -201,9 +208,25 @@ def khop(
         )
         for col in ("origin", "src", "dst"):
             flat = (
-                flat.join(idmap, flat[col] == idmap["_k"])
-                .drop(col, "_k")
-                .withColumnRenamed("_m", col)
+                flat.join(idmap, flat[col] == idmap["_k"], "left")
+                .withColumn(
+                    "_mv",
+                    F.when(
+                        F.col("_m").isNull(),
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    f"khop node_id remap: property "
+                                    f"'{node_id}' missing or non-integral "
+                                    f"for {col} id "
+                                ),
+                                F.col(col).cast("string"),
+                            )
+                        ).cast("long"),
+                    ).otherwise(F.col("_m")),
+                )
+                .drop(col, "_k", "_m")
+                .withColumnRenamed("_mv", col)
             )
     # One exchange total: the window shuffles on origin, and the
     # (origin, _chunk) groupBy is satisfied by that same partitioning

@@ -538,7 +538,10 @@ def boilerplate_fraction(
 
 
 def bpe_pair_counts(
-    df: DataFrame, text_col: str = "text", min_count: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus-wide adjacent-symbol pair frequencies over the
     whitespace-token stream — the inner statistic of a BPE tokenizer
@@ -554,10 +557,15 @@ def bpe_pair_counts(
     map-side partial aggregation compresses each task's output to at
     most that many rows before the exchange, so the hot keys never
     concentrate rows.
+
+    The window partitions on ``(id_col, _ti)`` — a real column, NOT
+    monotonically_increasing_id(): a nondeterministic id upstream of a
+    shuffle re-keys rows on task retry and splits a token's characters
+    across partitions, corrupting pair counts.
     """
     toks = df.select(
+        F.col(id_col).alias("_row"),
         F.posexplode(tokens(text_col)).alias("_ti", "_tok"),
-        F.monotonically_increasing_id().alias("_row"),
     )
     chars = toks.select(
         "_row",
