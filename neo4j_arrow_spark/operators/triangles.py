@@ -53,14 +53,21 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation counts ``(node, n_tri)`` for
     every node in at least one triangle."""
-    o = oriented_edges(edges).persist()  # consumed by 3 join inputs
+    # consumed by 3 join inputs: localCheckpoint materializes the
+    # oriented edge set ONCE and truncates lineage, so the three scan
+    # legs read the stored result instead of replicating the
+    # orient/dedup subtree (and its exchanges) per leg
+    o = oriented_edges(edges).localCheckpoint()
     e1 = o.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
     e3 = o.select(F.col("s").alias("a"), F.col("t").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    # single-pass corner emission: explode each triangle row into its
+    # three corners IN the join's output stage, so the expensive
+    # O(m^1.5) wedge join executes exactly once — a 3-way union of
+    # `tri` projections would replicate the join subtree 3× in the
+    # plan (the round-3 audit's 94-exchange finding)
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_tri"))
