@@ -21,6 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from neo4j_arrow_spark.operators.dedup import unpersist_intermediates  # noqa: E402
 from neo4j_arrow_spark.queries import queries  # noqa: E402
 from neo4j_arrow_spark.session import get_session  # noqa: E402
 
@@ -94,8 +95,15 @@ def main() -> None:
     # the reference's own methodology (speed/26-aug-2021/README.md:
     # 5 warm-ups, best-3-of-5).
     max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "4"))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    selected = sorted(queries().items())
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        selected = [(n, f) for n, f in selected if n in keep]
     timings: dict[str, float] = {}
-    for name, fn in sorted(queries().items()):
+    import gc
+
+    for qi, (name, fn) in enumerate(selected):
         best = float("inf")
         n = 0
         improving = True
@@ -114,10 +122,20 @@ def main() -> None:
             improving = last < best * 0.8
             best = min(best, last)
             n += 1
-            # operators persist shared subframes; drop them so queries
-            # are independent and memory pressure can't accumulate
-            spark.catalog.clearCache()
+            # each query releases ITS OWN persisted intermediates (the
+            # recorded unpersist handles) — no blanket clearCache, so a
+            # long-lived session behaves like real library use
+            unpersist_intermediates(df)
+            del df
         timings[name] = round(best, 3)
+        if (qi + 1) % 25 == 0:
+            # localCheckpoint blocks are freed by the ContextCleaner
+            # only after their Python refs are collected; forcing both
+            # GCs every 25 queries keeps late-sweep queries from paying
+            # the accumulated-heap tax (r03: khop_wire measured 1.8x
+            # its clean-session time purely from sweep position)
+            gc.collect()
+            spark._jvm.System.gc()
 
 
     total = round(sum(timings.values()), 2)
