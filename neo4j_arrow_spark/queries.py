@@ -893,31 +893,6 @@ def triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(raw)
 
 
-@query("media_features")  # no oracle: sha256 expansion isn't SQL-expressible
-def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The multimodal Pandas-UDF path live in the gate: documents →
-    binary payloads → Arrow-batched ``mapInPandas`` feature extraction
-    (deterministic fake decode standing in for the codec layer — see
-    operators/multimodal.py stub boundary). Driver records the
-    rows-only check; the plumbing (schema, batch iterator, payload
-    locality) is the product."""
-    from neo4j_arrow_spark.operators.multimodal import (
-        extract_features,
-        fake_payloads,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    media = fake_payloads(docs, "doc_id", "text")
-    feats = extract_features(media, "doc_id", dim=16)
-    return feats.select(
-        "doc_id",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias(
-            "feat_sum"
-        ),
-        F.size("feature").alias("dim"),
-    )
-
-
 def _hex4(pos: str) -> str:
     """DuckDB: parse 4 hex chars of ``hx`` starting at 1-based ``pos``
     into the big-endian uint16 the fake decoder emits."""
@@ -964,6 +939,53 @@ def media_feature_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feature"), lambda f: F.round((f + 1.0) * 32768).cast("long")
     )
     return feats.select("doc_id", F.array_join(vints, ",").alias("vq"))
+
+
+_MEDIA_FEATURES_SQL = f"""
+    WITH h AS (
+        SELECT doc_id,
+               sha256(text || chr(0) || chr(0) || chr(0) || chr(0)) AS hx
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), i -> {_hex4('4*i + 1')}) AS vs
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(list_sum(vs) AS DOUBLE) / 32768.0 - 16.0 AS feat_sum,
+           CAST(16 AS INTEGER) AS dim
+    FROM u
+"""
+
+
+@query("media_features", oracle=_MEDIA_FEATURES_SQL)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal Pandas-UDF path live in the gate: documents →
+    binary payloads → Arrow-batched ``mapInPandas`` feature extraction
+    (deterministic fake decode standing in for the codec layer — see
+    operators/multimodal.py stub boundary).
+
+    feat_sum is EXACT cross-engine: every feature is a dyadic rational
+    (uint16/2^15 - 1, exact in float32), every partial sum keeps a
+    2^15 denominator with a < 2^21 numerator — far inside double's
+    53-bit mantissa — so the summation order doesn't matter and the
+    DuckDB oracle's sha256-hex recomputation hash-matches bit-for-bit
+    with no rounding. That upgrades this query from the registry's one
+    rows-only check to fully oracle-gated."""
+    from neo4j_arrow_spark.operators.multimodal import (
+        extract_features,
+        fake_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = fake_payloads(docs, "doc_id", "text")
+    feats = extract_features(media, "doc_id", dim=16)
+    return feats.select(
+        "doc_id",
+        F.aggregate("feature", F.lit(0.0), lambda a, x: a + x).alias("feat_sum"),
+        F.size("feature").alias("dim"),
+    )
 
 
 from neo4j_arrow_spark.functions.hashing import MASK_BITS as _MB
