@@ -61,15 +61,12 @@ class Neo4jArrowSpark:
         :mod:`neo4j_arrow_spark.cypher`) or Spark SQL directly.
         ``graph`` names the graph for Cypher queries; defaults to the
         only registered graph when unambiguous.
-        ``params`` are Spark SQL named parameters (SQL mode only)."""
-        from neo4j_arrow_spark.cypher import CypherUnsupported, cypher_to_sql, is_cypher
+        ``params`` binds ``$name`` Cypher parameters (client parity:
+        neo4j_arrow.py:161-180) or Spark SQL ``:name`` named parameters
+        — values are bound at execution, never interpolated."""
+        from neo4j_arrow_spark.cypher import cypher_to_sql, is_cypher
 
         if is_cypher(query):
-            if params:
-                raise CypherUnsupported(
-                    "params are not supported for Cypher queries; "
-                    "inline literals or use SQL mode with named parameters"
-                )
             db = database or self.database
             if graph is None:
                 names = {
@@ -85,7 +82,21 @@ class Neo4jArrowSpark:
                 graph = names.pop()
             else:
                 self.catalog.get(graph, db, self.username)  # raises GraphNotFound
-            sql = cypher_to_sql(query, f"{graph}_nodes", f"{graph}_rels")
+            needed: set = set()
+            sql = cypher_to_sql(
+                query, f"{graph}_nodes", f"{graph}_rels", params_out=needed
+            )
+            missing = needed - set(params or {})
+            if missing:
+                raise ValueError(
+                    f"Cypher query references unbound parameters: "
+                    f"{sorted(missing)}"
+                )
+            if needed:
+                bound = {k: v for k, v in params.items() if k in needed}
+                return self.registry.submit(
+                    "cypher.read", lambda: self.spark.sql(sql, args=bound)
+                )
             return self.registry.submit("cypher.read", lambda: self.spark.sql(sql))
         if params:
             return self.registry.submit(

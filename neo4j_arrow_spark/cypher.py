@@ -64,6 +64,7 @@ _TOKEN_RE = re.compile(
   | (?P<kw>(?i:OPTIONAL|MATCH|WHERE|WITH|RETURN|DISTINCT|ORDER|BY|SKIP|LIMIT|ASC|DESC|AND|OR|NOT|IS|NULL|IN|AS|TRUE|FALSE|UNWIND|CASE|WHEN|THEN|ELSE|END)\b)
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<str>'(?:[^'\\]|\\.)*')
+  | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<arrow_r>->)
   | (?P<arrow_l><-)
@@ -157,6 +158,9 @@ class _Parser:
         self.pos = 0
         self.dialect = dialect
         self.unwind_aliases: set[str] = set()
+        #: $name query parameters referenced anywhere in the query —
+        #: callers bind these at execution time
+        self.params_used: set[str] = set()
 
     # -- token helpers -----------------------------------------------------
     def peek(self) -> tuple[str, str]:
@@ -201,11 +205,23 @@ class _Parser:
             return tok
         if kind == "str":
             return _normalize_str_literal(tok)
+        if kind == "param":
+            return self._param_marker(tok)
         if tok in ("TRUE", "FALSE"):
             return tok
         if tok == "NULL":
             return "NULL"
         raise CypherSyntaxError(f"expected literal, got {tok!r}")
+
+    def _param_marker(self, tok: str) -> str:
+        """Cypher ``$name`` → the dialect's named-parameter marker
+        (client parity: neo4j_arrow.py:161-180 ships params beside the
+        query; CypherMessage.java:54-112 carries them to the server).
+        Values are BOUND at execution, never interpolated into the SQL
+        text — Spark reuses one parsed plan across bindings."""
+        name = tok[1:]
+        self.params_used.add(name)
+        return f":{name}" if self.dialect == "spark" else f"${name}"
 
     # -- pattern -----------------------------------------------------------
     def node(self) -> _NodePat:
@@ -888,14 +904,26 @@ def _subst_views(sql: str, nodes_view: str, rels_view: str) -> str:
 
 
 def cypher_to_sql(
-    query: str, nodes_view: str, rels_view: str, dialect: str = "spark"
+    query: str,
+    nodes_view: str,
+    rels_view: str,
+    dialect: str = "spark",
+    params_out: set[str] | None = None,
 ) -> str:
     """Transpile the Cypher subset to one SQL string over the graph
     views. Every construct except ``collect()`` and ``UNWIND`` emits
     dialect-neutral ANSI (identical text for both dialects); those two
     have no shared surface (collect_list/LATERAL VIEW vs list/unnest),
-    so the oracle harness transpiles once per ``dialect``."""
-    ast = _Parser(query, dialect).parse()
+    so the oracle harness transpiles once per ``dialect``.
+
+    ``$name`` query parameters become named-parameter markers
+    (``:name`` for Spark, ``$name`` for DuckDB); the referenced names
+    are added to ``params_out`` when provided, so callers can check
+    the binding set before execution."""
+    parser = _Parser(query, dialect)
+    ast = parser.parse()
+    if params_out is not None:
+        params_out.update(parser.params_used)
     nodes, rels = ast["nodes"], ast["rels"]
     if ast["unwinds"] and any(r.is_varlength for r in rels):
         raise CypherUnsupported("UNWIND with variable-length is not supported")

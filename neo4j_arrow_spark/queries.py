@@ -36,22 +36,45 @@ from neo4j_arrow_spark.sources.tpch_graph import (
 from neo4j_arrow_spark import queries_pipeline  # noqa: E402, F401  isort: skip
 
 
-def _cypher_query(name: str, cypher_text: str):
+def _sql_literal(v) -> str:
+    """Render a Python parameter value as a dialect-neutral SQL
+    literal (for inlining into the DuckDB oracle, which the driver
+    runs without parameter bindings)."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise TypeError(f"unsupported oracle parameter type {type(v).__name__}")
+
+
+def _cypher_query(name: str, cypher_text: str, params: dict | None = None):
     """Register a Cypher-subset query: transpiled once to ANSI SQL
     (neo4j_arrow_spark.cypher), run by Spark over the derived graph
     views and by DuckDB over the same views as CTEs — the oracle checks
-    the transpiler AND the engine in one go."""
+    the transpiler AND the engine in one go.
+
+    ``params`` binds ``$name`` Cypher parameters: Spark binds them as
+    named parameters at execution (plan text stays constant across
+    bindings); the oracle inlines the values as literals because the
+    driver runs oracle SQL with no binding channel."""
     from neo4j_arrow_spark.cypher import cypher_to_sql
 
     sql = cypher_to_sql(cypher_text, "gnodes", "grels", dialect="spark")
     duck_sql = cypher_to_sql(cypher_text, "gnodes", "grels", dialect="duckdb")
+    if params:
+        for k in sorted(params, key=len, reverse=True):
+            duck_sql = duck_sql.replace(f"${k}", _sql_literal(params[k]))
     oracle = f"WITH gnodes AS ({NODES_SQL}),\ngrels AS ({RELS_SQL})\n{duck_sql}"
 
     @query(name, oracle=oracle)
-    def run(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+    def run(spark: SparkSession, sf_dir: str, _sql=sql, _params=params) -> DataFrame:
         nodes, rels = _graph(spark, sf_dir)
         nodes.createOrReplaceTempView("gnodes")
         rels.createOrReplaceTempView("grels")
+        if _params:
+            return spark.sql(_sql, args=_params)
         return spark.sql(_sql)
 
     run.__name__ = name
@@ -166,6 +189,16 @@ _cypher_query(
     "MATCH (c:Customer)-[:IN_NATION]->(n:Nation)<-[:IN_NATION]-(s:Supplier) "
     "WHERE NOT EXISTS((c)-[:BUYS_FROM]->(s)) "
     "RETURN c.ID AS cust, s.ID AS supp",
+)
+
+_cypher_query(
+    "cypher_params_filter",
+    # $minbal / $nation exercise numeric + string parameter binding
+    # through the transpiler (client parity: neo4j_arrow.py:161-180)
+    "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "WHERE c.acctbal > $minbal AND n.name = $nation "
+    "RETURN c.ID AS id, c.acctbal AS acctbal ORDER BY id",
+    params={"minbal": 5000.0, "nation": "NATION_7"},
 )
 
 _cypher_query(

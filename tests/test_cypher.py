@@ -483,3 +483,57 @@ def test_exists_semi_anti_semantics(spark):
         )
     ).collect()
     assert {r.id for r in und} == {1, 2}
+
+
+def test_cypher_params_transpile_markers():
+    from neo4j_arrow_spark.cypher import cypher_to_sql
+
+    used: set = set()
+    sql = cypher_to_sql(
+        "MATCH (c:Customer) WHERE c.acctbal > $minbal AND c.name = $nm "
+        "RETURN c.ID AS id",
+        "n",
+        "r",
+        params_out=used,
+    )
+    assert used == {"minbal", "nm"}
+    assert ":minbal" in sql and ":nm" in sql and "$" not in sql
+    duck = cypher_to_sql(
+        "MATCH (c:Customer) WHERE c.acctbal > $minbal RETURN c.ID AS id",
+        "n",
+        "r",
+        dialect="duckdb",
+    )
+    assert "$minbal" in duck
+
+
+def test_cypher_params_end_to_end(client):
+    job = client.cypher(
+        "MATCH (c:Customer) WHERE c.acctbal > $minbal RETURN count(*) AS n",
+        params={"minbal": 5000.0},
+        graph="cy",
+    )
+    n_param = client.stream(job, 60).collect()[0].n
+    job2 = client.cypher(
+        "MATCH (c:Customer) WHERE c.acctbal > 5000.0 RETURN count(*) AS n",
+        graph="cy",
+    )
+    assert n_param == client.stream(job2, 60).collect()[0].n > 0
+
+
+def test_cypher_params_missing_binding_rejected(client):
+    with pytest.raises(ValueError, match="unbound parameters.*minbal"):
+        client.cypher(
+            "MATCH (c:Customer) WHERE c.acctbal > $minbal RETURN count(*) AS n",
+            graph="cy",
+        )
+
+
+def test_cypher_params_in_node_props(client):
+    job = client.cypher(
+        "MATCH (n:Nation {name: $nm})<-[r:IN_NATION]-(c:Customer) "
+        "RETURN count(*) AS n",
+        params={"nm": "NATION_3"},
+        graph="cy",
+    )
+    assert client.stream(job, 60).collect()[0].n > 0
