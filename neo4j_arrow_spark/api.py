@@ -63,25 +63,23 @@ class Neo4jArrowSpark:
         only registered graph when unambiguous.
         ``params`` binds ``$name`` Cypher parameters (client parity:
         neo4j_arrow.py:161-180) or Spark SQL ``:name`` named parameters
-        — values are bound at execution, never interpolated."""
-        from neo4j_arrow_spark.cypher import cypher_to_sql, is_cypher
+        — values are bound at execution, never interpolated.
 
+        Write clauses (CREATE / MERGE / MATCH…SET / [DETACH] DELETE)
+        are routed to :mod:`neo4j_arrow_spark.cypher_write` — a
+        capability the reference declares but never implemented
+        (CypherActionHandler.java:154-155); the job's result is the
+        Neo4j-style counters summary frame."""
+        from neo4j_arrow_spark.cypher import cypher_to_sql, is_cypher
+        from neo4j_arrow_spark.cypher_write import is_cypher_write
+
+        if is_cypher_write(query):
+            return self._cypher_write(
+                query, database or self.database, graph, params
+            )
         if is_cypher(query):
             db = database or self.database
-            if graph is None:
-                names = {
-                    k[2]
-                    for k in self.catalog.list()
-                    if k[0] == self.username and k[1] == db
-                }
-                if len(names) != 1:
-                    raise ValueError(
-                        f"Cypher needs graph=... (registered under "
-                        f"({self.username}, {db}): {sorted(names)})"
-                    )
-                graph = names.pop()
-            else:
-                self.catalog.get(graph, db, self.username)  # raises GraphNotFound
+            graph = self._resolve_graph(db, graph)
             needed: set = set()
             sql = cypher_to_sql(
                 query, f"{graph}_nodes", f"{graph}_rels", params_out=needed
@@ -103,6 +101,71 @@ class Neo4jArrowSpark:
                 "cypher.read", lambda: self.spark.sql(query, args=params)
             )
         return self.registry.submit("cypher.read", lambda: self.spark.sql(query))
+
+    def _resolve_graph(self, db: str, graph: str | None) -> str:
+        """Default to the only graph registered under (user, db)."""
+        if graph is None:
+            names = {
+                k[2]
+                for k in self.catalog.list()
+                if k[0] == self.username and k[1] == db
+            }
+            if len(names) != 1:
+                raise ValueError(
+                    f"Cypher needs graph=... (registered under "
+                    f"({self.username}, {db}): {sorted(names)})"
+                )
+            return names.pop()
+        self.catalog.get(graph, db, self.username)  # raises GraphNotFound
+        return graph
+
+    def _cypher_write(
+        self, query: str, db: str, graph: str | None, params: dict | None
+    ) -> Job:
+        """Apply a Cypher write statement to the named graph. The
+        updated frames are localCheckpointed before re-registration:
+        each write commits eagerly, reads submitted afterwards see the
+        new state, and lineage doesn't stack across writes."""
+        from neo4j_arrow_spark.cypher import CypherUnsupported
+        from neo4j_arrow_spark.cypher_write import (
+            _WriteParser,
+            execute_cypher_write,
+        )
+
+        if params:
+            raise CypherUnsupported(
+                "parameters in write clauses are not supported (v1)"
+            )
+        # parse-as-validation at submit (CypherMessage.java:36-52
+        # parity): syntax errors raise here, not inside the job thread
+        _WriteParser(query).parse_write()
+        graph = self._resolve_graph(db, graph)
+        g = self.catalog.get(graph, db, self.username)
+
+        def run() -> DataFrame:
+            new_nodes, new_rels, summary = execute_cypher_write(
+                self.spark,
+                g.nodes,
+                g.rels,
+                query,
+                f"{graph}_nodes",
+                f"{graph}_rels",
+            )
+            if new_nodes is not g.nodes:
+                new_nodes = new_nodes.localCheckpoint()
+            if new_rels is not None and new_rels is not g.rels:
+                new_rels = new_rels.localCheckpoint()
+            self.catalog.register(
+                graph,
+                new_nodes,
+                new_rels,
+                database=db,
+                username=self.username,
+                overwrite=True,
+            )
+            return summary
+
+        return self.registry.submit("cypher.write", run)
 
     def _tune(self, df: DataFrame, partitions: int | None, batch_size: int | None) -> DataFrame:
         """The reference's per-job ``partitions``/``batch_size`` message

@@ -1,0 +1,338 @@
+"""Cypher write clauses: CREATE / MERGE / MATCH…SET / MATCH…[DETACH] DELETE.
+
+The reference DECLARES a ``cypher.write`` action but never implemented
+it (``plugin/src/main/java/org/neo4j/arrow/action/CypherActionHandler.
+java:154-155`` returns only the read job type) — this module ships the
+capability the reference left on the table, expressed Spark-first:
+
+- CREATE / MERGE build the new rows as a literal one-row-per-node
+  relation and ``unionByName`` them into the graph's node frame — a
+  metadata-only plan extension, no shuffle.
+- SET reuses the READ transpiler for the match: the pattern + WHERE
+  become one SQL query projecting ``(node id, new value…)`` pairs, and
+  the update is a single left join + conditional projection over the
+  node frame. The matched set never round-trips the driver.
+- DELETE computes matched ids the same way and anti-joins them out of
+  the node (and, for DETACH, relationship) frames. Plain DELETE on a
+  node with incident relationships fails, mirroring Neo4j semantics.
+
+Writes are snapshot-consistent: the API layer localCheckpoints the
+updated frames before re-registering the graph, so each write commits
+eagerly and lineage doesn't stack across writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo4j_arrow_spark.cypher import (
+    CypherSyntaxError,
+    CypherUnsupported,
+    _Parser,
+    _plain_sql,
+    _tokenize,
+)
+from neo4j_arrow_spark.graph import NodeField, RelField
+
+__all__ = ["is_cypher_write", "execute_cypher_write"]
+
+_WRITE_WORDS = {"SET", "DELETE", "DETACH"}
+
+
+def is_cypher_write(query: str) -> bool:
+    """Cheap dispatch for the write subset: a leading CREATE/MERGE, or
+    a MATCH statement containing a top-level SET / [DETACH] DELETE
+    token (names directly after ``.`` are property accesses, not
+    clauses — ``n.set`` must not trigger)."""
+    try:
+        toks = _tokenize(query)
+    except CypherSyntaxError:
+        return False
+    if not toks:
+        return False
+    first = toks[0][1].upper()
+    if first in ("CREATE", "MERGE"):
+        return True
+    if first != "MATCH":
+        return False
+    prev_text = ""
+    for kind, text in toks:
+        if kind == "name" and prev_text != "." and text.upper() in _WRITE_WORDS:
+            return True
+        prev_text = text
+    return False
+
+
+class _WriteParser(_Parser):
+    """Grammar (v1)::
+
+        CREATE node_pattern ("," node_pattern)*
+        MERGE  node_pattern
+        MATCH pattern [WHERE expr] SET var.prop = expr ("," …)*
+        MATCH pattern [WHERE expr] [DETACH] DELETE var
+
+    Relationship patterns inside CREATE, multi-variable SET targets,
+    and ON CREATE/ON MATCH sub-clauses are rejected with explicit
+    errors rather than silently mis-executed."""
+
+    def parse_write(self) -> dict:
+        t = self.peek()[1].upper()
+        if t in ("CREATE", "MERGE"):
+            self.next()
+            pats = [self.node()]
+            while self.accept(","):
+                pats.append(self.node())
+            if self.peek()[1] in ("-", "<-"):
+                raise CypherUnsupported(
+                    "CREATE relationship patterns are not supported (v1) — "
+                    "use gds_write_relationships for edges"
+                )
+            if self.peek()[0] != "eof":
+                raise CypherSyntaxError(
+                    f"unexpected trailing input: {self.peek()[1]!r}"
+                )
+            if t == "MERGE" and len(pats) != 1:
+                raise CypherUnsupported("MERGE takes exactly one node pattern")
+            for p in pats:
+                if not p.labels:
+                    raise CypherUnsupported(
+                        f"{t} node {p.var!r} needs at least one label"
+                    )
+            return {"op": t.lower(), "patterns": pats}
+
+        self.expect("MATCH")
+        nodes, rels = self.pattern()
+        where = None
+        if self.accept("WHERE"):
+            self._bound = {n.var for n in nodes}
+            where = self.expr()
+        kind, tok = self.next()
+        t = tok.upper() if kind == "name" else tok
+        base = {"nodes": nodes, "rels": rels, "where": where}
+        if t == "SET":
+            sets: list[tuple[str, str, str]] = []
+            while True:
+                var = self.expect_name()
+                self.expect(".")
+                prop = self.expect_name()
+                self.expect("=")
+                sets.append((var, prop, self.value()))
+                if not self.accept(","):
+                    break
+            if self.peek()[0] != "eof":
+                raise CypherSyntaxError(
+                    f"unexpected trailing input: {self.peek()[1]!r}"
+                )
+            tvars = {v for v, _, _ in sets}
+            if len(tvars) != 1:
+                raise CypherUnsupported(
+                    f"SET targets one variable per statement (got {sorted(tvars)})"
+                )
+            bound = {n.var for n in nodes}
+            if next(iter(tvars)) not in bound:
+                raise CypherSyntaxError(f"SET target {tvars} is not bound")
+            return {**base, "op": "set", "sets": sets}
+        detach = False
+        if t == "DETACH":
+            detach = True
+            kind, tok = self.next()
+            t = tok.upper() if kind == "name" else tok
+        if t == "DELETE":
+            var = self.expect_name()
+            if self.peek()[0] != "eof":
+                raise CypherSyntaxError(
+                    f"unexpected trailing input: {self.peek()[1]!r}"
+                )
+            if var not in {n.var for n in nodes}:
+                raise CypherSyntaxError(f"DELETE target {var!r} is not bound")
+            return {**base, "op": "delete", "detach": detach, "var": var}
+        raise CypherSyntaxError(f"expected SET or DELETE, got {tok!r}")
+
+
+def _read_ast(nodes, rels, where, items) -> dict:
+    """Synthesize a READ ast projecting ``items`` over the write's
+    MATCH pattern — the whole matched-id computation rides the proven
+    read transpiler."""
+    return {
+        "shortest": False,
+        "nodes": nodes,
+        "rels": rels,
+        "optionals": [],
+        "where": where,
+        "unwinds": [],
+        "withs": [],
+        "post_match": None,
+        "distinct": True,
+        "items": items,
+        "order": [],
+        "skip": None,
+        "limit": None,
+        "dialect": "spark",
+    }
+
+
+def _literal_rows(
+    spark: SparkSession, nodes: DataFrame, patterns
+) -> DataFrame:
+    """One literal SELECT per created node, conformed to the node
+    frame's schema (missing properties NULL, values cast to the
+    column's type). Unknown properties are rejected — CREATE cannot
+    silently widen the graph schema."""
+    fields = {f.name: f.dataType.simpleString() for f in nodes.schema.fields}
+    prop_cols = [
+        f.name
+        for f in nodes.schema.fields
+        if f.name not in (NodeField.ID, NodeField.LABELS)
+    ]
+    needs_auto = [p for p in patterns if "ID" not in dict(p.props)]
+    base_id = 0
+    if needs_auto:
+        # deterministic id assignment: above BOTH the graph's max(ID)
+        # (a scalar aggregate) and any explicit ID in this statement
+        base_id = nodes.agg(F.max(NodeField.ID)).collect()[0][0] or 0
+        for p in patterns:
+            lit = dict(p.props).get("ID")
+            if lit is not None and lit.lstrip("-").isdigit():
+                base_id = max(base_id, int(lit))
+        base_id += 1
+    selects = []
+    for p in patterns:
+        props = dict(p.props)
+        unknown = set(props) - set(fields)
+        if unknown:
+            raise CypherUnsupported(
+                f"CREATE property {sorted(unknown)} not in node schema "
+                f"{sorted(fields)} — writes cannot widen the schema (v1)"
+            )
+        if "ID" in props:
+            id_sql = f"CAST({props['ID']} AS BIGINT)"
+        else:
+            id_sql = f"CAST({base_id} AS BIGINT)"
+            base_id += 1
+        labels_sql = "array(" + ", ".join(
+            "'" + lb.replace("'", "''") + "'" for lb in p.labels
+        ) + ")"
+        cols = [f"{id_sql} AS {NodeField.ID}", f"{labels_sql} AS {NodeField.LABELS}"]
+        for c in prop_cols:
+            v = props.get(c, "NULL")
+            cols.append(f"CAST({v} AS {fields[c]}) AS {c}")
+        selects.append("SELECT " + ", ".join(cols))
+    return spark.sql("\nUNION ALL\n".join(selects))
+
+
+def execute_cypher_write(
+    spark: SparkSession,
+    nodes: DataFrame,
+    rels: DataFrame | None,
+    query: str,
+    nodes_view: str,
+    rels_view: str,
+) -> tuple[DataFrame, DataFrame | None, DataFrame]:
+    """Apply one write statement; returns ``(new_nodes, new_rels,
+    summary)`` where summary is the Neo4j-style one-row counters frame
+    ``(op, nodes_created, props_set, nodes_deleted, rels_deleted)``."""
+    parser = _WriteParser(query)
+    ast = parser.parse_write()
+    if parser.params_used:
+        raise CypherUnsupported(
+            "parameters in write clauses are not supported (v1)"
+        )
+
+    def summary(op, created=0, props=0, ndel=0, rdel=0):
+        return spark.createDataFrame(
+            [(op, created, props, ndel, rdel)],
+            "op string, nodes_created long, props_set long, "
+            "nodes_deleted long, rels_deleted long",
+        )
+
+    op = ast["op"]
+    if op in ("create", "merge"):
+        pats = ast["patterns"]
+        if op == "merge":
+            p = pats[0]
+            cond = F.lit(True)
+            for lb in p.labels:
+                cond = cond & F.array_contains(F.col(NodeField.LABELS), lb)
+            match_df = nodes.filter(cond)
+            for k, v in p.props:
+                match_df = match_df.filter(F.expr(f"{k} = {v}"))
+            if match_df.limit(1).count() > 0:  # scalar existence probe
+                return nodes, rels, summary("merge", created=0)
+        rows = _literal_rows(spark, nodes, pats)
+        # id-collision check mirrors the K1 write contract
+        # (operators/ingest.py): creating an existing id is an error
+        clash = rows.join(
+            nodes.select(NodeField.ID), NodeField.ID, "left_semi"
+        ).limit(1).count()
+        if clash:
+            raise ValueError("CREATE: node id already exists in the graph")
+        return nodes.unionByName(rows), rels, summary(op, created=len(pats))
+
+    if op == "set":
+        var = ast["sets"][0][0]
+        items = [(f"{var}.ID", "__sid", False)] + [
+            (rhs, f"__v{i}", False) for i, (_, _, rhs) in enumerate(ast["sets"])
+        ]
+        sql = _plain_sql(
+            _read_ast(ast["nodes"], ast["rels"], ast["where"], items),
+            nodes_view,
+            rels_view,
+        )
+        upd = spark.sql(sql).localCheckpoint()  # consumed 3×: dup-check, count, join
+        if upd.groupBy("__sid").count().filter("count > 1").limit(1).count():
+            raise ValueError(
+                "SET is ambiguous: a matched node receives more than one "
+                "distinct value — make the pattern/expression functional "
+                "per node"
+            )
+        n_set = upd.count()
+        matched = F.col("__sid").isNotNull()
+        fields = {f.name: f.dataType.simpleString() for f in nodes.schema.fields}
+        out = nodes.join(upd, nodes[NodeField.ID] == upd["__sid"], "left")
+        for i, (_, prop, _) in enumerate(ast["sets"]):
+            val = F.col(f"__v{i}")
+            if prop in fields:
+                val = val.cast(fields[prop])
+                out = out.withColumn(prop, F.when(matched, val).otherwise(F.col(prop)))
+            else:
+                out = out.withColumn(prop, F.when(matched, val))
+        out = out.drop("__sid", *[f"__v{i}" for i in range(len(ast["sets"]))])
+        return out, rels, summary("set", props=n_set * len(ast["sets"]))
+
+    # delete
+    items = [(f"{ast['var']}.ID", "__sid", False)]
+    sql = _plain_sql(
+        _read_ast(ast["nodes"], ast["rels"], ast["where"], items),
+        nodes_view,
+        rels_view,
+    )
+    ids = spark.sql(sql).localCheckpoint()  # consumed by 2-3 joins + count
+    n_del = ids.count()
+    new_rels = rels
+    r_del = 0
+    if rels is not None:
+        incident_src = rels.join(
+            ids, rels[RelField.START_ID] == ids["__sid"], "left_semi"
+        )
+        incident_dst = rels.join(
+            ids, rels[RelField.END_ID] == ids["__sid"], "left_semi"
+        )
+        if not ast["detach"]:
+            if incident_src.limit(1).count() or incident_dst.limit(1).count():
+                raise ValueError(
+                    "DELETE: node still has relationships — use DETACH DELETE"
+                )
+        else:
+            kept = rels.join(
+                ids, rels[RelField.START_ID] == ids["__sid"], "left_anti"
+            )
+            kept = kept.join(
+                ids, kept[RelField.END_ID] == ids["__sid"], "left_anti"
+            )
+            new_rels = kept
+            r_del = rels.count() - kept.count()
+    new_nodes = nodes.join(ids, nodes[NodeField.ID] == ids["__sid"], "left_anti")
+    return new_nodes, new_rels, summary(
+        "delete", ndel=n_del, rdel=r_del
+    )

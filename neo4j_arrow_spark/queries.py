@@ -201,6 +201,42 @@ _cypher_query(
     params={"minbal": 5000.0, "nation": "NATION_7"},
 )
 
+_CREATE_ROUNDTRIP_SQL = """
+    SELECT CAST(n_nationkey + 2000000 AS BIGINT) AS id,
+           lower(n_name) AS name
+    FROM nation
+    UNION ALL SELECT CAST(9000001 AS BIGINT) AS id, 'probe_a' AS name
+    UNION ALL SELECT CAST(9000002 AS BIGINT) AS id, 'probe_b' AS name
+"""
+
+
+@query("cypher_create_roundtrip", oracle=_CREATE_ROUNDTRIP_SQL)
+def cypher_create_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Cypher WRITE path live in the gate: CREATE two probe nodes
+    and SET-lowercase every Nation name via cypher.write jobs, then
+    read the mutated graph back through the read transpiler — create,
+    update, and scan value-verified in one oracle. The reference
+    declares cypher.write but never implemented it
+    (CypherActionHandler.java:154-155)."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    api.catalog.register("cwrt", nodes, rels, overwrite=True)
+    api.cypher(
+        "CREATE (x:Probe {ID: 9000001, name: 'probe_a'}), "
+        "(y:Probe {ID: 9000002, name: 'probe_b'})",
+        graph="cwrt",
+    ).result(300)
+    api.cypher(
+        "MATCH (n:Nation) SET n.name = lower(n.name)", graph="cwrt"
+    ).result(300)
+    return api.cypher(
+        "MATCH (m) WHERE m.ID >= 2000000 RETURN m.ID AS id, m.name AS name",
+        graph="cwrt",
+    ).result(300)
+
+
 _cypher_query(
     "cypher_shortest_path",
     "MATCH p = shortestPath("

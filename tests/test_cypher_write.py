@@ -1,0 +1,176 @@
+"""Cypher write clauses (CREATE / MERGE / SET / DELETE) — the
+capability the reference declares but never implemented
+(CypherActionHandler.java:154-155)."""
+
+from __future__ import annotations
+
+import pytest
+
+from neo4j_arrow_spark.api import Neo4jArrowSpark
+from neo4j_arrow_spark.cypher import CypherSyntaxError, CypherUnsupported
+from neo4j_arrow_spark.cypher_write import is_cypher_write
+
+
+@pytest.fixture()
+def wapi(spark):
+    api = Neo4jArrowSpark(spark)
+    nodes = spark.createDataFrame(
+        [
+            (1, ["P"], "alice", 10.0),
+            (2, ["P"], "bob", 20.0),
+            (3, ["Q"], "carol", 30.0),
+        ],
+        "ID long, LABELS array<string>, name string, bal double",
+    )
+    rels = spark.createDataFrame(
+        [(1, 2, "KNOWS"), (2, 3, "KNOWS")],
+        "START_ID long, END_ID long, TYPE string",
+    )
+    api.catalog.register("wt", nodes, rels, overwrite=True)
+    return api
+
+
+def _ids(api, q="MATCH (m) RETURN m.ID AS id ORDER BY id"):
+    return [r.id for r in api.cypher(q, graph="wt").result(60).collect()]
+
+
+def test_is_cypher_write_dispatch():
+    assert is_cypher_write("CREATE (n:X {ID: 1})")
+    assert is_cypher_write("MERGE (n:X {ID: 1})")
+    assert is_cypher_write("MATCH (n:X) SET n.a = 1")
+    assert is_cypher_write("MATCH (n:X) DETACH DELETE n")
+    assert not is_cypher_write("MATCH (n:X) RETURN n.ID AS id")
+    # property named 'set' is an access, not a clause
+    assert not is_cypher_write("MATCH (n:X) RETURN n.set AS s")
+    assert not is_cypher_write("SELECT 1")
+
+
+def test_create_nodes_and_scan_back(wapi):
+    job = wapi.cypher(
+        "CREATE (x:P {ID: 100, name: 'dave', bal: 5.5}), (y:Q {name: 'eve'})",
+        graph="wt",
+    )
+    row = job.result(60).collect()[0]
+    assert (row.op, row.nodes_created) == ("create", 2)
+    assert 100 in _ids(wapi)
+    # auto-id = max+1 for the ID-less pattern
+    assert 101 in _ids(wapi)
+
+
+def test_create_id_collision_rejected(wapi):
+    job = wapi.cypher("CREATE (x:P {ID: 1, name: 'dup'})", graph="wt")
+    with pytest.raises(RuntimeError, match="already exists"):
+        job.result(60)
+
+
+def test_create_unknown_property_rejected(wapi):
+    job = wapi.cypher("CREATE (x:P {ID: 50, nope: 1})", graph="wt")
+    with pytest.raises(RuntimeError, match="not in node schema"):
+        job.result(60)
+
+
+def test_set_updates_matched_only(wapi):
+    wapi.cypher(
+        "MATCH (n:P) WHERE n.bal > 15.0 "
+        "SET n.name = upper(n.name), n.bal = n.bal * 2",
+        graph="wt",
+    ).result(60)
+    rows = {
+        r.id: (r.name, r.bal)
+        for r in wapi.cypher(
+            "MATCH (m) RETURN m.ID AS id, m.name AS name, m.bal AS bal",
+            graph="wt",
+        )
+        .result(60)
+        .collect()
+    }
+    assert rows[2] == ("BOB", 40.0)  # matched
+    assert rows[1] == ("alice", 10.0)  # unmatched P
+    assert rows[3] == ("carol", 30.0)  # other label
+
+
+def test_set_through_pattern(wapi):
+    # SET via a relationship-anchored match: only KNOWS targets update
+    wapi.cypher(
+        "MATCH (a:P)-[r:KNOWS]->(b) SET b.bal = 0.0", graph="wt"
+    ).result(60)
+    rows = {
+        r.id: r.bal
+        for r in wapi.cypher(
+            "MATCH (m) RETURN m.ID AS id, m.bal AS bal", graph="wt"
+        )
+        .result(60)
+        .collect()
+    }
+    assert rows[2] == 0.0 and rows[3] == 0.0 and rows[1] == 10.0
+
+
+def test_merge_matches_or_creates(wapi):
+    j = wapi.cypher("MERGE (x:P {ID: 1, name: 'alice', bal: 10.0})", graph="wt")
+    assert j.result(60).collect()[0].nodes_created == 0
+    j = wapi.cypher("MERGE (z:R {ID: 200, name: 'zed'})", graph="wt")
+    assert j.result(60).collect()[0].nodes_created == 1
+    assert 200 in _ids(wapi)
+
+
+def test_plain_delete_blocked_by_edges(wapi):
+    job = wapi.cypher("MATCH (n:P) WHERE n.ID = 1 DELETE n", graph="wt")
+    with pytest.raises(RuntimeError, match="DETACH"):
+        job.result(60)
+
+
+def test_detach_delete_removes_node_and_edges(wapi):
+    row = (
+        wapi.cypher("MATCH (n:P) WHERE n.ID = 2 DETACH DELETE n", graph="wt")
+        .result(60)
+        .collect()[0]
+    )
+    assert (row.nodes_deleted, row.rels_deleted) == (1, 2)
+    assert _ids(wapi) == [1, 3]
+
+
+def test_delete_without_edges_ok(wapi):
+    wapi.cypher("CREATE (x:Lone {ID: 300, name: 'solo'})", graph="wt").result(60)
+    row = (
+        wapi.cypher("MATCH (n:Lone) DELETE n", graph="wt")
+        .result(60)
+        .collect()[0]
+    )
+    assert row.nodes_deleted == 1 and 300 not in _ids(wapi)
+
+
+def test_write_rejects_params(wapi):
+    with pytest.raises(CypherUnsupported, match="parameters"):
+        wapi.cypher(
+            "CREATE (x:P {ID: 400})", graph="wt", params={"a": 1}
+        )
+
+
+def test_write_rejects_rel_create(wapi):
+    # rejected at submit by parse-as-validation
+    with pytest.raises(CypherUnsupported, match="relationship patterns"):
+        wapi.cypher("CREATE (a:P {ID: 41})-[:KNOWS]->(b:P {ID: 42})", graph="wt")
+
+
+def test_set_ambiguous_value_rejected(spark):
+    # node 3 has TWO parents with different bals: SET b.bal = a.bal
+    # would be nondeterministic — the engine must refuse, not pick one
+    api = Neo4jArrowSpark(spark)
+    nodes = spark.createDataFrame(
+        [(1, ["P"], 10.0), (2, ["P"], 20.0), (3, ["P"], 30.0)],
+        "ID long, LABELS array<string>, bal double",
+    )
+    rels = spark.createDataFrame(
+        [(1, 3, "KNOWS"), (2, 3, "KNOWS")],
+        "START_ID long, END_ID long, TYPE string",
+    )
+    api.catalog.register("amb", nodes, rels, overwrite=True)
+    job = api.cypher("MATCH (a:P)-[r:KNOWS]->(b) SET b.bal = a.bal", graph="amb")
+    with pytest.raises(RuntimeError, match="ambiguous"):
+        job.result(60)
+
+
+def test_bad_write_syntax(wapi):
+    # parse-as-validation: syntax errors raise at submit, not in the job
+    with pytest.raises(CypherSyntaxError):
+        wapi.cypher("MATCH (n:P) SET n = 1", graph="wt")
