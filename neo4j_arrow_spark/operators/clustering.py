@@ -14,10 +14,13 @@ makes an exact cross-engine oracle possible at all.)
 
 Scale shape: centroids are MODEL PARAMETERS (k × dim integers), so
 they live on the driver between iterations — exactly how spark.ml's
-KMeans iterates — and enter each pass as literal arrays, making
-assignment a map-only argmin over the data (no join, no window, no
-shuffle). The per-iteration update is ONE hash aggregation with
-map-side partial combine: ``groupBy(cluster).agg(sum(qv[i])...)``
+KMeans iterates. Assignment is strategy-switched on k: small k enters
+the pass as literal arrays (map-only argmin — no join, no shuffle);
+past ``JOIN_ASSIGN_THRESHOLD`` the centroids become a broadcast frame
+and the argmin is a broadcast join + min-struct aggregation, keeping
+the plan size k-independent at IVF-scale nlist (the round-3 audit's
+large-k concern). The per-iteration update is ONE hash aggregation
+with map-side partial combine: ``groupBy(cluster).agg(sum(qv[i])...)``
 — dim sum columns, not a posexplode row blowup. Per iteration that
 is a single narrow job; the only shuffled rows are k per partition.
 Seeding: the k lowest-id vectors (deterministic; swap in k-means||
@@ -54,9 +57,17 @@ def _lit_vec(values: list[int]):
     return F.lit([int(v) for v in values]).cast("array<long>")
 
 
-def _assign(q: DataFrame, centroids: list[tuple[int, list[int]]], id_col: str):
+#: above this k, assignment switches from plan-literal centroids to a
+#: broadcast centroid frame + join: the literal expression tree grows
+#: O(k·dim) and chokes analysis/codegen at IVF-scale nlist, while the
+#: join plan is k-independent (same shape as similarity.ivf_assign)
+JOIN_ASSIGN_THRESHOLD = 64
+
+
+def _assign_literal(q: DataFrame, centroids: list[tuple[int, list[int]]], id_col: str):
     """Map-only argmin against literal centroids: ``(id, cluster,
-    qdist)``. Ties break to the lowest cluster id (scan order)."""
+    qdist)``. Ties break to the lowest cluster id (scan order).
+    Zero shuffle — the right plan while k·dim stays plan-sized."""
     dists = [
         _sqdist(F.col("qv"), _lit_vec(cv)).alias(f"_d{c}") for c, cv in centroids
     ]
@@ -70,12 +81,55 @@ def _assign(q: DataFrame, centroids: list[tuple[int, list[int]]], id_col: str):
     )
 
 
+def _assign_join(q: DataFrame, centroids: list[tuple[int, list[int]]], id_col: str):
+    """Broadcast-join argmin for large k: centroids become a k-row
+    broadcast frame, every vector scores all k in the joined stage,
+    and one hash aggregation keeps the min — the struct min orders by
+    (qdist, cluster), reproducing the literal path's lowest-cluster
+    tie-break exactly. One shuffle keyed by ``id_col`` (high
+    cardinality, skew-free); map-side partial min keeps the exchange
+    at ~|data| rows. Centroid payload at nlist=65k, dim=256 is ~130 MB
+    of longs — still broadcast range."""
+    spark = q.sparkSession
+    cent = spark.createDataFrame(
+        [(c, [int(v) for v in cv]) for c, cv in centroids],
+        "cluster long, _cv array<long>",
+    )
+    scored = q.join(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.col("qv"),
+        F.col("cluster"),
+        _sqdist(F.col("qv"), F.col("_cv")).alias("qdist"),
+    )
+    m = F.min(F.struct("qdist", "cluster", "qv")).alias("_m")
+    return scored.groupBy(id_col).agg(m).select(
+        F.col(id_col),
+        F.col("_m.qv").alias("qv"),
+        F.col("_m.cluster").alias("cluster"),
+        F.col("_m.qdist").alias("qdist"),
+    )
+
+
+def _assign(
+    q: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str,
+    strategy: str = "auto",
+):
+    if strategy == "join" or (
+        strategy == "auto" and len(centroids) > JOIN_ASSIGN_THRESHOLD
+    ):
+        return _assign_join(q, centroids, id_col)
+    return _assign_literal(q, centroids, id_col)
+
+
 def kmeans_fixed(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 4,
     iterations: int = 2,
+    assign: str = "auto",
 ) -> DataFrame:
     """Run ``iterations`` rounds of Lloyd's algorithm and return the
     final assignment ``(id_col, cluster, qdist)`` — cluster is the
@@ -91,7 +145,7 @@ def kmeans_fixed(
 
     sums = [F.sum(F.col("qv")[i]).alias(f"_s{i}") for i in range(dim)]
     for _ in range(iterations):
-        assigned = _assign(q, centroids, id_col)
+        assigned = _assign(q, centroids, id_col, assign)
         rows = (
             assigned.groupBy("cluster")
             .agg(F.count("*").alias("_n"), *sums)
@@ -109,4 +163,4 @@ def kmeans_fixed(
             )
             for r in rows
         )
-    return _assign(q, centroids, id_col).select(id_col, "cluster", "qdist")
+    return _assign(q, centroids, id_col, assign).select(id_col, "cluster", "qdist")

@@ -42,3 +42,33 @@ def test_every_vector_assigned_once(spark):
     got = _assign(spark, rows, k=4, iterations=1)
     assert len(got) == 20
     assert set(got.values()) <= {0, 1, 2, 3}
+
+
+def test_join_assignment_matches_literal(spark):
+    # the broadcast-join path must be bit-identical to the literal
+    # path, including the lowest-cluster tie-break
+    rows = [(i, [float((i * 13) % 7), float((i * 5) % 11)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lit = {r["vec_id"]: (r["cluster"], r["qdist"]) for r in
+           kmeans_fixed(df, "vec_id", "embedding", k=5, iterations=2,
+                        assign="literal").collect()}
+    jn = {r["vec_id"]: (r["cluster"], r["qdist"]) for r in
+          kmeans_fixed(df, "vec_id", "embedding", k=5, iterations=2,
+                       assign="join").collect()}
+    assert lit == jn
+
+
+def test_large_k_join_path(spark):
+    # k=512, dim=64 — the plan-literal path would be a ~33k-node
+    # expression tree; auto mode must take the join path and complete
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(1200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_fixed(df, "vec_id", "embedding", k=512, iterations=1)
+    got = out.collect()
+    assert len(got) == 1200
+    assert len({r["cluster"] for r in got}) > 256  # most seeds keep members
