@@ -1272,6 +1272,29 @@ _RECALL_SQL = f"""
 """
 
 
+def _recall_frame(brute: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an approximate index vs the exact
+    brute-force top-k: overlap counted by a semi join on (query,
+    neighbor), missing queries coalesced to 0."""
+    hits = (
+        brute.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k))).alias(
+                "recall"
+            ),
+        )
+    )
+
+
 @query("ann_ivf_recall", oracle=_RECALL_SQL)
 def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality evaluation: recall@3 of the IVF(nprobe=1) index
@@ -1285,18 +1308,36 @@ def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries_df, emb.filter(F.col("vec_id") < 8),
         "vec_id", "embedding", k=3, nprobe=1,
     )
-    hits = (
-        brute.join(ivf, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").cast("long").alias("n_hits"))
+    return _recall_frame(brute, ivf, 3)
+
+
+_LSH_RECALL_SQL = f"""
+    WITH brute AS ({_ann_brute_sql(3)}),
+    lsh AS ({_lsh_oracle(8, 64, 3)}),
+    hits AS (
+        SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM brute b JOIN lsh l
+          ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+        GROUP BY b.query_id
+    ),
+    qs AS (SELECT DISTINCT query_id FROM brute)
+    SELECT q.query_id,
+           coalesce(n_hits, 0) AS n_hits,
+           coalesce(n_hits, 0) / 3.0 AS recall
+    FROM qs q LEFT JOIN hits USING (query_id)
+"""
+
+
+@query("ann_lsh_recall", oracle=_LSH_RECALL_SQL)
+def ann_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH twin of ann_ivf_recall: recall@3 of the 8-bit
+    hyperplane-LSH index vs exact brute-force top-3 — with it, both
+    approximate indexes carry a quality measurement loop, not just a
+    speed claim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk(emb, queries_df, "vec_id", "embedding", k=3)
+    lsh = similarity.lsh_topk(
+        emb, queries_df, "vec_id", "embedding", dim=64, n_bits=8, k=3
     )
-    return (
-        brute.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(3.0)).alias("recall"),
-        )
-    )
+    return _recall_frame(brute, lsh, 3)
