@@ -65,3 +65,55 @@ def test_degree_histogram_flags_supernode(spark, skewed):
     hist = deg.groupBy(F.floor(F.log10("count")).cast("long").alias("mag")).count()
     mags = {r.mag: r["count"] for r in hist.collect()}
     assert 3 in mags and mags[3] == 1  # exactly one node in the 1000s bucket
+
+
+def test_hub_1e4_khop_and_node_similarity_bounded(spark):
+    """FIXTURES.md F2 scaled up: a degree-10^4 hub (KHOP.md:157-184
+    supernode math). The k-hop subset-origins leg and the Jaccard
+    node-similarity wedge join must both complete inside a wall bound
+    — the plans' skew answers (frontier anti-join decomposition,
+    degree-ordered wedges + AQE skew splits) doing their job, not an
+    all-pairs explosion timing out."""
+    import time
+
+    from neo4j_arrow_spark.operators.graph_algs import node_similarity
+
+    hub_deg = 10_000
+    edges = [(0, i) for i in range(1, hub_deg + 1)]
+    # a moderately hot shared target (in-degree 500) to stress the
+    # wedge join's skew handling, plus a sparse tail
+    edges += [(i, hub_deg + 1) for i in range(1, 501)]
+    edges += [(i, i + 1) for i in range(hub_deg + 2, hub_deg + 50)]
+    rels = spark.createDataFrame(
+        [(s, d, "E", 1.0) for s, d in edges],
+        "START_ID long, END_ID long, TYPE string, weight double",
+    )
+    # subset origins: the hub + a handful of neighbors + tail nodes
+    origin_ids = [0, 1, 2, 500, hub_deg + 1, hub_deg + 10]
+    origins = spark.createDataFrame(
+        [(i, ["N"]) for i in origin_ids], "ID long, LABELS array<string>"
+    )
+
+    t0 = time.monotonic()
+    out = khop_flat(origins, rels, origins_complete=False)
+    counts = {r["origin"]: r["n"] for r in
+              out.groupBy("origin").agg(F.count("*").alias("n")).collect()}
+    khop_sec = time.monotonic() - t0
+    # hub origin covers every edge incident to its 1e4 neighbors
+    assert counts[0] >= hub_deg
+    # a hub-neighbor origin pulls in the hub's full edge set
+    assert counts[1] >= hub_deg
+    assert khop_sec < 90, f"khop on 1e4-degree hub took {khop_sec:.1f}s"
+
+    t0 = time.monotonic()
+    sim = node_similarity(
+        rels.select(
+            F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+        ),
+        threshold=0.0,
+    )
+    n_pairs = sim.count()
+    sim_sec = time.monotonic() - t0
+    # the 500 co-purchasers of the hot target all pair up
+    assert n_pairs >= 500 * 499 // 2
+    assert sim_sec < 90, f"node_similarity wedge join took {sim_sec:.1f}s"
