@@ -58,11 +58,16 @@ def test_asof_join_default_empty_payload(spark):
     assert out[0]["asof_ts"] == ts(5)
 
 
-def test_cypher_params_rejected(spark, tiny_nodes):
+def test_cypher_params_now_bound(spark, tiny_nodes):
+    # r1 advice had params rejected; r3 VERDICT item 4 asked for real
+    # binding (neo4j_arrow.py:161-180 passes params with Cypher), so the
+    # contract flipped: params are bound as Spark named parameters.
     client = Neo4jArrowSpark(spark)
     client.catalog.register("pgraph", tiny_nodes)
-    with pytest.raises(CypherUnsupported, match="params"):
-        client.cypher("MATCH (a:X) RETURN a.ID", params={"x": 1})
+    job = client.cypher(
+        "MATCH (a:X) WHERE a.ID = $x RETURN a.ID AS id", params={"x": 1}
+    )
+    assert job.result().collect()[0]["id"] == 1
     client.catalog.drop("pgraph")
 
 
