@@ -36,10 +36,13 @@ with ``length(p)`` (UNION-of-chains + MIN over the per-branch length;
 one row per endpoint pair, Cypher's multiplicity), and
 ``[NOT] EXISTS((a)-[:T]->(b[:Label]))`` pattern predicates in WHERE
 (ANSI EXISTS subqueries — semi/anti joins; target bound, labeled, or
-fully existential; ``-`` checks both orientations).
+fully existential; ``-`` checks both orientations), and top-level
+``UNION [ALL]`` combining complete single queries (arms must RETURN
+the same column names, per Cypher; ``UNION`` dedups like SQL).
 Out of scope (raise :class:`CypherUnsupported`): multiple comma
-patterns, mutation clauses, path variables outside shortestPath,
-unbounded ``*``. The generated SQL uses only
+patterns, path variables outside shortestPath,
+unbounded ``*``. Mutation clauses (CREATE/MERGE/SET/DELETE) live in
+:mod:`neo4j_arrow_spark.cypher_write`. The generated SQL uses only
 constructs DuckDB executes identically (``array_contains``, ANSI
 joins), so transpiled queries plug into the oracle harness unchanged.
 """
@@ -903,6 +906,47 @@ def _subst_views(sql: str, nodes_view: str, rels_view: str) -> str:
     return sql.replace("__NODES__", nodes_view).replace("__RELS__", rels_view)
 
 
+_UNION_WORD = re.compile(r"(?i)\bunion\b")
+_ALL_WORD = re.compile(r"(?i)^\s*all\b")
+
+
+def _split_union(query: str) -> tuple[list[str], list[bool]]:
+    """Split a query on top-level ``UNION [ALL]`` separators, skipping
+    occurrences inside string literals. Returns (arms, all_flags) with
+    ``len(all_flags) == len(arms) - 1``. ``UNION`` cannot appear in any
+    other position of the supported grammar (it is not a function or
+    keyword elsewhere), so a standalone word match outside quotes IS a
+    separator — an alias literally named ``union`` is not supported."""
+    arms: list[str] = []
+    flags: list[bool] = []
+    i, start, n = 0, 0, len(query)
+    while i < n:
+        c = query[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if query[i] == "\\":
+                    i += 2
+                    continue
+                if query[i] == "'":
+                    i += 1
+                    break
+                i += 1
+            continue
+        m = _UNION_WORD.match(query, i)
+        if m:
+            arms.append(query[start : i])
+            rest = query[m.end() :]
+            am = _ALL_WORD.match(rest)
+            flags.append(bool(am))
+            i = m.end() + (am.end() if am else 0)
+            start = i
+            continue
+        i += 1
+    arms.append(query[start:])
+    return arms, flags
+
+
 def cypher_to_sql(
     query: str,
     nodes_view: str,
@@ -920,10 +964,44 @@ def cypher_to_sql(
     (``:name`` for Spark, ``$name`` for DuckDB); the referenced names
     are added to ``params_out`` when provided, so callers can check
     the binding set before execution."""
+    arms, all_flags = _split_union(query)
+    if len(arms) > 1:
+        # Cypher UNION: every arm is a complete query and must return
+        # the same column names (openCypher's rule; SQL set ops are
+        # positional, so the name check is what keeps a silently
+        # misaligned union from type-punning columns).
+        pieces: list[str] = []
+        alias_sets: list[list[str]] = []
+        for arm in arms:
+            arm_parser = _Parser(arm, dialect)
+            arm_ast = arm_parser.parse()
+            if params_out is not None:
+                params_out.update(arm_parser.params_used)
+            alias_sets.append([a for _, a, _ in arm_ast["items"]])
+            pieces.append(
+                _single_query_sql(arm_parser, arm_ast, nodes_view, rels_view)
+            )
+        for aliases in alias_sets[1:]:
+            if aliases != alias_sets[0]:
+                raise CypherUnsupported(
+                    f"UNION arms must RETURN the same column names; got "
+                    f"{alias_sets[0]} vs {aliases}"
+                )
+        out = f"({pieces[0]})"
+        for flag, piece in zip(all_flags, pieces[1:]):
+            out += ("\nUNION ALL\n" if flag else "\nUNION\n") + f"({piece})"
+        return out
     parser = _Parser(query, dialect)
     ast = parser.parse()
     if params_out is not None:
         params_out.update(parser.params_used)
+    return _single_query_sql(parser, ast, nodes_view, rels_view)
+
+
+def _single_query_sql(
+    parser: "_Parser", ast: dict, nodes_view: str, rels_view: str
+) -> str:
+    """SQL for one parsed single-query AST (no UNION)."""
     nodes, rels = ast["nodes"], ast["rels"]
     if ast["unwinds"] and any(r.is_varlength for r in rels):
         raise CypherUnsupported("UNWIND with variable-length is not supported")

@@ -245,6 +245,29 @@ _cypher_query(
     "RETURN c.ID AS cust, n.name AS nation, length(p) AS hops",
 )
 
+_cypher_query(
+    "cypher_union_members",
+    # UNION ALL of two complete queries (arms keep their own labels and
+    # aggregation); Cypher requires matching RETURN column names
+    "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "RETURN n.name AS nation, 'customer' AS kind, count(*) AS members "
+    "UNION ALL "
+    "MATCH (s:Supplier)-[r:IN_NATION]->(n:Nation) "
+    "RETURN n.name AS nation, 'supplier' AS kind, count(*) AS members",
+)
+
+_cypher_query(
+    "cypher_union_distinct",
+    # UNION (distinct): ids adjacent to nation 0 via either edge type,
+    # deduplicated across the arms like Cypher/SQL UNION
+    "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation {ID: 2000000}) "
+    "RETURN c.ID AS id "
+    "UNION "
+    "MATCH (c2:Customer)-[b:BUYS_FROM]->(s:Supplier)-[r2:IN_NATION]->"
+    "(m:Nation {ID: 2000000}) "
+    "RETURN c2.ID AS id",
+)
+
 
 def _sql_query(name: str, sql: str, tables: tuple[str, ...]):
     """Register a query whose Spark plan IS the oracle SQL — one ANSI

@@ -537,3 +537,65 @@ def test_cypher_params_in_node_props(client):
         graph="cy",
     )
     assert client.stream(job, 60).collect()[0].n > 0
+
+
+# -- UNION ----------------------------------------------------------------
+
+def test_union_transpile_shapes():
+    sql = cypher_to_sql(
+        "MATCH (n:Nation) RETURN n.name AS name "
+        "UNION ALL MATCH (s:Supplier) RETURN s.name AS name",
+        "n", "e",
+    )
+    assert "UNION ALL" in sql and sql.count("SELECT") == 2
+    sql = cypher_to_sql(
+        "MATCH (n:Nation) RETURN n.name AS name "
+        "UNION MATCH (s:Supplier) RETURN s.name AS name",
+        "n", "e",
+    )
+    assert "\nUNION\n" in sql
+
+
+def test_union_mismatched_columns_rejected():
+    with pytest.raises(CypherUnsupported, match="same column names"):
+        cypher_to_sql(
+            "MATCH (n:Nation) RETURN n.name AS a "
+            "UNION MATCH (s:Supplier) RETURN s.name AS b",
+            "n", "e",
+        )
+
+
+def test_union_inside_string_literal_not_split():
+    sql = cypher_to_sql(
+        "MATCH (n:Nation {name: 'UNION JACK'}) RETURN n.ID AS id", "n", "e"
+    )
+    assert "UNION JACK" in sql and "\nUNION\n" not in sql
+
+
+def test_union_end_to_end(client):
+    # distinct union dedups ids that appear via both arms
+    job = client.cypher(
+        "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) RETURN c.ID AS id "
+        "UNION MATCH (c2:Customer)-[b:BUYS_FROM]->(s:Supplier) "
+        "RETURN c2.ID AS id",
+        graph="cy",
+    )
+    distinct_rows = client.stream(job, 60).count()
+    job_all = client.cypher(
+        "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) RETURN c.ID AS id "
+        "UNION ALL MATCH (c2:Customer)-[b:BUYS_FROM]->(s:Supplier) "
+        "RETURN c2.ID AS id",
+        graph="cy",
+    )
+    all_rows = client.stream(job_all, 60).count()
+    assert 0 < distinct_rows < all_rows
+
+
+def test_union_params_collected_across_arms(client):
+    job = client.cypher(
+        "MATCH (c:Customer) WHERE c.acctbal > $lo RETURN c.ID AS id "
+        "UNION ALL MATCH (s:Supplier) WHERE s.acctbal > $hi RETURN s.ID AS id",
+        params={"lo": 9000.0, "hi": 9990.0},
+        graph="cy",
+    )
+    assert client.stream(job, 60).count() > 0

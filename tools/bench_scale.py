@@ -1,0 +1,73 @@
+"""Scale proof: run the heaviest registry queries at a synthesized sf1
+(tools/make_scale.py) and compare wall time to the same queries at
+sf0.1. VERDICT r3 item 8's bar: khop / pagerank / LSH within 15x of
+their sf0.1 times at 10x the data, no OOM, no failure.
+
+Writes BENCH_sf1.json: {query: {"sf0.1": s, "sf1": s, "ratio": r}}.
+
+Usage: python tools/bench_scale.py [--sf1 /root/repo/.scale/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+HEAVY = [
+    "khop_wire",
+    "khop3_in_nation",
+    "khop_in_nation",
+    "pagerank3",
+    "ppr_nation0",
+    "connected_components",
+    "triangle_counts",
+    "sssp_nation0",
+    "minhash_lsh_pairs",
+    "neardup_clusters",
+    "quality_filtered_corpus",
+    "hits2_buysfrom",
+]
+
+
+def run(qs, spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    qs[name](spark, sf_dir).count()
+    return round(time.time() - t0, 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf01", default="/root/testdata/sf0.1")
+    ap.add_argument("--sf1", default="/root/repo/.scale/sf1")
+    ap.add_argument("--out", default="/root/repo/BENCH_sf1.json")
+    args = ap.parse_args()
+
+    from neo4j_arrow_spark.session import get_session
+    import __spark_entry__ as entry
+
+    spark = get_session()
+    qs = entry.queries()
+    out = {}
+    # warm the JVM on a cheap query first so sf0.1 numbers aren't
+    # penalized by first-run codegen/IO
+    qs["gds_node_scan"](spark, args.sf01).count()
+    for name in HEAVY:
+        t_small = run(qs, spark, name, args.sf01)
+        t_big = run(qs, spark, name, args.sf1)
+        out[name] = {
+            "sf0.1": t_small,
+            "sf1": t_big,
+            "ratio": round(t_big / t_small, 1) if t_small else None,
+        }
+        print(name, out[name], flush=True)
+    with open(args.out, "w") as f:
+        json.dump({"mult": 10, "queries": out}, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
