@@ -522,3 +522,173 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     canon.unpersist()
     tagged.unpersist()
     return out
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    origins: DataFrame | None = None,
+    max_hops: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hop-bounded harmonic closeness centrality (GDS
+    ``gds.closeness.harmonic`` analogue, truncated at ``max_hops`` —
+    the unbounded sum needs all-pairs distances, which no engine
+    computes at 100 TB; the truncated form is the standard large-graph
+    variant and exact for graphs with diameter <= max_hops).
+
+    ``h(v) = sum_{u != v, d(u,v) <= max_hops} (scale div d(u,v))``
+
+    over the undirected view of ``edges (u, v)``. Each reciprocal is
+    an integer (``scale div d``), so the sum is order-independent and
+    bit-exact against the oracle's unrolled min-distance recurrence —
+    the same fixed-point rationale as operators/pagerank.py.
+
+    Returns ``(node long, reached long, harmonic_q long)``; nodes that
+    reach nobody are omitted (no zero-padding join).
+
+    Plan: labeled multi-origin BFS — the frontier carries (origin,
+    node) pairs, expands by one edge join per round, anti-joins the
+    visited set per origin, and stops early when it drains. Per-round
+    shuffle is bounded by |frontier| x avg-degree, the same budget as
+    khop; hot hubs are AQE skew-split.
+    """
+    und = _undirected(edges).persist()
+    if origins is None:
+        starts = und.select(F.col("u").alias("origin")).distinct()
+    else:
+        starts = origins.select(F.col("node").cast("long").alias("origin")).distinct()
+    visited = (
+        starts.withColumn("node", F.col("origin"))
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("origin", "node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["u"])
+            .select("origin", F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("origin", "node"), ["origin", "node"], "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("origin", "node")
+    und.unpersist()
+    return (
+        visited.filter(F.col("hop") >= 1)
+        .groupBy(F.col("origin").alias("node"))
+        .agg(
+            F.count("*").alias("reached"),
+            F.sum(F.expr(f"{scale} div hop")).alias("harmonic_q"),
+        )
+    )
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Source-sampled, hop-bounded betweenness centrality — the GDS
+    ``gds.betweenness`` analogue with ``samplingSize`` (Brandes'
+    pivot sampling) and a BFS depth cap (the standard large-graph
+    truncation; exact when the graph's diameter <= ``max_hops``).
+
+    Brandes' recurrence with integer fixed-point dependencies::
+
+        sigma_t(v) = sum_{u in pred(v)} sigma_{t-1}(u)
+        delta(v)   = sum_{w in succ(v)}
+                     (sigma(v) * (scale + delta(w))) div sigma(w)
+        B(v)       = sum_{s} delta_s(v)        -- v at depth 1..h-1
+
+    Every term is an exact integer (div before sum), so accumulation
+    is order-independent and bit-exact against the oracle's unrolled
+    recurrence (the operators/pagerank.py fixed-point rationale).
+    Deepest-level nodes carry delta = 0 (truncation) and are not
+    emitted unless they earn dependency via another source.
+
+    Plan: forward pass is a labeled BFS whose frontier carries path
+    counts (one join + one agg per level, anti-join vs visited);
+    backward pass is one join per level from deepest to 1. Shuffles
+    scale with |sources| x frontier width — sampling keeps that the
+    pivot count, which is exactly why GDS samples too.
+    """
+    und = _undirected(edges).persist()
+    lvl0 = (
+        sources.select(F.col("node").cast("long").alias("s"))
+        .distinct()
+        .withColumn("v", F.col("s"))
+        .withColumn("sig", F.lit(1).cast("long"))
+        .localCheckpoint()
+    )
+    levels = [lvl0]
+    visited = lvl0.select("s", "v")
+    for _t in range(1, max_hops + 1):
+        prev = levels[-1]
+        nxt = (
+            prev.join(und, prev["v"] == und["u"])
+            .select("s", und["v"].alias("nv"), "sig")
+            .groupBy("s", "nv")
+            .agg(F.sum("sig").alias("sig"))
+            .withColumnRenamed("nv", "v")
+            .join(visited, ["s", "v"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("s", "v"))
+    und.unpersist()
+    spark = edges.sparkSession
+    empty = spark.createDataFrame([], "node long, betweenness_q long")
+    if len(levels) < 2:
+        return empty
+
+    child = levels[-1].withColumn("delta", F.lit(0).cast("long"))
+    delta_frames = []
+    for t in range(len(levels) - 2, 0, -1):
+        succ = child.select(
+            F.col("s").alias("cs"),
+            F.col("v").alias("w"),
+            F.col("sig").alias("sig_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        # predecessors of w are its neighbors at depth t
+        cand = succ.join(und, succ["w"] == und["u"]).select(
+            "cs", und["v"].alias("pv"), "sig_w", "delta_w"
+        )
+        cur = levels[t]
+        d = (
+            cur.join(
+                cand,
+                (cur["s"] == cand["cs"]) & (cur["v"] == cand["pv"]),
+            )
+            .select(
+                "s",
+                "v",
+                "sig",
+                F.expr(f"(sig * ({scale} + delta_w)) div sig_w").alias("term"),
+            )
+            .groupBy("s", "v", "sig")
+            .agg(F.sum("term").alias("delta"))
+            .localCheckpoint()
+        )
+        delta_frames.append(d)
+        # next step's successor frame must include level-t nodes with
+        # NO deeper successors (delta 0): they still hand their
+        # sigma-only dependency term to their own predecessors
+        child = (
+            cur.join(d.select("s", "v", "delta"), ["s", "v"], "left")
+            .select("s", "v", "sig", F.coalesce("delta", F.lit(0)).alias("delta"))
+        )
+    out = delta_frames[0]
+    for d in delta_frames[1:]:
+        out = out.unionByName(d)
+    return (
+        out.groupBy(F.col("v").alias("node"))
+        .agg(F.sum("delta").alias("betweenness_q"))
+    )

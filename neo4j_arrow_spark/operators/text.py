@@ -619,3 +619,79 @@ def pack_sequences(
             "pack_id", F.expr(f"start_offset div {seq_len}").cast("long")
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 10,
+    scale: int = 1_000,
+) -> DataFrame:
+    """BM25 retrieval: top-``k`` documents per query, exact integer
+    scoring (k1 = 6/5, b = 3/4 — the standard 1.2/0.75 as rationals).
+
+    ``queries`` is ``(query_id, term)``, one row per query term. With
+    ``N`` docs, ``L`` total tokens, ``dl`` the doc length and ``df``
+    the term's document frequency, the per-term score multiplied
+    through by ``10·L`` clears every denominator::
+
+        idf_q    = (N * scale) div df           -- log-free rational idf
+        score_q  = (22 * L * idf_q * tf) div (10*L*tf + 3*L + 9*dl*N)
+
+    All-integer arithmetic: sums over matched terms are exact and
+    order-independent, so Spark and the DuckDB oracle agree bit-for-bit
+    (same fixed-point rationale as operators/pagerank.py; ``scale``
+    capped low enough that 22·L·idf_q·tf stays inside int64 at sf1).
+
+    Plan (100 TB shape): the tiny query table broadcasts into the
+    (doc, term, tf) stream so only query-term postings survive the
+    scan; df is an aggregation of those postings alone; the two corpus
+    scalars (N, L) ride in via a 1-row broadcast cross join; top-k is
+    one window over the (n_queries × matched-docs) score frame,
+    partitioned by query.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = docs.select(
+        F.count("*").alias("_n"),
+        F.sum(F.size(tokens(text_col))).alias("_l"),
+    )
+    qterms = queries.select("query_id", "term").distinct()
+    postings = tf.join(F.broadcast(qterms), "term")
+    dfreq = (
+        postings.select("term", id_col)
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_q", F.expr(f"(_n * {scale}) div df"))
+        .withColumn(
+            "score_q",
+            F.expr(
+                "(22 * _l * idf_q * tf) div "
+                "(10 * _l * tf + 3 * _l + 9 * dl * _n)"
+            ),
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("score_q").alias("score"),
+            F.count("*").alias("n_terms_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "n_terms_matched", "rank")
+    )

@@ -2159,3 +2159,123 @@ def khop_subset_origins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(F.col("LABELS"), "Customer") & (F.col("ID") % 7 == 0)
     )
     return khop_flat(origins, rels, filters=["IN_NATION"], origins_complete=False)
+
+
+@query(
+    "harmonic_centrality3",
+    oracle=f"""
+    WITH RECURSIVE rels AS ({RELS_SQL}),
+    e AS (
+        SELECT DISTINCT START_ID AS u, END_ID AS v
+        FROM rels WHERE TYPE = 'IN_NATION'
+    ),
+    und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    b(origin, node, hop) AS (
+        SELECT u, u, 0 FROM (SELECT DISTINCT u FROM und)
+        UNION
+        SELECT b.origin, und.v, b.hop + 1
+        FROM b JOIN und ON b.node = und.u
+        WHERE b.hop < 3
+    ),
+    d AS (SELECT origin, node, min(hop) AS dist FROM b GROUP BY 1, 2)
+    SELECT origin AS node,
+           CAST(count(*) AS BIGINT) AS reached,
+           CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_q
+    FROM d WHERE dist >= 1
+    GROUP BY origin
+    """,
+)
+def harmonic_centrality3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded harmonic closeness over the undirected IN_NATION
+    graph (GDS gds.closeness.harmonic analogue, truncated at 3 hops;
+    operators/graph_algs.harmonic_centrality). Integer reciprocals
+    (1e6 div d) make the sum order-independent and bit-exact against
+    the oracle's labeled recursive-CTE BFS."""
+    from neo4j_arrow_spark.operators.graph_algs import harmonic_centrality
+
+    _, rels = _graph(spark, sf_dir)
+    edges = rels.filter(F.col("TYPE") == "IN_NATION").select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    return harmonic_centrality(edges, max_hops=3)
+
+
+def _betweenness_oracle(scale: int = 1_000_000) -> str:
+    """Unrolled hop-3 Brandes with integer fixed-point dependencies —
+    the same recurrence as operators/graph_algs.betweenness_sampled."""
+    lvl = """d{t} AS (
+    SELECT s, v, min(dist) AS dist FROM (
+        SELECT s, v, dist FROM d{p}
+        UNION ALL
+        SELECT d.s, und.v, d.dist + 1 FROM d{p} d JOIN und ON d.v = und.u
+    ) GROUP BY s, v
+)"""
+    sig = """sig{t} AS (
+    SELECT p.s, und.v, CAST(sum(p.sig) AS BIGINT) AS sig
+    FROM sig{p} p
+    JOIN und ON p.v = und.u
+    JOIN d3 t ON t.s = p.s AND t.v = und.v AND t.dist = {t}
+    GROUP BY p.s, und.v
+)"""
+    ctes = [
+        f"rels AS ({RELS_SQL})",
+        """e AS (
+    SELECT DISTINCT START_ID AS u, END_ID AS v
+    FROM rels WHERE TYPE = 'BUYS_FROM'
+)""",
+        "und AS (SELECT u, v FROM e UNION SELECT v, u FROM e)",
+        "src AS (SELECT DISTINCT u AS s FROM e WHERE u % 500 = 0)",
+        "d0 AS (SELECT s, s AS v, 0 AS dist FROM src)",
+        lvl.format(t=1, p=0),
+        lvl.format(t=2, p=1),
+        lvl.format(t=3, p=2),
+        "sig0 AS (SELECT s, s AS v, CAST(1 AS BIGINT) AS sig FROM src)",
+        sig.format(t=1, p=0),
+        sig.format(t=2, p=1),
+        sig.format(t=3, p=2),
+        f"""del2 AS (
+    SELECT p.s, p.v, CAST(sum((p.sig * {scale}) // w.sig) AS BIGINT) AS delta
+    FROM sig2 p
+    JOIN und ON p.v = und.u
+    JOIN sig3 w ON w.s = p.s AND w.v = und.v
+    GROUP BY p.s, p.v
+)""",
+        f"""del1 AS (
+    SELECT p.s, p.v,
+           CAST(sum((p.sig * ({scale} + coalesce(dw.delta, 0))) // w.sig)
+                AS BIGINT) AS delta
+    FROM sig1 p
+    JOIN und ON p.v = und.u
+    JOIN sig2 w ON w.s = p.s AND w.v = und.v
+    LEFT JOIN del2 dw ON dw.s = p.s AND dw.v = w.v
+    GROUP BY p.s, p.v
+)""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT v AS node, CAST(sum(delta) AS BIGINT) AS betweenness_q
+FROM (SELECT * FROM del1 UNION ALL SELECT * FROM del2)
+GROUP BY v"""
+    )
+
+
+@query("betweenness_sampled3", oracle=_betweenness_oracle())
+def betweenness_sampled3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-sampled (every 500th customer), hop-3-bounded Brandes
+    betweenness over the undirected BUYS_FROM graph — the GDS
+    betweenness-with-samplingSize analogue
+    (operators/graph_algs.betweenness_sampled). Integer fixed-point
+    dependency terms make the accumulation bit-exact against the
+    oracle's unrolled recurrence."""
+    from neo4j_arrow_spark.operators.graph_algs import betweenness_sampled
+
+    _, rels = _graph(spark, sf_dir)
+    edges = rels.filter(F.col("TYPE") == "BUYS_FROM").select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    sources = (
+        edges.filter(F.col("u") % 500 == 0)
+        .select(F.col("u").alias("node"))
+        .distinct()
+    )
+    return betweenness_sampled(edges, sources, max_hops=3)

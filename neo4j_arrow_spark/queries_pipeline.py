@@ -1341,3 +1341,76 @@ def ann_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries_df, "vec_id", "embedding", dim=64, n_bits=8, k=3
     )
     return _recall_frame(brute, lsh, 3)
+
+
+# ---- BM25 retrieval -----------------------------------------------------------
+
+_BM25_QUERIES = [
+    (1, "spark"), (1, "join"), (1, "fast"),
+    (2, "hash"), (2, "table"), (2, "scan"),
+    (3, "window"), (3, "agg"), (3, "stream"),
+]
+_BM25_SCALE = 1_000
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES
+        {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)}
+    ),
+    tok AS (
+        SELECT doc_id, unnest({duck_tokens("text")}) AS term FROM documents
+    ),
+    stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n,
+               count(*) AS l
+        FROM tok
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    postings AS (
+        SELECT q.query_id, tf.doc_id, tf.term, tf.tf
+        FROM tf JOIN q USING (term)
+    ),
+    dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df
+        FROM postings GROUP BY term
+    ),
+    scored AS (
+        SELECT p.query_id, p.doc_id,
+               sum((22 * s.l * ((s.n * {_BM25_SCALE}) // d.df) * p.tf) //
+                   (10 * s.l * p.tf + 3 * s.l + 9 * dl.dl * s.n)) AS score,
+               count(*) AS n_terms_matched
+        FROM postings p
+        JOIN dfreq d USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+           CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per query with exact integer scoring (k1=1.2,
+    b=0.75 as rationals, denominators cleared) — operators/text.
+    bm25_topk; the oracle is the identical all-integer recurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, term string"
+    )
+    out = text.bm25_topk(docs, queries_df, "doc_id", k=10, scale=_BM25_SCALE)
+    return out.select(
+        F.col("query_id").cast("int"),
+        "doc_id",
+        F.col("score").cast("long"),
+        F.col("n_terms_matched").cast("long"),
+        F.col("rank").cast("int"),
+    )

@@ -1,0 +1,141 @@
+"""Round-4 operators: BM25 retrieval (and siblings added this round)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_arrow_spark.operators.text import bm25_topk
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple apple"),
+            (2, "apple banana cherry"),
+            (3, "cherry cherry cherry durian"),
+            (4, "banana banana banana banana banana banana banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_bm25_rare_term_outranks_common(spark, corpus):
+    q = spark.createDataFrame([(1, "durian")], "query_id int, term string")
+    out = bm25_topk(corpus, q, "doc_id").collect()
+    assert [r.doc_id for r in out] == [3]  # only doc 3 contains durian
+
+
+def test_bm25_tf_and_length_normalization(spark, corpus):
+    # 'apple' appears 3x in doc 1 (len 4) and 1x in doc 2 (len 3):
+    # higher tf wins despite similar lengths
+    q = spark.createDataFrame([(7, "apple")], "query_id int, term string")
+    out = bm25_topk(corpus, q, "doc_id").orderBy("rank").collect()
+    assert [r.doc_id for r in out] == [1, 2]
+    assert out[0].score > out[1].score
+
+
+def test_bm25_multi_term_sums_and_k(spark, corpus):
+    q = spark.createDataFrame(
+        [(5, "apple"), (5, "cherry")], "query_id int, term string"
+    )
+    out = bm25_topk(corpus, q, "doc_id", k=2).orderBy("rank").collect()
+    assert len(out) == 2 and all(r.query_id == 5 for r in out)
+    # doc 2 matches both terms
+    both = [r for r in out if r.doc_id == 2]
+    assert both and both[0].n_terms_matched == 2
+
+
+def test_bm25_deterministic_integer_scores(spark, corpus):
+    q = spark.createDataFrame(
+        [(9, "banana"), (9, "cherry")], "query_id int, term string"
+    )
+    a = {(r.doc_id, r.score) for r in bm25_topk(corpus, q, "doc_id").collect()}
+    b = {
+        (r.doc_id, r.score)
+        for r in bm25_topk(
+            corpus.repartition(7), q, "doc_id"
+        ).collect()
+    }
+    assert a == b  # integer scoring is partitioning-invariant
+
+
+# -- harmonic centrality ---------------------------------------------------
+
+def test_harmonic_centrality_path_graph(spark):
+    from neo4j_arrow_spark.operators.graph_algs import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "u long, v long"
+    )
+    out = {r.node: (r.reached, r.harmonic_q)
+           for r in harmonic_centrality(edges, max_hops=3).collect()}
+    # path 1-2-3-4: ends see (1,2,3) hops, middles see (1,1,2)
+    assert out[1] == (3, 1_000_000 + 500_000 + 333_333)
+    assert out[2] == (3, 2_500_000)
+    assert out[3] == (3, 2_500_000)
+    assert out[4] == (3, 1_833_333)
+
+
+def test_harmonic_centrality_hop_bound(spark):
+    from neo4j_arrow_spark.operators.graph_algs import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "u long, v long"
+    )
+    out = {r.node: r.reached
+           for r in harmonic_centrality(edges, max_hops=1).collect()}
+    assert out == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_harmonic_centrality_origin_subset(spark):
+    from neo4j_arrow_spark.operators.graph_algs import harmonic_centrality
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    origins = spark.createDataFrame([(1,)], "node long")
+    out = harmonic_centrality(edges, origins=origins, max_hops=2).collect()
+    assert len(out) == 1 and out[0].node == 1 and out[0].reached == 2
+
+
+# -- betweenness (sampled, hop-bounded Brandes) ----------------------------
+
+def _bw(spark, edges, sources, **kw):
+    from neo4j_arrow_spark.operators.graph_algs import betweenness_sampled
+
+    e = spark.createDataFrame(edges, "u long, v long")
+    s = spark.createDataFrame([(x,) for x in sources], "node long")
+    return {
+        r.node: r.betweenness_q
+        for r in betweenness_sampled(e, s, **kw).collect()
+    }
+
+
+def test_betweenness_path_middle(spark):
+    # 1-2-3, source 1: all dependency flows through 2
+    assert _bw(spark, [(1, 2), (2, 3)], [1]) == {2: 1_000_000}
+
+
+def test_betweenness_diamond_split_paths(spark):
+    # 1-2-4, 1-3-4: two shortest paths to 4, sigma(4)=2, each middle
+    # node carries half the dependency
+    out = _bw(spark, [(1, 2), (1, 3), (2, 4), (3, 4)], [1])
+    assert out == {2: 500_000, 3: 500_000}
+
+
+def test_betweenness_two_sources_accumulate(spark):
+    assert _bw(spark, [(1, 2), (2, 3)], [1, 3]) == {2: 2_000_000}
+
+
+def test_betweenness_zero_delta_leaf_still_contributes(spark):
+    # 1-2, 2-3, 2-4, 4-5 from source 1: node 3 is a depth-2 leaf
+    # (delta 0) but still hands its sigma term to node 2
+    out = _bw(spark, [(1, 2), (2, 3), (2, 4), (4, 5)], [1])
+    assert out == {2: 3_000_000, 4: 1_000_000}
+
+
+def test_betweenness_hop_truncation(spark):
+    # capping at 2 hops drops node 5 from the BFS, so 4's dependency
+    # disappears and 2 sees only its two depth-2 leaves
+    out = _bw(spark, [(1, 2), (2, 3), (2, 4), (4, 5)], [1], max_hops=2)
+    assert out == {2: 2_000_000}
