@@ -168,3 +168,63 @@ def range_pair_join(
         .filter((gap > 0) & (gap <= window_us))
         .select(on, "a_id", "b_id", gap.alias("gap_us"))
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    step_window_minutes: int | None = None,
+) -> DataFrame:
+    """First-touch funnel analysis: for each user, the earliest
+    completion of the ordered ``steps`` sequence — step i+1 must occur
+    strictly after the user's matched step-i event (and within
+    ``step_window_minutes`` of it, when set).
+
+    Returns one row per user who completed step 1:
+    ``(user, step1_ts..stepN_ts, steps_completed)`` — later steps NULL
+    once the chain breaks.
+
+    Plan (100 TB shape): one min-aggregate per step, each joined back
+    on the user key — every groupBy/join clusters on ``user_col``, so
+    after the first exchange the rest reuse the same hash partitioning
+    (no per-user windows, no Python). The step filter prunes each scan
+    to one event type before it ever shuffles.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    win_us = (
+        step_window_minutes * 60 * 1_000_000
+        if step_window_minutes is not None
+        else None
+    )
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("step1_ts"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("_t")
+        )
+        prev_ts = f"step{i - 1}_ts"
+        cond = F.unix_micros(F.col("_t")) > us(prev_ts)
+        if win_us is not None:
+            cond = cond & (
+                F.unix_micros(F.col("_t")) <= us(prev_ts) + F.lit(win_us)
+            )
+        matched = (
+            cur.join(nxt, user_col)
+            .filter(cond)
+            .groupBy(user_col)
+            .agg(F.min("_t").alias(f"step{i}_ts"))
+        )
+        cur = cur.join(matched, user_col, "left")
+    completed = sum(
+        F.when(F.col(f"step{i}_ts").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return cur.withColumn("steps_completed", completed.cast("int"))

@@ -2279,3 +2279,45 @@ def betweenness_sampled3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return betweenness_sampled(edges, sources, max_hops=3)
+
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS step1_ts
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS step2_ts
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.step1_ts
+          AND epoch_us(e.ts) <= epoch_us(s1.step1_ts) + 86400000000
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS step3_ts
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts
+          AND epoch_us(e.ts) <= epoch_us(s2.step2_ts) + 86400000000
+        GROUP BY 1
+    )
+    SELECT s1.user_id, s1.step1_ts, s2.step2_ts, s3.step3_ts,
+           CAST(1 + (s2.user_id IS NOT NULL)::INT
+                  + (s3.user_id IS NOT NULL)::INT AS INT) AS steps_completed
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch view->click->purchase funnel with a 24 h per-step
+    window (operators/temporal.funnel): one min-aggregate per step,
+    all joins clustered on user_id so one exchange partitioning is
+    reused end-to-end."""
+    from neo4j_arrow_spark.operators.temporal import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(
+        ev, ["view", "click", "purchase"], step_window_minutes=1440
+    )

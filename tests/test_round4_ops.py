@@ -139,3 +139,48 @@ def test_betweenness_hop_truncation(spark):
     # disappears and 2 sees only its two depth-2 leaves
     out = _bw(spark, [(1, 2), (2, 3), (2, 4), (4, 5)], [1], max_hops=2)
     assert out == {2: 2_000_000}
+
+
+# -- funnel ----------------------------------------------------------------
+
+def test_funnel_first_touch_and_window(spark):
+    from datetime import datetime
+    from neo4j_arrow_spark.operators.temporal import funnel
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            # user 1: full chain inside windows
+            (1, ts(0), "view"), (1, ts(5), "click"), (1, ts(9), "purchase"),
+            # user 2: click BEFORE the first view never counts
+            (2, ts(3), "click"), (2, ts(4), "view"),
+            # user 3: click outside the 10-minute step window
+            (3, ts(0), "view"), (3, ts(20), "click"),
+            # user 4: no view at all -> absent from output
+            (4, ts(1), "purchase"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = {
+        r.user_id: (r.steps_completed, r.step2_ts)
+        for r in funnel(
+            ev, ["view", "click", "purchase"], step_window_minutes=10
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1][0] == 3
+    assert out[2] == (1, None)
+    assert out[3] == (1, None)
+
+
+def test_funnel_min_ts_is_first_match(spark):
+    from datetime import datetime
+    from neo4j_arrow_spark.operators.temporal import funnel
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, ts(0), "view"), (1, ts(2), "click"), (1, ts(7), "click")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    row = funnel(ev, ["view", "click"]).collect()[0]
+    assert row.step2_ts == ts(2) and row.steps_completed == 2
