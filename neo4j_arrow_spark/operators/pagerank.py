@@ -93,3 +93,54 @@ def pagerank_fixed(
     nodes.unpersist()
     fanout.unpersist()
     return ranks
+
+
+def eigenvector_fixed(
+    edges: DataFrame, iterations: int = 3, scale: int = SCALE
+) -> DataFrame:
+    """Integer-quantized eigenvector centrality (GDS
+    ``gds.eigenvector`` analogue): power iteration ``x' = Aᵀx`` with
+    max-normalization each round, all in integer arithmetic —
+    ``x'(v) = (Σ_{u→v} x(u)) · scale div max_w Σ_{u→w} x(u)`` — so the
+    result is bit-identical on any partitioning/engine (see module
+    docstring). Nodes with no in-edges hold centrality 0, exactly as
+    the power iteration drives them.
+
+    Returns ``(node long, centrality long)`` with max = ``scale``.
+    Per iteration: one equi-join + one sum-by-target shuffle + a
+    1-row max aggregate (the same scalar-collect pattern as the
+    connected-components convergence check).
+    """
+    e = edges.select(F.col("u").cast("long"), F.col("v").cast("long")).distinct()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    e = e.persist()
+    e.count()
+    x = nodes.withColumn("centrality", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(x, e["u"] == x["node"])
+            .select(F.col("v").alias("node"), F.col("centrality").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        m = contribs.agg(F.max("c")).collect()[0][0]
+        if not m:
+            break
+        x = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                F.expr(f"(coalesce(c, 0) * {scale}) div {m}").alias(
+                    "centrality"
+                ),
+            )
+            .localCheckpoint()
+        )
+    nodes.unpersist()
+    e.unpersist()
+    return x

@@ -2321,3 +2321,48 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(
         ev, ["view", "click", "purchase"], step_window_minutes=1440
     )
+
+
+def _eigenvector_oracle(iterations: int, scale: int = 1_000_000) -> str:
+    """Unrolled max-normalized integer power iteration — the same
+    recurrence as operators/pagerank.eigenvector_fixed."""
+    ctes = [
+        f"rels AS ({RELS_SQL})",
+        """e0 AS (
+    SELECT DISTINCT START_ID AS u, END_ID AS v
+    FROM rels WHERE TYPE = 'BUYS_FROM'
+)""",
+        "e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0)",
+        "n AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e)",
+        f"x0 AS (SELECT node, CAST({scale} AS BIGINT) AS c FROM n)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(f"""c{t} AS (
+    SELECT e.v AS node, sum(x.c) AS s
+    FROM e JOIN x{t - 1} x ON e.u = x.node GROUP BY e.v
+)""")
+        ctes.append(f"""x{t} AS (
+    SELECT n.node,
+           CAST((coalesce(c{t}.s, 0) * {scale}) // (SELECT max(s) FROM c{t})
+                AS BIGINT) AS c
+    FROM n LEFT JOIN c{t} ON n.node = c{t}.node
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, c AS centrality FROM x{iterations}"
+    )
+
+
+@query("eigenvector3_buysfrom", oracle=_eigenvector_oracle(3))
+def eigenvector3_buysfrom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality, 3 max-normalized integer power
+    iterations over the undirected BUYS_FROM view (a directed
+    bipartite DAG drains all mass; operators/pagerank.eigenvector_fixed) — bit-exact against the unrolled oracle."""
+    from neo4j_arrow_spark.operators.pagerank import eigenvector_fixed
+
+    _, rels = _graph(spark, sf_dir)
+    fwd = rels.filter(F.col("TYPE") == "BUYS_FROM").select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    und = fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return eigenvector_fixed(und, iterations=3)

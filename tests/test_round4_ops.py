@@ -184,3 +184,34 @@ def test_funnel_min_ts_is_first_match(spark):
     )
     row = funnel(ev, ["view", "click"]).collect()[0]
     assert row.step2_ts == ts(2) and row.steps_completed == 2
+
+
+# -- eigenvector centrality ------------------------------------------------
+
+def test_eigenvector_star_center_dominates(spark):
+    from neo4j_arrow_spark.operators.pagerank import eigenvector_fixed
+
+    # undirected star: center 1 with leaves 2..5
+    fwd = spark.createDataFrame(
+        [(1, x) for x in (2, 3, 4, 5)], "u long, v long"
+    )
+    und = fwd.union(fwd.selectExpr("v as u", "u as v"))
+    out = {r.node: r.centrality for r in eigenvector_fixed(und, 3).collect()}
+    assert out[1] == 1_000_000  # max-normalized center
+    assert all(out[x] < out[1] for x in (2, 3, 4, 5))
+    assert len(set(out[x] for x in (2, 3, 4, 5))) == 1  # symmetric leaves
+
+
+def test_eigenvector_partitioning_invariant(spark):
+    from neo4j_arrow_spark.operators.pagerank import eigenvector_fixed
+
+    fwd = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "u long, v long"
+    )
+    und = fwd.union(fwd.selectExpr("v as u", "u as v"))
+    a = {(r.node, r.centrality) for r in eigenvector_fixed(und, 4).collect()}
+    b = {
+        (r.node, r.centrality)
+        for r in eigenvector_fixed(und.repartition(13), 4).collect()
+    }
+    assert a == b
