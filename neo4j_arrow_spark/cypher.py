@@ -36,12 +36,15 @@ with ``length(p)`` (UNION-of-chains + MIN over the per-branch length;
 one row per endpoint pair, Cypher's multiplicity), and
 ``[NOT] EXISTS((a)-[:T]->(b[:Label]))`` pattern predicates in WHERE
 (ANSI EXISTS subqueries — semi/anti joins; target bound, labeled, or
-fully existential; ``-`` checks both orientations), and top-level
+fully existential; ``-`` checks both orientations), top-level
 ``UNION [ALL]`` combining complete single queries (arms must RETURN
-the same column names, per Cypher; ``UNION`` dedups like SQL).
+the same column names, per Cypher; ``UNION`` dedups like SQL), and
+plain fixed-length path bindings ``p = (a)-[..]->(b)`` with
+``length(p)`` (the constant hop count) and ``nodes(p)`` (comma-joined
+node-id string — the same string-not-list divergence as ``collect()``).
 Out of scope (raise :class:`CypherUnsupported`): multiple comma
-patterns, path variables outside shortestPath,
-unbounded ``*``. Mutation clauses (CREATE/MERGE/SET/DELETE) live in
+patterns, path variables on variable-length patterns outside
+shortestPath, unbounded ``*``. Mutation clauses (CREATE/MERGE/SET/DELETE) live in
 :mod:`neo4j_arrow_spark.cypher_write`. The generated SQL uses only
 constructs DuckDB executes identically (``array_contains``, ANSI
 joins), so transpiled queries plug into the oracle harness unchanged.
@@ -612,6 +615,11 @@ class _Parser:
                     f"computed return item {expr!r} needs an explicit "
                     "AS alias"
                 )
+            if default_alias.startswith("_path"):
+                raise CypherUnsupported(
+                    "length(path)/nodes(path) return items need an "
+                    "explicit AS alias"
+                )
             alias = default_alias
         return expr, alias, is_agg
 
@@ -634,6 +642,47 @@ class _Parser:
             i += 1
         self.unwind_aliases.add("_pathlen")
 
+    def _splice_plain_path(
+        self, path_var: str, nodes: list[_NodePat], rels: list[_RelPat]
+    ) -> dict[str, str]:
+        """Plain fixed-length path binding ``p = (a)-[..]->(b)..``:
+        rewrite ``length(p)`` / ``nodes(p)`` token runs to scalar
+        markers and return the SQL substitutions applied to the final
+        emitted query. ``length(p)`` is the (constant) relationship
+        count, emitted as ``(0 + n)`` so an implicit GROUP BY never
+        reads it as a positional ordinal; ``nodes(p)`` is the
+        comma-joined node-id string (``concat_ws`` — identical in both
+        dialects; same documented string-not-list divergence as
+        ``collect()``). Any other use of the path variable raises."""
+        i = self.pos
+        while i < len(self.toks) - 3:
+            if (
+                self.toks[i][0] == "name"
+                and self.toks[i][1].lower() in ("length", "nodes")
+                and self.toks[i + 1][1] == "("
+                and self.toks[i + 2] == ("name", path_var)
+                and self.toks[i + 3][1] == ")"
+            ):
+                marker = (
+                    "_pathconst"
+                    if self.toks[i][1].lower() == "length"
+                    else "_pathnodes"
+                )
+                self.toks[i : i + 4] = [("name", marker)]
+            i += 1
+        for k, t in self.toks[self.pos :]:
+            if (k, t) == ("name", path_var):
+                raise CypherUnsupported(
+                    f"path variable {path_var!r} supports only "
+                    f"length({path_var}) and nodes({path_var})"
+                )
+        self.unwind_aliases.update({"_pathconst", "_pathnodes"})
+        id_list = ", ".join(f"{n.var}.ID" for n in nodes)
+        return {
+            "_pathconst": f"(0 + {len(rels)})",
+            "_pathnodes": f"concat_ws(',', {id_list})",
+        }
+
     def _shortest_prefix(self):
         """``[p =] shortestPath( pattern )`` after MATCH; returns
         (shortest, path_var, nodes, rels) — or None if the MATCH is a
@@ -650,10 +699,9 @@ class _Parser:
             k0, t0 = self.peek()
         if not (k0 == "name" and t0.lower() == "shortestpath"):
             if path_var is not None:
-                raise CypherUnsupported(
-                    "path binding (p = ...) is supported only with "
-                    "shortestPath(...)"
-                )
+                # plain fixed-length path binding: parse() splices the
+                # supported path functions after the pattern is known
+                self._plain_path = path_var
             return None
         self.next()
         self.expect("(")
@@ -680,6 +728,15 @@ class _Parser:
         else:
             shortest, path_var = False, None
             nodes, rels = self.pattern()
+        path_subs: dict[str, str] = {}
+        plain_path = getattr(self, "_plain_path", None)
+        if plain_path is not None:
+            if any(r.is_varlength for r in rels):
+                raise CypherUnsupported(
+                    "path variables on variable-length patterns are "
+                    "supported only via shortestPath(...)"
+                )
+            path_subs = self._splice_plain_path(plain_path, nodes, rels)
         bound = {n.var for n in nodes}
         optionals: list[tuple[list[_NodePat], list[_RelPat]]] = []
         while self.peek()[1] == "OPTIONAL":
@@ -825,6 +882,7 @@ class _Parser:
             )
         return {
             "shortest": shortest,
+            "path_subs": path_subs,
             "nodes": nodes,
             "rels": rels,
             "optionals": optionals,
@@ -1002,6 +1060,15 @@ def _single_query_sql(
     parser: "_Parser", ast: dict, nodes_view: str, rels_view: str
 ) -> str:
     """SQL for one parsed single-query AST (no UNION)."""
+    sql = _single_query_sql_inner(parser, ast, nodes_view, rels_view)
+    for marker, repl in ast.get("path_subs", {}).items():
+        sql = re.sub(rf"\b{marker}\b", repl, sql)
+    return sql
+
+
+def _single_query_sql_inner(
+    parser: "_Parser", ast: dict, nodes_view: str, rels_view: str
+) -> str:
     nodes, rels = ast["nodes"], ast["rels"]
     if ast["unwinds"] and any(r.is_varlength for r in rels):
         raise CypherUnsupported("UNWIND with variable-length is not supported")

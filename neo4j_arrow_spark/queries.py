@@ -246,6 +246,15 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_path_nodes",
+    # plain fixed-length path binding: length(p) is the constant rel
+    # count, nodes(p) the comma-joined node-id string
+    "MATCH p = (c:Customer)-[b:BUYS_FROM]->(s:Supplier)-[i:IN_NATION]->"
+    "(n:Nation) WHERE c.ID < 50 "
+    "RETURN nodes(p) AS ids, length(p) AS hops, n.name AS nation",
+)
+
+_cypher_query(
     "cypher_union_members",
     # UNION ALL of two complete queries (arms keep their own labels and
     # aggregation); Cypher requires matching RETURN column names

@@ -599,3 +599,48 @@ def test_union_params_collected_across_arms(client):
         graph="cy",
     )
     assert client.stream(job, 60).count() > 0
+
+
+# -- plain path variables --------------------------------------------------
+
+def test_path_var_length_and_nodes_transpile():
+    sql = cypher_to_sql(
+        "MATCH p = (a:Customer)-[r:BUYS_FROM]->(b) "
+        "RETURN nodes(p) AS ids, length(p) AS hops",
+        "n", "e",
+    )
+    assert "concat_ws(',', a.ID, b.ID) AS ids" in sql
+    assert "(0 + 1) AS hops" in sql
+
+
+def test_path_var_length_groups_as_expression_not_ordinal():
+    sql = cypher_to_sql(
+        "MATCH p = (a)-[r:T]->(b)-[r2:T]->(c) "
+        "RETURN length(p) AS hops, count(*) AS n",
+        "n", "e",
+    )
+    # (0 + 2), never a bare 2 that GROUP BY would read as an ordinal
+    assert "GROUP BY (0 + 2)" in sql
+
+
+def test_path_var_rejections():
+    with pytest.raises(CypherUnsupported, match="shortestPath"):
+        cypher_to_sql(
+            "MATCH p = (a)-[r:T*1..2]->(b) RETURN length(p) AS h", "n", "e"
+        )
+    with pytest.raises(CypherUnsupported, match="supports only"):
+        cypher_to_sql("MATCH p = (a)-[r:T]->(b) RETURN p", "n", "e")
+    with pytest.raises(CypherUnsupported, match="explicit AS"):
+        cypher_to_sql("MATCH p = (a)-[r:T]->(b) RETURN nodes(p)", "n", "e")
+
+
+def test_path_var_end_to_end(client):
+    job = client.cypher(
+        "MATCH p = (c:Customer)-[b:BUYS_FROM]->(s:Supplier) "
+        "WHERE c.acctbal > 9900.0 "
+        "RETURN nodes(p) AS ids, length(p) AS hops",
+        graph="cy",
+    )
+    rows = client.stream(job, 60).collect()
+    assert rows and all(r.hops == 1 for r in rows)
+    assert all("," in r.ids for r in rows)
