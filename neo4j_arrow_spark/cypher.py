@@ -451,12 +451,35 @@ class _Parser:
             )
         return self.operand()
 
+    def _map_projection(self, var: str) -> str:
+        """``var {.prop1, .prop2}`` map projection → a struct: Spark
+        ``named_struct``, DuckDB ``struct_pack`` (no shared surface, so
+        this is one of the dialect-split emissions like ``collect()``).
+        Needs an explicit ``AS`` alias like any computed item."""
+        self.expect("{")
+        keys: list[str] = []
+        while True:
+            self.expect(".")
+            keys.append(self.expect_name())
+            if not self.accept(","):
+                break
+        self.expect("}")
+        if not keys:
+            raise CypherSyntaxError("empty map projection")
+        if self.dialect == "spark":
+            inner = ", ".join(f"'{k}', {var}.{k}" for k in keys)
+            return f"named_struct({inner})"
+        inner = ", ".join(f"{k} := {var}.{k}" for k in keys)
+        return f"struct_pack({inner})"
+
     def operand(self) -> str:
         kind, tok = self.peek()
         if kind == "name":
             var = self.expect_name()
             if var in self.unwind_aliases:
                 return var  # an UNWIND-bound scalar, not a node
+            if self.peek()[1] == "{" and self.aliases is None:
+                return self._map_projection(var)
             if self.aliases is not None:
                 if self.accept("."):
                     prop = self.expect_name()

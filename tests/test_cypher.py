@@ -644,3 +644,26 @@ def test_path_var_end_to_end(client):
     rows = client.stream(job, 60).collect()
     assert rows and all(r.hops == 1 for r in rows)
     assert all("," in r.ids for r in rows)
+
+
+# -- map projections -------------------------------------------------------
+
+def test_map_projection_transpile_both_dialects():
+    q = "MATCH (n:Nation) RETURN n {.ID, .name} AS props"
+    assert "named_struct('ID', n.ID, 'name', n.name)" in cypher_to_sql(
+        q, "gn", "gr", "spark"
+    )
+    assert "struct_pack(ID := n.ID, name := n.name)" in cypher_to_sql(
+        q, "gn", "gr", "duckdb"
+    )
+
+
+def test_map_projection_end_to_end(client):
+    job = client.cypher(
+        "MATCH (n:Nation) RETURN n {.ID, .name} AS props "
+        "ORDER BY props LIMIT 2",
+        graph="cy",
+    )
+    rows = client.stream(job, 60).collect()
+    assert len(rows) == 2
+    assert rows[0].props.ID is not None and rows[0].props.name
