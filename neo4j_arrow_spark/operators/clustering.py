@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from neo4j_arrow_spark.operators.dedup import QUANT_SCALE
 
-__all__ = ["kmeans_fixed"]
+__all__ = ["kmeans_fixed", "lloyd_centroids"]
 
 
 def _quantize(vec_col: str):
@@ -72,7 +72,10 @@ def _assign_literal(q: DataFrame, centroids: list[tuple[int, list[int]]], id_col
         _sqdist(F.col("qv"), _lit_vec(cv)).alias(f"_d{c}") for c, cv in centroids
     ]
     scored = q.select(F.col(id_col), F.col("qv"), *dists)
-    best = F.least(*[F.col(f"_d{c}") for c, _ in centroids])
+    dcols = [F.col(f"_d{c}") for c, _ in centroids]
+    # F.least needs >= 2 columns; a codebook can collapse to one
+    # centroid when every other cluster loses all members
+    best = F.least(*dcols) if len(dcols) > 1 else dcols[0]
     cluster = F.lit(None).cast("long")
     for c, _ in reversed([*centroids]):
         cluster = F.when(F.col(f"_d{c}") == best, F.lit(c)).otherwise(cluster)
@@ -123,21 +126,18 @@ def _assign(
     return _assign_literal(q, centroids, id_col)
 
 
-def kmeans_fixed(
-    vectors: DataFrame,
+def lloyd_centroids(
+    q: DataFrame,
     id_col: str,
-    vec_col: str,
     k: int = 4,
     iterations: int = 2,
     assign: str = "auto",
-) -> DataFrame:
-    """Run ``iterations`` rounds of Lloyd's algorithm and return the
-    final assignment ``(id_col, cluster, qdist)`` — cluster is the
-    0-based seed rank, qdist the integer squared-L2 distance to the
-    final centroid (quantized units). Clusters that lose all members
-    drop out (matching the unrolled SQL oracle)."""
-    q = vectors.select(F.col(id_col), _quantize(vec_col).alias("qv"))
-
+) -> list[tuple[int, list[int]]]:
+    """Run ``iterations`` rounds of Lloyd's algorithm over an already
+    quantized ``(id_col, qv)`` frame and return the final centroid list
+    ``[(cluster, centroid_vector)]`` — the reusable training core
+    shared by :func:`kmeans_fixed` and the product-quantization
+    codebooks in operators/similarity.py."""
     # seeds: k lowest ids — a TakeOrdered, never a global sort
     seed_rows = q.orderBy(F.col(id_col)).limit(k).collect()
     centroids = [(i, list(r["qv"])) for i, r in enumerate(seed_rows)]
@@ -163,4 +163,22 @@ def kmeans_fixed(
             )
             for r in rows
         )
+    return centroids
+
+
+def kmeans_fixed(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iterations: int = 2,
+    assign: str = "auto",
+) -> DataFrame:
+    """Run ``iterations`` rounds of Lloyd's algorithm and return the
+    final assignment ``(id_col, cluster, qdist)`` — cluster is the
+    0-based seed rank, qdist the integer squared-L2 distance to the
+    final centroid (quantized units). Clusters that lose all members
+    drop out (matching the unrolled SQL oracle)."""
+    q = vectors.select(F.col(id_col), _quantize(vec_col).alias("qv"))
+    centroids = lloyd_centroids(q, id_col, k, iterations, assign)
     return _assign(q, centroids, id_col, assign).select(id_col, "cluster", "qdist")

@@ -322,3 +322,130 @@ def quantize_int8(
             .alias("q8"),
         )
     )
+
+
+# -- product quantization ---------------------------------------------------
+
+def pq_train_encode(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k_codes: int = 8,
+    iterations: int = 2,
+) -> tuple[DataFrame, list[list[tuple[int, list[int]]]]]:
+    """Product quantization: split each vector into ``m`` contiguous
+    subspaces, train a ``k_codes``-centroid codebook per subspace
+    (integer-exact Lloyd's — operators/clustering.lloyd_centroids), and
+    encode every vector as its per-subspace nearest-centroid ids.
+
+    Returns ``(codes_df, codebooks)``: codes_df is ``(id_col, code0..
+    code{m-1})``; codebooks is the per-subspace centroid list (model
+    parameters, driver-resident like every trainer here). Compression:
+    dim quantized longs → m small ints per vector — the standard
+    memory story that lets a 100 TB corpus ADC-scan from RAM.
+    """
+    from neo4j_arrow_spark.operators.clustering import _assign, lloyd_centroids
+
+    q = vectors.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x * QUANT_SCALE).cast("long")
+        ).alias("qv"),
+    ).persist()
+    dim = len(q.limit(1).collect()[0]["qv"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    codes = None
+    books: list[list[tuple[int, list[int]]]] = []
+    for s in range(m):
+        qs = q.select(
+            F.col(id_col), F.slice("qv", s * subdim + 1, subdim).alias("qv")
+        )
+        cents = lloyd_centroids(qs, id_col, k_codes, iterations)
+        asg = _assign(qs, cents, id_col).select(
+            F.col(id_col), F.col("cluster").alias(f"code{s}")
+        )
+        codes = asg if codes is None else codes.join(asg, id_col)
+        books.append(cents)
+    codes = codes.persist()
+    codes.count()
+    q.unpersist()
+    return codes, books
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str = "query_id",
+    m: int = 4,
+    k_codes: int = 8,
+    iterations: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-``k`` search over PQ codes: per
+    query, the exact integer squared-L2 distance to each CODEBOOK
+    reconstruction — computed as a per-subspace lookup-table sum, never
+    touching the original vectors at query time.
+
+    Plan (the PQ scale story): the LUT (queries × m × k_codes integer
+    distances) broadcasts; codes explode to ``(id, s, code)`` long form
+    and one broadcast equi-join + sum-by-(query, id) scores the whole
+    corpus — a compressed linear scan with no shuffle wider than the
+    score frame itself. Ties break (distance, id) so ranking is total.
+
+    Returns ``(query_id, id_col, adc_dist, rank)``.
+    """
+    codes, books = pq_train_encode(
+        vectors, id_col, vec_col, m=m, k_codes=k_codes, iterations=iterations
+    )
+    spark = vectors.sparkSession
+    subdim = len(books[0][0][1])
+    book_df = spark.createDataFrame(
+        [(s, c, [int(x) for x in cv]) for s, book in enumerate(books)
+         for c, cv in book],
+        "s int, code long, _cv array<long>",
+    )
+    qq = queries.select(
+        F.col(query_id_col),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x * QUANT_SCALE).cast("long")
+        ).alias("qv"),
+    )
+    slices = F.array(
+        *[F.slice("qv", s * subdim + 1, subdim) for s in range(m)]
+    )
+    qsub = qq.select(
+        F.col(query_id_col), F.posexplode(slices).alias("s", "_sq")
+    )
+    sq = F.aggregate(
+        F.zip_with("_sq", "_cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    lut = qsub.join(F.broadcast(book_df), "s").select(
+        F.col(query_id_col), "s", "code", sq.alias("_d")
+    )
+    codes_long = codes.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.col(f"code{s}") for s in range(m)])
+        ).alias("s", "code"),
+    )
+    scored = (
+        codes_long.join(F.broadcast(lut), ["s", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_d").alias("adc_dist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc_dist", id_col)
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )
+    from neo4j_arrow_spark.operators.dedup import _with_intermediates
+
+    return _with_intermediates(out, [codes])

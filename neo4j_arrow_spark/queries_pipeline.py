@@ -1414,3 +1414,111 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_terms_matched").cast("long"),
         F.col("rank").cast("int"),
     )
+
+
+# ---- product quantization -----------------------------------------------------
+
+def _pq_oracle(
+    m: int, k_codes: int, iterations: int, dim: int, topk: int, qmod: int
+) -> str:
+    """Unrolled PQ train + encode + ADC top-k — the identical integer
+    recurrence as operators/similarity.pq_train_encode / pq_topk."""
+    from neo4j_arrow_spark.operators.dedup import QUANT_SCALE
+
+    sub = dim // m
+
+    def dist(q_alias: str, c_alias: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"i -> ({q_alias}.qv[i] - {c_alias}.cv[i]) * "
+            f"({q_alias}.qv[i] - {c_alias}.cv[i])))"
+        )
+
+    ctes = [
+        "q AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> round(x::DOUBLE * {QUANT_SCALE})::BIGINT) AS qv FROM embeddings)",
+    ]
+    for s in range(m):
+        o = s * sub
+        ctes.append(
+            f"qs{s} AS (SELECT vec_id, qv[{o + 1}:{o + sub}] AS qv FROM q)"
+        )
+        ctes.append(f"""c{s}_0 AS (
+    SELECT CAST(rn - 1 AS BIGINT) AS cluster, qv AS cv FROM (
+        SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM qs{s}) t
+    WHERE rn <= {k_codes})""")
+        for t in range(1, iterations + 1):
+            ctes.append(f"""a{s}_{t} AS (
+    SELECT vec_id, cluster FROM (
+        SELECT q.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {dist('q', 'c')}, c.cluster) AS rn
+        FROM qs{s} q CROSS JOIN c{s}_{t - 1} c) t
+    WHERE rn = 1)""")
+            ctes.append(f"""c{s}_{t} AS (
+    SELECT cluster, list(mv ORDER BY pos) AS cv FROM (
+        SELECT a.cluster, d.i AS pos,
+               sum(q.qv[d.i]) // count(*) AS mv
+        FROM a{s}_{t} a JOIN qs{s} q USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, {sub + 1})) AS i) d
+        GROUP BY a.cluster, d.i) t
+    GROUP BY cluster)""")
+        ctes.append(f"""code{s} AS (
+    SELECT vec_id, cluster FROM (
+        SELECT q.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {dist('q', 'c')}, c.cluster) AS rn
+        FROM qs{s} q CROSS JOIN c{s}_{iterations} c) t
+    WHERE rn = 1)""")
+        ctes.append(f"""lut{s} AS (
+    SELECT q.vec_id AS query_id, c.cluster AS code, {dist('q', 'c')} AS d
+    FROM qs{s} q CROSS JOIN c{s}_{iterations} c
+    WHERE q.vec_id % {qmod} = 0)""")
+    code_joins = "\n    ".join(
+        f"JOIN code{s} USING (vec_id)" if s else "code0"
+        for s in range(m)
+    )
+    lut_joins = "\n    ".join(
+        f"JOIN lut{s} l{s} ON l{s}.query_id = l0.query_id "
+        f"AND l{s}.code = code{s}.cluster"
+        if s
+        else "JOIN lut0 l0 ON l0.code = code0.cluster"
+        for s in range(m)
+    )
+    adc = " + ".join(f"l{s}.d" for s in range(m))
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, vec_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       CAST(rank AS INT) AS rank
+FROM (
+    SELECT l0.query_id, code0.vec_id, {adc} AS adc_dist,
+           row_number() OVER (PARTITION BY l0.query_id
+                              ORDER BY {adc}, code0.vec_id) AS rank
+    FROM {code_joins}
+    {lut_joins}
+) WHERE rank <= {topk}"""
+    )
+
+
+@query("pq_adc_topk", oracle=_pq_oracle(4, 8, 2, 64, 5, 53))
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 4 subspaces x 8-centroid codebooks
+    (integer-exact Lloyd's per subspace), ADC top-5 per query via a
+    broadcast lookup-table join over the exploded code table
+    (operators/similarity.pq_train_encode / pq_topk). Queries are every
+    500th vector. The oracle unrolls the identical train/encode/scan
+    recurrence."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = similarity.pq_topk(
+        emb, queries_df, "vec_id", "embedding",
+        m=4, k_codes=8, iterations=2, k=5,
+    )
+    return out.select(
+        "query_id", "vec_id",
+        F.col("adc_dist").cast("long"),
+        F.col("rank").cast("int"),
+    )

@@ -215,3 +215,67 @@ def test_eigenvector_partitioning_invariant(spark):
         for r in eigenvector_fixed(und.repartition(13), 4).collect()
     }
     assert a == b
+
+
+# -- product quantization --------------------------------------------------
+
+def test_pq_encode_shapes_and_codebooks(spark):
+    from neo4j_arrow_spark.operators.similarity import pq_train_encode
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 2), 0.0, float(i // 4), 1.0]) for i in range(8)],
+        "vid long, v array<float>",
+    )
+    codes, books = pq_train_encode(vecs, "vid", "v", m=2, k_codes=2)
+    assert len(books) == 2 and all(len(b) <= 2 for b in books)
+    assert len(books[0][0][1]) == 2  # subspace dim
+    rows = codes.collect()
+    assert len(rows) == 8 and {"vid", "code0", "code1"} <= set(rows[0].asDict())
+
+
+def test_pq_adc_separates_clusters(spark):
+    from neo4j_arrow_spark.operators.similarity import pq_topk
+
+    # two tight clusters far apart; queries drawn from each cluster
+    # must rank their own cluster's members first. Ids interleave the
+    # clusters because the deterministic seeder takes the k_codes
+    # LOWEST ids as initial centroids — one seed must land per cluster.
+    base = [
+        (0, [0.0, 0.1, 0.0, 0.1]), (2, [0.1, 0.0, 0.1, 0.0]),
+        (4, [0.05, 0.05, 0.05, 0.05]),
+        (1, [9.0, 9.1, 9.0, 9.1]), (3, [9.1, 9.0, 9.1, 9.0]),
+        (5, [9.05, 9.05, 9.05, 9.05]),
+    ]
+    vecs = spark.createDataFrame(base, "vid long, v array<float>")
+    qs = spark.createDataFrame(
+        [(100, [0.0, 0.0, 0.0, 0.0]), (200, [9.0, 9.0, 9.0, 9.0])],
+        "query_id long, v array<float>",
+    )
+    out = pq_topk(
+        vecs, qs, "vid", "v", m=2, k_codes=2, iterations=2, k=3
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, set()).add(r.vid)
+    assert got[100] == {0, 2, 4}
+    assert got[200] == {1, 3, 5}
+
+
+def test_pq_partitioning_invariant(spark):
+    from neo4j_arrow_spark.operators.similarity import pq_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7) % 5), float((i * 3) % 4),
+              float(i % 3), float((i * 11) % 6)]) for i in range(40)],
+        "vid long, v array<float>",
+    )
+    qs = spark.createDataFrame(
+        [(1, [1.0, 2.0, 1.0, 3.0])], "query_id long, v array<float>"
+    )
+    a = [(r.vid, r.adc_dist, r.rank)
+         for r in pq_topk(vecs, qs, "vid", "v", m=2, k_codes=4, k=5)
+         .orderBy("rank").collect()]
+    b = [(r.vid, r.adc_dist, r.rank)
+         for r in pq_topk(vecs.repartition(9), qs, "vid", "v",
+                          m=2, k_codes=4, k=5).orderBy("rank").collect()]
+    assert a == b
