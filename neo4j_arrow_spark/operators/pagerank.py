@@ -144,3 +144,68 @@ def eigenvector_fixed(
     nodes.unpersist()
     e.unpersist()
     return x
+
+
+def pagerank_weighted(
+    edges: DataFrame, iterations: int = 3, scale: int = SCALE
+) -> DataFrame:
+    """Weighted PageRank (GDS ``relationshipWeightProperty`` analogue):
+    a node's rank splits over its out-edges proportionally to integer
+    edge weights instead of uniformly.
+
+    ``edges (u, v, w)`` carries non-negative integer weights; parallel
+    edges are pre-aggregated (``sum(w)`` per pair) so multi-edges mean
+    strength, not multiplicity. The per-edge contribution
+    ``(rank · w) div W_u`` is computed through the overflow-safe exact
+    identity::
+
+        (rank * w) div W = (rank div W) * w + ((rank mod W) * w) div W
+
+    — no ``rank·w`` product ever forms, so int64 holds as long as
+    ``W_u · w < 2^63`` (W_u is the node's total out-weight). Same
+    fixed-point determinism contract as :func:`pagerank_fixed`; the
+    oracle unrolls the identical identity.
+    """
+    e = (
+        edges.select(
+            F.col("u").cast("long"), F.col("v").cast("long"),
+            F.col("w").cast("long"),
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("_base", F.lit(15 * scale // 100).cast("long"))
+        .persist()
+    )
+    outw = e.groupBy("u").agg(F.sum("w").alias("tw"))
+    fanout = e.join(outw, "u").persist()
+    fanout.count()
+
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            fanout.join(ranks, fanout["u"] == ranks["node"])
+            .select(
+                F.col("v").alias("node"),
+                F.expr(
+                    "(rank div tw) * w + ((rank % tw) * w) div tw"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                F.expr("_base + (85 * coalesce(c, 0)) div 100").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    nodes.unpersist()
+    fanout.unpersist()
+    return ranks

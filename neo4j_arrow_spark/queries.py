@@ -2375,3 +2375,64 @@ def eigenvector3_buysfrom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     und = fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
     return eigenvector_fixed(und, iterations=3)
+
+
+def _weighted_pagerank_oracle(iterations: int, scale: int = 1_000_000) -> str:
+    """Unrolled weighted-PageRank recurrence with the overflow-safe
+    contribution identity — operators/pagerank.pagerank_weighted."""
+    ctes = [
+        """we0 AS (
+    SELECT o_custkey AS u, l_suppkey + 1000000 AS v,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        """we AS (
+    SELECT u, v, sum(w) AS w FROM (
+        SELECT u, v, w FROM we0 UNION ALL SELECT v, u, w FROM we0
+    ) GROUP BY u, v
+)""",
+        "ww AS (SELECT u, sum(w) AS W FROM we GROUP BY u)",
+        "wn AS (SELECT u AS node FROM we UNION SELECT v AS node FROM we)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM wn)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(f"""r{t} AS (
+    SELECT wn.node,
+           CAST({15 * scale // 100} + (85 * coalesce(s.c, 0)) // 100
+                AS BIGINT) AS rank
+    FROM wn LEFT JOIN (
+        SELECT e.v AS node,
+               sum((r.rank // ww.W) * e.w + ((r.rank % ww.W) * e.w) // ww.W)
+                   AS c
+        FROM we e
+        JOIN ww ON e.u = ww.u
+        JOIN r{t - 1} r ON e.u = r.node
+        GROUP BY e.v
+    ) s ON wn.node = s.node
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank FROM r{iterations}"
+    )
+
+
+@query("pagerank3_weighted", oracle=_weighted_pagerank_oracle(3))
+def pagerank3_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the undirected BUYS_FROM graph, edge
+    weight = total spend in integer cents (parallel lineitem edges
+    aggregated): rank splits over out-edges proportionally to weight
+    (operators/pagerank.pagerank_weighted), bit-exact against the
+    unrolled oracle via the overflow-safe contribution identity."""
+    from neo4j_arrow_spark.operators.pagerank import pagerank_weighted
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    fwd = od.join(li, od["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("u"),
+        (F.col("l_suppkey") + 1_000_000).alias("v"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+    )
+    und = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    return pagerank_weighted(und, iterations=3)

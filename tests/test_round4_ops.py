@@ -279,3 +279,39 @@ def test_pq_partitioning_invariant(spark):
          for r in pq_topk(vecs.repartition(9), qs, "vid", "v",
                           m=2, k_codes=4, k=5).orderBy("rank").collect()]
     assert a == b
+
+
+# -- weighted pagerank -----------------------------------------------------
+
+def test_weighted_pagerank_splits_by_weight(spark):
+    from neo4j_arrow_spark.operators.pagerank import pagerank_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1)], "u long, v long, w long"
+    )
+    out = {r.node: r.rank for r in pagerank_weighted(edges, 1).collect()}
+    # node 1 emits 1e6 split 3:1 -> 750000/250000, damped by 85/100
+    assert out == {
+        1: 150_000,
+        2: 150_000 + (85 * 750_000) // 100,
+        3: 150_000 + (85 * 250_000) // 100,
+    }
+
+
+def test_weighted_pagerank_aggregates_parallel_edges(spark):
+    from neo4j_arrow_spark.operators.pagerank import pagerank_weighted
+
+    # two parallel (1,2,1) edges must behave as one (1,2,2) edge
+    a = pagerank_weighted(
+        spark.createDataFrame(
+            [(1, 2, 1), (1, 2, 1), (1, 3, 2)], "u long, v long, w long"
+        ),
+        2,
+    )
+    b = pagerank_weighted(
+        spark.createDataFrame(
+            [(1, 2, 2), (1, 3, 2)], "u long, v long, w long"
+        ),
+        2,
+    )
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
