@@ -405,6 +405,28 @@ class _Parser:
             return f"({inner})"
         if kind == "name" and self.toks[self.pos + 1][1] == "(":
             fn = tok.upper()
+            if fn in ("ID", "LABELS") and self.toks[self.pos + 2][0] == "name":
+                # graph accessors on a node variable: id(n) -> n.ID,
+                # labels(n) -> the sorted comma-joined label string
+                # (the collect() string-not-list divergence). Only when
+                # the argument is a bare variable — ID( expr ) would
+                # fall through to the unsupported-function error.
+                if self.toks[self.pos + 3][1] == ")":
+                    self.next()
+                    self.expect("(")
+                    var = self.expect_name()
+                    self.expect(")")
+                    if var in self.unwind_aliases or (
+                        self.aliases is not None and var not in self.post_vars
+                    ):
+                        raise CypherSyntaxError(
+                            f"{fn.lower()}({var}): not a node variable"
+                        )
+                    if fn == "ID":
+                        return f"{var}.ID"
+                    if self.dialect == "spark":
+                        return f"array_join(sort_array({var}.LABELS), ',')"
+                    return f"array_to_string(list_sort({var}.LABELS), ',')"
             if fn in self._FNS:
                 self.next()
                 self.expect("(")

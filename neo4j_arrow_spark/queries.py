@@ -255,6 +255,14 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_labels_fn",
+    # id()/labels() graph accessors; labels() is the sorted
+    # comma-joined string (the collect() divergence)
+    "MATCH (x) RETURN labels(x) AS lbls, count(*) AS members, "
+    "min(id(x)) AS min_id",
+)
+
+_cypher_query(
     "cypher_union_members",
     # UNION ALL of two complete queries (arms keep their own labels and
     # aggregation); Cypher requires matching RETURN column names
@@ -2436,3 +2444,63 @@ def pagerank3_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
     )
     return pagerank_weighted(und, iterations=3)
+
+
+_sql_query(
+    "sql_shipping_priority",
+    # TPC-H Q3 shape: unshipped-order revenue by market segment cutoff
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 20
+    """,
+    ("customer", "orders", "lineitem"),
+)
+
+_sql_query(
+    "sql_returned_revenue",
+    # TPC-H Q10 shape: revenue lost to returns, per customer + nation
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(any_value(c_acctbal), 2) AS acctbal
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    ("customer", "orders", "lineitem", "nation"),
+)
+
+_sql_query(
+    "sql_order_priority_count",
+    # TPC-H Q4 shape: orders with at least one late lineitem, by priority
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    ("orders", "lineitem"),
+)

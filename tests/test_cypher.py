@@ -667,3 +667,23 @@ def test_map_projection_end_to_end(client):
     rows = client.stream(job, 60).collect()
     assert len(rows) == 2
     assert rows[0].props.ID is not None and rows[0].props.name
+
+
+# -- id()/labels() graph accessors ----------------------------------------
+
+def test_id_labels_fn_transpile():
+    q = "MATCH (n:Customer) RETURN id(n) AS nid, labels(n) AS lbls"
+    s1 = cypher_to_sql(q, "gn", "gr", "spark")
+    assert "n.ID AS nid" in s1
+    assert "array_join(sort_array(n.LABELS), ',')" in s1
+    s2 = cypher_to_sql(q, "gn", "gr", "duckdb")
+    assert "array_to_string(list_sort(n.LABELS), ',')" in s2
+
+
+def test_id_labels_fn_end_to_end(client):
+    job = client.cypher(
+        "MATCH (n:Nation) RETURN labels(n) AS lbls, count(*) AS m",
+        graph="cy",
+    )
+    rows = client.stream(job, 60).collect()
+    assert rows == [("Nation", 25)] or rows[0].lbls == "Nation"
