@@ -128,7 +128,16 @@ def main() -> None:
             unpersist_intermediates(df)
             del df
         timings[name] = round(best, 3)
-        if (qi + 1) % 25 == 0:
+        if best > 4.0:
+            # heavy iterative queries leave localCheckpoint RDD blocks
+            # that only the ContextCleaner frees (after Python+JVM GC);
+            # sweep right away so the NEXT queries don't pay the
+            # accumulated-heap tax (r04: boilerplate_fraction measured
+            # 8x its clean time purely from following two checkpoint-
+            # heavy queries in sweep order)
+            gc.collect()
+            spark._jvm.System.gc()
+        elif (qi + 1) % 25 == 0:
             # localCheckpoint blocks are freed by the ContextCleaner
             # only after their Python refs are collected; forcing both
             # GCs every 25 queries keeps late-sweep queries from paying

@@ -127,6 +127,10 @@ def eigenvector_fixed(
             .select(F.col("v").alias("node"), F.col("centrality").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
+            # materialize once: the max aggregate AND the normalization
+            # projection both read this frame — without the checkpoint
+            # the join+agg executes twice per iteration
+            .localCheckpoint()
         )
         m = contribs.agg(F.max("c")).collect()[0][0]
         if not m:

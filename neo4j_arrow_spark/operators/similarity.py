@@ -336,42 +336,107 @@ def pq_train_encode(
 ) -> tuple[DataFrame, list[list[tuple[int, list[int]]]]]:
     """Product quantization: split each vector into ``m`` contiguous
     subspaces, train a ``k_codes``-centroid codebook per subspace
-    (integer-exact Lloyd's — operators/clustering.lloyd_centroids), and
-    encode every vector as its per-subspace nearest-centroid ids.
+    (integer-exact Lloyd's — identical recurrence to operators/
+    clustering.lloyd_centroids), and encode every vector as its
+    per-subspace nearest-centroid id.
 
-    Returns ``(codes_df, codebooks)``: codes_df is ``(id_col, code0..
-    code{m-1})``; codebooks is the per-subspace centroid list (model
-    parameters, driver-resident like every trainer here). Compression:
-    dim quantized longs → m small ints per vector — the standard
-    memory story that lets a 100 TB corpus ADC-scan from RAM.
+    ALL subspaces train simultaneously in one long-form frame
+    ``(id, s, qv)`` with composite cluster key ``(s, cluster)`` — one
+    Spark job per Lloyd iteration instead of m, which is what keeps
+    training wall time independent of m (the m sequential loops of the
+    naive layout were the whole cost at bench scale).
+
+    Returns ``(codes_long, codebooks)``: codes_long is
+    ``(id_col, s, code)`` — one row per (vector, subspace) — and
+    codebooks the per-subspace centroid list (model parameters,
+    driver-resident like every trainer here). Compression: dim
+    quantized longs → m small ints per vector, the standard memory
+    story that lets a 100 TB corpus ADC-scan from RAM.
+
+    Determinism: per-subspace seeds are the ``k_codes`` lowest-id
+    vectors; assignment ties break to the lowest cluster id; centroid
+    means are integer ``sum div count`` — bit-identical to the
+    unrolled per-subspace oracle.
     """
-    from neo4j_arrow_spark.operators.clustering import _assign, lloyd_centroids
-
+    spark = vectors.sparkSession
     q = vectors.select(
         F.col(id_col),
         F.transform(
             F.col(vec_col), lambda x: F.round(x * QUANT_SCALE).cast("long")
         ).alias("qv"),
-    ).persist()
+    )
     dim = len(q.limit(1).collect()[0]["qv"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     subdim = dim // m
-    codes = None
-    books: list[list[tuple[int, list[int]]]] = []
-    for s in range(m):
-        qs = q.select(
-            F.col(id_col), F.slice("qv", s * subdim + 1, subdim).alias("qv")
+    slices = F.array(*[F.slice("qv", s * subdim + 1, subdim) for s in range(m)])
+    sub = q.select(
+        F.col(id_col), F.posexplode(slices).alias("s", "qv")
+    ).persist()
+    sub.count()
+
+    # seeds: per subspace, the k_codes lowest ids (rank inside s)
+    w = Window.partitionBy("s").orderBy(id_col)
+    seed_rows = (
+        sub.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_codes)
+        .collect()
+    )
+    cents: dict[tuple[int, int], list[int]] = {}
+    for r in sorted(seed_rows, key=lambda r: (r["s"], r[id_col])):
+        cents[(r["s"], sum(1 for k in cents if k[0] == r["s"]))] = list(r["qv"])
+
+    def _assign(centroids: dict[tuple[int, int], list[int]]) -> DataFrame:
+        cent_df = spark.createDataFrame(
+            [(s, c, [int(x) for x in cv]) for (s, c), cv in centroids.items()],
+            "s int, cluster long, _cv array<long>",
         )
-        cents = lloyd_centroids(qs, id_col, k_codes, iterations)
-        asg = _assign(qs, cents, id_col).select(
-            F.col(id_col), F.col("cluster").alias(f"code{s}")
+        scored = sub.join(F.broadcast(cent_df), "s").select(
+            F.col(id_col), "s", "cluster", "qv",
+            F.aggregate(
+                F.zip_with("qv", "_cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).alias("qdist"),
         )
-        codes = asg if codes is None else codes.join(asg, id_col)
-        books.append(cents)
-    codes = codes.persist()
+        mn = F.min(F.struct("qdist", "cluster", "qv")).alias("_m")
+        return scored.groupBy(id_col, "s").agg(mn).select(
+            F.col(id_col), "s",
+            F.col("_m.cluster").alias("cluster"),
+            F.col("_m.qv").alias("qv"),
+            F.col("_m.qdist").alias("qdist"),
+        )
+
+    def _tdiv(a: int, b: int) -> int:
+        return -(-a // b) if a < 0 else a // b
+
+    sums = [F.sum(F.col("qv")[i]).alias(f"_s{i}") for i in range(subdim)]
+    for _ in range(iterations):
+        rows = (
+            _assign(cents)
+            .groupBy("s", "cluster")
+            .agg(F.count("*").alias("_n"), *sums)
+            .collect()
+        )
+        cents = {
+            (int(r["s"]), int(r["cluster"])): [
+                _tdiv(int(r[f"_s{i}"]), int(r["_n"])) for i in range(subdim)
+            ]
+            for r in rows
+        }
+    codes = (
+        _assign(cents)
+        .select(F.col(id_col), "s", F.col("cluster").alias("code"))
+        .persist()
+    )
     codes.count()
-    q.unpersist()
+    sub.unpersist()
+    books: list[list[tuple[int, list[int]]]] = [
+        sorted(
+            (c, cv) for (s, c), cv in cents.items() if s == si
+        )
+        for si in range(m)
+    ]
     return codes, books
 
 
@@ -392,10 +457,10 @@ def pq_topk(
     touching the original vectors at query time.
 
     Plan (the PQ scale story): the LUT (queries × m × k_codes integer
-    distances) broadcasts; codes explode to ``(id, s, code)`` long form
-    and one broadcast equi-join + sum-by-(query, id) scores the whole
-    corpus — a compressed linear scan with no shuffle wider than the
-    score frame itself. Ties break (distance, id) so ranking is total.
+    distances) broadcasts; the long-form code table joins it on
+    ``(s, code)`` and one sum-by-(query, id) scores the whole corpus —
+    a compressed linear scan with no shuffle wider than the score
+    frame itself. Ties break (distance, id) so ranking is total.
 
     Returns ``(query_id, id_col, adc_dist, rank)``.
     """
@@ -429,14 +494,8 @@ def pq_topk(
     lut = qsub.join(F.broadcast(book_df), "s").select(
         F.col(query_id_col), "s", "code", sq.alias("_d")
     )
-    codes_long = codes.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(*[F.col(f"code{s}") for s in range(m)])
-        ).alias("s", "code"),
-    )
     scored = (
-        codes_long.join(F.broadcast(lut), ["s", "code"])
+        codes.join(F.broadcast(lut), ["s", "code"])
         .groupBy(query_id_col, id_col)
         .agg(F.sum("_d").alias("adc_dist"))
     )

@@ -230,7 +230,9 @@ def test_pq_encode_shapes_and_codebooks(spark):
     assert len(books) == 2 and all(len(b) <= 2 for b in books)
     assert len(books[0][0][1]) == 2  # subspace dim
     rows = codes.collect()
-    assert len(rows) == 8 and {"vid", "code0", "code1"} <= set(rows[0].asDict())
+    # long form: one row per (vector, subspace)
+    assert len(rows) == 16 and {"vid", "s", "code"} <= set(rows[0].asDict())
+    assert {r.s for r in rows} == {0, 1}
 
 
 def test_pq_adc_separates_clusters(spark):
@@ -315,3 +317,46 @@ def test_weighted_pagerank_aggregates_parallel_edges(spark):
         2,
     )
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+# -- plan-shape assertions for the round-4 operators -----------------------
+
+def test_funnel_plan_pushes_step_filters(spark, sf_dir):
+    from neo4j_arrow_spark.operators.temporal import funnel
+    from neo4j_arrow_spark.sources.tpch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    df = funnel(ev, ["view", "click", "purchase"], step_window_minutes=1440)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # each step's event_type equality must reach the parquet scan
+    assert plan.count("PushedFilters: [IsNotNull(event_type)") >= 3, plan
+
+
+def test_bm25_plan_broadcasts_query_terms(spark, sf_dir):
+    from neo4j_arrow_spark.operators.text import bm25_topk
+    from neo4j_arrow_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(1, "spark"), (1, "join")], "query_id int, term string"
+    )
+    plan = (
+        bm25_topk(docs, q, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pq_plan_broadcasts_lut(spark):
+    from neo4j_arrow_spark.operators.similarity import pq_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0, 0.0]) for i in range(30)],
+        "vid long, v array<float>",
+    )
+    qs = spark.createDataFrame(
+        [(1, [0.0, 1.0, 1.0, 0.0])], "query_id long, v array<float>"
+    )
+    out = pq_topk(vecs, qs, "vid", "v", m=2, k_codes=2, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
