@@ -71,7 +71,7 @@ def main() -> None:
     # (speed/26-aug-2021/README.md: 5 warm-ups, best-3-of-5)
     emb.write.format("noop").mode("overwrite").save()
     emb.write.format("noop").mode("overwrite").save()
-    stream_sec = min(_timed_noop(emb) for _ in range(3))  # best-of-3, like the ref
+    stream_sec = min(_timed_noop(emb) for _ in range(5))  # best-of-5, like the ref
     rows_per_sec = round(n_rows / stream_sec, 0)
 
     # scan-path variant — the headline test reads a STORED projection
@@ -83,7 +83,7 @@ def main() -> None:
         emb.write.mode("overwrite").parquet(scan_path)
     stored = spark.read.parquet(scan_path)
     stored.write.format("noop").mode("overwrite").save()  # warm-up
-    scan_sec = min(_timed_noop(stored) for _ in range(3))
+    scan_sec = min(_timed_noop(stored) for _ in range(5))
     scan_rows_per_sec = round(n_rows / scan_sec, 0)
 
     # Per query: `runs` executions at the TARGET sf, record the best.

@@ -405,6 +405,19 @@ class _Parser:
             return f"({inner})"
         if kind == "name" and self.toks[self.pos + 1][1] == "(":
             fn = tok.upper()
+            if fn in ("TOINTEGER", "TOFLOAT", "TOSTRING"):
+                # Cypher cast functions; toString's target type name is
+                # the one dialect split (STRING vs VARCHAR)
+                self.next()
+                self.expect("(")
+                inner = self.value()
+                self.expect(")")
+                ty = {
+                    "TOINTEGER": "BIGINT",
+                    "TOFLOAT": "DOUBLE",
+                    "TOSTRING": "STRING" if self.dialect == "spark" else "VARCHAR",
+                }[fn]
+                return f"CAST({inner} AS {ty})"
             if fn in ("ID", "LABELS") and self.toks[self.pos + 2][0] == "name":
                 # graph accessors on a node variable: id(n) -> n.ID,
                 # labels(n) -> the sorted comma-joined label string
@@ -633,11 +646,47 @@ class _Parser:
                 items.append(self.literal())
             self.expect("]")
             return f"({left} IN ({', '.join(items)}))"
+        if kind == "name" and tok.upper() in ("STARTS", "ENDS") and (
+            self.toks[self.pos + 1][1] == "WITH"
+        ):
+            which = tok.upper()
+            self.next()
+            self.next()
+            lit, n = self._string_literal_with_len()
+            if which == "STARTS":
+                # substring equality, not LIKE: no pattern-escape
+                # divergence between the dialects
+                return f"(substring({left}, 1, {n}) = {lit})"
+            # an (n-char) literal can only equal an n-char substring,
+            # so no explicit length guard is needed
+            return (
+                f"(substring({left}, length({left}) - {n - 1}, {n}) = {lit})"
+            )
+        if kind == "name" and tok.upper() == "CONTAINS":
+            self.next()
+            lit, _ = self._string_literal_with_len()
+            # instr(haystack, needle) — identical name, argument order,
+            # and 1-based/0-miss contract in Spark and DuckDB
+            return f"(instr({left}, {lit}) > 0)"
         if kind != "cmp":
             raise CypherSyntaxError(f"expected comparison after {left}, got {tok!r}")
         self.next()
         op = "<>" if tok == "!=" else tok
         return f"({left} {op} {self.value()})"
+
+    def _string_literal_with_len(self) -> tuple[str, int]:
+        """A STRING literal operand (STARTS WITH / ENDS WITH /
+        CONTAINS need its character length at transpile time, so
+        params or expressions are not accepted here)."""
+        kind, tok = self.next()
+        if kind != "str":
+            raise CypherUnsupported(
+                "STARTS WITH / ENDS WITH / CONTAINS require a string "
+                f"literal, got {tok!r}"
+            )
+        lit = _normalize_str_literal(tok)
+        body = lit[1:-1]
+        return lit, len(body) - body.count("''")
 
     # -- RETURN items --------------------------------------------------------
     _AGGS = ("COUNT", "SUM", "AVG", "MIN", "MAX")

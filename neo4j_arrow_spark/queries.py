@@ -263,6 +263,16 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_string_predicates",
+    # STARTS WITH / CONTAINS / ENDS WITH as dialect-neutral
+    # substring/instr forms; toInteger/toString casts
+    "MATCH (n:Nation) WHERE n.name STARTS WITH 'NATION_1' "
+    "AND n.name CONTAINS '_1' "
+    "RETURN n.name AS name, toInteger(n.ID) AS nid, "
+    "toString(n.ID) AS sid ORDER BY name",
+)
+
+_cypher_query(
     "cypher_union_members",
     # UNION ALL of two complete queries (arms keep their own labels and
     # aggregation); Cypher requires matching RETURN column names

@@ -687,3 +687,41 @@ def test_id_labels_fn_end_to_end(client):
     )
     rows = client.stream(job, 60).collect()
     assert rows == [("Nation", 25)] or rows[0].lbls == "Nation"
+
+
+# -- string predicates + casts --------------------------------------------
+
+def test_string_predicates_transpile():
+    sql = cypher_to_sql(
+        "MATCH (n) WHERE n.name STARTS WITH 'ab' AND n.name ENDS WITH 'yz' "
+        "AND n.name CONTAINS 'm' RETURN n.ID AS id",
+        "gn", "gr",
+    )
+    assert "substring(n.name, 1, 2) = 'ab'" in sql
+    assert "substring(n.name, length(n.name) - 1, 2) = 'yz'" in sql
+    assert "instr(n.name, 'm') > 0" in sql
+
+
+def test_string_predicate_requires_literal():
+    with pytest.raises(CypherUnsupported, match="string"):
+        cypher_to_sql(
+            "MATCH (n) WHERE n.name STARTS WITH n.other RETURN n.ID AS i",
+            "gn", "gr",
+        )
+
+
+def test_cast_functions_dialect_split():
+    q = "MATCH (n) RETURN toString(n.ID) AS s, toFloat(n.ID) AS f"
+    assert "CAST(n.ID AS STRING)" in cypher_to_sql(q, "gn", "gr", "spark")
+    assert "CAST(n.ID AS VARCHAR)" in cypher_to_sql(q, "gn", "gr", "duckdb")
+    assert "CAST(n.ID AS DOUBLE)" in cypher_to_sql(q, "gn", "gr", "spark")
+
+
+def test_string_predicates_end_to_end(client):
+    job = client.cypher(
+        "MATCH (n:Nation) WHERE n.name STARTS WITH 'NATION_1' "
+        "RETURN count(*) AS n",
+        graph="cy",
+    )
+    # NATION_1 and NATION_10..19 = 11 of the 25 synthetic nations
+    assert client.stream(job, 60).collect()[0].n == 11
