@@ -38,11 +38,13 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -73,7 +75,7 @@ def _data_files(d: str) -> list[str]:
     return [
         os.path.join(d, f)
         for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
+        if f.endswith((".parquet", ".arrows"))
     ]
 
 
@@ -119,16 +121,30 @@ class _GraphArrowReader(DataSourceReader):
             for f in _data_files(d)
         ]
 
-    def read(self, partition: _FilePartition):  # executor side
+    def _file_batches(self, file: str, file_cols: list[str]):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if file.endswith(".arrows"):
+            # Arrow IPC stream written by the neo4j_arrow writer: the
+            # batch layout on disk IS the transport batching (the
+            # reference's ARROW_BATCH_SIZE contract), so batches pass
+            # through as stored; column-prune per batch.
+            with pa.OSFile(file, "rb") as f, pa.ipc.open_stream(f) as rd:
+                for batch in rd:
+                    yield batch.select(file_cols)
+            return
+        pf = pq.ParquetFile(file)
+        yield from pf.iter_batches(
+            batch_size=self.batch_size, columns=file_cols
+        )
+
+    def read(self, partition: _FilePartition):  # executor side
+        import pyarrow as pa
+
         names = [f.name for f in self.spark_schema.fields]
         file_cols = [c for c in names if c != self.part_col]
-        pf = pq.ParquetFile(partition.file)
-        for batch in pf.iter_batches(
-            batch_size=self.batch_size, columns=file_cols
-        ):
+        for batch in self._file_batches(partition.file, file_cols):
             if self.part_col is not None:
                 # re-inject the directory-encoded partition value as a
                 # constant column, preserving schema() column order
@@ -143,16 +159,57 @@ class _GraphArrowReader(DataSourceReader):
             yield batch
 
 
+class _ArrowIPCWriter(DataSourceArrowWriter):
+    """Per-task Arrow IPC stream writer: each partition lands as one
+    ``part-<uuid>.arrows`` file of RecordBatches — the write-side twin
+    of the reference's partitioned WorkBuffer transport (one buffer
+    stream per partition, ``Producer.java:140-186``). Batches flow
+    from the executor straight into the IPC stream; no row
+    materialization in Python. The driver stamps ``_SUCCESS`` on
+    commit; an aborted task's file is removed by name."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import uuid
+
+        import pyarrow as pa
+
+        it = iter(iterator)
+        try:
+            first = next(it)
+        except StopIteration:
+            return WriterCommitMessage()  # empty partition -> no file
+        name = f"part-{uuid.uuid4().hex}.arrows"
+        full = os.path.join(self.path, name)
+        with pa.OSFile(full, "wb") as sink:
+            with pa.ipc.new_stream(sink, first.schema) as w:
+                w.write_batch(first)
+                for batch in it:
+                    w.write_batch(batch)
+        return WriterCommitMessage()
+
+    def commit(self, messages) -> None:
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        pass
+
+
 class GraphArrowDataSource(DataSource):
-    """``format("neo4j_arrow")``: stream a bulk_import table directory
-    (``<db>/nodes`` or ``<db>/rels``) as Arrow batches with
-    partition-directory pruning."""
+    """``format("neo4j_arrow")``: read a bulk_import table directory
+    (``<db>/nodes`` or ``<db>/rels``) or an Arrow IPC dataset as Arrow
+    batches with partition-directory pruning, and write DataFrames as
+    Arrow IPC stream files (``df.write.format("neo4j_arrow")``)."""
 
     @classmethod
     def name(cls) -> str:
         return "neo4j_arrow"
 
     def schema(self) -> StructType:
+        import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -161,8 +218,13 @@ class GraphArrowDataSource(DataSource):
         _, first_dir = _partition_dirs(path)[0]
         files = _data_files(first_dir)
         if not files:
-            raise FileNotFoundError(f"no parquet files under {path}")
-        spark_schema = from_arrow_schema(pq.read_schema(files[0]))
+            raise FileNotFoundError(f"no data files under {path}")
+        if files[0].endswith(".arrows"):
+            with pa.OSFile(files[0], "rb") as f, pa.ipc.open_stream(f) as rd:
+                arrow_schema = rd.schema
+        else:
+            arrow_schema = pq.read_schema(files[0])
+        spark_schema = from_arrow_schema(arrow_schema)
         if part_col is not None:
             spark_schema = spark_schema.add(part_col, "string", False)
         return spark_schema
@@ -173,6 +235,17 @@ class GraphArrowDataSource(DataSource):
             schema,
             int(self.options.get("batch_size", DEFAULT_BATCH_SIZE)),
         )
+
+    def writer(self, schema: StructType, overwrite: bool):
+        path = self.options["path"]
+        os.makedirs(path, exist_ok=True)
+        if overwrite:
+            # driver-side, before any task runs — the writer's contract
+            # mirrors df.write.mode("overwrite")
+            for f in os.listdir(path):
+                if f.endswith(".arrows") or f == "_SUCCESS":
+                    os.remove(os.path.join(path, f))
+        return _ArrowIPCWriter(path)
 
 
 def register(spark) -> None:

@@ -68,3 +68,51 @@ def test_batch_size_option(spark, db_dir):
         .load()
     )
     assert df.count() == 6160
+
+
+# -- Arrow IPC writer ------------------------------------------------------
+
+def test_arrow_writer_roundtrip(spark, tmp_path):
+    from neo4j_arrow_spark.sources.arrow_source import register
+
+    register(spark)
+    df = spark.createDataFrame(
+        [(1, "a", [0.1, 0.2]), (2, "b", [0.3, 0.4])],
+        "id long, name string, vec array<double>",
+    ).repartition(2)
+    out = str(tmp_path / "ipc")
+    df.write.format("neo4j_arrow").option("path", out).mode("append").save()
+    import os
+    files = [f for f in os.listdir(out) if f.endswith(".arrows")]
+    assert files and "_SUCCESS" in os.listdir(out)
+    back = spark.read.format("neo4j_arrow").option("path", out).load()
+    got = sorted((r.id, r.name, tuple(r.vec)) for r in back.collect())
+    assert got == [(1, "a", (0.1, 0.2)), (2, "b", (0.3, 0.4))]
+
+
+def test_arrow_writer_overwrite_clears_previous(spark, tmp_path):
+    from neo4j_arrow_spark.sources.arrow_source import register
+
+    register(spark)
+    out = str(tmp_path / "ipc2")
+    a = spark.range(5).selectExpr("id", "id * 2 AS v")
+    a.write.format("neo4j_arrow").option("path", out).mode("append").save()
+    b = spark.range(3).selectExpr("id", "id * 10 AS v")
+    b.write.format("neo4j_arrow").option("path", out).mode("overwrite").save()
+    back = spark.read.format("neo4j_arrow").option("path", out).load()
+    assert back.count() == 3
+    assert {r.v for r in back.collect()} == {0, 10, 20}
+
+
+def test_arrow_writer_empty_partitions_write_no_files(spark, tmp_path):
+    from neo4j_arrow_spark.sources.arrow_source import register
+
+    register(spark)
+    out = str(tmp_path / "ipc3")
+    df = spark.range(2).repartition(8)  # 6+ empty partitions
+    df.write.format("neo4j_arrow").option("path", out).mode("append").save()
+    import os
+    files = [f for f in os.listdir(out) if f.endswith(".arrows")]
+    assert 0 < len(files) <= 2
+    back = spark.read.format("neo4j_arrow").option("path", out).load()
+    assert back.count() == 2
