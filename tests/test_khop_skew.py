@@ -117,3 +117,41 @@ def test_hub_1e4_khop_and_node_similarity_bounded(spark):
     # the 500 co-purchasers of the hot target all pair up
     assert n_pairs >= 500 * 499 // 2
     assert sim_sec < 90, f"node_similarity wedge join took {sim_sec:.1f}s"
+
+
+def test_centrality_ops_on_hub(spark, skewed):
+    """Round-4 centralities complete on the degree-2000 hub with sane
+    values: the hub dominates harmonic reach, betweenness, and the
+    eigenvector, and no stage explodes into all-pairs."""
+    import time
+
+    from neo4j_arrow_spark.operators.graph_algs import (
+        betweenness_sampled,
+        harmonic_centrality,
+    )
+    from neo4j_arrow_spark.operators.pagerank import eigenvector_fixed
+
+    _, rels, _ = skewed
+    edges = rels.select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    t0 = time.time()
+
+    # harmonic from a subset (full all-origins on a hub graph is the
+    # documented quadratic-output case — subset is the scale mode)
+    origins = spark.createDataFrame([(0,), (1,), (2049,)], "node long")
+    h = {r.node: r for r in
+         harmonic_centrality(edges, origins=origins, max_hops=2).collect()}
+    assert h[0].reached >= 2000       # hub reaches everything near it
+    assert h[0].harmonic_q > h[2049].harmonic_q
+
+    src = spark.createDataFrame([(1,), (99,)], "node long")
+    b = {r.node: r.betweenness_q for r in
+         betweenness_sampled(edges, src, max_hops=2).collect()}
+    assert b and max(b, key=b.get) == 0  # the hub carries the paths
+
+    und = edges.union(edges.selectExpr("v as u", "u as v"))
+    e = {r.node: r.centrality for r in eigenvector_fixed(und, 2).collect()}
+    assert e[0] == 1_000_000  # max-normalized hub
+
+    assert time.time() - t0 < 120, "centralities must not explode on a hub"
