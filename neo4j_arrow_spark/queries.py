@@ -2514,3 +2514,60 @@ _sql_query(
     """,
     ("orders", "lineitem"),
 )
+
+
+@query(
+    "decayed_user_activity",
+    oracle="""
+    WITH bounds AS (SELECT max(ts) AS max_ts FROM events),
+    daily AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(ts AS DATE),
+                              CAST(max_ts AS DATE)) AS BIGINT) AS age,
+               count(*) AS n,
+               CAST(sum(round(value * 100)) AS BIGINT) AS cents
+        FROM events CROSS JOIN bounds
+        GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(n * (1000000 // (1 << least(age, 30)))) AS BIGINT)
+               AS decayed_events_q,
+           CAST(sum(cents * (1000000 // (1 << least(age, 30)))) AS BIGINT)
+               AS decayed_value_q,
+           CAST(sum(n) AS BIGINT) AS total_events
+    FROM daily
+    GROUP BY user_id
+    """,
+)
+def decayed_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted activity: per-user event and value mass with
+    half-life decay of one day — weight = 1e6 div 2^age (power-of-two
+    decay is EXACT in integer arithmetic, so the sum is
+    order-independent; age capped at 30 so the shift stays in range).
+    The freshness signal a training-data pipeline uses to favor recent
+    documents/interactions. Plan: one groupBy(user, age-bucket) with
+    map-side combine, then a second tiny agg — the max(ts) scalar rides
+    in via a 1-row broadcast cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.max("ts").alias("max_ts"))
+    daily = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.datediff(F.col("max_ts").cast("date"), F.col("ts").cast("date"))
+            .cast("long")
+            .alias("age"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "age")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+    )
+    w = F.expr("1000000 div shiftleft(1, CAST(least(age, 30) AS INT))")
+    return (
+        daily.groupBy("user_id")
+        .agg(
+            F.sum(F.col("n") * w).alias("decayed_events_q"),
+            F.sum(F.col("cents") * w).alias("decayed_value_q"),
+            F.sum("n").alias("total_events"),
+        )
+    )

@@ -30,6 +30,14 @@ HEAVY = [
     "neardup_clusters",
     "quality_filtered_corpus",
     "hits2_buysfrom",
+    # round-4 operators
+    "harmonic_centrality3",
+    "betweenness_sampled3",
+    "eigenvector3_buysfrom",
+    "pagerank3_weighted",
+    "pq_adc_topk",
+    "bm25_topk",
+    "event_funnel",
 ]
 
 
