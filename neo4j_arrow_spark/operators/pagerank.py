@@ -185,7 +185,11 @@ def pagerank_weighted(
         .withColumn("_base", F.lit(15 * scale // 100).cast("long"))
         .persist()
     )
-    outw = e.groupBy("u").agg(F.sum("w").alias("tw"))
+    # a node whose weights sum to zero has no mass to give; dropping
+    # its fan-out rows avoids an integer division by zero (Spark would
+    # yield NULL, DuckDB would error — this keeps both paths identical
+    # by never dividing)
+    outw = e.groupBy("u").agg(F.sum("w").alias("tw")).filter(F.col("tw") > 0)
     fanout = e.join(outw, "u").persist()
     fanout.count()
 

@@ -365,7 +365,10 @@ def pq_train_encode(
             F.col(vec_col), lambda x: F.round(x * QUANT_SCALE).cast("long")
         ).alias("qv"),
     )
-    dim = len(q.limit(1).collect()[0]["qv"])
+    head = q.limit(1).collect()
+    if not head:
+        raise ValueError("pq_train_encode: empty vector table")
+    dim = len(head[0]["qv"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     subdim = dim // m
