@@ -692,3 +692,77 @@ def betweenness_sampled(
         out.groupBy(F.col("v").alias("node"))
         .agg(F.sum("delta").alias("betweenness_q"))
     )
+
+
+def _labeled_reach(e: DataFrame, nodes: DataFrame, max_hops: int) -> DataFrame:
+    """All (origin, node) pairs with a DIRECTED path origin → node of
+    length <= max_hops (including origin itself): the labeled frontier
+    BFS of :func:`harmonic_centrality`, directed. ``e`` (u, v) and
+    ``nodes`` (n) should already be deduplicated and persisted by the
+    caller — both SCC sweeps share one cached edge frame."""
+    visited = (
+        nodes.select(F.col("n").alias("origin"))
+        .withColumn("node", F.col("origin"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for _ in range(max_hops):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select("origin", F.col("v").alias("node"))
+            .distinct()
+            .join(visited, ["origin", "node"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def scc_bounded(edges: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Strongly connected components with a path-length bound (GDS
+    ``gds.scc`` analogue, exact for components of diameter <=
+    ``max_hops`` — unbounded SCC needs data-dependent recursion no
+    bulk-synchronous engine runs in fixed rounds).
+
+    ``scc_id(v) = min{u : u →* v and v →* u within max_hops} ∪ {v}``
+    — the mutual-reachability pair set is the inner join of the
+    forward and backward labeled reaches, and the component id is the
+    min witness. Deterministic, engine-independent (min over a set).
+
+    Returns ``(node long, scc_id long)`` for every endpoint node. On a
+    DAG every component is a singleton (scc_id = node), which is the
+    honest answer — cycles are what the bound buys. A component whose
+    diameter EXCEEDS ``max_hops`` is only partially merged: each node
+    takes the min witness it can mutually reach within the bound, so
+    labels inside such a component need not be transitively consistent
+    — raise ``max_hops`` to the component diameter for exact output.
+
+    Plan: two labeled BFS sweeps (forward along edges, backward via
+    the transposed frame) + one equi-join on the (origin, node) pair +
+    one min-aggregate. Per-round shuffles are frontier-bounded exactly
+    like harmonic_centrality.
+    """
+    e = (
+        edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+    fwd = _labeled_reach(e, nodes, max_hops)
+    bwd = _labeled_reach(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")), nodes, max_hops
+    )
+    mutual = fwd.join(bwd, ["origin", "node"])
+    out = mutual.groupBy("node").agg(F.min("origin").alias("scc_id"))
+    from neo4j_arrow_spark.operators.dedup import _with_intermediates
+
+    return _with_intermediates(out, [e, nodes])

@@ -2571,3 +2571,64 @@ def decayed_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("total_events"),
         )
     )
+
+
+@query(
+    "scc_bounded2",
+    oracle="""
+    WITH RECURSIVE fwd0 AS (
+        SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    rev0 AS (
+        SELECT DISTINCT l_suppkey + 1000000 AS u, o_custkey AS v
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R' AND l_quantity >= 48
+    ),
+    e AS (SELECT u, v FROM fwd0 UNION SELECT u, v FROM rev0),
+    n AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+    f(origin, node, d) AS (
+        SELECT node, node, 0 FROM n
+        UNION
+        SELECT f.origin, e.v, f.d + 1 FROM f JOIN e ON f.node = e.u
+        WHERE f.d < 2
+    ),
+    b(origin, node, d) AS (
+        SELECT node, node, 0 FROM n
+        UNION
+        SELECT b.origin, e.u, b.d + 1 FROM b JOIN e ON b.node = e.v
+        WHERE b.d < 2
+    ),
+    fp AS (SELECT DISTINCT origin, node FROM f),
+    bp AS (SELECT DISTINCT origin, node FROM b)
+    SELECT node, CAST(min(origin) AS BIGINT) AS scc_id
+    FROM fp JOIN bp USING (origin, node)
+    GROUP BY node
+    """,
+)
+def scc_bounded2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-2-bounded strongly connected components over the cyclic
+    commerce graph: purchases point customer -> supplier, high-quantity
+    returns point supplier -> customer, so mutual trade forms real
+    cycles (operators/graph_algs.scc_bounded — exact for components of
+    diameter <= 2; hop 2 keeps the all-origins reach at khop volume,
+    hop 3 fans to |V|x10^4 pairs on this graph). Oracle: recursive
+    forward/backward reaches joined on the mutual pair set."""
+    from neo4j_arrow_spark.operators.graph_algs import scc_bounded
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    base = od.join(li, od["o_orderkey"] == li["l_orderkey"])
+    fwd = base.select(
+        F.col("o_custkey").alias("u"),
+        (F.col("l_suppkey") + 1_000_000).alias("v"),
+    ).distinct()
+    rev = (
+        base.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 48))
+        .select(
+            (F.col("l_suppkey") + 1_000_000).alias("u"),
+            F.col("o_custkey").alias("v"),
+        )
+        .distinct()
+    )
+    return scc_bounded(fwd.unionByName(rev), max_hops=2)

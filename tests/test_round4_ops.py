@@ -360,3 +360,38 @@ def test_pq_plan_broadcasts_lut(spark):
     out = pq_topk(vecs, qs, "vid", "v", m=2, k_codes=2, k=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+# -- bounded SCC -----------------------------------------------------------
+
+def _scc(spark, edges, **kw):
+    from neo4j_arrow_spark.operators.graph_algs import scc_bounded
+
+    e = spark.createDataFrame(edges, "u long, v long")
+    return {r.node: r.scc_id for r in scc_bounded(e, **kw).collect()}
+
+
+def test_scc_cycle_collapses(spark):
+    # 1->2->3->1 cycle plus a tail 3->4
+    out = _scc(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_scc_dag_is_singletons(spark):
+    out = _scc(spark, [(1, 2), (2, 3), (1, 3)])
+    assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_scc_two_components(spark):
+    # cycles {1,2} and {5,6,7}, bridge 2->5 (one-way: stays separate)
+    out = _scc(spark, [(1, 2), (2, 1), (5, 6), (6, 7), (7, 5), (2, 5)])
+    assert out == {1: 1, 2: 1, 5: 5, 6: 5, 7: 5}
+
+
+def test_scc_hop_bound_on_long_cycle(spark):
+    # the 4-cycle's directed diameter is 3: at max_hops=3 it collapses
+    # exactly; at max_hops=2 only the distance-2 pairs witness each
+    # other (the documented partial merge for over-diameter components)
+    cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    assert _scc(spark, cyc, max_hops=2) == {1: 1, 3: 1, 2: 2, 4: 2}
+    assert set(_scc(spark, cyc, max_hops=3).values()) == {1}
