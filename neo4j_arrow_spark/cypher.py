@@ -17,7 +17,9 @@ items ⇒ GROUP BY the non-aggregates. ``RETURN a`` returns the node id
 (``a.ID``) — the columnar engine has no "node object".
 
 Also supported: undirected patterns (natural+reverse union view),
-``OPTIONAL MATCH`` (left-join chains), bounded variable-length
+``OPTIONAL MATCH`` (left-join chains, with per-clause WHERE folded
+into the join so it stays null-preserving — Cypher's semantics),
+relationship-property maps ``-[r:T {key: lit}]->``, bounded variable-length
 relationships ``-[:T*a..b]->`` (UNION ALL over fixed-length chains; see
 :func:`_varlength_sql` for the documented edge-uniqueness divergence),
 type alternation ``:A|B``, ``WITH`` pipeline chains (aggregate →
@@ -150,6 +152,7 @@ class _RelPat:
     direction: str  # '->', '<-' or '-' (undirected)
     minlen: int = 1  # *a..b variable-length bounds; (1, 1) = fixed
     maxlen: int = 1
+    props: list[tuple[str, str]] = field(default_factory=list)
 
     @property
     def is_varlength(self) -> bool:
@@ -270,14 +273,31 @@ class _Parser:
                     rtypes.append(self.expect_name())
             if self.accept("*"):
                 minlen, maxlen = self._varlength_bounds()
+            props: list[tuple[str, str]] = []
+            if self.peek()[1] == "{":
+                self.next()
+                while True:
+                    key = self.expect_name()
+                    self.expect(":")
+                    props.append((key, self.literal()))
+                    if not self.accept(","):
+                        break
+                self.expect("}")
+            if props and (minlen, maxlen) != (1, 1):
+                raise CypherUnsupported(
+                    "properties on variable-length relationships are not "
+                    "supported"
+                )
             self.expect("]")
+        else:
+            props = []
         if direction == "<-":
             self.expect("-")
-            return _RelPat(var, rtypes, "<-", minlen, maxlen)
+            return _RelPat(var, rtypes, "<-", minlen, maxlen, props)
         if self.accept("->"):
-            return _RelPat(var, rtypes, "->", minlen, maxlen)
+            return _RelPat(var, rtypes, "->", minlen, maxlen, props)
         if self.accept("-"):
-            return _RelPat(var, rtypes, "-", minlen, maxlen)
+            return _RelPat(var, rtypes, "-", minlen, maxlen, props)
         raise CypherSyntaxError("malformed relationship pattern")
 
     _VARLENGTH_CAP = 4
@@ -571,6 +591,7 @@ class _Parser:
             tc = _type_cond(r, ev)
             if tc:
                 conds.append(tc)
+            conds.extend(_prop_conds(r, ev))
             if end in bound:
                 conds.append(f"{ev}.END_ID = {end}.ID")
             elif dst.labels:
@@ -591,6 +612,7 @@ class _Parser:
             tc = _type_cond(r, ev)
             if tc:
                 conds.append(tc)
+            conds.extend(_prop_conds(r, ev))
             if dst.var in bound:
                 conds.append(f"{ev}.START_ID = {dst.var}.ID")
             elif dst.labels:
@@ -832,7 +854,9 @@ class _Parser:
                 )
             path_subs = self._splice_plain_path(plain_path, nodes, rels)
         bound = {n.var for n in nodes}
-        optionals: list[tuple[list[_NodePat], list[_RelPat]]] = []
+        optionals: list[
+            tuple[list[_NodePat], list[_RelPat], str | None]
+        ] = []
         while self.peek()[1] == "OPTIONAL":
             self.next()
             self.expect("MATCH")
@@ -850,17 +874,26 @@ class _Parser:
                 )
             if not orels:
                 raise CypherUnsupported("OPTIONAL MATCH needs a relationship pattern")
+            for r in orels:
+                if r.is_varlength:
+                    raise CypherUnsupported(
+                        "variable-length in OPTIONAL MATCH is not supported"
+                    )
             for n in onodes[1:]:
                 if n.var in bound:
                     raise CypherUnsupported(
                         f"OPTIONAL MATCH re-binding {n.var!r} is not supported"
                     )
                 bound.add(n.var)
-            optionals.append((onodes, orels))
+            # Cypher rule: WHERE directly after OPTIONAL MATCH belongs
+            # to that clause — it filters the optional pattern's
+            # matches inside the join (null-preserving), not the rows
+            self._bound = set(bound)
+            owhere = self.expr() if self.accept("WHERE") else None
+            optionals.append((onodes, orels, owhere))
         where = None
         if self.accept("WHERE"):
-            # applies post-join (global filter); Cypher's per-OPTIONAL
-            # WHERE is out of scope — document divergence
+            # the main clause's WHERE: a post-join global filter
             self._bound = set(bound)  # EXISTS pattern anchor check
             where = self.expr()
         unwinds: list[tuple[str, str]] = []
@@ -1010,6 +1043,11 @@ def _rel_source(r: _RelPat, rv: str, rels_view: str) -> str:
     return f"{rels_view} AS {rv}"
 
 
+def _prop_conds(r: _RelPat, rv: str) -> list[str]:
+    """``-[r:T {key: lit}]-`` relationship-property equalities."""
+    return [f"{rv}.{key} = {lit}" for key, lit in r.props]
+
+
 def _type_cond(r: _RelPat, rv: str) -> str | None:
     if not r.rtypes:
         return None
@@ -1044,6 +1082,7 @@ def _chain(
         joins.append(f"JOIN {nodes_view} AS {b} ON {on2}")
         if cond := _type_cond(r, rv):
             conds.append(cond)
+        conds.extend(_prop_conds(r, rv))
     for n in nodes:
         for lbl in n.labels:
             conds.append(f"array_contains({n.var}.LABELS, '{lbl}')")
@@ -1248,6 +1287,7 @@ def _post_match_sql(
         joins.append(f"JOIN {nodes_view} AS {b} ON {on2}")
         if cond := _type_cond(r, rv):
             conds.append(cond)
+        conds.extend(_prop_conds(r, rv))
     for n in pnodes[1:]:
         for lbl in n.labels:
             conds.append(f"array_contains({n.var}.LABELS, '{lbl}')")
@@ -1298,7 +1338,7 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     nodes, rels = ast["nodes"], ast["rels"]
     from_sql, joins, conds = _chain(nodes, rels, nodes_view, rels_view)
 
-    for oi, (onodes, orels) in enumerate(ast["optionals"]):
+    for oi, (onodes, orels, owhere) in enumerate(ast["optionals"]):
         # LEFT-JOIN chain: pattern conditions live in the ON clause
         # (WHERE would defeat the null-preservation). Non-anchor nodes
         # must be bare — a failed label test on an optional target
@@ -1316,6 +1356,13 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
             on, on2 = _rel_keys(r, rv, a, b)
             if cond := _type_cond(r, rv):
                 on = f"{on} AND {cond}"
+            for pc in _prop_conds(r, rv):
+                on = f"{on} AND {pc}"
+            if owhere and i == len(orels) - 1:
+                # the clause's own WHERE rides in the final ON so a
+                # failed filter nulls the optional pattern instead of
+                # dropping the anchor row (Cypher's semantics)
+                on2 = f"{on2} AND ({owhere})"
             joins.append(f"LEFT JOIN {_rel_source(r, rv, rels_view)} ON {on}")
             joins.append(f"LEFT JOIN {nodes_view} AS {b} ON {on2}")
 

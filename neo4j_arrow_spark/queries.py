@@ -273,6 +273,22 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_optional_where",
+    # per-clause WHERE on OPTIONAL MATCH: filters the optional pattern
+    # inside the join (null-preserving) — every nation row survives
+    "MATCH (n:Nation) OPTIONAL MATCH (n)<-[r:IN_NATION]-(c) "
+    "WHERE c.acctbal > 5000.0 "
+    "RETURN n.name AS nation, count(c.ID) AS rich_members",
+)
+
+_cypher_query(
+    "cypher_rel_props",
+    # relationship-property map in the pattern
+    "MATCH (c:Customer)-[r:IN_NATION {weight: 1.0}]->(n:Nation) "
+    "RETURN n.name AS nation, count(*) AS members",
+)
+
+_cypher_query(
     "cypher_union_members",
     # UNION ALL of two complete queries (arms keep their own labels and
     # aggregation); Cypher requires matching RETURN column names

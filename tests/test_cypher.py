@@ -725,3 +725,38 @@ def test_string_predicates_end_to_end(client):
     )
     # NATION_1 and NATION_10..19 = 11 of the 25 synthetic nations
     assert client.stream(job, 60).collect()[0].n == 11
+
+
+# -- rel-property patterns + per-clause OPTIONAL WHERE ---------------------
+
+def test_rel_props_transpile_and_reject_varlength():
+    sql = cypher_to_sql(
+        "MATCH (a)-[r:T {weight: 2.5, kind: 'x'}]->(b) RETURN a.ID AS i",
+        "n", "e",
+    )
+    assert "r.weight = 2.5" in sql and "r.kind = 'x'" in sql
+    with pytest.raises(CypherUnsupported, match="variable-length"):
+        cypher_to_sql(
+            "MATCH (a)-[r:T*1..2 {w: 1}]->(b) RETURN a.ID AS i", "n", "e"
+        )
+
+
+def test_optional_where_is_null_preserving(client):
+    # impossible filter: every nation still appears, with count 0
+    job = client.cypher(
+        "MATCH (n:Nation) OPTIONAL MATCH (n)<-[r:IN_NATION]-(c) "
+        "WHERE c.acctbal > 99999999.0 "
+        "RETURN n.ID AS id, count(c.ID) AS m",
+        graph="cy",
+    )
+    rows = client.stream(job, 60).collect()
+    assert len(rows) == 25 and all(r.m == 0 for r in rows)
+
+
+def test_optional_varlength_rejected():
+    with pytest.raises(CypherUnsupported, match="OPTIONAL"):
+        cypher_to_sql(
+            "MATCH (n:Nation) OPTIONAL MATCH (n)<-[r:T*1..2]-(c) "
+            "RETURN n.ID AS i",
+            "n", "e",
+        )
