@@ -766,3 +766,93 @@ def scc_bounded(edges: DataFrame, max_hops: int = 3) -> DataFrame:
     from neo4j_arrow_spark.operators.dedup import _with_intermediates
 
     return _with_intermediates(out, [e, nodes])
+
+
+def louvain_moves(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Synchronous single-level Louvain (the GDS ``gds.louvain``
+    local-moving phase with fixed rounds): every node starts as its own
+    community; each round every node moves to the candidate community
+    with the best modularity gain, evaluated from the SAME snapshot
+    (bulk-synchronous — deterministic on any partitioning, unlike the
+    sequential sweep of classic Louvain).
+
+    All-integer gain (unweighted graph, everything scaled by 2m)::
+
+        gain_q(v, c) = 2m·k_{v,c} − k_v·(Σ_tot(c) − k_v·[c = cur(v)])
+
+    where ``k_{v,c}`` counts v's neighbors in c, ``Σ_tot(c)`` sums the
+    degrees of c's members, and the bracket removes v's own degree when
+    evaluating its current community (Brandes' remove-first
+    convention). Candidates are the neighbor communities plus staying
+    put; ties break to the smallest community id. Safe in int64 while
+    ``2m · max_degree < 2^63``.
+
+    Returns ``(node long, community long)``. Per round: one label join
+    + three aggregations — the LPA plan with a gain formula instead of
+    a frequency count. Community count only shrinks, so the Σ_tot
+    frame contracts every round.
+    """
+    und = _undirected(edges).persist()
+    deg = und.groupBy("u").agg(F.count("*").alias("k")).persist()
+    m2 = und.count()  # = Σ deg = 2m
+    labels = (
+        deg.select(F.col("u").alias("node"))
+        .withColumn("com", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        sigma = (
+            labels.join(deg, labels["node"] == deg["u"])
+            .groupBy("com")
+            .agg(F.sum("k").alias("s"))
+        )
+        counts = (
+            und.join(labels, und["v"] == labels["node"])
+            .select(und["u"].alias("node"), "com")
+            .groupBy("node", "com")
+            .agg(F.count("*").alias("cnt"))
+        )
+        stay = labels.select("node", "com").withColumn(
+            "cnt", F.lit(0).cast("long")
+        )
+        cand = (
+            counts.unionByName(stay)
+            .groupBy("node", "com")
+            .agg(F.max("cnt").alias("cnt"))
+        )
+        cur = labels.select(
+            F.col("node").alias("_n"), F.col("com").alias("_cur")
+        )
+        scored = (
+            cand.join(deg, cand["node"] == deg["u"])
+            .join(sigma, "com")
+            .join(cur, cand["node"] == cur["_n"])
+            .select(
+                "node",
+                "com",
+                (
+                    F.lit(m2) * F.col("cnt")
+                    - F.col("k")
+                    * (
+                        F.col("s")
+                        - F.col("k")
+                        * F.when(F.col("com") == F.col("_cur"), 1).otherwise(0)
+                    )
+                ).alias("gain"),
+            )
+        )
+        labels = (
+            scored.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("gain"), (-F.col("com")).alias("neg"), F.col("com")
+                    )
+                ).alias("best")
+            )
+            .select("node", F.col("best.com").alias("com"))
+            .localCheckpoint()
+        )
+    und.unpersist()
+    deg.unpersist()
+    return labels.select("node", F.col("com").alias("community"))

@@ -2648,3 +2648,74 @@ def scc_bounded2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return scc_bounded(fwd.unionByName(rev), max_hops=2)
+
+
+def _louvain_oracle(iterations: int) -> str:
+    """Unrolled synchronous Louvain local-moving rounds — the identical
+    integer gain recurrence as operators/graph_algs.louvain_moves."""
+    ctes = [
+        f"edges AS ({_COPURCHASE_EDGES_SQL})",
+        """und AS (
+    SELECT u, v FROM edges WHERE u <> v
+    UNION
+    SELECT v, u FROM edges WHERE u <> v
+)""",
+        "vdeg AS (SELECT u AS node, count(*) AS k FROM und GROUP BY u)",
+        "twom AS (SELECT count(*) AS m2 FROM und)",
+        "lv0 AS (SELECT node, node AS com FROM vdeg)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(f"""sig{t} AS (
+    SELECT l.com, sum(d.k) AS s
+    FROM lv{t - 1} l JOIN vdeg d USING (node) GROUP BY l.com
+)""")
+        ctes.append(f"""cand{t} AS (
+    SELECT node, com, max(cnt) AS cnt FROM (
+        SELECT und.u AS node, l.com, count(*) AS cnt
+        FROM und JOIN lv{t - 1} l ON und.v = l.node
+        GROUP BY und.u, l.com
+        UNION ALL
+        SELECT node, com, 0 FROM lv{t - 1}
+    ) GROUP BY node, com
+)""")
+        ctes.append(f"""lv{t} AS (
+    SELECT node, com FROM (
+        SELECT c.node, c.com,
+               row_number() OVER (
+                   PARTITION BY c.node
+                   ORDER BY (SELECT m2 FROM twom) * c.cnt
+                            - d.k * (s.s - d.k *
+                              CASE WHEN c.com = cur.com THEN 1 ELSE 0 END)
+                            DESC,
+                            c.com
+               ) AS rn
+        FROM cand{t} c
+        JOIN vdeg d ON c.node = d.node
+        JOIN sig{t} s ON c.com = s.com
+        JOIN lv{t - 1} cur ON c.node = cur.node
+    ) WHERE rn = 1
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, com AS community FROM lv{iterations}"
+    )
+
+
+@query("louvain2_moves", oracle=_louvain_oracle(2))
+def louvain2_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous Louvain local-moving rounds over the part
+    co-purchase graph (operators/graph_algs.louvain_moves — the GDS
+    Louvain phase-1 analogue, bulk-synchronous and all-integer so
+    fixed rounds are bit-exact against the unrolled oracle)."""
+    from neo4j_arrow_spark.operators.graph_algs import louvain_moves
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 45).select("l_orderkey", "l_partkey")
+    edges = (
+        a.alias("a")
+        .join(a.alias("b"), on="l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    return louvain_moves(edges, iterations=2)

@@ -395,3 +395,36 @@ def test_scc_hop_bound_on_long_cycle(spark):
     cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
     assert _scc(spark, cyc, max_hops=2) == {1: 1, 3: 1, 2: 2, 4: 2}
     assert set(_scc(spark, cyc, max_hops=3).values()) == {1}
+
+
+# -- Louvain (synchronous local-moving) ------------------------------------
+
+def _louvain(spark, edges, **kw):
+    from neo4j_arrow_spark.operators.graph_algs import louvain_moves
+
+    e = spark.createDataFrame(edges, "u long, v long")
+    return {r.node: r.community for r in louvain_moves(e, **kw).collect()}
+
+
+def test_louvain_triangle_collapses(spark):
+    out = _louvain(spark, [(1, 2), (2, 3), (1, 3)])
+    assert len(set(out.values())) == 1
+
+
+def test_louvain_disjoint_triangles_stay_separate(spark):
+    out = _louvain(spark, [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9)])
+    coms = {}
+    for n, c in out.items():
+        coms.setdefault(c, set()).add(n)
+    assert sorted(map(frozenset, coms.values()), key=min) == [
+        frozenset({1, 2, 3}), frozenset({7, 8, 9})
+    ]
+
+
+def test_louvain_partitioning_invariant(spark):
+    edges = [(i, (i * 3) % 10) for i in range(10) if i != (i * 3) % 10]
+    e1 = _louvain(spark, edges)
+    from neo4j_arrow_spark.operators.graph_algs import louvain_moves
+    e_df = spark.createDataFrame(edges, "u long, v long").repartition(11)
+    e2 = {r.node: r.community for r in louvain_moves(e_df).collect()}
+    assert e1 == e2
