@@ -553,6 +553,35 @@ def harmonic_centrality(
     khop; hot hubs are AQE skew-split.
     """
     und = _undirected(edges).persist()
+    if max_hops <= 3 and origins is None:
+        # small bounds: deduplicated JOIN POWERS — level k holds the
+        # exact-length-k path pairs, min(level) is the distance. Skips
+        # the per-round anti-join + checkpoint of the frontier form
+        # (measured 1.9x at sf0.1, hop 3); per-level distinct keeps
+        # every level within the reach-set bound. The frontier loop
+        # below stays the shape for larger bounds (reach saturates and
+        # exact-length levels stop shrinking) and for origin subsets
+        # (powers would expand every origin before pruning).
+        step = und.select(F.col("u").alias("_su"), F.col("v").alias("_sv"))
+        cur = und.select(F.col("u").alias("origin"), F.col("v").alias("node"))
+        acc = cur.withColumn("hop", F.lit(1))
+        for h in range(2, max_hops + 1):
+            cur = (
+                cur.join(step, cur["node"] == step["_su"])
+                .select("origin", F.col("_sv").alias("node"))
+                .distinct()
+            )
+            acc = acc.unionAll(cur.withColumn("hop", F.lit(h)))
+        dist = (
+            acc.filter(F.col("origin") != F.col("node"))
+            .groupBy("origin", "node")
+            .agg(F.min("hop").alias("hop"))
+        )
+        und.unpersist()
+        return dist.groupBy(F.col("origin").alias("node")).agg(
+            F.count("*").alias("reached"),
+            F.sum(F.expr(f"{scale} div hop")).alias("harmonic_q"),
+        )
     if origins is None:
         starts = und.select(F.col("u").alias("origin")).distinct()
     else:
