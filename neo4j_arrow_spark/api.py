@@ -31,8 +31,11 @@ class Neo4jArrowSpark:
 
     Usernames are plumbed for catalog authorization parity
     (NativeAuthValidator.java:27-121 makes the peer identity the
-    catalog key); there is no password check — authn belongs to the
-    Spark deployment, not the library.
+    catalog key). Passing an ``auth`` validator plus ``password`` (or a
+    ``token``) authenticates at construction — the reference's
+    basic-auth handshake moved to the only boundary this engine has;
+    the validated identity then overrides ``username``. With no
+    validator, authn stays with the Spark deployment as before.
     """
 
     #: default seconds a ticketed two-phase write waits for ``put()``
@@ -40,8 +43,21 @@ class Neo4jArrowSpark:
     #: job thread forever (override per-instance or per-call)
     put_timeout: float = 600.0
 
-    def __init__(self, spark: SparkSession, username: str = "neo4j", database: str = "neo4j"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        username: str = "neo4j",
+        database: str = "neo4j",
+        auth=None,
+        password: str | None = None,
+        token: str | None = None,
+    ):
         self.spark = spark
+        if auth is not None:
+            if token is not None:
+                username = auth.validate_token(token)
+            else:
+                username = auth.validate(username, password or "")
         self.username = username
         self.database = database
         self.catalog = GraphCatalog(spark)

@@ -147,3 +147,56 @@ def test_bulk_import_two_stream_metadata(spark, tmp_path):
     with _pytest.raises(ValueError, match="stream.type"):
         client.put(job2, bad)
     client.put(job2, bad, stream_type="node")  # explicit override works
+
+
+# -- credential validation (reference auth-layer parity) --------------------
+
+def test_basic_auth_validator_roundtrip(spark):
+    import base64
+
+    import pytest
+
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+    from neo4j_arrow_spark.auth import AuthError, BasicAuthValidator
+
+    v = BasicAuthValidator({"neo4j": "password", "ana": "s3cret"})
+    client = Neo4jArrowSpark(spark, username="ana", password="s3cret", auth=v)
+    assert client.username == "ana"
+
+    tok = base64.b64encode(b"neo4j:password").decode()
+    client2 = Neo4jArrowSpark(spark, auth=v, token=tok)
+    assert client2.username == "neo4j"
+
+    with pytest.raises(AuthError, match="invalid"):
+        Neo4jArrowSpark(spark, username="ana", password="wrong", auth=v)
+    with pytest.raises(AuthError, match="invalid"):
+        Neo4jArrowSpark(spark, username="ghost", password="s3cret", auth=v)
+    with pytest.raises(AuthError, match="malformed"):
+        Neo4jArrowSpark(spark, auth=v, token="!!!notbase64")
+    with pytest.raises(AuthError, match="separator"):
+        Neo4jArrowSpark(
+            spark, auth=v, token=base64.b64encode(b"nocolon").decode()
+        )
+
+
+def test_auth_identity_keys_catalog(spark):
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+    from neo4j_arrow_spark.auth import BasicAuthValidator
+    from neo4j_arrow_spark.catalog import GraphNotFound
+
+    import pytest
+
+    nodes = spark.createDataFrame(
+        [(1, ["N"])], "ID long, LABELS array<string>"
+    )
+    rels = spark.createDataFrame(
+        [], "START_ID long, END_ID long, TYPE string"
+    )
+    v = BasicAuthValidator({"ana": "a", "bob": "b"})
+    ana = Neo4jArrowSpark(spark, username="ana", password="a", auth=v)
+    ana.catalog.register("private", nodes, rels, username="ana")
+    # bob's identity cannot see ana's graph — the reference's
+    # peer-identity-keyed GraphStoreCatalog behavior
+    bob = Neo4jArrowSpark(spark, username="bob", password="b", auth=v)
+    with pytest.raises(GraphNotFound):
+        bob.catalog.get("private", "neo4j", "bob")
