@@ -332,15 +332,31 @@ class _Parser:
             )
         return lo, hi
 
-    def pattern(self) -> tuple[list[_NodePat], list[_RelPat]]:
+    def _pattern_chain(self) -> tuple[list[_NodePat], list[_RelPat]]:
         nodes = [self.node()]
         rels: list[_RelPat] = []
         while self.peek()[1] in ("-", "<-"):
             rels.append(self.rel())
             nodes.append(self.node())
-        if self.peek()[1] == ",":
-            raise CypherUnsupported("multiple MATCH patterns are not supported (v1)")
         return nodes, rels
+
+    def pattern(self) -> tuple[list[_NodePat], list[_RelPat]]:
+        nodes, rels = self._pattern_chain()
+        if self.peek()[1] == ",":
+            raise CypherUnsupported(
+                "comma-separated patterns are supported only in the main "
+                "MATCH clause"
+            )
+        return nodes, rels
+
+    def patterns(self) -> list[tuple[list[_NodePat], list[_RelPat]]]:
+        """Main-MATCH pattern list: ``pat ("," pat)*``. Chains sharing a
+        node variable join on it; a chain sharing nothing is Cypher's
+        cartesian product (CROSS JOIN downstream)."""
+        chains = [self._pattern_chain()]
+        while self.accept(","):
+            chains.append(self._pattern_chain())
+        return chains
 
     # -- expressions (WHERE) -----------------------------------------------
     def expr(self) -> str:
@@ -841,9 +857,11 @@ class _Parser:
         if sp is not None:
             _, path_var, nodes, rels = sp
             shortest = True
+            chains = [(nodes, rels)]
         else:
             shortest, path_var = False, None
-            nodes, rels = self.pattern()
+            chains = self.patterns()
+            nodes, rels = _flatten_chains(chains)
         path_subs: dict[str, str] = {}
         plain_path = getattr(self, "_plain_path", None)
         if plain_path is not None:
@@ -851,6 +869,11 @@ class _Parser:
                 raise CypherUnsupported(
                     "path variables on variable-length patterns are "
                     "supported only via shortestPath(...)"
+                )
+            if len(chains) > 1:
+                raise CypherUnsupported(
+                    "path variables with comma-separated patterns are "
+                    "not supported"
                 )
             path_subs = self._splice_plain_path(plain_path, nodes, rels)
         bound = {n.var for n in nodes}
@@ -1007,9 +1030,29 @@ class _Parser:
                 "length(path) in WHERE is not supported — filter on the "
                 "RETURN alias instead"
             )
+        if len(chains) > 1:
+            rvars = [r.var for _, cr in chains for r in cr if r.var]
+            if len(rvars) != len(set(rvars)):
+                raise CypherUnsupported(
+                    "a relationship variable is bound in more than one pattern"
+                )
+            if any(r.is_varlength for _, cr in chains for r in cr):
+                raise CypherUnsupported(
+                    "variable-length with comma-separated patterns is not "
+                    "supported"
+                )
+        all_node_vars = [n.var for cn, _ in chains for n in cn]
+        if len(all_node_vars) != len(set(all_node_vars)) and any(
+            r.is_varlength for _, cr in chains for r in cr
+        ):
+            raise CypherUnsupported(
+                "repeated node variables on variable-length patterns are "
+                "not supported"
+            )
         return {
             "shortest": shortest,
             "path_subs": path_subs,
+            "chains": chains,
             "nodes": nodes,
             "rels": rels,
             "optionals": optionals,
@@ -1024,6 +1067,23 @@ class _Parser:
             "limit": limit,
             "dialect": self.dialect,
         }
+
+
+def _flatten_chains(
+    chains: list[tuple[list[_NodePat], list[_RelPat]]],
+) -> tuple[list[_NodePat], list[_RelPat]]:
+    """One node per distinct variable (first occurrence wins — later
+    occurrences only contribute label/property conditions, which
+    _multi_chain reads from the chains directly) plus the flat rel
+    list; downstream binding checks consume these."""
+    seen: set[str] = set()
+    nodes: list[_NodePat] = []
+    for cn, _ in chains:
+        for n in cn:
+            if n.var not in seen:
+                seen.add(n.var)
+                nodes.append(n)
+    return nodes, [r for _, cr in chains for r in cr]
 
 
 def _rel_source(r: _RelPat, rv: str, rels_view: str) -> str:
@@ -1088,6 +1148,64 @@ def _chain(
             conds.append(f"array_contains({n.var}.LABELS, '{lbl}')")
         for key, lit in n.props:
             conds.append(f"{n.var}.{key} = {lit}")
+    return from_sql, joins, conds
+
+
+def _multi_chain(
+    chains: list[tuple[list[_NodePat], list[_RelPat]]],
+    nodes_view: str,
+    rels_view: str,
+) -> tuple[str, list[str], list[str]]:
+    """FROM/JOIN/WHERE fragments for one or more pattern chains that
+    may share node variables: comma-separated MATCH patterns join on
+    the shared variable, a repeated variable inside one chain closes a
+    cycle (both endpoint keys land in the rel's ON clause), and a chain
+    sharing nothing is Cypher's cartesian product (CROSS JOIN). With a
+    single acyclic chain this emits exactly what _chain does."""
+    introduced: set[str] = set()
+    from_sql: str | None = None
+    joins: list[str] = []
+    conds: list[str] = []
+    rel_ix = 0
+    for nodes, rels in chains:
+        if nodes[0].var not in introduced:
+            src = f"{nodes_view} AS {nodes[0].var}"
+            if from_sql is None:
+                from_sql = src
+            else:
+                joins.append(f"CROSS JOIN {src}")
+            introduced.add(nodes[0].var)
+        for i, r in enumerate(rels):
+            rv = r.var or f"_r{rel_ix}"
+            rel_ix += 1
+            a, b = nodes[i].var, nodes[i + 1].var
+            on, on2 = _rel_keys(r, rv, a, b)
+            if b in introduced:
+                # endpoint already bound: one rel join pinning both keys
+                joins.append(f"JOIN {_rel_source(r, rv, rels_view)} ON {on} AND {on2}")
+            else:
+                joins.append(f"JOIN {_rel_source(r, rv, rels_view)} ON {on}")
+                joins.append(f"JOIN {nodes_view} AS {b} ON {on2}")
+                introduced.add(b)
+            if cond := _type_cond(r, rv):
+                conds.append(cond)
+            conds.extend(_prop_conds(r, rv))
+    # label/property conditions from EVERY occurrence of a variable
+    # (a var can carry different labels in different patterns), deduped
+    seen_conds: set[str] = set()
+    for nodes, _ in chains:
+        for n in nodes:
+            for lbl in n.labels:
+                c = f"array_contains({n.var}.LABELS, '{lbl}')"
+                if c not in seen_conds:
+                    seen_conds.add(c)
+                    conds.append(c)
+            for key, lit in n.props:
+                c = f"{n.var}.{key} = {lit}"
+                if c not in seen_conds:
+                    seen_conds.add(c)
+                    conds.append(c)
+    assert from_sql is not None
     return from_sql, joins, conds
 
 
@@ -1205,12 +1323,6 @@ def _single_query_sql_inner(
     nodes, rels = ast["nodes"], ast["rels"]
     if ast["unwinds"] and any(r.is_varlength for r in rels):
         raise CypherUnsupported("UNWIND with variable-length is not supported")
-
-    seen = set()
-    for n in nodes:
-        if n.var in seen:
-            raise CypherUnsupported(f"repeated node variable {n.var!r} (no cycles in v1)")
-        seen.add(n.var)
 
     varlength = any(r.is_varlength for r in rels)
     if ast["withs"]:
@@ -1336,7 +1448,8 @@ def _stage_sql(
 
 def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     nodes, rels = ast["nodes"], ast["rels"]
-    from_sql, joins, conds = _chain(nodes, rels, nodes_view, rels_view)
+    chains = ast.get("chains") or [(nodes, rels)]
+    from_sql, joins, conds = _multi_chain(chains, nodes_view, rels_view)
 
     for oi, (onodes, orels, owhere) in enumerate(ast["optionals"]):
         # LEFT-JOIN chain: pattern conditions live in the ON clause

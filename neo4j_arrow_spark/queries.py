@@ -312,6 +312,27 @@ _cypher_query(
 )
 
 
+_cypher_query(
+    "cypher_comma_patterns",
+    # comma-separated patterns joining on the shared node variable n:
+    # customer×supplier co-membership per nation
+    "MATCH (c:Customer)-[r1:IN_NATION]->(n:Nation), "
+    "(s:Supplier)-[r2:IN_NATION]->(n) "
+    "RETURN n.name AS nation, count(*) AS pairs, "
+    "count(DISTINCT s.ID) AS suppliers",
+)
+
+_cypher_query(
+    "cypher_cycle_closure",
+    # a repeated node variable closes the pattern into a cycle:
+    # BUYS_FROM edges whose endpoints share the nation
+    "MATCH (c:Customer)-[b:BUYS_FROM]->(s:Supplier)-[i:IN_NATION]->"
+    "(n:Nation), (c)-[i2:IN_NATION]->(n) "
+    "RETURN n.name AS nation, count(*) AS intra_nation_edges, "
+    "count(DISTINCT c.ID) AS local_buyers",
+)
+
+
 def _sql_query(name: str, sql: str, tables: tuple[str, ...]):
     """Register a query whose Spark plan IS the oracle SQL — one ANSI
     string executed verbatim by both engines (the S1 capability, and

@@ -50,8 +50,6 @@ def test_aggregate_implicit_grouping():
 
 def test_unsupported_forms():
     with pytest.raises(CypherUnsupported):
-        cypher_to_sql("MATCH (a), (b) RETURN a.ID", "n", "e")  # multi pattern
-    with pytest.raises(CypherUnsupported):
         cypher_to_sql("MATCH () RETURN 1", "n", "e")  # anonymous node
     with pytest.raises(CypherSyntaxError):
         cypher_to_sql("MATCH (a RETURN a.ID", "n", "e")
@@ -760,3 +758,86 @@ def test_optional_varlength_rejected():
             "RETURN n.ID AS i",
             "n", "e",
         )
+
+
+# -- comma-separated patterns / cycles -------------------------------------
+
+def test_comma_patterns_shared_var_joins():
+    sql = cypher_to_sql(
+        "MATCH (c:Customer)-[r1:IN_NATION]->(n:Nation), "
+        "(s:Supplier)-[r2:IN_NATION]->(n) RETURN count(*) AS c",
+        "gn", "gr",
+    )
+    # second chain's rel pins BOTH endpoint keys (shared n is bound)
+    assert "r2.START_ID = s.ID AND n.ID = r2.END_ID" in sql
+    # n introduced exactly once
+    assert sql.count("gn AS n") == 1
+
+
+def test_comma_patterns_cartesian_when_disjoint():
+    sql = cypher_to_sql("MATCH (a:Nation), (b:Supplier) RETURN count(*) AS c", "gn", "gr")
+    assert "CROSS JOIN gn AS b" in sql
+
+
+def test_cycle_within_one_chain():
+    sql = cypher_to_sql(
+        "MATCH (a:Customer)-[x:BUYS_FROM]->(s:Supplier)<-[y:BUYS_FROM]-(a) "
+        "RETURN count(*) AS c", "gn", "gr",
+    )
+    # the closing rel joins on both bound endpoints, no re-introduction
+    assert sql.count("gn AS a") == 1
+    assert "y.END_ID = s.ID AND a.ID = y.START_ID" in sql
+
+
+def test_comma_pattern_rejections():
+    with pytest.raises(CypherUnsupported):  # varlength + comma
+        cypher_to_sql(
+            "MATCH (a:X)-[r:T*1..2]->(b), (c:Y) RETURN count(*) AS c", "gn", "gr"
+        )
+    with pytest.raises(CypherUnsupported):  # rel var bound twice
+        cypher_to_sql(
+            "MATCH (a)-[r:T]->(b), (c)-[r:U]->(d) RETURN count(*) AS c", "gn", "gr"
+        )
+    with pytest.raises(CypherUnsupported):  # comma outside main MATCH
+        cypher_to_sql(
+            "MATCH (n:Nation) OPTIONAL MATCH (n)<-[r:T]-(s), (q:Z) "
+            "RETURN n.ID AS id", "gn", "gr"
+        )
+    with pytest.raises(CypherUnsupported):  # cycle on a varlength chain
+        cypher_to_sql(
+            "MATCH (a:X)-[r:T*1..2]->(a) RETURN count(*) AS c", "gn", "gr"
+        )
+
+
+def test_comma_patterns_end_to_end(client):
+    rows = client.stream(
+        client.cypher(
+            "MATCH (c:Customer)-[r1:IN_NATION]->(n:Nation), "
+            "(s:Supplier)-[r2:IN_NATION]->(n) "
+            "RETURN n.name AS nation, count(*) AS pairs "
+            "ORDER BY pairs DESC, nation LIMIT 3",
+            graph="cy",
+        )
+    ).collect()
+    assert len(rows) == 3 and rows[0].pairs >= rows[-1].pairs
+
+
+def test_cycle_end_to_end_matches_expanded_form(client):
+    # closed triangle (c buys from s, both in n) must equal the same
+    # count computed by the equivalent WHERE-joined two-chain query
+    cyc = client.stream(
+        client.cypher(
+            "MATCH (c:Customer)-[b:BUYS_FROM]->(s:Supplier)-[i:IN_NATION]->"
+            "(n:Nation), (c)-[i2:IN_NATION]->(n) RETURN count(*) AS c",
+            graph="cy",
+        )
+    ).collect()[0].c
+    two = client.stream(
+        client.cypher(
+            "MATCH (c:Customer)-[i2:IN_NATION]->(n:Nation), "
+            "(c)-[b:BUYS_FROM]->(s:Supplier), (s)-[i:IN_NATION]->(n) "
+            "RETURN count(*) AS c",
+            graph="cy",
+        )
+    ).collect()[0].c
+    assert cyc == two > 0
