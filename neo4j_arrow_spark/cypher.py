@@ -454,7 +454,14 @@ class _Parser:
                     "TOSTRING": "STRING" if self.dialect == "spark" else "VARCHAR",
                 }[fn]
                 return f"CAST({inner} AS {ty})"
-            if fn in ("ID", "LABELS") and self.toks[self.pos + 2][0] == "name":
+            if fn in ("TOUPPER", "TOLOWER"):
+                # Cypher spellings of the shared UPPER/LOWER functions
+                self.next()
+                self.expect("(")
+                inner = self.value()
+                self.expect(")")
+                return f"{'UPPER' if fn == 'TOUPPER' else 'LOWER'}({inner})"
+            if fn in ("ID", "LABELS", "TYPE") and self.toks[self.pos + 2][0] == "name":
                 # graph accessors on a node variable: id(n) -> n.ID,
                 # labels(n) -> the sorted comma-joined label string
                 # (the collect() string-not-list divergence). Only when
@@ -473,6 +480,11 @@ class _Parser:
                         )
                     if fn == "ID":
                         return f"{var}.ID"
+                    if fn == "TYPE":
+                        # type(r): the rel's TYPE column (the undirected
+                        # union view keeps TYPE through the swap, so this
+                        # works in both orientations)
+                        return f"{var}.TYPE"
                     if self.dialect == "spark":
                         return f"array_join(sort_array({var}.LABELS), ',')"
                     return f"array_to_string(list_sort({var}.LABELS), ',')"
@@ -515,10 +527,33 @@ class _Parser:
                 if self.dialect == "spark":
                     return f"array_join(sort_array(collect_list({inner})), ',')"
                 return f"array_to_string(list_sort(list({inner})), ',')"
+            if fn in ("STDEV", "STDEVP"):
+                # Cypher's sample/population standard deviation
+                self.next()
+                self.expect("(")
+                self._saw_agg = True
+                inner = self.value()
+                self.expect(")")
+                name = "STDDEV_SAMP" if fn == "STDEV" else "STDDEV_POP"
+                return f"{name}({inner})"
+            if fn == "PERCENTILECONT":
+                # interpolated percentile: Spark percentile() is exact/
+                # interpolated, DuckDB's twin is quantile_cont()
+                self.next()
+                self.expect("(")
+                self._saw_agg = True
+                inner = self.value()
+                self.expect(",")
+                p = self.value()
+                self.expect(")")
+                if self.dialect == "spark":
+                    return f"percentile({inner}, {p})"
+                return f"quantile_cont({inner}, {p})"
             raise CypherUnsupported(
                 f"function {tok!r} is not in the dialect-neutral "
-                f"whitelist {self._FNS}, aggregates {self._AGGS}, or "
-                "collect()"
+                f"whitelist {self._FNS}, aggregates {self._AGGS}, "
+                "collect(), type(), toUpper/toLower, stDev[P], or "
+                "percentileCont"
             )
         return self.operand()
 

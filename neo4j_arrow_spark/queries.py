@@ -333,6 +333,23 @@ _cypher_query(
 )
 
 
+_cypher_query(
+    "cypher_type_fn",
+    # type(r) over a type-alternation scan — GROUP BY the rel type
+    "MATCH (a)-[r:IN_NATION|BUYS_FROM]->(b) "
+    "RETURN type(r) AS rel_type, count(*) AS edges",
+)
+
+_cypher_query(
+    "cypher_percentile_stats",
+    # aggregate surface: interpolated median + sample stddev, rounded
+    # to the repo's 2-decimal cross-engine determinism contract
+    "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "RETURN n.name AS nation, round(percentileCont(c.acctbal, 0.5), 2) AS med_bal, "
+    "round(stDev(c.acctbal), 2) AS sd_bal",
+)
+
+
 def _sql_query(name: str, sql: str, tables: tuple[str, ...]):
     """Register a query whose Spark plan IS the oracle SQL — one ANSI
     string executed verbatim by both engines (the S1 capability, and

@@ -841,3 +841,40 @@ def test_cycle_end_to_end_matches_expanded_form(client):
         )
     ).collect()[0].c
     assert cyc == two > 0
+
+
+# -- scalar/aggregate function additions -----------------------------------
+
+def test_type_fn_transpile():
+    sql = cypher_to_sql(
+        "MATCH (a)-[r:A|B]->(b) RETURN type(r) AS t, count(*) AS c", "gn", "gr"
+    )
+    assert "r.TYPE AS t" in sql and "GROUP BY r.TYPE" in sql
+
+
+def test_toupper_tolower_map_to_shared_names():
+    sql = cypher_to_sql("MATCH (a:X) RETURN toUpper(a.name) AS u", "gn", "gr")
+    assert "UPPER(a.name)" in sql
+    sql = cypher_to_sql("MATCH (a:X) RETURN toLower(a.name) AS l", "gn", "gr")
+    assert "LOWER(a.name)" in sql
+
+
+def test_stdev_percentile_dialect_split():
+    q = ("MATCH (a:X) RETURN stDev(a.acctbal) AS sd, "
+         "stDevP(a.acctbal) AS sdp, percentileCont(a.acctbal, 0.5) AS med")
+    s = cypher_to_sql(q, "gn", "gr", "spark")
+    assert "STDDEV_SAMP" in s and "STDDEV_POP" in s and "percentile(a.acctbal, 0.5)" in s
+    d = cypher_to_sql(q, "gn", "gr", "duckdb")
+    assert "quantile_cont(a.acctbal, 0.5)" in d
+
+
+def test_type_fn_end_to_end(client):
+    rows = client.stream(
+        client.cypher(
+            "MATCH (a)-[r:IN_NATION|BUYS_FROM]->(b) "
+            "RETURN type(r) AS t, count(*) AS c ORDER BY t",
+            graph="cy",
+        )
+    ).collect()
+    assert [r.t for r in rows] == ["BUYS_FROM", "IN_NATION"]
+    assert rows[0].c == 6000 and rows[1].c == 160
