@@ -552,16 +552,29 @@ def harmonic_centrality(
     shuffle is bounded by |frontier| x avg-degree, the same budget as
     khop; hot hubs are AQE skew-split.
     """
+    dist = _bounded_distances(edges, origins, max_hops)
+    return dist.groupBy(F.col("origin").alias("node")).agg(
+        F.count("*").alias("reached"),
+        F.sum(F.expr(f"{scale} div hop")).alias("harmonic_q"),
+    )
+
+
+def _bounded_distances(
+    edges: DataFrame, origins: DataFrame | None, max_hops: int
+) -> DataFrame:
+    """``(origin, node, hop)`` min-distance pairs with ``1 <= hop <=
+    max_hops`` over the undirected view — the shared core of the
+    hop-bounded centralities (harmonic, closeness).
+
+    Two physical strategies: for small bounds with all origins,
+    deduplicated JOIN POWERS — level k holds the exact-length-k path
+    pairs, min(level) is the distance; skips the per-round anti-join +
+    checkpoint of the frontier form (measured 1.9x at sf0.1, hop 3).
+    The frontier loop stays the shape for larger bounds (reach
+    saturates and exact-length levels stop shrinking) and for origin
+    subsets (powers would expand every origin before pruning)."""
     und = _undirected(edges).persist()
     if max_hops <= 3 and origins is None:
-        # small bounds: deduplicated JOIN POWERS — level k holds the
-        # exact-length-k path pairs, min(level) is the distance. Skips
-        # the per-round anti-join + checkpoint of the frontier form
-        # (measured 1.9x at sf0.1, hop 3); per-level distinct keeps
-        # every level within the reach-set bound. The frontier loop
-        # below stays the shape for larger bounds (reach saturates and
-        # exact-length levels stop shrinking) and for origin subsets
-        # (powers would expand every origin before pruning).
         step = und.select(F.col("u").alias("_su"), F.col("v").alias("_sv"))
         cur = und.select(F.col("u").alias("origin"), F.col("v").alias("node"))
         acc = cur.withColumn("hop", F.lit(1))
@@ -578,10 +591,7 @@ def harmonic_centrality(
             .agg(F.min("hop").alias("hop"))
         )
         und.unpersist()
-        return dist.groupBy(F.col("origin").alias("node")).agg(
-            F.count("*").alias("reached"),
-            F.sum(F.expr(f"{scale} div hop")).alias("harmonic_q"),
-        )
+        return dist
     if origins is None:
         starts = und.select(F.col("u").alias("origin")).distinct()
     else:
@@ -606,12 +616,118 @@ def harmonic_centrality(
         visited = visited.unionByName(nxt)
         frontier = nxt.select("origin", "node")
     und.unpersist()
+    return visited.filter(F.col("hop") >= 1)
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    origins: DataFrame | None = None,
+    max_hops: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hop-bounded closeness centrality (GDS ``gds.closeness`` with its
+    component-local convention ``reached / sum-of-distances``, truncated
+    at ``max_hops`` like harmonic_centrality — exact for diameters
+    <= max_hops, the standard large-graph variant otherwise).
+
+    ``closeness_q(v) = (reached(v) * scale) div total_hops(v)`` — an
+    all-integer identity, so the result is order-independent and
+    bit-exact against the oracle's recursive-CTE min-distance BFS.
+    Returns ``(node long, reached long, total_hops long,
+    closeness_q long)``; unreachable nodes are omitted.
+
+    Plan: shares _bounded_distances with harmonic_centrality (join
+    powers at small bounds, frontier BFS otherwise) — one extra
+    aggregate over the same distance frame, no new shuffle shape."""
+    dist = _bounded_distances(edges, origins, max_hops)
+    return dist.groupBy(F.col("origin").alias("node")).agg(
+        F.count("*").alias("reached"),
+        F.sum("hop").alias("total_hops"),
+        F.expr(f"(count(*) * {scale}) div sum(hop)").alias("closeness_q"),
+    )
+
+
+def degree_centrality(
+    edges: DataFrame,
+    orientation: str = "NATURAL",
+    weight: str | None = None,
+    round_weight: int = 2,
+) -> DataFrame:
+    """GDS ``gds.degree`` parity: per-node degree under NATURAL /
+    REVERSE / UNDIRECTED orientation, optionally weighted (sum of the
+    ``weight`` column, rounded per the cross-engine determinism
+    contract). Returns ``(node, degree[, weighted_degree])``.
+
+    Plan: a single map-side-combinable groupBy — no join, no driver
+    state; the cheapest centrality and the supernode detector's twin
+    (queries.degree_histogram builds its histogram from the same agg).
+    """
+    cols = ["u", "v"] + ([weight] if weight else [])
+    e = edges.select(*cols)
+    if orientation == "NATURAL":
+        keyed = e.select(F.col("u").alias("node"), *cols[2:])
+    elif orientation == "REVERSE":
+        keyed = e.select(F.col("v").alias("node"), *cols[2:])
+    elif orientation == "UNDIRECTED":
+        keyed = e.select(F.col("u").alias("node"), *cols[2:]).unionAll(
+            e.select(F.col("v").alias("node"), *cols[2:])
+        )
+    else:
+        raise ValueError(f"unknown orientation {orientation!r}")
+    aggs = [F.count("*").alias("degree")]
+    if weight:
+        aggs.append(F.round(F.sum(weight), round_weight).alias("weighted_degree"))
+    return keyed.groupBy("node").agg(*aggs)
+
+
+def link_prediction(
+    edges: DataFrame,
+    max_neighbor_degree: int | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Link-prediction scores for node pairs sharing >= 1 neighbor in
+    the undirected view (GDS ``gds.alpha.linkprediction.*`` parity):
+    common neighbors, resource allocation ``sum(scale div deg(z))``,
+    and Adamic-Adar ``sum(floor(scale / ln(deg(z))))`` — both emitted
+    as integer fixed-point per shared neighbor z, so the sums are
+    order-independent and oracle-exact (any z in a wedge has
+    deg(z) >= 2, so ln(deg) > 0).
+
+    Returns ``(node_a, node_b, common_neighbors, ra_q, aa_q)`` with
+    ``node_a < node_b``.
+
+    Plan: per-z score terms joined onto the adjacency BEFORE the wedge
+    self-join (each term attaches once, not once per pair), then one
+    pair aggregation. The wedge join is Σ_z deg(z)² — hub neighbors
+    dominate, and they carry the least signal (1/ln(deg) → 0), so
+    ``max_neighbor_degree`` drops them from the z-side up front: the
+    standard 100 TB cap, mirrored exactly in the oracle."""
+    und = (
+        _undirected(edges)
+        .select(F.col("u").alias("node"), F.col("v").alias("z"))
+        .distinct()
+    )
+    deg = und.groupBy("z").agg(F.count("*").alias("deg"))
+    if max_neighbor_degree is not None:
+        deg = deg.filter(F.col("deg") <= max_neighbor_degree)
+    # deg-1 neighbors can't close a wedge; dropping them up front also
+    # keeps ln(deg) > 0 so the ANSI cast can't see an Infinity
+    deg = deg.filter(F.col("deg") >= 2)
+    zterms = deg.select(
+        "z",
+        F.expr(f"{scale} div deg").alias("_ra"),
+        F.expr(f"CAST(floor({scale} / ln(deg)) AS LONG)").alias("_aa"),
+    )
+    left = und.select(F.col("node").alias("node_a"), "z").join(zterms, "z")
+    right = und.select(F.col("node").alias("node_b"), "z")
     return (
-        visited.filter(F.col("hop") >= 1)
-        .groupBy(F.col("origin").alias("node"))
+        left.join(right, "z")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
         .agg(
-            F.count("*").alias("reached"),
-            F.sum(F.expr(f"{scale} div hop")).alias("harmonic_q"),
+            F.count("*").alias("common_neighbors"),
+            F.sum("_ra").alias("ra_q"),
+            F.sum("_aa").alias("aa_q"),
         )
     )
 

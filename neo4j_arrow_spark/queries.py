@@ -2281,6 +2281,127 @@ def harmonic_centrality3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(edges, max_hops=3)
 
 
+@query(
+    "closeness_centrality3",
+    oracle=f"""
+    WITH RECURSIVE rels AS ({RELS_SQL}),
+    e AS (
+        SELECT DISTINCT START_ID AS u, END_ID AS v
+        FROM rels WHERE TYPE = 'IN_NATION'
+    ),
+    und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    b(origin, node, hop) AS (
+        SELECT u, u, 0 FROM (SELECT DISTINCT u FROM und)
+        UNION
+        SELECT b.origin, und.v, b.hop + 1
+        FROM b JOIN und ON b.node = und.u
+        WHERE b.hop < 3
+    ),
+    d AS (SELECT origin, node, min(hop) AS dist FROM b GROUP BY 1, 2)
+    SELECT origin AS node,
+           CAST(count(*) AS BIGINT) AS reached,
+           CAST(sum(dist) AS BIGINT) AS total_hops,
+           CAST((count(*) * 1000000) // sum(dist) AS BIGINT) AS closeness_q
+    FROM d WHERE dist >= 1
+    GROUP BY origin
+    """,
+)
+def closeness_centrality3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded closeness centrality over the undirected IN_NATION
+    graph (GDS gds.closeness, component-local reached/sum-of-distances
+    convention; operators/graph_algs.closeness_centrality). Shares the
+    join-powers distance frame with harmonic_centrality3 — the integer
+    identity (reached * 1e6) div total_hops is oracle-exact."""
+    from neo4j_arrow_spark.operators.graph_algs import closeness_centrality
+
+    _, rels = _graph(spark, sf_dir)
+    edges = rels.filter(F.col("TYPE") == "IN_NATION").select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    return closeness_centrality(edges, max_hops=3)
+
+
+@query(
+    "link_prediction_nation0",
+    oracle=f"""
+    WITH rels AS ({RELS_SQL}),
+    raw AS (
+        SELECT DISTINCT START_ID AS u, END_ID AS v
+        FROM rels
+        WHERE TYPE = 'BUYS_FROM'
+          AND START_ID IN (SELECT c_custkey FROM customer
+                           WHERE c_nationkey = 0)
+    ),
+    und AS (SELECT u AS node, v AS z FROM raw
+            UNION SELECT v AS node, u AS z FROM raw),
+    deg AS (
+        SELECT z, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY z
+    ),
+    zt AS (
+        SELECT z, 1000000 // deg AS ra,
+               CAST(floor(1000000 / ln(deg)) AS BIGINT) AS aa
+        FROM deg WHERE deg BETWEEN 2 AND 64
+    )
+    SELECT a.node AS node_a, b.node AS node_b,
+           CAST(count(*) AS BIGINT) AS common_neighbors,
+           CAST(sum(zt.ra) AS BIGINT) AS ra_q,
+           CAST(sum(zt.aa) AS BIGINT) AS aa_q
+    FROM und a JOIN zt ON a.z = zt.z
+    JOIN und b ON b.z = zt.z AND a.node < b.node
+    GROUP BY 1, 2
+    """,
+)
+def link_prediction_nation0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the nation-0 BUYS_FROM cohort (GDS
+    gds.alpha.linkprediction parity; operators/graph_algs.
+    link_prediction): common neighbors, resource-allocation and
+    Adamic-Adar as integer fixed-point sums. max_neighbor_degree=64
+    exercises the hub cap — the score terms attach to the adjacency
+    before the wedge self-join, and capped hubs never enter it. The
+    cohort scope bounds the wedge the same way node_similarity_buysfrom
+    does (this fixture's graph is dense by construction)."""
+    from neo4j_arrow_spark.operators.graph_algs import link_prediction
+
+    _, rels = _graph(spark, sf_dir)
+    cu = load_table(spark, sf_dir, "customer")
+    nation0 = cu.filter(F.col("c_nationkey") == 0).select(
+        F.col("c_custkey").alias("u")
+    )
+    edges = (
+        rels.filter(F.col("TYPE") == "BUYS_FROM")
+        .select(F.col("START_ID").alias("u"), F.col("END_ID").alias("v"))
+        .join(F.broadcast(nation0), "u", "left_semi")
+    )
+    return link_prediction(edges, max_neighbor_degree=64)
+
+
+@query(
+    "degree_centrality_weighted",
+    oracle=f"""
+    WITH rels AS ({RELS_SQL})
+    SELECT START_ID AS node,
+           CAST(count(*) AS BIGINT) AS degree,
+           round(sum(weight), 2) AS weighted_degree
+    FROM rels WHERE TYPE = 'BUYS_FROM'
+    GROUP BY START_ID
+    """,
+)
+def degree_centrality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted degree centrality, NATURAL orientation, over BUYS_FROM
+    (GDS gds.degree with relationshipWeightProperty; operators/
+    graph_algs.degree_centrality) — one map-side-combinable groupBy,
+    the supernode detector's scoring half."""
+    from neo4j_arrow_spark.operators.graph_algs import degree_centrality
+
+    _, rels = _graph(spark, sf_dir)
+    edges = rels.filter(F.col("TYPE") == "BUYS_FROM").select(
+        F.col("START_ID").alias("u"),
+        F.col("END_ID").alias("v"),
+        "weight",
+    )
+    return degree_centrality(edges, orientation="NATURAL", weight="weight")
+
+
 def _betweenness_oracle(scale: int = 1_000_000) -> str:
     """Unrolled hop-3 Brandes with integer fixed-point dependencies —
     the same recurrence as operators/graph_algs.betweenness_sampled."""

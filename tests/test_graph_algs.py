@@ -213,3 +213,86 @@ def test_kcore_cascading_peel_needs_rounds(spark):
     assert one == {2, 3, 4}  # endpoints peeled first
     done = kcore(e, k=2, rounds=3).collect()
     assert done == []
+
+
+# ---- closeness / degree / link prediction ---------------------------------
+
+def test_closeness_path_graph(spark):
+    from neo4j_arrow_spark.operators.graph_algs import closeness_centrality
+
+    # path 1-2-3: node 2 reaches 1,3 at dist 1 each; ends reach at 1+2
+    e = _edges(spark, [(1, 2), (2, 3)])
+    got = {
+        r["node"]: (r["reached"], r["total_hops"], r["closeness_q"])
+        for r in closeness_centrality(e, max_hops=3).collect()
+    }
+    assert got[2] == (2, 2, 1_000_000)
+    assert got[1] == (2, 3, 666_666) and got[3] == (2, 3, 666_666)
+
+
+def test_closeness_matches_frontier_path(spark):
+    from neo4j_arrow_spark.operators.graph_algs import closeness_centrality
+
+    # origins subset forces the frontier-BFS strategy; results must
+    # agree with the join-powers all-origins run on the same graph
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4), (4, 5)])
+    all_rows = {
+        r["node"]: (r["reached"], r["total_hops"])
+        for r in closeness_centrality(e, max_hops=3).collect()
+    }
+    sub = closeness_centrality(e, origins=_nodes(spark, [1, 5]), max_hops=3)
+    for r in sub.collect():
+        assert all_rows[r["node"]] == (r["reached"], r["total_hops"])
+
+
+def test_degree_centrality_orientations(spark):
+    from neo4j_arrow_spark.operators.graph_algs import degree_centrality
+
+    e = spark.createDataFrame(
+        [(1, 2, 10.0), (1, 3, 5.0), (3, 1, 2.5)], "u long, v long, w double"
+    )
+    nat = {r["node"]: r["degree"] for r in degree_centrality(e).collect()}
+    assert nat == {1: 2, 3: 1}
+    rev = {r["node"]: r["degree"] for r in
+           degree_centrality(e, orientation="REVERSE").collect()}
+    assert rev == {2: 1, 3: 1, 1: 1}
+    und = {r["node"]: r["degree"] for r in
+           degree_centrality(e, orientation="UNDIRECTED").collect()}
+    assert und == {1: 3, 2: 1, 3: 2}
+    w = {r["node"]: r["weighted_degree"] for r in
+         degree_centrality(e, weight="w").collect()}
+    assert w == {1: 15.0, 3: 2.5}
+
+
+def test_link_prediction_hand_computed(spark):
+    from neo4j_arrow_spark.operators.graph_algs import link_prediction
+    import math
+
+    # 1 and 2 share neighbors 3 (deg 2) and 4 (deg 3); 5-4 edge makes
+    # deg(4)=3 and gives (1,5),(2,5) one shared neighbor each
+    e = _edges(spark, [(1, 3), (2, 3), (1, 4), (2, 4), (5, 4)])
+    rows = {(r["node_a"], r["node_b"]): r for r in link_prediction(e).collect()}
+    r12 = rows[(1, 2)]
+    assert r12["common_neighbors"] == 2
+    assert r12["ra_q"] == 1_000_000 // 2 + 1_000_000 // 3
+    assert r12["aa_q"] == (
+        math.floor(1_000_000 / math.log(2)) + math.floor(1_000_000 / math.log(3))
+    )
+    assert rows[(1, 5)]["common_neighbors"] == 1
+    assert rows[(1, 5)]["ra_q"] == 1_000_000 // 3
+
+
+def test_link_prediction_degree_cap_drops_hub(spark):
+    from neo4j_arrow_spark.operators.graph_algs import link_prediction
+
+    # hub 9 is adjacent to everyone; cap 2 excludes it as a shared
+    # neighbor: (1,2) keep only the via-3 wedge (not via-9), and pairs
+    # whose ONLY shared neighbor is the hub — (1,4),(2,5),(4,5)… —
+    # vanish entirely; (3,9) via deg-2 nodes 1 and 2 survives
+    e = _edges(spark, [(1, 3), (2, 3), (1, 9), (2, 9), (4, 9), (5, 9)])
+    rows = {(r["node_a"], r["node_b"]): r["common_neighbors"]
+            for r in link_prediction(e, max_neighbor_degree=2).collect()}
+    assert rows == {(1, 2): 1, (3, 9): 2}
+    uncapped = {(r["node_a"], r["node_b"]): r["common_neighbors"]
+                for r in link_prediction(e).collect()}
+    assert uncapped[(1, 2)] == 2 and (4, 5) in uncapped
