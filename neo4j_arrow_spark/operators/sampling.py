@@ -120,3 +120,47 @@ def build_vocab(
         .groupBy(F.col("a.token").alias("token"), F.col("a.df").alias("df"))
         .agg((F.count("b.token") + 1).alias("rank"))
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per group (the multilingual-
+    corpus rebalancing rule: sample group g with probability
+    proportional to ``p_g^alpha`` instead of its raw share ``p_g``,
+    up-weighting tail languages/sources).
+
+    Returns ``(group, n_docs, p_raw, p_temp, boost)`` where ``p_temp =
+    p_g^alpha / sum(p^alpha)`` and ``boost = p_temp / p_raw`` (the
+    per-doc oversampling factor a sampler applies within the group).
+    Doubles are rounded to ``round_to`` decimals — with the default
+    alpha=0.5 the power is an IEEE-correctly-rounded sqrt on every
+    engine, so rounding only absorbs the final sum-order ulp.
+
+    Plan: one map-side-combinable groupBy + a broadcast 1-row scalar
+    join (group cardinality is languages/sources — tiny by nature)."""
+    counts = docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").alias("_n"),
+        F.sum(F.pow(F.col("n_docs"), F.lit(alpha))).alias("_zn"),
+    )
+    # p_g^alpha / Z where Z = sum n^alpha / N^alpha cancels N^alpha:
+    # work in counts directly to avoid an extra division's rounding
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "group",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_n"), round_to).alias("p_raw"),
+        F.round(F.pow("n_docs", F.lit(alpha)) / F.col("_zn"), round_to).alias(
+            "p_temp"
+        ),
+        F.round(
+            (F.pow("n_docs", F.lit(alpha)) / F.col("_zn"))
+            / (F.col("n_docs") / F.col("_n")),
+            round_to,
+        ).alias("boost"),
+    )

@@ -695,3 +695,88 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "n_terms_matched", "rank")
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram-LM surprisal proxies — the perplexity-style
+    quality signal (rare-token-heavy documents score high, word-salad
+    and OOV-dense text stand out) without float logarithms.
+
+    Per token, with corpus count ``cnt`` and corpus size ``N``:
+
+    - inverse frequency ``ifq = N div cnt`` (the tfidf-style log-free
+      rational; see tfidf's fixed-point rationale), and
+    - ``ilog2(ifq) = length(bin(ifq)) - 1`` — the EXACT integer floor
+      of log2, computed from the binary string length, so the per-doc
+      sum is a true log-domain surprisal within 1 bit/token and
+      bit-identical on any engine (a float ln() differs in last-ulp
+      between libm implementations).
+
+    Returns ``(id, n_tokens, mitf_q, log2loss_q)`` where ``mitf_q =
+    sum(ifq) div n_tokens`` and ``log2loss_q = sum(ilog2(ifq))``.
+
+    Plan: explode -> corpus unigram counts (map-side combinable) ->
+    one hash join token->count -> per-doc aggregation. N is a scalar
+    count. No UDFs, no driver-side data."""
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    n_total = tok.count()
+    cnt = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    per = tok.join(cnt, "token").withColumn(
+        "ifq", F.expr(f"{n_total} div cnt")
+    )
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr("sum(ifq) div count(*)").alias("mitf_q"),
+            F.sum(F.expr("length(bin(ifq)) - 1")).alias("log2loss_q"),
+        )
+    )
+
+
+def dup_ngram_spans(
+    docs: DataFrame, id_col: str, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Cross-document exact-substring duplication: the fraction of each
+    document's ``n``-token shingles that also occur in at least one
+    OTHER document — the span-level dedup signal (suffix-array-style
+    exact duplication, approximated at shingle granularity, which is
+    how it distributes).
+
+    Returns ``(id, n_shingles, dup_shingles, dup_frac_q)`` with
+    ``dup_frac_q = dup_shingles * 1e6 div n_shingles`` (documents
+    shorter than ``n`` tokens have no shingles and are omitted).
+
+    Plan: explode shingles -> per-shingle distinct-doc count (>= 2
+    keeps only cross-doc spans; a shingle repeated within one doc only
+    is NOT a cross-doc dup) -> left-semi join back -> per-doc counts.
+    Shingle keys are the joined token strings — no hashing needed for
+    exactness, and boilerplate hub shingles are bounded by the same
+    AQE skew-split story as the LSH band buckets."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
+    )
+    dup = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    per_doc = (
+        sh.join(dup, "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("dup_shingles"))
+    )
+    total = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    return (
+        total.join(per_doc, id_col, "left")
+        .fillna(0, subset=["dup_shingles"])
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "dup_shingles",
+            F.expr("dup_shingles * 1000000 div n_shingles").alias("dup_frac_q"),
+        )
+    )

@@ -1522,3 +1522,91 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adc_dist").cast("long"),
         F.col("rank").cast("int"),
     )
+
+
+# ---- unigram surprisal / span dedup / temperature sampling ----------------
+
+@query(
+    "unigram_surprisal",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({duck_tokens("text")}) AS token FROM documents
+    ),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM t)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(_n // cnt) // count(*) AS BIGINT) AS mitf_q,
+           CAST(sum(length(bin(_n // cnt)) - 1) AS BIGINT) AS log2loss_q
+    FROM t JOIN cnt USING (token) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def unigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal proxies per document (operators/text.
+    unigram_surprisal): mean inverse token frequency plus an EXACT
+    integer floor-log2 surprisal (length(bin(x)) - 1 on both engines)
+    — the perplexity-style quality signal with zero float logs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_surprisal(docs, "doc_id")
+
+
+@query(
+    "dup_ngram_spans",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({duck_shingles("text", 8)}) AS sh FROM documents
+    ),
+    dup AS (
+        SELECT sh FROM (
+            SELECT sh, count(DISTINCT doc_id) AS nd FROM sh GROUP BY sh
+        ) WHERE nd >= 2
+    ),
+    total AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+        FROM sh GROUP BY doc_id
+    ),
+    per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_shingles
+        FROM sh WHERE sh IN (SELECT sh FROM dup) GROUP BY doc_id
+    )
+    SELECT total.doc_id, n_shingles,
+           COALESCE(dup_shingles, 0) AS dup_shingles,
+           COALESCE(dup_shingles, 0) * 1000000 // n_shingles AS dup_frac_q
+    FROM total LEFT JOIN per ON total.doc_id = per.doc_id
+    """,
+)
+def dup_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication at 8-gram shingle
+    granularity (operators/text.dup_ngram_spans): per-doc count and
+    ppm fraction of shingles that occur in >= 2 distinct documents —
+    the span-level dedup signal next to the whole-doc MinHash family."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dup_ngram_spans(docs, "doc_id", n=8)
+
+
+@query(
+    "lang_temperature_weights",
+    oracle="""
+    WITH c AS (
+        SELECT lang AS "group", CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ),
+    z AS (SELECT sum(n_docs) AS _n, sum(sqrt(n_docs)) AS _zn FROM c)
+    SELECT "group", n_docs,
+           round(n_docs / _n, 6) AS p_raw,
+           round(sqrt(n_docs) / _zn, 6) AS p_temp,
+           round((sqrt(n_docs) / _zn) / (n_docs / _n), 6) AS boost
+    FROM c CROSS JOIN z
+    """,
+)
+def lang_temperature_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) language sampling weights
+    (operators/sampling.temperature_weights): the multilingual-corpus
+    rebalancing rule p^alpha / Z with per-group boost factors. sqrt is
+    IEEE-correctly-rounded on both engines, so round(6) only absorbs
+    sum-order ulps."""
+    from neo4j_arrow_spark.operators.sampling import temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_weights(docs, "lang", alpha=0.5)

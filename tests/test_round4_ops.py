@@ -428,3 +428,74 @@ def test_louvain_partitioning_invariant(spark):
     e_df = spark.createDataFrame(edges, "u long, v long").repartition(11)
     e2 = {r.node: r.community for r in louvain_moves(e_df).collect()}
     assert e1 == e2
+
+
+# ---- unigram surprisal -----------------------------------------------------
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    from neo4j_arrow_spark.operators.text import unigram_surprisal
+
+    # corpus: "a a a b" -> N=4, cnt(a)=3, cnt(b)=1
+    # ifq(a) = 4 div 3 = 1 (ilog2 0), ifq(b) = 4 (ilog2 2)
+    docs = _docs_df(spark, [(1, "a a a"), (2, "b")])
+    got = {r.doc_id: r for r in unigram_surprisal(docs, "doc_id").collect()}
+    assert got[1].n_tokens == 3 and got[1].mitf_q == 1 and got[1].log2loss_q == 0
+    assert got[2].n_tokens == 1 and got[2].mitf_q == 4 and got[2].log2loss_q == 2
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    from neo4j_arrow_spark.operators.text import unigram_surprisal
+
+    common = " ".join(["the"] * 50)
+    docs = _docs_df(spark, [(1, common), (2, "zyzzyva qwerty plugh")])
+    got = {r.doc_id: r for r in unigram_surprisal(docs, "doc_id").collect()}
+    assert got[2].mitf_q > got[1].mitf_q
+    assert got[2].log2loss_q > 0
+
+
+# ---- cross-doc ngram span duplication --------------------------------------
+
+def test_dup_ngram_spans_detects_shared_span(spark):
+    from neo4j_arrow_spark.operators.text import dup_ngram_spans
+
+    span = "one two three four"
+    docs = _docs_df(spark, [
+        (1, span + " unique tail here"),
+        (2, "different head then " + span),
+        (3, "totally unrelated words only appear once"),
+    ])
+    got = {r.doc_id: r for r in dup_ngram_spans(docs, "doc_id", n=4).collect()}
+    # the shared 4-gram "one two three four" marks docs 1 and 2
+    assert got[1].dup_shingles >= 1 and got[2].dup_shingles >= 1
+    assert got[3].dup_shingles == 0 and got[3].dup_frac_q == 0
+    assert 0 < got[1].dup_frac_q <= 1_000_000
+
+
+def test_dup_ngram_spans_within_doc_repeat_not_cross(spark):
+    from neo4j_arrow_spark.operators.text import dup_ngram_spans
+
+    # doc 1 repeats its own 2-gram; no other doc shares it
+    docs = _docs_df(spark, [(1, "x y x y"), (2, "a b c d")])
+    got = {r.doc_id: r for r in dup_ngram_spans(docs, "doc_id", n=2).collect()}
+    assert got[1].dup_shingles == 0
+
+
+# ---- temperature sampling weights ------------------------------------------
+
+def test_temperature_weights_rebalance(spark):
+    from neo4j_arrow_spark.operators.sampling import temperature_weights
+    import math
+
+    rows = [(i, "en") for i in range(90)] + [(90 + i, "sw") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {r.group: r for r in temperature_weights(docs, "lang").collect()}
+    z = math.sqrt(90) + math.sqrt(10)
+    assert got["en"].p_raw == 0.9 and got["sw"].p_raw == 0.1
+    assert abs(got["sw"].p_temp - math.sqrt(10) / z) < 1e-6
+    # tail language is up-weighted, head down-weighted; probs sum to 1
+    assert got["sw"].boost > 1 > got["en"].boost
+    assert abs(got["en"].p_temp + got["sw"].p_temp - 1.0) < 1e-5
