@@ -511,3 +511,43 @@ def pq_topk(
     from neo4j_arrow_spark.operators.dedup import _with_intermediates
 
     return _with_intermediates(out, [codes])
+
+
+def l2q_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by squared L2 distance on the QUANT_SCALE-quantized
+    grid — the ground truth for the PQ/ADC index (pq_train_encode
+    quantizes to the same grid, so ADC error is measured against the
+    metric it actually approximates, not cosine). Integer arithmetic
+    end-to-end: rounding to the power-of-two grid is exact, distances
+    are exact longs, ranking ties break on neighbor id.
+
+    Output: (query_id, neighbor_id, rank, l2q). Self-matches are kept
+    (dist 0, rank 1), matching pq_topk's candidate set."""
+    quant = lambda c: F.transform(  # noqa: E731
+        F.col(c), lambda x: F.round(x * QUANT_SCALE).cast("long")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), quant(vec_col).alias("qv"))
+    n = items.select(F.col(id_col).alias("neighbor_id"), quant(vec_col).alias("nv"))
+    scored = q.join(n, how="cross").select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with("qv", "nv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("l2q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2q").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "l2q")
+    )

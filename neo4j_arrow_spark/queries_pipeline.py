@@ -1610,3 +1610,66 @@ def lang_temperature_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_weights(docs, "lang", alpha=0.5)
+
+
+def _pq_recall_oracle(m: int, k_codes: int, iterations: int, dim: int,
+                      topk: int, qmod: int) -> str:
+    from neo4j_arrow_spark.operators.dedup import QUANT_SCALE
+
+    return f"""
+    WITH bq AS (
+        SELECT vec_id AS query_id, list_transform(embedding,
+               x -> round(x::DOUBLE * {QUANT_SCALE})::BIGINT) AS qv
+        FROM embeddings WHERE vec_id % {qmod} = 0
+    ),
+    bn AS (
+        SELECT vec_id AS neighbor_id, list_transform(embedding,
+               x -> round(x::DOUBLE * {QUANT_SCALE})::BIGINT) AS nv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_sum(list_transform(range(1, len(qv) + 1),
+                   i -> (qv[i] - nv[i]) * (qv[i] - nv[i]))) AS l2q
+        FROM bq, bn
+    ),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY l2q, neighbor_id) AS rank
+            FROM scored) WHERE rank <= {topk}
+    ),
+    pq AS (
+        SELECT query_id, vec_id AS neighbor_id
+        FROM ({_pq_oracle(m, k_codes, iterations, dim, topk, qmod)})
+    ),
+    hits AS (
+        SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM brute b JOIN pq p
+          ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+        GROUP BY b.query_id
+    ),
+    qs AS (SELECT DISTINCT query_id FROM brute)
+    SELECT q.query_id,
+           coalesce(n_hits, 0) AS n_hits,
+           coalesce(n_hits, 0) / {topk}.0 AS recall
+    FROM qs q LEFT JOIN hits USING (query_id)
+    """
+
+
+@query("pq_adc_recall", oracle=_pq_recall_oracle(4, 8, 2, 64, 5, 53))
+def pq_adc_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ/ADC index against the exact integer squared-
+    L2 top-5 on the same quantized grid (operators/similarity.l2q_topk)
+    — closes the measurement loop for the third index family: IVF, LSH
+    and PQ all carry a quality metric next to their speed story."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 53 == 0)
+    brute = similarity.l2q_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    pq = similarity.pq_topk(
+        emb,
+        queries_df.select(F.col("vec_id").alias("query_id"), "embedding"),
+        "vec_id", "embedding", m=4, k_codes=8, iterations=2, k=5,
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    return _recall_frame(brute, pq, 5)

@@ -499,3 +499,30 @@ def test_temperature_weights_rebalance(spark):
     # tail language is up-weighted, head down-weighted; probs sum to 1
     assert got["sw"].boost > 1 > got["en"].boost
     assert abs(got["en"].p_temp + got["sw"].p_temp - 1.0) < 1e-5
+
+
+# ---- exact quantized-L2 brute (PQ ground truth) ----------------------------
+
+def test_l2q_topk_exact_ordering(spark):
+    from neo4j_arrow_spark.operators.similarity import l2q_topk
+
+    rows = [
+        (1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [1.0, 1.0]), (4, [0.0, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = l2q_topk(df, df.filter(F.col("vec_id") == 1), "vec_id", "embedding", k=3)
+    ranked = [r.neighbor_id for r in got.orderBy("rank").collect()]
+    # self first (dist 0), then 2 (0.1), then 4 (0.2)
+    assert ranked == [1, 2, 4]
+
+
+def test_l2q_topk_integer_distances(spark):
+    from neo4j_arrow_spark.operators.dedup import QUANT_SCALE
+    from neo4j_arrow_spark.operators.similarity import l2q_topk
+
+    rows = [(1, [0.0]), (2, [1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.neighbor_id: r.l2q for r in l2q_topk(
+        df, df.filter(F.col("vec_id") == 1), "vec_id", "embedding", k=2
+    ).collect()}
+    assert got[1] == 0 and got[2] == QUANT_SCALE * QUANT_SCALE
