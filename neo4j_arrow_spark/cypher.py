@@ -886,17 +886,70 @@ class _Parser:
             self._splice_pathlen(path_var)
         return (True, path_var, nodes, rels)
 
-    def parse(self) -> dict:
-        self.expect("MATCH")
-        sp = self._shortest_prefix()
-        if sp is not None:
-            _, path_var, nodes, rels = sp
-            shortest = True
-            chains = [(nodes, rels)]
+    def _unwind_source(self, bound: set[str]) -> tuple[str, str]:
+        """One UNWIND source: ``labels(var)`` (bound var), a list
+        literal ``[a, b, …]``, or a ``$param`` bound to a list —
+        returns ``(array_sql, alias)`` in the active dialect."""
+        kind, tok = self.peek()
+        if tok == "[":
+            self.next()
+            items: list[str] = []
+            if self.peek()[1] != "]":
+                items.append(self.literal())
+                while self.accept(","):
+                    items.append(self.literal())
+            self.expect("]")
+            if not items:
+                raise CypherUnsupported("UNWIND of an empty list literal")
+            body = ", ".join(items)
+            arr = f"array({body})" if self.dialect == "spark" else f"[{body}]"
+        elif kind == "param":
+            self.next()
+            arr = self._param_marker(tok)
+        elif kind == "name" and self.toks[self.pos + 1][1] == "(":
+            fn = self.expect_name()
+            if fn.lower() != "labels":
+                raise CypherUnsupported(
+                    f"UNWIND supports labels(var), a list literal, or a "
+                    f"$param — got {fn!r}(...)"
+                )
+            self.expect("(")
+            uvar = self.expect_name()
+            if uvar not in bound:
+                raise CypherSyntaxError(f"labels({uvar}): unbound variable")
+            self.expect(")")
+            arr = f"{uvar}.LABELS"
         else:
+            raise CypherUnsupported(
+                "UNWIND supports labels(var), a list literal, or a $param"
+            )
+        self.expect("AS")
+        alias = self.expect_name()
+        self.unwind_aliases.add(alias)
+        return arr, alias
+
+    def parse(self) -> dict:
+        lead_unwinds: list[tuple[str, str]] = []
+        while self.accept("UNWIND"):
+            lead_unwinds.append(self._unwind_source(set()))
+        if lead_unwinds and self.peek()[1] != "MATCH":
+            # UNWIND-only query (batch-lookup shape): no graph pattern,
+            # the exploded list IS the FROM source
             shortest, path_var = False, None
-            chains = self.patterns()
-            nodes, rels = _flatten_chains(chains)
+            chains: list[tuple[list[_NodePat], list[_RelPat]]] = []
+            nodes, rels = [], []
+            sp = None
+        else:
+            self.expect("MATCH")
+            sp = self._shortest_prefix()
+            if sp is not None:
+                _, path_var, nodes, rels = sp
+                shortest = True
+                chains = [(nodes, rels)]
+            else:
+                shortest, path_var = False, None
+                chains = self.patterns()
+                nodes, rels = _flatten_chains(chains)
         path_subs: dict[str, str] = {}
         plain_path = getattr(self, "_plain_path", None)
         if plain_path is not None:
@@ -954,24 +1007,9 @@ class _Parser:
             # the main clause's WHERE: a post-join global filter
             self._bound = set(bound)  # EXISTS pattern anchor check
             where = self.expr()
-        unwinds: list[tuple[str, str]] = []
+        unwinds: list[tuple[str, str]] = list(lead_unwinds)
         while self.accept("UNWIND"):
-            # v1 source grammar: labels(var) — the only list-valued
-            # expression in the data model
-            fn = self.expect_name()
-            if fn.lower() != "labels":
-                raise CypherUnsupported(
-                    f"UNWIND supports labels(var) only, got {fn!r}(...)"
-                )
-            self.expect("(")
-            uvar = self.expect_name()
-            if uvar not in bound:
-                raise CypherSyntaxError(f"labels({uvar}): unbound variable")
-            self.expect(")")
-            self.expect("AS")
-            alias = self.expect_name()
-            self.unwind_aliases.add(alias)
-            unwinds.append((uvar, alias))
+            unwinds.append(self._unwind_source(bound))
         withs = []
         while self.accept("WITH"):
             wdistinct = self.accept("DISTINCT")
@@ -1483,8 +1521,18 @@ def _stage_sql(
 
 def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     nodes, rels = ast["nodes"], ast["rels"]
-    chains = ast.get("chains") or [(nodes, rels)]
-    from_sql, joins, conds = _multi_chain(chains, nodes_view, rels_view)
+    unwinds = list(ast.get("unwinds", ()))
+    if not nodes:
+        # UNWIND-only query: the first exploded list is the FROM source
+        src, alias = unwinds.pop(0)
+        if ast["dialect"] == "spark":
+            from_sql = f"(SELECT explode({src}) AS {alias}) AS _uw0"
+        else:
+            from_sql = f"(SELECT unnest({src}) AS {alias}) AS _uw0"
+        joins, conds = [], []
+    else:
+        chains = ast.get("chains") or [(nodes, rels)]
+        from_sql, joins, conds = _multi_chain(chains, nodes_view, rels_view)
 
     for oi, (onodes, orels, owhere) in enumerate(ast["optionals"]):
         # LEFT-JOIN chain: pattern conditions live in the ON clause
@@ -1528,11 +1576,11 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     sql = f"SELECT {select_sql}\nFROM {from_sql}"
     for j in joins:
         sql += f"\n{j}"
-    for i, (uvar, alias) in enumerate(ast.get("unwinds", ())):
+    for i, (src, alias) in enumerate(unwinds):
         if ast["dialect"] == "spark":
-            sql += f"\nLATERAL VIEW explode({uvar}.LABELS) _u{i} AS {alias}"
+            sql += f"\nLATERAL VIEW explode({src}) _u{i} AS {alias}"
         else:
-            sql += f"\nCROSS JOIN unnest({uvar}.LABELS) AS _u{i}({alias})"
+            sql += f"\nCROSS JOIN unnest({src}) AS _u{i}({alias})"
     if conds:
         sql += "\nWHERE " + " AND ".join(conds)
     if has_agg and group_cols:
@@ -1721,4 +1769,4 @@ def _order_ref(expr: str, items: list[tuple[str, str, bool]]) -> str:
 def is_cypher(query: str) -> bool:
     """Cheap dispatch: the reference's job API is Cypher-first; we
     accept both and route on the leading keyword."""
-    return bool(re.match(r"\s*MATCH\b", query, re.IGNORECASE))
+    return bool(re.match(r"\s*(MATCH|UNWIND)\b", query, re.IGNORECASE))

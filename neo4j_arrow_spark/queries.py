@@ -46,6 +46,8 @@ def _sql_literal(v) -> str:
         return repr(v)
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_sql_literal(x) for x in v) + "]"
     raise TypeError(f"unsupported oracle parameter type {type(v).__name__}")
 
 
@@ -199,6 +201,24 @@ _cypher_query(
     "WHERE c.acctbal > $minbal AND n.name = $nation "
     "RETURN c.ID AS id, c.acctbal AS acctbal ORDER BY id",
     params={"minbal": 5000.0, "nation": "NATION_7"},
+)
+
+_cypher_query(
+    "cypher_unwind_param_lookup",
+    # the batch-lookup shape: a client ships a key list as $ids and
+    # joins it against the graph (UNWIND -> lateral explode; the
+    # filter makes it an equi-lookup, not a cartesian)
+    "UNWIND $ids AS wanted "
+    "MATCH (n:Nation) WHERE n.ID = wanted "
+    "RETURN n.ID AS id, n.name AS name ORDER BY id",
+    params={"ids": [2000001, 2000005, 2000013, 2000099]},
+)
+
+_cypher_query(
+    "cypher_unwind_literal",
+    # UNWIND-only query: the exploded literal IS the FROM source
+    "UNWIND [1, 2, 3, 5, 8] AS x "
+    "RETURN x AS v, x * x AS sq ORDER BY v",
 )
 
 _CREATE_ROUNDTRIP_SQL = """

@@ -878,3 +878,46 @@ def test_type_fn_end_to_end(client):
     ).collect()
     assert [r.t for r in rows] == ["BUYS_FROM", "IN_NATION"]
     assert rows[0].c == 6000 and rows[1].c == 160
+
+
+# -- UNWIND over list literals and params ----------------------------------
+
+def test_unwind_literal_only_query():
+    sql = cypher_to_sql("UNWIND [1, 2] AS x RETURN x AS v", "gn", "gr")
+    assert "explode(array(1, 2))" in sql and "FROM (SELECT" in sql
+    d = cypher_to_sql("UNWIND [1, 2] AS x RETURN x AS v", "gn", "gr", "duckdb")
+    assert "unnest([1, 2])" in d
+
+
+def test_unwind_param_with_match():
+    sql = cypher_to_sql(
+        "UNWIND $ids AS w MATCH (n:Nation) WHERE n.ID = w "
+        "RETURN n.ID AS id", "gn", "gr",
+    )
+    assert "LATERAL VIEW explode(:ids) _u0 AS w" in sql
+    d = cypher_to_sql(
+        "UNWIND $ids AS w MATCH (n:Nation) WHERE n.ID = w "
+        "RETURN n.ID AS id", "gn", "gr", "duckdb",
+    )
+    assert "CROSS JOIN unnest($ids) AS _u0(w)" in d
+
+
+def test_unwind_rejections():
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql("UNWIND [] AS x RETURN x AS v", "gn", "gr")
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql(
+            "MATCH (n:X) UNWIND nodes(n) AS x RETURN x AS v", "gn", "gr"
+        )
+
+
+def test_unwind_param_end_to_end(client):
+    rows = client.stream(
+        client.cypher(
+            "UNWIND $ids AS w MATCH (n:Nation) WHERE n.ID = w "
+            "RETURN n.ID AS id ORDER BY id",
+            graph="cy",
+            params={"ids": [2000001, 2000002, 9999999]},
+        )
+    ).collect()
+    assert [r.id for r in rows] == [2000001, 2000002]  # missing key drops
