@@ -949,6 +949,15 @@ class _Parser:
             else:
                 shortest, path_var = False, None
                 chains = self.patterns()
+                # consecutive MATCH clauses: conjunctive, same semantics
+                # as comma-separated patterns (shared vars join). A
+                # WHERE between MATCHes is not supported — one WHERE
+                # after the last clause (OPTIONAL MATCH keeps its own).
+                while self.peek()[1] == "MATCH" and not getattr(
+                    self, "_plain_path", None
+                ):
+                    self.next()
+                    chains.extend(self.patterns())
                 nodes, rels = _flatten_chains(chains)
         path_subs: dict[str, str] = {}
         plain_path = getattr(self, "_plain_path", None)
@@ -1007,6 +1016,12 @@ class _Parser:
             # the main clause's WHERE: a post-join global filter
             self._bound = set(bound)  # EXISTS pattern anchor check
             where = self.expr()
+            if self.peek()[1] == "MATCH":
+                raise CypherUnsupported(
+                    "WHERE between MATCH clauses is not supported — put "
+                    "one WHERE after the last MATCH (conjunctive clauses "
+                    "AND anyway)"
+                )
         unwinds: list[tuple[str, str]] = list(lead_unwinds)
         while self.accept("UNWIND"):
             unwinds.append(self._unwind_source(bound))

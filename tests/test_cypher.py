@@ -921,3 +921,39 @@ def test_unwind_param_end_to_end(client):
         )
     ).collect()
     assert [r.id for r in rows] == [2000001, 2000002]  # missing key drops
+
+
+# -- consecutive MATCH clauses ----------------------------------------------
+
+def test_consecutive_match_clauses_join_on_shared_var():
+    q = ("MATCH (c:Customer)-[r1:IN_NATION]->(n:Nation) "
+         "MATCH (s:Supplier)-[r2:IN_NATION]->(n) "
+         "RETURN n.name AS nation, count(*) AS pairs")
+    sql = cypher_to_sql(q, "gn", "gr")
+    assert sql.count("gn AS n") == 1
+    assert "r2.START_ID = s.ID AND n.ID = r2.END_ID" in sql
+    # identical to the comma spelling
+    comma = ("MATCH (c:Customer)-[r1:IN_NATION]->(n:Nation), "
+             "(s:Supplier)-[r2:IN_NATION]->(n) "
+             "RETURN n.name AS nation, count(*) AS pairs")
+    assert sql == cypher_to_sql(comma, "gn", "gr")
+
+
+def test_where_between_match_clauses_rejected():
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql(
+            "MATCH (a:X) WHERE a.ID > 1 MATCH (b:Y) RETURN count(*) AS c",
+            "gn", "gr",
+        )
+
+
+def test_consecutive_match_end_to_end(client):
+    rows = client.stream(
+        client.cypher(
+            "MATCH (c:Customer)-[r1:IN_NATION]->(n:Nation) "
+            "MATCH (c)-[b:BUYS_FROM]->(s:Supplier) "
+            "RETURN n.name AS nation, count(*) AS purchases ORDER BY nation",
+            graph="cy",
+        )
+    ).collect()
+    assert sum(r.purchases for r in rows) == 6000
