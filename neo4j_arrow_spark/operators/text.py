@@ -749,30 +749,42 @@ def dup_ngram_spans(
     ``dup_frac_q = dup_shingles * 1e6 div n_shingles`` (documents
     shorter than ``n`` tokens have no shingles and are omitted).
 
-    Plan: explode shingles -> per-shingle distinct-doc count (>= 2
-    keeps only cross-doc spans; a shingle repeated within one doc only
-    is NOT a cross-doc dup) -> left-semi join back -> per-doc counts.
-    Shingle keys are the joined token strings — no hashing needed for
-    exactness, and boilerplate hub shingles are bounded by the same
-    AQE skew-split story as the LSH band buckets."""
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
+    Plan: single pass, no joins — shingling via codegen posexplode +
+    window lead (occurrence-preserving twin of dedup.shingle_table;
+    the array-expression transform/slice form re-tokenizes per
+    reference and benched ~6x slower), then per-(shingle, doc)
+    occurrence counts (one row per doc a shingle touches, so the group
+    SIZE is the distinct-doc count), a count-over-window partitioned
+    by shingle to tag each row with that count, and one per-doc
+    aggregation splitting occurrences into total vs cross-doc. Shingle
+    keys stay exact strings (a 64-bit hash would be oracle-identical
+    here but collides at 100 TB shingle counts); hub shingles are
+    bounded by AQE skew splits like the LSH band buckets."""
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
     )
-    dup = (
-        sh.groupBy("sh")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("sh")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = (
+        toks.select(
+            F.col(id_col),
+            F.concat_ws(" ", *parts).alias("sh"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, "sh")
     )
-    per_doc = (
-        sh.join(dup, "sh", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("dup_shingles"))
-    )
-    total = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    occ = sh.groupBy("sh", id_col).agg(F.count("*").alias("occ"))
+    nd = F.count("*").over(Window.partitionBy("sh"))
     return (
-        total.join(per_doc, id_col, "left")
-        .fillna(0, subset=["dup_shingles"])
+        occ.withColumn("nd", nd)
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").alias("n_shingles"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("occ")).otherwise(0)).alias(
+                "dup_shingles"
+            ),
+        )
         .select(
             F.col(id_col),
             "n_shingles",
