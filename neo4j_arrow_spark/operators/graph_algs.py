@@ -787,10 +787,10 @@ def betweenness_sampled(
             break
         levels.append(nxt)
         visited = visited.unionByName(nxt.select("s", "v"))
-    und.unpersist()
     spark = edges.sparkSession
     empty = spark.createDataFrame([], "node long, betweenness_q long")
     if len(levels) < 2:
+        und.unpersist()
         return empty
 
     child = levels[-1].withColumn("delta", F.lit(0).cast("long"))
@@ -830,6 +830,11 @@ def betweenness_sampled(
             cur.join(d.select("s", "v", "delta"), ["s", "v"], "left")
             .select("s", "v", "sig", F.coalesce("delta", F.lit(0)).alias("delta"))
         )
+    # every delta frame is localCheckpointed (materialized) above, so
+    # the cached undirected frame has served both passes — releasing it
+    # only now keeps the backward per-level joins from re-deriving the
+    # union+filter scan each round
+    und.unpersist()
     out = delta_frames[0]
     for d in delta_frames[1:]:
         out = out.unionByName(d)
