@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from neo4j_arrow_spark.cypher import (
     CypherSyntaxError,
     CypherUnsupported,
+    _flatten_chains,
     _Parser,
     _plain_sql,
     _tokenize,
@@ -37,7 +38,7 @@ from neo4j_arrow_spark.graph import NodeField, RelField
 
 __all__ = ["is_cypher_write", "execute_cypher_write"]
 
-_WRITE_WORDS = {"SET", "DELETE", "DETACH"}
+_WRITE_WORDS = {"SET", "DELETE", "DETACH", "CREATE", "MERGE"}
 
 
 def is_cypher_write(query: str) -> bool:
@@ -58,7 +59,11 @@ def is_cypher_write(query: str) -> bool:
         return False
     prev_text = ""
     for kind, text in toks:
-        if kind == "name" and prev_text != "." and text.upper() in _WRITE_WORDS:
+        if (
+            kind in ("name", "kw")
+            and prev_text != "."
+            and text.upper() in _WRITE_WORDS
+        ):
             return True
         prev_text = text
     return False
@@ -102,14 +107,56 @@ class _WriteParser(_Parser):
             return {"op": t.lower(), "patterns": pats}
 
         self.expect("MATCH")
-        nodes, rels = self.pattern()
+        chains = self.patterns()
+        nodes, rels = _flatten_chains(chains)
         where = None
         if self.accept("WHERE"):
             self._bound = {n.var for n in nodes}
             where = self.expr()
         kind, tok = self.next()
         t = tok.upper() if kind == "name" else tok
-        base = {"nodes": nodes, "rels": rels, "where": where}
+        base = {"nodes": nodes, "rels": rels, "chains": chains, "where": where}
+        if t in ("CREATE", "MERGE"):
+            # MATCH … CREATE/MERGE (a)-[:TYPE {props}]->(b): create one
+            # relationship per DISTINCT matched endpoint pair (MERGE
+            # additionally skips pairs that already carry the type)
+            bound = {n.var for n in nodes}
+            self.expect("(")
+            a = self.expect_name()
+            self.expect(")")
+            r = self.rel()
+            self.expect("(")
+            b = self.expect_name()
+            self.expect(")")
+            if self.peek()[0] != "eof":
+                raise CypherSyntaxError(
+                    f"unexpected trailing input: {self.peek()[1]!r}"
+                )
+            if a not in bound or b not in bound:
+                raise CypherSyntaxError(
+                    f"CREATE relationship endpoints {a!r}/{b!r} must be "
+                    "bound by the MATCH"
+                )
+            if r.is_varlength:
+                raise CypherUnsupported("variable-length CREATE relationship")
+            if len(r.rtypes) != 1:
+                raise CypherUnsupported(
+                    "CREATE relationship needs exactly one type"
+                )
+            if r.direction == "-":
+                raise CypherUnsupported(
+                    "CREATE relationship must be directed (-> or <-)"
+                )
+            if r.direction == "<-":
+                a, b = b, a
+            return {
+                **base,
+                "op": "create_rel" if t == "CREATE" else "merge_rel",
+                "a": a,
+                "b": b,
+                "rtype": r.rtypes[0],
+                "rprops": r.props,
+            }
         if t == "SET":
             sets: list[tuple[str, str, str]] = []
             while True:
@@ -150,7 +197,7 @@ class _WriteParser(_Parser):
         raise CypherSyntaxError(f"expected SET or DELETE, got {tok!r}")
 
 
-def _read_ast(nodes, rels, where, items) -> dict:
+def _read_ast(nodes, rels, where, items, chains=None) -> dict:
     """Synthesize a READ ast projecting ``items`` over the write's
     MATCH pattern — the whole matched-id computation rides the proven
     read transpiler."""
@@ -158,6 +205,7 @@ def _read_ast(nodes, rels, where, items) -> dict:
         "shortest": False,
         "nodes": nodes,
         "rels": rels,
+        "chains": chains,
         "optionals": [],
         "where": where,
         "unwinds": [],
@@ -239,11 +287,11 @@ def execute_cypher_write(
             "parameters in write clauses are not supported (v1)"
         )
 
-    def summary(op, created=0, props=0, ndel=0, rdel=0):
+    def summary(op, created=0, props=0, ndel=0, rdel=0, rcre=0):
         return spark.createDataFrame(
-            [(op, created, props, ndel, rdel)],
+            [(op, created, props, ndel, rdel, rcre)],
             "op string, nodes_created long, props_set long, "
-            "nodes_deleted long, rels_deleted long",
+            "nodes_deleted long, rels_deleted long, rels_created long",
         )
 
     op = ast["op"]
@@ -269,13 +317,58 @@ def execute_cypher_write(
             raise ValueError("CREATE: node id already exists in the graph")
         return nodes.unionByName(rows), rels, summary(op, created=len(pats))
 
+    if op in ("create_rel", "merge_rel"):
+        if rels is None:
+            raise ValueError("graph has no relationship frame to extend")
+        items = [
+            (f"{ast['a']}.ID", "__src", False),
+            (f"{ast['b']}.ID", "__dst", False),
+        ]
+        sql = _plain_sql(
+            _read_ast(
+                ast["nodes"], ast["rels"], ast["where"], items, ast["chains"]
+            ),
+            nodes_view,
+            rels_view,
+        )
+        pairs = spark.sql(sql)  # DISTINCT endpoint pairs (docstring above)
+        rfields = {f.name: f.dataType.simpleString() for f in rels.schema.fields}
+        props = dict(ast["rprops"])
+        unknown = set(props) - set(rfields)
+        if unknown:
+            raise CypherUnsupported(
+                f"CREATE relationship property {sorted(unknown)} not in rel "
+                f"schema {sorted(rfields)} — writes cannot widen the schema"
+            )
+        cols = [
+            F.col("__src").cast("long").alias(RelField.START_ID),
+            F.col("__dst").cast("long").alias(RelField.END_ID),
+            F.lit(ast["rtype"]).alias(RelField.TYPE),
+        ]
+        for c in rels.schema.fieldNames():
+            if c in RelField.RESERVED:
+                continue
+            cols.append(F.expr(f"CAST({props.get(c, 'NULL')} AS {rfields[c]})").alias(c))
+        new = pairs.select(*cols)
+        if op == "merge_rel":
+            new = new.join(
+                rels.select(RelField.START_ID, RelField.END_ID, RelField.TYPE),
+                [RelField.START_ID, RelField.END_ID, RelField.TYPE],
+                "left_anti",
+            )
+        new = new.localCheckpoint()  # consumed by count + union
+        n_new = new.count()
+        return nodes, rels.unionByName(new), summary(op, rcre=n_new)
+
     if op == "set":
         var = ast["sets"][0][0]
         items = [(f"{var}.ID", "__sid", False)] + [
             (rhs, f"__v{i}", False) for i, (_, _, rhs) in enumerate(ast["sets"])
         ]
         sql = _plain_sql(
-            _read_ast(ast["nodes"], ast["rels"], ast["where"], items),
+            _read_ast(
+                ast["nodes"], ast["rels"], ast["where"], items, ast["chains"]
+            ),
             nodes_view,
             rels_view,
         )
@@ -303,7 +396,7 @@ def execute_cypher_write(
     # delete
     items = [(f"{ast['var']}.ID", "__sid", False)]
     sql = _plain_sql(
-        _read_ast(ast["nodes"], ast["rels"], ast["where"], items),
+        _read_ast(ast["nodes"], ast["rels"], ast["where"], items, ast["chains"]),
         nodes_view,
         rels_view,
     )

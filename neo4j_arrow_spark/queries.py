@@ -257,6 +257,51 @@ def cypher_create_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).result(300)
 
 
+_MERGE_REL_SQL = f"""
+    WITH rels AS ({RELS_SQL})
+    SELECT TYPE AS rel_type, CAST(count(*) AS BIGINT) AS edges
+    FROM (
+        SELECT START_ID, END_ID, TYPE FROM rels
+        UNION ALL
+        SELECT DISTINCT s.s_suppkey + {1_000_000} AS START_ID,
+               s.s_nationkey + {2_000_000} AS END_ID,
+               'LOCATED_IN' AS TYPE
+        FROM supplier s
+    )
+    GROUP BY TYPE
+"""
+
+
+@query("cypher_merge_rel_roundtrip", oracle=_MERGE_REL_SQL)
+def cypher_merge_rel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship writes live in the gate: MERGE a LOCATED_IN edge
+    per distinct (supplier, nation) pair matched by the read pattern,
+    re-run the same MERGE (idempotence: second pass creates nothing),
+    then scan per-type edge counts back. The reference's cypher.write
+    surface again, now covering edges (cypher_write.execute_cypher_write
+    create_rel/merge_rel)."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    api.catalog.register("cwrel", nodes, rels, overwrite=True)
+    merge = (
+        "MATCH (s:Supplier)-[i:IN_NATION]->(n:Nation) "
+        "MERGE (s)-[:LOCATED_IN {weight: 1.0}]->(n)"
+    )
+    first = api.cypher(merge, graph="cwrel").result(300).collect()[0]
+    again = api.cypher(merge, graph="cwrel").result(300).collect()[0]
+    if again.rels_created != 0 or first.rels_created == 0:
+        raise AssertionError(
+            f"MERGE idempotence broken: {first.rels_created} then "
+            f"{again.rels_created}"
+        )
+    return api.cypher(
+        "MATCH (a)-[r]->(b) RETURN type(r) AS rel_type, count(*) AS edges",
+        graph="cwrel",
+    ).result(300)
+
+
 _cypher_query(
     "cypher_shortest_path",
     "MATCH p = shortestPath("

@@ -174,3 +174,63 @@ def test_bad_write_syntax(wapi):
     # parse-as-validation: syntax errors raise at submit, not in the job
     with pytest.raises(CypherSyntaxError):
         wapi.cypher("MATCH (n:P) SET n = 1", graph="wt")
+
+
+# -- relationship CREATE / MERGE -------------------------------------------
+
+def test_create_rel_between_matched_endpoints(wapi):
+    s = wapi.cypher(
+        "MATCH (a:P {name: 'alice'}), (b:Q {name: 'carol'}) "
+        "CREATE (a)-[:SPONSORS]->(b)",
+        graph="wt",
+    ).result(60).collect()[0]
+    assert s.rels_created == 1
+    rows = wapi.cypher(
+        "MATCH (a)-[r:SPONSORS]->(b) RETURN a.name AS src, b.name AS dst",
+        graph="wt",
+    ).result(60).collect()
+    assert [(r.src, r.dst) for r in rows] == [("alice", "carol")]
+
+
+def test_merge_rel_is_idempotent(wapi):
+    q = ("MATCH (a:P {name: 'alice'}), (b:Q {name: 'carol'}) "
+         "MERGE (a)-[:LINKED]->(b)")
+    first = wapi.cypher(q, graph="wt").result(60).collect()[0]
+    second = wapi.cypher(q, graph="wt").result(60).collect()[0]
+    assert first.rels_created == 1 and second.rels_created == 0
+
+
+def test_create_rel_reversed_direction(wapi):
+    s = wapi.cypher(
+        "MATCH (a:P {name: 'alice'}), (b:Q {name: 'carol'}) "
+        "CREATE (a)<-[:OWES]-(b)",
+        graph="wt",
+    ).result(60).collect()[0]
+    assert s.rels_created == 1
+    rows = wapi.cypher(
+        "MATCH (x)-[r:OWES]->(y) RETURN x.name AS src, y.name AS dst",
+        graph="wt",
+    ).result(60).collect()
+    assert [(r.src, r.dst) for r in rows] == [("carol", "alice")]
+
+
+def test_create_rel_per_distinct_matched_pair(wapi):
+    # pattern matches two (a, b) pairs through KNOWS: creates one edge each
+    s = wapi.cypher(
+        "MATCH (a)-[k:KNOWS]->(b) CREATE (b)-[:KNOWN_BY]->(a)",
+        graph="wt",
+    ).result(60).collect()[0]
+    assert s.rels_created == 2
+
+
+def test_create_rel_rejections(wapi):
+    with pytest.raises((RuntimeError, CypherSyntaxError)):
+        wapi.cypher(
+            "MATCH (a:P {name: 'alice'}) CREATE (a)-[:X]->(zz)", graph="wt"
+        ).result(60)
+    with pytest.raises((RuntimeError, CypherUnsupported)):
+        wapi.cypher(
+            "MATCH (a:P {name: 'alice'}), (b:Q {name: 'carol'}) "
+            "CREATE (a)-[:X]-(b)",
+            graph="wt",
+        ).result(60)
