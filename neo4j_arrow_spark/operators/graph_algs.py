@@ -1009,3 +1009,70 @@ def louvain_moves(edges: DataFrame, iterations: int = 2) -> DataFrame:
     und.unpersist()
     deg.unpersist()
     return labels.select("node", F.col("com").alias("community"))
+
+
+def conductance(
+    edges: DataFrame, labels: DataFrame, scale: int = 1_000_000
+) -> DataFrame:
+    """Per-community conductance (GDS ``gds.conductance`` parity) over
+    the undirected simple graph of ``edges (u, v)`` with communities
+    ``labels (node, label)``::
+
+        phi(c) = boundary(c) / min(vol(c), 2m - vol(c))
+
+    where boundary counts canonical edges with exactly one endpoint in
+    c and vol is the community's degree sum. Emitted as the integer
+    fixed-point ``conductance_q = boundary * scale div min(...)`` plus
+    the raw counters, so the result is order-independent and
+    oracle-exact. Communities whose complement volume is 0 (the whole
+    labeled graph in one community) are reported with conductance_q
+    NULL — the measure is undefined there, not 0.
+
+    Returns ``(label, boundary, volume, conductance_q)``. Same plan
+    skeleton as modularity: one canonical-edge dedup shuffle, two label
+    joins, two aggregations; unlabeled-endpoint edges are excluded."""
+    canon = (
+        edges.select(
+            F.least(F.col("u"), F.col("v")).cast("long").alias("a"),
+            F.greatest(F.col("u"), F.col("v")).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    lab = labels.select(F.col("node").cast("long"), F.col("label").cast("long"))
+    la = lab.select(F.col("node").alias("a"), F.col("label").alias("_la"))
+    lb = lab.select(F.col("node").alias("b"), F.col("label").alias("_lb"))
+    tagged = canon.join(la, "a").join(lb, "b").persist()
+    two_m = tagged.count() * 2
+    vol = (
+        tagged.select(F.col("_la").alias("label"))
+        .unionAll(tagged.select(F.col("_lb").alias("label")))
+        .groupBy("label")
+        .agg(F.count("*").alias("volume"))
+    )
+    cut = tagged.filter(F.col("_la") != F.col("_lb"))
+    boundary = (
+        cut.select(F.col("_la").alias("label"))
+        .unionAll(cut.select(F.col("_lb").alias("label")))
+        .groupBy("label")
+        .agg(F.count("*").alias("boundary"))
+    )
+    denom = F.least(F.col("volume"), F.lit(two_m) - F.col("volume"))
+    out = (
+        vol.join(boundary, "label", "left")
+        .select(
+            "label",
+            F.coalesce(F.col("boundary"), F.lit(0)).cast("long").alias("boundary"),
+            F.col("volume").cast("long").alias("volume"),
+            F.when(
+                denom > 0,
+                F.expr(
+                    f"(coalesce(boundary, 0) * {scale}) div "
+                    f"least(volume, {two_m} - volume)"
+                ),
+            )
+            .cast("long")
+            .alias("conductance_q"),
+        )
+    )
+    return out

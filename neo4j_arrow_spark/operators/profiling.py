@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "scale_properties"]
 
 
 def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -48,3 +48,54 @@ def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), branches)
+
+
+def scale_properties(
+    df: DataFrame,
+    id_col: str,
+    cols: Sequence[str],
+    methods: Sequence[str] = ("minmax",),
+    round_to: int = 6,
+) -> DataFrame:
+    """Feature scaling (GDS ``gds.scaleProperties`` parity) — the
+    standard pre-ML normalization pass: per column,
+
+    - ``minmax``:   (x - min) / (max - min)
+    - ``center``:   x - mean
+    - ``stdscore``: (x - mean) / stddev_pop
+
+    Output keeps ``id_col`` and the raw columns, adding
+    ``<col>_<method>`` for every (col, method) pair, rounded to
+    ``round_to`` decimals (the final division/subtraction is a single
+    IEEE op on deterministic aggregates, so rounding only absorbs
+    aggregate sum-order ulps). A constant column scales to 0.0 under
+    minmax/stdscore (GDS's convention) rather than NULL.
+
+    Plan: ONE scalar aggregate row computes every statistic (map-side
+    combinable), broadcast-crossJoined back — the 1-row scalar join
+    pattern, no window, no second scan shape."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"_min_{c}"),
+            F.max(c).alias(f"_max_{c}"),
+            F.avg(c).alias(f"_avg_{c}"),
+            F.stddev_pop(c).alias(f"_std_{c}"),
+        ]
+    stats = df.agg(*aggs)
+    out = df.select(id_col, *cols).crossJoin(F.broadcast(stats))
+    for c in cols:
+        rng = F.col(f"_max_{c}") - F.col(f"_min_{c}")
+        for m in methods:
+            if m == "minmax":
+                v = F.when(rng != 0, (F.col(c) - F.col(f"_min_{c}")) / rng).otherwise(0.0)
+            elif m == "center":
+                v = F.col(c) - F.col(f"_avg_{c}")
+            elif m == "stdscore":
+                std = F.col(f"_std_{c}")
+                v = F.when(std != 0, (F.col(c) - F.col(f"_avg_{c}")) / std).otherwise(0.0)
+            else:
+                raise ValueError(f"unknown scaling method {m!r}")
+            out = out.withColumn(f"{c}_{m}", F.round(v, round_to))
+    drop = [f"_{s}_{c}" for c in cols for s in ("min", "max", "avg", "std")]
+    return out.drop(*drop)

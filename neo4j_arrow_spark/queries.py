@@ -2203,6 +2203,105 @@ def _modularity_oracle(iterations: int) -> str:
     FROM per_c"""
 
 
+def _conductance_oracle(iterations: int, scale: int = 1_000_000) -> str:
+    """LPA communities (reusing _lpa_oracle's CTE chain) + per-community
+    conductance — see operators/graph_algs.conductance."""
+    lpa = _lpa_oracle(iterations)
+    body, tail = lpa.rsplit("\n    SELECT node, label FROM", 1)
+    final = f"lfin AS (SELECT node, label FROM{tail})"
+    return f"""{body},
+    {final},
+    canon AS (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM edges WHERE u <> v
+    ),
+    tagged AS (
+        SELECT canon.a, canon.b, la.label AS _la, lb.label AS _lb
+        FROM canon
+        JOIN lfin la ON la.node = canon.a
+        JOIN lfin lb ON lb.node = canon.b
+    ),
+    mm AS (SELECT 2 * count(*) AS two_m FROM tagged),
+    vol AS (
+        SELECT label, count(*) AS volume FROM (
+            SELECT _la AS label FROM tagged
+            UNION ALL SELECT _lb FROM tagged
+        ) GROUP BY label
+    ),
+    cut AS (
+        SELECT label, count(*) AS boundary FROM (
+            SELECT _la AS label FROM tagged WHERE _la <> _lb
+            UNION ALL SELECT _lb FROM tagged WHERE _la <> _lb
+        ) GROUP BY label
+    )
+    SELECT vol.label,
+           CAST(coalesce(boundary, 0) AS BIGINT) AS boundary,
+           CAST(volume AS BIGINT) AS volume,
+           CAST(CASE WHEN least(volume, two_m - volume) > 0
+                THEN (coalesce(boundary, 0) * {scale})
+                     // least(volume, two_m - volume)
+                END AS BIGINT) AS conductance_q
+    FROM vol LEFT JOIN cut ON vol.label = cut.label
+    CROSS JOIN mm"""
+
+
+@query("conductance_lpa2", oracle=_conductance_oracle(2))
+def conductance_lpa2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the 2-round LPA partition on the
+    part co-purchase graph (GDS gds.conductance parity; operators/
+    graph_algs.conductance) — boundary / min(vol, 2m - vol) as integer
+    fixed-point, the cut-quality twin of lpa_modularity."""
+    from neo4j_arrow_spark.operators.graph_algs import (
+        conductance,
+        label_propagation,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 45).select("l_orderkey", "l_partkey")
+    edges = (
+        a.alias("a")
+        .join(a.alias("b"), on="l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    labels = label_propagation(edges, iterations=2)
+    return conductance(edges, labels)
+
+
+@query(
+    "scale_properties_acctbal",
+    oracle="""
+    WITH s AS (
+        SELECT min(c_acctbal) AS _mn, max(c_acctbal) AS _mx,
+               avg(c_acctbal) AS _av, stddev_pop(c_acctbal) AS _sd
+        FROM customer
+    )
+    SELECT c_custkey,
+           c_acctbal,
+           round(CASE WHEN _mx - _mn <> 0
+                 THEN (c_acctbal - _mn) / (_mx - _mn) ELSE 0.0 END, 6)
+               AS c_acctbal_minmax,
+           round(CASE WHEN _sd <> 0
+                 THEN (c_acctbal - _av) / _sd ELSE 0.0 END, 6)
+               AS c_acctbal_stdscore
+    FROM customer CROSS JOIN s
+    """,
+)
+def scale_properties_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature scaling (GDS gds.scaleProperties parity; operators/
+    profiling.scale_properties): min-max and std-score normalization of
+    customer balances in one scalar-aggregate pass + broadcast 1-row
+    join — the pre-ML normalization every embedding/feature pipeline
+    runs."""
+    from neo4j_arrow_spark.operators.profiling import scale_properties
+
+    cu = load_table(spark, sf_dir, "customer")
+    return scale_properties(
+        cu, "c_custkey", ["c_acctbal"], methods=("minmax", "stdscore")
+    )
+
+
 @query("lpa_modularity", oracle=_modularity_oracle(2))
 def lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the 2-round LPA communities on the part

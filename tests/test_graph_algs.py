@@ -296,3 +296,52 @@ def test_link_prediction_degree_cap_drops_hub(spark):
     uncapped = {(r["node_a"], r["node_b"]): r["common_neighbors"]
                 for r in link_prediction(e).collect()}
     assert uncapped[(1, 2)] == 2 and (4, 5) in uncapped
+
+
+def test_conductance_hand_computed(spark):
+    from neo4j_arrow_spark.operators.graph_algs import conductance
+
+    # two triangles bridged by one edge: each community has volume 7
+    # (6 internal half-edges + 1 boundary), boundary 1, 2m = 14
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)])
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        "node long, label long",
+    )
+    got = {r.label: r for r in conductance(e, labels).collect()}
+    assert got[10].boundary == 1 and got[10].volume == 7
+    assert got[10].conductance_q == 1_000_000 // 7
+    assert got[20].conductance_q == 1_000_000 // 7
+
+
+def test_conductance_single_community_undefined(spark):
+    from neo4j_arrow_spark.operators.graph_algs import conductance
+
+    e = _edges(spark, [(1, 2), (2, 3)])
+    labels = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5)], "node long, label long"
+    )
+    rows = conductance(e, labels).collect()
+    assert len(rows) == 1 and rows[0].conductance_q is None
+    assert rows[0].boundary == 0
+
+
+def test_scale_properties_minmax_stdscore(spark):
+    from neo4j_arrow_spark.operators.profiling import scale_properties
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, 10.0)], "id long, x double"
+    )
+    got = {r.id: r for r in scale_properties(
+        df, "id", ["x"], methods=("minmax", "stdscore")
+    ).collect()}
+    assert got[1].x_minmax == 0.0 and got[2].x_minmax == 0.5 and got[3].x_minmax == 1.0
+    assert got[2].x_stdscore == 0.0 and got[1].x_stdscore < 0 < got[3].x_stdscore
+
+
+def test_scale_properties_constant_column(spark):
+    from neo4j_arrow_spark.operators.profiling import scale_properties
+
+    df = spark.createDataFrame([(1, 7.0), (2, 7.0)], "id long, x double")
+    rows = scale_properties(df, "id", ["x"], methods=("minmax", "stdscore")).collect()
+    assert all(r.x_minmax == 0.0 and r.x_stdscore == 0.0 for r in rows)
