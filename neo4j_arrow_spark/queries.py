@@ -1131,6 +1131,65 @@ def triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(raw)
 
 
+@query(
+    "local_clustering_coeff",
+    oracle="""
+    WITH raw AS (
+        SELECT c_custkey AS a, c_nationkey + 2000000 AS b FROM customer
+        UNION
+        SELECT s_suppkey + 1000000, s_nationkey + 2000000 FROM supplier
+        UNION
+        SELECT DISTINCT o.o_custkey, l.l_suppkey + 1000000
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+            FROM raw WHERE a <> b),
+    deg AS (SELECT node, count(*) AS d
+            FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY node),
+    oriented AS (
+        SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u < v)
+                    THEN u ELSE v END AS s,
+               CASE WHEN (da.d < db.d) OR (da.d = db.d AND u < v)
+                    THEN v ELSE u END AS t
+        FROM und JOIN deg da ON da.node = u JOIN deg db ON db.node = v
+    ),
+    tri AS (
+        SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        FROM oriented e1
+        JOIN oriented e2 ON e1.t = e2.s
+        JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+    ),
+    ntri AS (
+        SELECT node, count(*) AS n_tri FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) corners GROUP BY node
+    )
+    SELECT deg.node,
+           CAST(d AS BIGINT) AS degree,
+           CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(CASE WHEN d >= 2
+                THEN (2 * coalesce(n_tri, 0) * 1000000) // (d * (d - 1))
+                ELSE 0 END AS BIGINT) AS lcc_q
+    FROM deg LEFT JOIN ntri ON deg.node = ntri.node
+    """,
+)
+def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (GDS
+    gds.localClusteringCoefficient parity; operators/triangles.
+    local_clustering): 2T(v)/(deg(deg-1)) as integer fixed-point over
+    the same oriented O(m^1.5) triangle pass as triangle_counts."""
+    from neo4j_arrow_spark.operators.triangles import local_clustering
+
+    nodes, rels = _graph(spark, sf_dir)
+    edges = rels.select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    return local_clustering(edges)
+
+
 def _hex4(pos: str) -> str:
     """DuckDB: parse 4 hex chars of ``hx`` starting at 1-based ``pos``
     into the big-endian uint16 the fake decoder emits."""

@@ -35,3 +35,26 @@ def test_orientation_bounds_hub_outdegree(spark):
     o = oriented_edges(edges)
     assert o.filter("s = 1").count() == 0
     assert o.filter("t = 1").count() == 20
+
+
+def test_local_clustering_hand_computed(spark):
+    from neo4j_arrow_spark.operators.triangles import local_clustering
+
+    # triangle 1-2-3 plus pendant 3-4: lcc(1)=lcc(2)=1, lcc(3)=1/3,
+    # lcc(4)=0 (degree 1)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long"
+    )
+    got = {r.node: r for r in local_clustering(e).collect()}
+    assert got[1].lcc_q == 1_000_000 and got[2].lcc_q == 1_000_000
+    assert got[3].lcc_q == 2_000_000 // 6  # 2*1/(3*2)
+    assert got[4].lcc_q == 0 and got[4].degree == 1
+    assert got[3].n_tri == 1
+
+
+def test_local_clustering_triangle_free(spark):
+    from neo4j_arrow_spark.operators.triangles import local_clustering
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    rows = local_clustering(e).collect()
+    assert all(r.lcc_q == 0 and r.n_tri == 0 for r in rows)
