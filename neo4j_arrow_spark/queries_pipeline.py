@@ -1673,3 +1673,64 @@ def pq_adc_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", m=4, k_codes=8, iterations=2, k=5,
     ).select("query_id", F.col("vec_id").alias("neighbor_id"))
     return _recall_frame(brute, pq, 5)
+
+
+# ---- k-NN graph construction ----------------------------------------------
+
+def _knn_graph_sql(k: int) -> str:
+    """IVF-bucketed approximate k-NN graph: with nprobe=1 a vector
+    probes exactly its own assigned bucket, so the searched set is the
+    per-bucket all-pairs — the oracle states that identity directly."""
+    return f"""
+    WITH centroids AS (SELECT vec_id AS bucket, embedding AS cv
+                       FROM embeddings WHERE vec_id < 8),
+    iscore AS (
+        SELECT i.vec_id AS item_id, c.bucket,
+               {_duck_cos("i.embedding", "c.cv")} AS ccos
+        FROM embeddings i, centroids c
+    ),
+    assigned AS (
+        SELECT item_id, bucket FROM (
+            SELECT item_id, bucket,
+                   row_number() OVER (PARTITION BY item_id
+                                      ORDER BY ccos DESC, bucket ASC) AS rn
+            FROM iscore
+        ) WHERE rn = 1
+    ),
+    searched AS (
+        SELECT a.item_id AS query_id, b.item_id AS neighbor_id,
+               {_duck_cos("q.embedding", "n.embedding")} AS cos
+        FROM assigned a
+        JOIN assigned b ON a.bucket = b.bucket AND a.item_id <> b.item_id
+        JOIN embeddings q ON q.vec_id = a.item_id
+        JOIN embeddings n ON n.vec_id = b.item_id
+    )
+    SELECT query_id AS u, neighbor_id AS v, CAST(rank AS BIGINT) AS rank, cos
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM searched
+    ) WHERE rank <= {k}
+    """
+
+
+@query("knn_graph_ivf", oracle=_knn_graph_sql(3))
+def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN GRAPH construction (the gds.knn analogue, and
+    the standard GNN/embedding-dedup preprocessing step): every vector
+    becomes a node with directed edges to its top-3 cosine neighbors
+    inside its IVF bucket. Same operator as ann_ivf_topk with the full
+    table as the query set — |N|²/n_buckets work instead of |N|², the
+    100 TB path for building similarity graphs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        emb, emb, emb.filter(F.col("vec_id") < 8),
+        "vec_id", "embedding", k=3, nprobe=1,
+    )
+    return out.select(
+        F.col("query_id").alias("u"),
+        F.col("neighbor_id").alias("v"),
+        F.col("rank").cast("long"),
+        "cos",
+    )
