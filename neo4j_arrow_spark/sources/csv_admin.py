@@ -138,3 +138,73 @@ def read_admin_csv(
             col = c.cast(f.dtype).alias(f.name)
         cols.append(col)
     return df.select(*cols)
+
+
+_TYPE_NAMES: dict[type, str] = {
+    T.StringType: "string",
+    T.ByteType: "byte",
+    T.ShortType: "short",
+    T.IntegerType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.BooleanType: "boolean",
+}
+
+
+def _type_name(dtype: T.DataType) -> str:
+    name = _TYPE_NAMES.get(type(dtype))
+    if name is None:
+        raise ValueError(f"no admin-CSV spelling for {dtype.simpleString()}")
+    return name
+
+
+def write_admin_csv(
+    df: DataFrame,
+    path: str,
+    kind: str = "nodes",
+    delimiter: str = ",",
+) -> str:
+    """Export a graph-convention DataFrame to the neo4j-admin import
+    CSV layout — the writer half of the S6 roundtrip, so a graph built
+    here can feed the reference's own bulk importer.
+
+    Data rows land at ``path`` (a distributed header-less CSV write —
+    the import tool takes data and header separately, which keeps the
+    write parallel); the header spec is returned AND written to
+    ``path + ".header"``. Arrays (and LABELS) are ``;``-joined per the
+    --array-delimiter default; read_admin_csv(header=...) inverts this
+    exactly (tests pin the roundtrip)."""
+    if kind not in ("nodes", "rels"):
+        raise ValueError(f"kind must be 'nodes' or 'rels', got {kind!r}")
+    reserved = {
+        NodeField.ID: "ID",
+        NodeField.LABELS: "LABEL",
+        RelField.START_ID: "START_ID",
+        RelField.END_ID: "END_ID",
+        RelField.TYPE: "TYPE",
+    }
+    specs, cols = [], []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if f.name in reserved and (
+            (kind == "nodes" and f.name in NodeField.RESERVED)
+            or (kind == "rels" and f.name in RelField.RESERVED)
+        ):
+            specs.append(f"{f.name}:{reserved[f.name]}")
+            if f.name == NodeField.LABELS:
+                c = F.array_join(c, ARRAY_DELIMITER)
+        elif isinstance(f.dataType, T.ArrayType):
+            specs.append(f"{f.name}:{_type_name(f.dataType.elementType)}[]")
+            c = F.array_join(c.cast("array<string>"), ARRAY_DELIMITER)
+        else:
+            specs.append(f"{f.name}:{_type_name(f.dataType)}")
+            c = c.cast("string")
+        cols.append(c.alias(f.name))
+    header = delimiter.join(specs)
+    df.select(*cols).write.mode("overwrite").option("header", False).option(
+        "sep", delimiter
+    ).csv(path)
+    with open(path + ".header", "w") as fh:
+        fh.write(header + "\n")
+    return header

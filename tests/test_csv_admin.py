@@ -53,3 +53,58 @@ def test_read_admin_csv_external_header(spark, tmp_path):
     df = read_admin_csv(spark, str(p), header=":START_ID,:END_ID,:TYPE,weight:double")
     r = df.collect()[0]
     assert (r.START_ID, r.END_ID, r.TYPE, r.weight) == (0, 1, "FOLLOWS", 2.5)
+
+
+# ---- writer roundtrip ------------------------------------------------------
+
+def test_write_then_read_nodes_roundtrip(spark, tmp_path):
+    from neo4j_arrow_spark.sources.csv_admin import (
+        read_admin_csv,
+        write_admin_csv,
+    )
+
+    nodes = spark.createDataFrame(
+        [
+            (1, ["Person", "Admin"], "alice", 12.5, [0.1, 0.2]),
+            (2, ["Person"], "bob", None, [0.3, 0.4]),
+        ],
+        "ID long, LABELS array<string>, name string, bal double, "
+        "vec array<double>",
+    )
+    out = str(tmp_path / "nodes_csv")
+    header = write_admin_csv(nodes, out, kind="nodes")
+    assert header == "ID:ID,LABELS:LABEL,name:string,bal:double,vec:double[]"
+    back = read_admin_csv(spark, out, header=header)
+    got = {r.ID: r for r in back.collect()}
+    assert got[1].LABELS == ["Person", "Admin"] and got[1].name == "alice"
+    assert got[1].vec == [0.1, 0.2] and got[2].bal is None
+    assert back.schema["vec"].dataType.simpleString() == "array<double>"
+
+
+def test_write_then_read_rels_roundtrip(spark, tmp_path):
+    from neo4j_arrow_spark.sources.csv_admin import (
+        read_admin_csv,
+        write_admin_csv,
+    )
+
+    rels = spark.createDataFrame(
+        [(1, 2, "KNOWS", 1.5), (2, 3, "PAYS", 2.0)],
+        "START_ID long, END_ID long, TYPE string, weight double",
+    )
+    out = str(tmp_path / "rels_csv")
+    header = write_admin_csv(rels, out, kind="rels")
+    assert header == (
+        "START_ID:START_ID,END_ID:END_ID,TYPE:TYPE,weight:double"
+    )
+    back = read_admin_csv(spark, out, header=header)
+    got = sorted((r.START_ID, r.END_ID, r.TYPE, r.weight) for r in back.collect())
+    assert got == [(1, 2, "KNOWS", 1.5), (2, 3, "PAYS", 2.0)]
+
+
+def test_write_admin_csv_header_sidecar(spark, tmp_path):
+    from neo4j_arrow_spark.sources.csv_admin import write_admin_csv
+
+    df = spark.createDataFrame([(1, ["X"])], "ID long, LABELS array<string>")
+    out = str(tmp_path / "n")
+    header = write_admin_csv(df, out, kind="nodes")
+    assert open(out + ".header").read().strip() == header
