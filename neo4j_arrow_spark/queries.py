@@ -1132,6 +1132,31 @@ def triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "projected_rels_sum",
+    oracle=f"""
+    WITH rels AS ({RELS_SQL})
+    SELECT START_ID, END_ID, TYPE,
+           CAST(count(*) AS BIGINT) AS parallel_count,
+           round(sum(weight), 2) AS weight
+    FROM rels WHERE TYPE = 'BUYS_FROM'
+    GROUP BY START_ID, END_ID, TYPE
+    """,
+)
+def projected_rels_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDS graph-projection relationship aggregation (graph.
+    project_rels): parallel BUYS_FROM edges collapse per (src, dst,
+    type) with SUM weight — the pre-algorithm projection the
+    reference's GDS host performs, and the first supernode mitigation
+    (parallel-edge collapse) at scale."""
+    from neo4j_arrow_spark.graph import project_rels
+
+    _, rels = _graph(spark, sf_dir)
+    return project_rels(
+        rels.filter(F.col("TYPE") == "BUYS_FROM"), weight="weight"
+    )
+
+
+@query(
     "local_clustering_coeff",
     oracle="""
     WITH raw AS (

@@ -75,3 +75,27 @@ def test_graph_metadata_api(spark, tpch_graph):
     assert g.node_properties() == ["name", "acctbal"]
     assert g.rel_properties() == ["weight"]
     cat.drop("gmeta")
+
+
+def test_project_rels_aggregations(spark):
+    from neo4j_arrow_spark.graph import project_rels
+
+    rels = spark.createDataFrame(
+        [(1, 2, "T", 3.0), (1, 2, "T", 5.0), (1, 3, "T", 1.0),
+         (1, 2, "U", 9.0)],
+        "START_ID long, END_ID long, TYPE string, weight double",
+    )
+    got = {(r.START_ID, r.END_ID, r.TYPE): r
+           for r in project_rels(rels, weight="weight").collect()}
+    assert got[(1, 2, "T")].weight == 8.0
+    assert got[(1, 2, "T")].parallel_count == 2
+    assert got[(1, 2, "U")].weight == 9.0
+    mins = {(r.START_ID, r.END_ID, r.TYPE): r.weight for r in
+            project_rels(rels, weight="weight", aggregation="min").collect()}
+    assert mins[(1, 2, "T")] == 3.0
+    single = {(r.START_ID, r.END_ID, r.TYPE): r.weight for r in
+              project_rels(rels, weight="weight", aggregation="single").collect()}
+    assert single[(1, 2, "T")] == 3.0  # deterministic SINGLE = min
+    import pytest
+    with pytest.raises(ValueError):
+        project_rels(rels, weight="weight", aggregation="avg2")
