@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from neo4j_arrow_spark.functions.hashing import hash64
-from neo4j_arrow_spark.functions.textfns import shingles, tokens
+from neo4j_arrow_spark.functions.textfns import tokens
 
 #: Tiny per-language stopword lists for the n-gram/stopword vote.
 #: Deliberately small: each word is matched as a whole token.

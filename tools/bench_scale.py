@@ -38,6 +38,14 @@ HEAVY = [
     "pq_adc_topk",
     "bm25_topk",
     "event_funnel",
+    # round-4 second-session operators
+    "dup_ngram_spans",
+    "link_prediction_nation0",
+    "closeness_centrality3",
+    "conductance_lpa2",
+    "knn_graph_ivf",
+    "local_clustering_coeff",
+    "unigram_surprisal",
 ]
 
 
