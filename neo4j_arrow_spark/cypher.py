@@ -527,6 +527,26 @@ class _Parser:
                 if self.dialect == "spark":
                     return f"array_join(sort_array(collect_list({inner})), ',')"
                 return f"array_to_string(list_sort(list({inner})), ',')"
+            if fn == "SIZE":
+                # size(labels(var)) — the label-count idiom. labels()
+                # alone emits the sorted comma-joined STRING (the
+                # collect() divergence), so size() must capture the
+                # array form before that rendering; only this composed
+                # shape is supported.
+                self.next()
+                self.expect("(")
+                inner_fn = self.expect_name()
+                if inner_fn.lower() != "labels":
+                    raise CypherUnsupported(
+                        "size() supports size(labels(var)) only"
+                    )
+                self.expect("(")
+                var = self.expect_name()
+                self.expect(")")
+                self.expect(")")
+                if self.dialect == "spark":
+                    return f"size({var}.LABELS)"
+                return f"len({var}.LABELS)"
             if fn in ("STDEV", "STDEVP"):
                 # Cypher's sample/population standard deviation
                 self.next()

@@ -221,6 +221,13 @@ _cypher_query(
     "RETURN x AS v, x * x AS sq ORDER BY v",
 )
 
+_cypher_query(
+    "cypher_size_labels",
+    # label-count histogram: customers carry [Customer, <segment>]
+    "MATCH (n) RETURN size(labels(n)) AS n_labels, count(*) AS members "
+    "ORDER BY n_labels",
+)
+
 _CREATE_ROUNDTRIP_SQL = """
     SELECT CAST(n_nationkey + 2000000 AS BIGINT) AS id,
            lower(n_name) AS name

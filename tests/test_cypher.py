@@ -957,3 +957,23 @@ def test_consecutive_match_end_to_end(client):
         )
     ).collect()
     assert sum(r.purchases for r in rows) == 6000
+
+
+def test_size_labels_dialect_split():
+    q = "MATCH (n) RETURN size(labels(n)) AS n_labels, count(*) AS c"
+    assert "size(n.LABELS)" in cypher_to_sql(q, "gn", "gr", "spark")
+    assert "len(n.LABELS)" in cypher_to_sql(q, "gn", "gr", "duckdb")
+    with pytest.raises(CypherUnsupported):
+        cypher_to_sql("MATCH (n) RETURN size(n.name) AS s", "gn", "gr")
+
+
+def test_size_labels_end_to_end(client):
+    rows = client.stream(
+        client.cypher(
+            "MATCH (n) RETURN size(labels(n)) AS n_labels, count(*) AS c "
+            "ORDER BY n_labels",
+            graph="cy",
+        )
+    ).collect()
+    # customers carry [Customer, <segment>] = 2; suppliers/nations 1
+    assert [(r.n_labels, r.c) for r in rows] == [(1, 35), (2, 150)]
