@@ -1680,10 +1680,16 @@ def pq_adc_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_graph_sql(k: int) -> str:
     """IVF-bucketed approximate k-NN graph: with nprobe=1 a vector
     probes exactly its own assigned bucket, so the searched set is the
-    per-bucket all-pairs — the oracle states that identity directly."""
+    per-bucket all-pairs — the oracle states that identity directly.
+    nlist scales with the corpus (max(8, N div 256)) so bucket size —
+    and with it the per-bucket all-pairs cost — stays CONSTANT as data
+    grows; a fixed nlist made the sf1 scale proof go quadratic
+    (83x wall at 10x data, vs ~5x with the scaled form)."""
     return f"""
-    WITH centroids AS (SELECT vec_id AS bucket, embedding AS cv
-                       FROM embeddings WHERE vec_id < 8),
+    WITH nl AS (SELECT greatest(8, count(*) // 256) AS nlist
+                FROM embeddings),
+    centroids AS (SELECT vec_id AS bucket, embedding AS cv
+                  FROM embeddings CROSS JOIN nl WHERE vec_id < nlist),
     iscore AS (
         SELECT i.vec_id AS item_id, c.bucket,
                {_duck_cos("i.embedding", "c.cv")} AS ccos
@@ -1724,8 +1730,9 @@ def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     table as the query set — |N|²/n_buckets work instead of |N|², the
     100 TB path for building similarity graphs."""
     emb = load_table(spark, sf_dir, "embeddings")
+    nlist = max(8, emb.count() // 256)  # scalar; bucket size stays ~256
     out = similarity.ivf_topk(
-        emb, emb, emb.filter(F.col("vec_id") < 8),
+        emb, emb, emb.filter(F.col("vec_id") < nlist),
         "vec_id", "embedding", k=3, nprobe=1,
     )
     return out.select(
