@@ -128,6 +128,16 @@ def main() -> None:
             unpersist_intermediates(df)
             del df
         timings[name] = round(best, 3)
+        if qi % 15 == 14:
+            # localCheckpoint blocks are only reclaimed when the JVM
+            # GCs the RDD handles (ContextCleaner's periodic GC runs
+            # every 30 min — longer than this whole sweep). Untimed
+            # collections every 15 queries keep block-manager pressure
+            # off the later queries: without this, a 151-query sweep
+            # inflated its tail 1.5-4x (lpa_modularity 9.4 s in-sweep
+            # vs 2.5 s steady-state).
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         if best > 4.0:
             # heavy iterative queries leave localCheckpoint RDD blocks
             # that only the ContextCleaner frees (after Python+JVM GC);
