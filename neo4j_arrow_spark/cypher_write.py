@@ -93,18 +93,51 @@ class _WriteParser(_Parser):
                     "CREATE relationship patterns are not supported (v1) — "
                     "use gds_write_relationships for edges"
                 )
+            if t == "MERGE" and len(pats) != 1:
+                raise CypherUnsupported("MERGE takes exactly one node pattern")
+            on_create: list[tuple[str, str]] = []
+            on_match: list[tuple[str, str]] = []
+            while self.peek()[1].upper() == "ON":
+                # ON CREATE SET / ON MATCH SET sub-clauses (MERGE only)
+                if t != "MERGE":
+                    raise CypherUnsupported("ON CREATE/ON MATCH is MERGE-only")
+                self.next()
+                kind2, which = self.next()
+                which = which.upper()
+                if which not in ("CREATE", "MATCH"):
+                    raise CypherSyntaxError(
+                        f"expected CREATE or MATCH after ON, got {which!r}"
+                    )
+                self.expect("SET")
+                target = on_create if which == "CREATE" else on_match
+                while True:
+                    var = self.expect_name()
+                    if var != pats[0].var:
+                        raise CypherUnsupported(
+                            f"ON {which} SET targets the merge variable "
+                            f"{pats[0].var!r}, got {var!r}"
+                        )
+                    self.expect(".")
+                    prop = self.expect_name()
+                    self.expect("=")
+                    target.append((prop, self.literal()))
+                    if not self.accept(","):
+                        break
             if self.peek()[0] != "eof":
                 raise CypherSyntaxError(
                     f"unexpected trailing input: {self.peek()[1]!r}"
                 )
-            if t == "MERGE" and len(pats) != 1:
-                raise CypherUnsupported("MERGE takes exactly one node pattern")
             for p in pats:
                 if not p.labels:
                     raise CypherUnsupported(
                         f"{t} node {p.var!r} needs at least one label"
                     )
-            return {"op": t.lower(), "patterns": pats}
+            return {
+                "op": t.lower(),
+                "patterns": pats,
+                "on_create": on_create,
+                "on_match": on_match,
+            }
 
         self.expect("MATCH")
         chains = self.patterns()
@@ -195,6 +228,14 @@ class _WriteParser(_Parser):
                 raise CypherSyntaxError(f"DELETE target {var!r} is not bound")
             return {**base, "op": "delete", "detach": detach, "var": var}
         raise CypherSyntaxError(f"expected SET or DELETE, got {tok!r}")
+
+
+def _props_cond(p) -> "F.Column":
+    """The node pattern's property equalities as one boolean Column."""
+    cond = F.lit(True)
+    for k, v in p.props:
+        cond = cond & F.expr(f"{k} = {v}")
+    return cond
 
 
 def _read_ast(nodes, rels, where, items, chains=None) -> dict:
@@ -305,8 +346,39 @@ def execute_cypher_write(
             match_df = nodes.filter(cond)
             for k, v in p.props:
                 match_df = match_df.filter(F.expr(f"{k} = {v}"))
-            if match_df.limit(1).count() > 0:  # scalar existence probe
-                return nodes, rels, summary("merge", created=0)
+            matched = match_df.limit(1).count() > 0  # scalar existence probe
+            if matched:
+                sets = ast.get("on_match") or []
+                if not sets:
+                    return nodes, rels, summary("merge", created=0)
+                # ON MATCH SET: conditional projection over the matched
+                # predicate — same snapshot-update shape as MATCH…SET
+                fields = {
+                    f.name: f.dataType.simpleString()
+                    for f in nodes.schema.fields
+                }
+                n_matched = match_df.count()
+                out = nodes
+                for prop, lit in sets:
+                    if prop not in fields:
+                        raise CypherUnsupported(
+                            f"ON MATCH SET {prop!r} not in node schema — "
+                            "writes cannot widen the schema"
+                        )
+                    val = F.expr(lit).cast(fields[prop])
+                    out = out.withColumn(
+                        prop, F.when(cond & _props_cond(p), val).otherwise(F.col(prop))
+                    )
+                return out, rels, summary(
+                    "merge", created=0, props=n_matched * len(sets)
+                )
+            if ast.get("on_create"):
+                # fold ON CREATE SET literals into the pattern's props
+                # (pattern keys win — they define the merge identity)
+                have = {k for k, _ in p.props}
+                p.props = list(p.props) + [
+                    (k, v) for k, v in ast["on_create"] if k not in have
+                ]
         rows = _literal_rows(spark, nodes, pats)
         # id-collision check mirrors the K1 write contract
         # (operators/ingest.py): creating an existing id is an error

@@ -234,3 +234,46 @@ def test_create_rel_rejections(wapi):
             "CREATE (a)-[:X]-(b)",
             graph="wt",
         ).result(60)
+
+
+# -- MERGE ON CREATE / ON MATCH --------------------------------------------
+
+def test_merge_on_create_sets_extra_props(wapi):
+    s = wapi.cypher(
+        "MERGE (n:P {ID: 500, name: 'zed'}) ON CREATE SET n.bal = 42.0",
+        graph="wt",
+    ).result(60).collect()[0]
+    assert s.nodes_created == 1
+    row = wapi.cypher(
+        "MATCH (n:P {name: 'zed'}) RETURN n.bal AS bal", graph="wt"
+    ).result(60).collect()[0]
+    assert row.bal == 42.0
+
+
+def test_merge_on_match_updates_existing(wapi):
+    s = wapi.cypher(
+        "MERGE (n:P {name: 'alice'}) ON MATCH SET n.bal = 99.5 "
+        "ON CREATE SET n.bal = 1.0",
+        graph="wt",
+    ).result(60).collect()[0]
+    assert s.nodes_created == 0 and s.props_set == 1
+    row = wapi.cypher(
+        "MATCH (n:P {name: 'alice'}) RETURN n.bal AS bal", graph="wt"
+    ).result(60).collect()[0]
+    assert row.bal == 99.5
+    # others untouched
+    bob = wapi.cypher(
+        "MATCH (n:P {name: 'bob'}) RETURN n.bal AS bal", graph="wt"
+    ).result(60).collect()[0]
+    assert bob.bal == 20.0
+
+
+def test_merge_on_clause_rejections(wapi):
+    with pytest.raises((RuntimeError, CypherUnsupported)):
+        wapi.cypher(
+            "CREATE (n:P {ID: 900}) ON CREATE SET n.bal = 1.0", graph="wt"
+        ).result(60)
+    with pytest.raises((RuntimeError, CypherUnsupported)):
+        wapi.cypher(
+            "MERGE (n:P {ID: 901}) ON MATCH SET other.bal = 1.0", graph="wt"
+        ).result(60)
