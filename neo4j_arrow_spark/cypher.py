@@ -876,20 +876,22 @@ class _Parser:
         plain pattern."""
         k0, t0 = self.peek()
         path_var = None
+        sp_words = ("shortestpath", "allshortestpaths")
         if (
             k0 == "name"
-            and t0.lower() != "shortestpath"
+            and t0.lower() not in sp_words
             and self.toks[self.pos + 1][1] == "="
         ):
             path_var = t0
             self.pos += 2
             k0, t0 = self.peek()
-        if not (k0 == "name" and t0.lower() == "shortestpath"):
+        if not (k0 == "name" and t0.lower() in sp_words):
             if path_var is not None:
                 # plain fixed-length path binding: parse() splices the
                 # supported path functions after the pattern is known
                 self._plain_path = path_var
             return None
+        all_paths = t0.lower() == "allshortestpaths"
         self.next()
         self.expect("(")
         nodes, rels = self.pattern()
@@ -904,7 +906,7 @@ class _Parser:
                 )
         if path_var is not None:
             self._splice_pathlen(path_var)
-        return (True, path_var, nodes, rels)
+        return (all_paths, path_var, nodes, rels)
 
     def _unwind_source(self, bound: set[str]) -> tuple[str, str]:
         """One UNWIND source: ``labels(var)`` (bound var), a list
@@ -963,7 +965,7 @@ class _Parser:
             self.expect("MATCH")
             sp = self._shortest_prefix()
             if sp is not None:
-                _, path_var, nodes, rels = sp
+                all_paths, path_var, nodes, rels = sp
                 shortest = True
                 chains = [(nodes, rels)]
             else:
@@ -1159,6 +1161,7 @@ class _Parser:
             )
         return {
             "shortest": shortest,
+            "all_paths": shortest and all_paths,
             "path_subs": path_subs,
             "chains": chains,
             "nodes": nodes,
@@ -1740,6 +1743,18 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         branches.append(b_sql)
 
     union = "\nUNION ALL\n".join(branches)
+    if ast.get("all_paths"):
+        # allShortestPaths: keep EVERY enumerated path row whose length
+        # equals the per-endpoint-pair minimum (one output row per
+        # shortest path, not per pair) — a window min + filter over the
+        # branch union, one exchange on the endpoint-pair key
+        union = (
+            "SELECT * FROM (\n"
+            "SELECT _u.*, MIN(_pathlen) OVER "
+            "(PARTITION BY _ep_a, _ep_b) AS _minlen\n"
+            f"FROM (\n{union}\n) AS _u\n"
+            ") AS _w WHERE _pathlen = _minlen"
+        )
 
     def rewrite(e: str) -> str:
         for v, p in ref_list:
@@ -1749,7 +1764,11 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     items = [(rewrite(e), a, g) for e, a, g in ast["items"]]
     distinct = ast["distinct"]
     ep_group: list[str] = []
-    if ast.get("shortest"):
+    if ast.get("all_paths"):
+        # every surviving row IS a shortest path; _pathlen references
+        # read the row's own (minimal) length — no pair collapse
+        pass
+    elif ast.get("shortest"):
         # length(p) (the _pathlen marker) aggregates to the shortest
         # length per endpoint pair; an already-aggregate item written
         # by the user (e.g. min(length(p))) keeps Cypher's global

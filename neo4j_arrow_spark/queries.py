@@ -222,6 +222,17 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_all_shortest_paths",
+    # allShortestPaths: one row per minimal-length path, so the count
+    # is the number of distinct shortest routes per endpoint pair
+    "MATCH p = allShortestPaths("
+    "(c:Customer)-[:BUYS_FROM|IN_NATION*1..3]->(n:Nation)) "
+    "WHERE c.acctbal > 9500.0 "
+    "RETURN c.ID AS cid, n.ID AS nid, length(p) AS hops, "
+    "count(*) AS n_paths",
+)
+
+_cypher_query(
     "cypher_size_labels",
     # label-count histogram: customers carry [Customer, <segment>]
     "MATCH (n) RETURN size(labels(n)) AS n_labels, count(*) AS members "

@@ -977,3 +977,41 @@ def test_size_labels_end_to_end(client):
     ).collect()
     # customers carry [Customer, <segment>] = 2; suppliers/nations 1
     assert [(r.n_labels, r.c) for r in rows] == [(1, 35), (2, 150)]
+
+
+# -- allShortestPaths -------------------------------------------------------
+
+def test_all_shortest_paths_transpile():
+    q = ("MATCH p = allShortestPaths((a:X)-[:T*1..3]->(b:Y)) "
+         "RETURN a.ID AS s, b.ID AS t, length(p) AS hops, count(*) AS n")
+    sql = cypher_to_sql(q, "gn", "gr")
+    assert "MIN(_pathlen) OVER (PARTITION BY _ep_a, _ep_b)" in sql
+    assert "_pathlen = _minlen" in sql
+    # the plain shortestPath form keeps the per-pair MIN aggregation
+    sp = cypher_to_sql(
+        "MATCH p = shortestPath((a:X)-[:T*1..3]->(b:Y)) "
+        "RETURN a.ID AS s, length(p) AS hops", "gn", "gr",
+    )
+    assert "MIN(_pathlen)" in sp and "OVER" not in sp
+
+
+def test_all_shortest_paths_end_to_end(client):
+    spark = client.spark
+    # diamond: 1->2->4, 1->3->4 — two shortest 2-hop paths 1=>4,
+    # plus a longer 3-hop route 1->2->3->4 that must be filtered
+    nodes = spark.createDataFrame(
+        [(i, ["N"]) for i in (1, 2, 3, 4)], "ID long, LABELS array<string>"
+    )
+    rels = spark.createDataFrame(
+        [(1, 2, "T"), (1, 3, "T"), (2, 4, "T"), (3, 4, "T"), (2, 3, "T")],
+        "START_ID long, END_ID long, TYPE string",
+    )
+    client.catalog.register("asp", nodes, rels, overwrite=True)
+    rows = client.stream(
+        client.cypher(
+            "MATCH p = allShortestPaths((a {ID: 1})-[:T*1..3]->(b {ID: 4})) "
+            "RETURN b.ID AS target, length(p) AS hops, count(*) AS n_paths",
+            graph="asp",
+        )
+    ).collect()
+    assert [(r.target, r.hops, r.n_paths) for r in rows] == [(4, 2, 2)]
