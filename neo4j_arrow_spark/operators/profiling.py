@@ -99,3 +99,84 @@ def scale_properties(
             out = out.withColumn(f"{c}_{m}", F.round(v, round_to))
     drop = [f"_{s}_{c}" for c in cols for s in ("min", "max", "avg", "std")]
     return out.drop(*drop)
+
+
+def drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Population Stability Index between two dataset snapshots — the
+    standard drift monitor a production training pipeline runs between
+    yesterday's and today's corpus (PSI < 0.1 stable, > 0.25 shifted).
+
+    Equal-width buckets over the REFERENCE min/max (out-of-range
+    current values clamp into the edge buckets), Laplace +1 smoothing
+    so empty buckets stay defined, and the per-bucket term emitted as
+    the integer ``term_q = (p_ppm - q_ppm) * floor(scale * ln(p/q))``
+    (scale² fixed-point) — each factor is a pure function of integer
+    counts, so the sum is order-independent; the only float op is one
+    ln() under floor() (the link_prediction aa_q precedent). PSI =
+    sum(term_q) / scale².
+
+    Returns one row per bucket: ``(bucket, ref_n, cur_n, ref_ppm,
+    cur_ppm, term_q)``.
+
+    Plan: one scalar min/max aggregate broadcast to both sides, one
+    map-side-combinable count per side, a broadcast bucket-spine join
+    (n_buckets rows) — no shuffle wider than the bucket count."""
+    spark = ref.sparkSession
+    stats = ref.agg(F.min(col).alias("_mn"), F.max(col).alias("_mx"))
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .select(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col(col) - F.col("_mn"))
+                            * n_buckets
+                            / (F.col("_mx") - F.col("_mn"))
+                        ).cast("int"),
+                    ),
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias(name))
+        )
+
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    n_ref, n_cur = ref.count(), cur.count()
+    dr, dc = n_ref + n_buckets, n_cur + n_buckets
+    out = (
+        spine.join(F.broadcast(counts(ref, "_rn")), "bucket", "left")
+        .join(F.broadcast(counts(cur, "_cn")), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("_rn"), F.lit(0)).cast("long").alias("ref_n"),
+            F.coalesce(F.col("_cn"), F.lit(0)).cast("long").alias("cur_n"),
+        )
+        .select(
+            "bucket",
+            "ref_n",
+            "cur_n",
+            F.expr(f"(ref_n + 1) * {scale} div {dr}").alias("ref_ppm"),
+            F.expr(f"(cur_n + 1) * {scale} div {dc}").alias("cur_ppm"),
+        )
+    )
+    return out.select(
+        "bucket",
+        "ref_n",
+        "cur_n",
+        "ref_ppm",
+        "cur_ppm",
+        F.expr(
+            f"(ref_ppm - cur_ppm) * CAST(floor({scale} * "
+            "ln(CAST(ref_ppm AS DOUBLE) / CAST(cur_ppm AS DOUBLE))) AS LONG)"
+        ).alias("term_q"),
+    )

@@ -1741,3 +1741,64 @@ def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long"),
         "cos",
     )
+
+
+# ---- dataset drift ---------------------------------------------------------
+
+_PSI_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
+
+
+@query(
+    "events_value_drift_psi",
+    oracle=f"""
+    WITH ref AS (SELECT value FROM events WHERE ts < {_PSI_SPLIT}),
+    cur AS (SELECT value FROM events WHERE ts >= {_PSI_SPLIT}),
+    s AS (SELECT min(value) AS _mn, max(value) AS _mx FROM ref),
+    rb AS (
+        SELECT least(9, greatest(0,
+                   CAST(floor((value - _mn) * 10 / (_mx - _mn)) AS INT)
+               )) AS bucket, count(*) AS rn
+        FROM ref CROSS JOIN s GROUP BY 1
+    ),
+    cb AS (
+        SELECT least(9, greatest(0,
+                   CAST(floor((value - _mn) * 10 / (_mx - _mn)) AS INT)
+               )) AS bucket, count(*) AS cn
+        FROM cur CROSS JOIN s GROUP BY 1
+    ),
+    nn AS (SELECT (SELECT count(*) FROM ref) + 10 AS dr,
+                  (SELECT count(*) FROM cur) + 10 AS dc),
+    spine AS (SELECT unnest(range(10))::INT AS bucket),
+    j AS (
+        SELECT spine.bucket,
+               CAST(coalesce(rn, 0) AS BIGINT) AS ref_n,
+               CAST(coalesce(cn, 0) AS BIGINT) AS cur_n,
+               (coalesce(rn, 0) + 1) * 1000000 // dr AS ref_ppm,
+               (coalesce(cn, 0) + 1) * 1000000 // dc AS cur_ppm
+        FROM spine
+        LEFT JOIN rb ON spine.bucket = rb.bucket
+        LEFT JOIN cb ON spine.bucket = cb.bucket
+        CROSS JOIN nn
+    )
+    SELECT bucket, ref_n, cur_n,
+           CAST(ref_ppm AS BIGINT) AS ref_ppm,
+           CAST(cur_ppm AS BIGINT) AS cur_ppm,
+           CAST((ref_ppm - cur_ppm) * CAST(floor(1000000 *
+                ln(ref_ppm::DOUBLE / cur_ppm::DOUBLE)) AS BIGINT)
+                AS BIGINT) AS term_q
+    FROM j
+    """,
+)
+def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream (operators/profiling.drift_psi): the production
+    drift monitor a training pipeline runs between corpus snapshots —
+    per-bucket ppm shares + integer fixed-point PSI terms, Laplace
+    smoothed, bucketed on the reference's min/max."""
+    from neo4j_arrow_spark.operators.profiling import drift_psi
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    ref = ev.filter(F.col("ts") < split).select("value")
+    cur = ev.filter(F.col("ts") >= split).select("value")
+    return drift_psi(ref, cur, "value", n_buckets=10)

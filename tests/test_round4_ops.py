@@ -526,3 +526,35 @@ def test_l2q_topk_integer_distances(spark):
         df, df.filter(F.col("vec_id") == 1), "vec_id", "embedding", k=2
     ).collect()}
     assert got[1] == 0 and got[2] == QUANT_SCALE * QUANT_SCALE
+
+
+# ---- PSI drift -------------------------------------------------------------
+
+def test_drift_psi_identical_distributions_near_zero(spark):
+    from neo4j_arrow_spark.operators.profiling import drift_psi
+
+    df = spark.createDataFrame([(float(i % 10),) for i in range(100)], "x double")
+    out = drift_psi(df, df, "x", n_buckets=5).collect()
+    assert len(out) == 5
+    assert all(r.term_q == 0 for r in out)  # same counts -> ppm equal
+
+
+def test_drift_psi_detects_shift(spark):
+    from neo4j_arrow_spark.operators.profiling import drift_psi
+
+    ref = spark.createDataFrame([(float(i % 10),) for i in range(100)], "x double")
+    cur = spark.createDataFrame([(9.0,)] * 100, "x double")  # mass collapsed
+    rows = drift_psi(ref, cur, "x", n_buckets=5).collect()
+    psi = sum(r.term_q for r in rows) / 1e12
+    assert psi > 0.25  # 'significant shift' on the standard scale
+    top = max(rows, key=lambda r: r.cur_n)
+    assert top.bucket == 4 and top.cur_n == 100
+
+
+def test_drift_psi_out_of_range_clamps(spark):
+    from neo4j_arrow_spark.operators.profiling import drift_psi
+
+    ref = spark.createDataFrame([(0.0,), (10.0,)], "x double")
+    cur = spark.createDataFrame([(-5.0,), (99.0,)], "x double")
+    rows = {r.bucket: r for r in drift_psi(ref, cur, "x", n_buckets=4).collect()}
+    assert rows[0].cur_n == 1 and rows[3].cur_n == 1
