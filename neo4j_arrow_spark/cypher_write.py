@@ -224,6 +224,16 @@ class _WriteParser(_Parser):
                 raise CypherSyntaxError(
                     f"unexpected trailing input: {self.peek()[1]!r}"
                 )
+            if var in {r.var for r in rels if r.var}:
+                # relationship delete: matched edges drop by their
+                # (src, dst, type) triple — parallel edges sharing the
+                # triple all go (the frame has no per-edge identity)
+                if detach:
+                    raise CypherUnsupported(
+                        "DETACH applies to node deletes; relationships "
+                        "delete directly"
+                    )
+                return {**base, "op": "delete_rel", "var": var}
             if var not in {n.var for n in nodes}:
                 raise CypherSyntaxError(f"DELETE target {var!r} is not bound")
             return {**base, "op": "delete", "detach": detach, "var": var}
@@ -431,6 +441,33 @@ def execute_cypher_write(
         new = new.localCheckpoint()  # consumed by count + union
         n_new = new.count()
         return nodes, rels.unionByName(new), summary(op, rcre=n_new)
+
+    if op == "delete_rel":
+        if rels is None:
+            raise ValueError("graph has no relationship frame")
+        rv = ast["var"]
+        items = [
+            (f"{rv}.{RelField.START_ID}", "__ds", False),
+            (f"{rv}.{RelField.END_ID}", "__dd", False),
+            (f"{rv}.{RelField.TYPE}", "__dt", False),
+        ]
+        sql = _plain_sql(
+            _read_ast(
+                ast["nodes"], ast["rels"], ast["where"], items, ast["chains"]
+            ),
+            nodes_view,
+            rels_view,
+        )
+        triples = spark.sql(sql).localCheckpoint()  # count + anti-join
+        kept = rels.join(
+            triples,
+            (rels[RelField.START_ID] == triples["__ds"])
+            & (rels[RelField.END_ID] == triples["__dd"])
+            & (rels[RelField.TYPE] == triples["__dt"]),
+            "left_anti",
+        )
+        r_del = rels.count() - kept.count()
+        return nodes, kept, summary("delete", rdel=r_del)
 
     if op == "set":
         var = ast["sets"][0][0]

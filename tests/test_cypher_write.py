@@ -277,3 +277,35 @@ def test_merge_on_clause_rejections(wapi):
         wapi.cypher(
             "MERGE (n:P {ID: 901}) ON MATCH SET other.bal = 1.0", graph="wt"
         ).result(60)
+
+
+# -- relationship DELETE ----------------------------------------------------
+
+def test_delete_rel_by_pattern(wapi):
+    s = wapi.cypher(
+        "MATCH (a:P {name: 'alice'})-[r:KNOWS]->(b) DELETE r", graph="wt"
+    ).result(60).collect()[0]
+    assert s.rels_deleted == 1
+    left = wapi.cypher(
+        "MATCH (x)-[r:KNOWS]->(y) RETURN x.ID AS s, y.ID AS t", graph="wt"
+    ).result(60).collect()
+    assert [(r.s, r.t) for r in left] == [(2, 3)]  # bob->carol survives
+
+
+def test_delete_rel_where_filtered(wapi):
+    s = wapi.cypher(
+        "MATCH (a)-[r:KNOWS]->(b) WHERE b.name = 'carol' DELETE r",
+        graph="wt",
+    ).result(60).collect()[0]
+    assert s.rels_deleted == 1
+    n = wapi.cypher(
+        "MATCH (a)-[r:KNOWS]->(b) RETURN count(*) AS c", graph="wt"
+    ).result(60).collect()[0].c
+    assert n == 1  # only alice->bob left
+
+
+def test_delete_rel_detach_rejected(wapi):
+    with pytest.raises((RuntimeError, CypherUnsupported)):
+        wapi.cypher(
+            "MATCH (a)-[r:KNOWS]->(b) DETACH DELETE r", graph="wt"
+        ).result(60)
