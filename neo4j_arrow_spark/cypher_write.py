@@ -38,7 +38,7 @@ from neo4j_arrow_spark.graph import NodeField, RelField
 
 __all__ = ["is_cypher_write", "execute_cypher_write"]
 
-_WRITE_WORDS = {"SET", "DELETE", "DETACH", "CREATE", "MERGE"}
+_WRITE_WORDS = {"SET", "DELETE", "DETACH", "CREATE", "MERGE", "REMOVE"}
 
 
 def is_cypher_write(query: str) -> bool:
@@ -149,6 +149,30 @@ class _WriteParser(_Parser):
         kind, tok = self.next()
         t = tok.upper() if kind == "name" else tok
         base = {"nodes": nodes, "rels": rels, "chains": chains, "where": where}
+        if t == "REMOVE":
+            # REMOVE n.prop [, n.prop2 …] — property removal is a SET
+            # to NULL over the same matched-id machinery
+            sets: list[tuple[str, str, str]] = []
+            while True:
+                var = self.expect_name()
+                self.expect(".")
+                prop = self.expect_name()
+                sets.append((var, prop, "NULL"))
+                if not self.accept(","):
+                    break
+            if self.peek()[0] != "eof":
+                raise CypherSyntaxError(
+                    f"unexpected trailing input: {self.peek()[1]!r}"
+                )
+            tvars = {v for v, _, _ in sets}
+            if len(tvars) != 1:
+                raise CypherUnsupported(
+                    f"REMOVE targets one variable per statement "
+                    f"(got {sorted(tvars)})"
+                )
+            if next(iter(tvars)) not in {n.var for n in nodes}:
+                raise CypherSyntaxError(f"REMOVE target {tvars} is not bound")
+            return {**base, "op": "set", "sets": sets}
         if t in ("CREATE", "MERGE"):
             # MATCH … CREATE/MERGE (a)-[:TYPE {props}]->(b): create one
             # relationship per DISTINCT matched endpoint pair (MERGE

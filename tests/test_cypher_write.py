@@ -309,3 +309,14 @@ def test_delete_rel_detach_rejected(wapi):
         wapi.cypher(
             "MATCH (a)-[r:KNOWS]->(b) DETACH DELETE r", graph="wt"
         ).result(60)
+
+
+def test_remove_property_nulls_matched_only(wapi):
+    s = wapi.cypher(
+        "MATCH (n:P) WHERE n.name = 'alice' REMOVE n.bal", graph="wt"
+    ).result(60).collect()[0]
+    assert s.props_set == 1
+    rows = {r.name: r.bal for r in wapi.cypher(
+        "MATCH (n:P) RETURN n.name AS name, n.bal AS bal", graph="wt"
+    ).result(60).collect()}
+    assert rows["alice"] is None and rows["bob"] == 20.0
