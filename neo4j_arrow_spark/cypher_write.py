@@ -151,15 +151,31 @@ class _WriteParser(_Parser):
         base = {"nodes": nodes, "rels": rels, "chains": chains, "where": where}
         if t == "REMOVE":
             # REMOVE n.prop [, n.prop2 …] — property removal is a SET
-            # to NULL over the same matched-id machinery
+            # to NULL over the same matched-id machinery; REMOVE n:Label
+            # strips labels from matched nodes
+            var = self.expect_name()
+            if self.peek()[1] == ":":
+                labels = []
+                while self.accept(":"):
+                    labels.append(self.expect_name())
+                if self.peek()[0] != "eof":
+                    raise CypherSyntaxError(
+                        f"unexpected trailing input: {self.peek()[1]!r}"
+                    )
+                if var not in {n.var for n in nodes}:
+                    raise CypherSyntaxError(
+                        f"REMOVE target {var!r} is not bound"
+                    )
+                return {**base, "op": "label", "add": False, "var": var,
+                        "labels": labels}
             sets: list[tuple[str, str, str]] = []
             while True:
-                var = self.expect_name()
                 self.expect(".")
                 prop = self.expect_name()
                 sets.append((var, prop, "NULL"))
                 if not self.accept(","):
                     break
+                var = self.expect_name()
             if self.peek()[0] != "eof":
                 raise CypherSyntaxError(
                     f"unexpected trailing input: {self.peek()[1]!r}"
@@ -215,15 +231,29 @@ class _WriteParser(_Parser):
                 "rprops": r.props,
             }
         if t == "SET":
+            var = self.expect_name()
+            if self.peek()[1] == ":":
+                # SET n:Label [:More] — label addition on matched nodes
+                labels = []
+                while self.accept(":"):
+                    labels.append(self.expect_name())
+                if self.peek()[0] != "eof":
+                    raise CypherSyntaxError(
+                        f"unexpected trailing input: {self.peek()[1]!r}"
+                    )
+                if var not in {n.var for n in nodes}:
+                    raise CypherSyntaxError(f"SET target {var!r} is not bound")
+                return {**base, "op": "label", "add": True, "var": var,
+                        "labels": labels}
             sets: list[tuple[str, str, str]] = []
             while True:
-                var = self.expect_name()
                 self.expect(".")
                 prop = self.expect_name()
                 self.expect("=")
                 sets.append((var, prop, self.value()))
                 if not self.accept(","):
                     break
+                var = self.expect_name()
             if self.peek()[0] != "eof":
                 raise CypherSyntaxError(
                     f"unexpected trailing input: {self.peek()[1]!r}"
@@ -465,6 +495,36 @@ def execute_cypher_write(
         new = new.localCheckpoint()  # consumed by count + union
         n_new = new.count()
         return nodes, rels.unionByName(new), summary(op, rcre=n_new)
+
+    if op == "label":
+        # label add/remove over the matched ids: conditional projection
+        # on LABELS — array_union keeps the set semantics, array_except
+        # strips; sort keeps the labels() rendering stable
+        var = ast["var"]
+        items = [(f"{var}.ID", "__sid", False)]
+        sql = _plain_sql(
+            _read_ast(
+                ast["nodes"], ast["rels"], ast["where"], items, ast["chains"]
+            ),
+            nodes_view,
+            rels_view,
+        )
+        ids = spark.sql(sql).localCheckpoint()  # count + join
+        n_set = ids.count()
+        lit = F.array(*[F.lit(lb) for lb in ast["labels"]])
+        matched = F.col("__sid").isNotNull()
+        fn = F.array_union if ast["add"] else F.array_except
+        out = (
+            nodes.join(ids, nodes[NodeField.ID] == ids["__sid"], "left")
+            .withColumn(
+                NodeField.LABELS,
+                F.when(
+                    matched, F.sort_array(fn(F.col(NodeField.LABELS), lit))
+                ).otherwise(F.col(NodeField.LABELS)),
+            )
+            .drop("__sid")
+        )
+        return out, rels, summary("label", props=n_set * len(ast["labels"]))
 
     if op == "delete_rel":
         if rels is None:

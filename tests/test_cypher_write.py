@@ -320,3 +320,37 @@ def test_remove_property_nulls_matched_only(wapi):
         "MATCH (n:P) RETURN n.name AS name, n.bal AS bal", graph="wt"
     ).result(60).collect()}
     assert rows["alice"] is None and rows["bob"] == 20.0
+
+
+# -- label add / remove -----------------------------------------------------
+
+def test_set_label_adds_and_sorts(wapi):
+    s = wapi.cypher(
+        "MATCH (n:P) WHERE n.name = 'alice' SET n:Vip", graph="wt"
+    ).result(60).collect()[0]
+    assert s.op == "label" and s.props_set == 1
+    rows = wapi.cypher(
+        "MATCH (n:Vip) RETURN n.name AS name, labels(n) AS lbls", graph="wt"
+    ).result(60).collect()
+    assert [(r.name, r.lbls) for r in rows] == [("alice", "P,Vip")]
+
+
+def test_set_label_idempotent_on_existing(wapi):
+    wapi.cypher("MATCH (n:P) SET n:P", graph="wt").result(60)
+    rows = wapi.cypher(
+        "MATCH (n:P) WHERE n.name = 'alice' RETURN labels(n) AS lbls",
+        graph="wt",
+    ).result(60).collect()
+    assert rows[0].lbls == "P"  # array_union keeps set semantics
+
+
+def test_remove_label_strips(wapi):
+    wapi.cypher("MATCH (n:Q) SET n:Archived", graph="wt").result(60)
+    s = wapi.cypher(
+        "MATCH (n:Archived) REMOVE n:Archived", graph="wt"
+    ).result(60).collect()[0]
+    assert s.props_set == 1
+    n = wapi.cypher(
+        "MATCH (n:Archived) RETURN count(*) AS c", graph="wt"
+    ).result(60).collect()[0].c
+    assert n == 0
