@@ -167,6 +167,12 @@ class _Parser:
         self.pos = 0
         self.dialect = dialect
         self.unwind_aliases: set[str] = set()
+        #: pattern variables by kind, filled as node()/rel() parse —
+        #: lets the expression parser reject type() on a node variable
+        #: (and id()/labels() on a rel) at parse time instead of
+        #: surfacing an opaque AnalysisException later
+        self.node_pat_vars: set[str] = set()
+        self.rel_pat_vars: set[str] = set()
         #: $name query parameters referenced anywhere in the query —
         #: callers bind these at execution time
         self.params_used: set[str] = set()
@@ -239,6 +245,7 @@ class _Parser:
         if kind != "name":
             raise CypherUnsupported("anonymous nodes are not supported; name every node")
         var = self.expect_name()
+        self.node_pat_vars.add(var)
         n = _NodePat(var)
         while self.accept(":"):
             n.labels.append(self.expect_name())
@@ -266,6 +273,7 @@ class _Parser:
             kind, tok = self.peek()
             if kind == "name":
                 var = self.expect_name()
+                self.rel_pat_vars.add(var)
             if self.accept(":"):
                 # type alternation: :A|B|C
                 rtypes.append(self.expect_name())
@@ -478,6 +486,14 @@ class _Parser:
                         raise CypherSyntaxError(
                             f"{fn.lower()}({var}): not a node variable"
                         )
+                    if fn == "TYPE" and var not in self.rel_pat_vars:
+                        raise CypherSyntaxError(
+                            f"type({var}): not a relationship variable"
+                        )
+                    if fn in ("ID", "LABELS") and var not in self.node_pat_vars:
+                        raise CypherSyntaxError(
+                            f"{fn.lower()}({var}): not a bound node variable"
+                        )
                     if fn == "ID":
                         return f"{var}.ID"
                     if fn == "TYPE":
@@ -544,6 +560,16 @@ class _Parser:
                 var = self.expect_name()
                 self.expect(")")
                 self.expect(")")
+                # same bound-node validation as the labels() accessor —
+                # an unbound/aliased/rel var must fail at parse time
+                if (
+                    var in self.unwind_aliases
+                    or (self.aliases is not None and var not in self.post_vars)
+                    or var not in self.node_pat_vars
+                ):
+                    raise CypherSyntaxError(
+                        f"size(labels({var})): not a bound node variable"
+                    )
                 if self.dialect == "spark":
                     return f"size({var}.LABELS)"
                 return f"len({var}.LABELS)"
@@ -959,6 +985,7 @@ class _Parser:
             # the exploded list IS the FROM source
             shortest, path_var = False, None
             chains: list[tuple[list[_NodePat], list[_RelPat]]] = []
+            chain_groups: list[int] = []
             nodes, rels = [], []
             sp = None
         else:
@@ -968,18 +995,28 @@ class _Parser:
                 all_paths, path_var, nodes, rels = sp
                 shortest = True
                 chains = [(nodes, rels)]
+                chain_groups = [0]
             else:
                 shortest, path_var = False, None
                 chains = self.patterns()
+                # clause-group ids parallel to chains: Cypher's
+                # relationship-uniqueness rule is scoped to ONE MATCH
+                # clause, so _multi_chain must know which comma-patterns
+                # shared a clause and which came from a later MATCH
+                chain_groups = [0] * len(chains)
                 # consecutive MATCH clauses: conjunctive, same semantics
                 # as comma-separated patterns (shared vars join). A
                 # WHERE between MATCHes is not supported — one WHERE
                 # after the last clause (OPTIONAL MATCH keeps its own).
+                grp = 0
                 while self.peek()[1] == "MATCH" and not getattr(
                     self, "_plain_path", None
                 ):
                     self.next()
-                    chains.extend(self.patterns())
+                    grp += 1
+                    more = self.patterns()
+                    chains.extend(more)
+                    chain_groups.extend([grp] * len(more))
                 nodes, rels = _flatten_chains(chains)
         path_subs: dict[str, str] = {}
         plain_path = getattr(self, "_plain_path", None)
@@ -1164,6 +1201,7 @@ class _Parser:
             "all_paths": shortest and all_paths,
             "path_subs": path_subs,
             "chains": chains,
+            "chain_groups": chain_groups,
             "nodes": nodes,
             "rels": rels,
             "optionals": optionals,
@@ -1262,23 +1300,72 @@ def _chain(
     return from_sql, joins, conds
 
 
+def _rel_uniqueness_conds(
+    slots: list[tuple[str, bool, list[str], int]],
+) -> list[str]:
+    """Pairwise not-the-same-edge predicates for rel slots that share a
+    MATCH clause group and whose declared type sets can overlap (either
+    untyped or intersecting). Directed×directed compares the physical
+    (START_ID, END_ID) pair; any undirected slot reads from the
+    natural+reverse union view where the same edge appears flipped, so
+    the comparison is endpoint-SET equality instead."""
+    out: list[str] = []
+    for x in range(len(slots)):
+        rv1, und1, t1, g1 = slots[x]
+        for y in range(x + 1, len(slots)):
+            rv2, und2, t2, g2 = slots[y]
+            if g1 != g2:
+                continue
+            if t1 and t2 and not (set(t1) & set(t2)):
+                continue  # disjoint declared types can never collide
+            same_pair = (
+                f"{rv1}.START_ID = {rv2}.START_ID AND "
+                f"{rv1}.END_ID = {rv2}.END_ID"
+            )
+            if und1 or und2:
+                same_pair = (
+                    f"(({same_pair}) OR "
+                    f"({rv1}.START_ID = {rv2}.END_ID AND "
+                    f"{rv1}.END_ID = {rv2}.START_ID))"
+                )
+            else:
+                same_pair = f"({same_pair})"
+            out.append(
+                f"NOT ({same_pair} AND {rv1}.TYPE = {rv2}.TYPE)"
+            )
+    return out
+
+
 def _multi_chain(
     chains: list[tuple[list[_NodePat], list[_RelPat]]],
     nodes_view: str,
     rels_view: str,
+    groups: list[int] | None = None,
 ) -> tuple[str, list[str], list[str]]:
     """FROM/JOIN/WHERE fragments for one or more pattern chains that
     may share node variables: comma-separated MATCH patterns join on
     the shared variable, a repeated variable inside one chain closes a
     cycle (both endpoint keys land in the rel's ON clause), and a chain
     sharing nothing is Cypher's cartesian product (CROSS JOIN). With a
-    single acyclic chain this emits exactly what _chain does."""
+    single acyclic chain this emits exactly what _chain does.
+
+    Cypher's relationship-uniqueness rule (two rel slots in ONE MATCH
+    clause never bind the same relationship) is enforced with pairwise
+    edge-key inequality predicates between slots of the same clause
+    group whose declared type sets can overlap. Edge identity here is
+    the (START_ID, END_ID, TYPE) triple — the frame has no edge id, so
+    exact-duplicate parallel edges count as one relationship (documented
+    divergence, same family as the varlength edge-uniqueness note)."""
+    if groups is None:
+        groups = [0] * len(chains)
     introduced: set[str] = set()
     from_sql: str | None = None
     joins: list[str] = []
     conds: list[str] = []
+    #: (alias, undirected?, rtypes, clause group) per rel slot
+    slots: list[tuple[str, bool, list[str], int]] = []
     rel_ix = 0
-    for nodes, rels in chains:
+    for ci, (nodes, rels) in enumerate(chains):
         if nodes[0].var not in introduced:
             src = f"{nodes_view} AS {nodes[0].var}"
             if from_sql is None:
@@ -1289,6 +1376,7 @@ def _multi_chain(
         for i, r in enumerate(rels):
             rv = r.var or f"_r{rel_ix}"
             rel_ix += 1
+            slots.append((rv, r.direction == "-", list(r.rtypes), groups[ci]))
             a, b = nodes[i].var, nodes[i + 1].var
             on, on2 = _rel_keys(r, rv, a, b)
             if b in introduced:
@@ -1301,6 +1389,7 @@ def _multi_chain(
             if cond := _type_cond(r, rv):
                 conds.append(cond)
             conds.extend(_prop_conds(r, rv))
+    conds.extend(_rel_uniqueness_conds(slots))
     # label/property conditions from EVERY occurrence of a variable
     # (a var can carry different labels in different patterns), deduped
     seen_conds: set[str] = set()
@@ -1570,7 +1659,12 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         joins, conds = [], []
     else:
         chains = ast.get("chains") or [(nodes, rels)]
-        from_sql, joins, conds = _multi_chain(chains, nodes_view, rels_view)
+        groups = ast.get("chain_groups") if ast.get("chains") else None
+        if groups is not None and len(groups) != len(chains):
+            groups = None  # defensive: stale/absent group info → one clause
+        from_sql, joins, conds = _multi_chain(
+            chains, nodes_view, rels_view, groups
+        )
 
     for oi, (onodes, orels, owhere) in enumerate(ast["optionals"]):
         # LEFT-JOIN chain: pattern conditions live in the ON clause

@@ -422,7 +422,11 @@ def execute_cypher_write(
                     for f in nodes.schema.fields
                 }
                 n_matched = match_df.count()
-                out = nodes
+                # Materialize the match mask ONCE before any update: each
+                # SET must see the pre-update snapshot, or a SET that
+                # rewrites a merge-key property would make later SET items
+                # in the same clause stop matching (Neo4j applies all).
+                out = nodes.withColumn("__m", cond & _props_cond(p))
                 for prop, lit in sets:
                     if prop not in fields:
                         raise CypherUnsupported(
@@ -431,9 +435,9 @@ def execute_cypher_write(
                         )
                     val = F.expr(lit).cast(fields[prop])
                     out = out.withColumn(
-                        prop, F.when(cond & _props_cond(p), val).otherwise(F.col(prop))
+                        prop, F.when(F.col("__m"), val).otherwise(F.col(prop))
                     )
-                return out, rels, summary(
+                return out.drop("__m"), rels, summary(
                     "merge", created=0, props=n_matched * len(sets)
                 )
             if ast.get("on_create"):
@@ -487,11 +491,15 @@ def execute_cypher_write(
             cols.append(F.expr(f"CAST({props.get(c, 'NULL')} AS {rfields[c]})").alias(c))
         new = pairs.select(*cols)
         if op == "merge_rel":
-            new = new.join(
-                rels.select(RelField.START_ID, RelField.END_ID, RelField.TYPE),
-                [RelField.START_ID, RelField.END_ID, RelField.TYPE],
-                "left_anti",
+            # MERGE identity is the full pattern: endpoints, type, AND the
+            # pattern's relationship properties. An existing T edge with a
+            # *different* w must not suppress MERGE ()-[:T {w: 5}]->() —
+            # Cypher matches on the whole property map and creates a second
+            # edge. Props absent from the pattern stay out of the key.
+            keys = [RelField.START_ID, RelField.END_ID, RelField.TYPE] + sorted(
+                props
             )
+            new = new.join(rels.select(*keys), keys, "left_anti")
         new = new.localCheckpoint()  # consumed by count + union
         n_new = new.count()
         return nodes, rels.unionByName(new), summary(op, rcre=n_new)

@@ -138,11 +138,17 @@ def drift_psi(
                     F.lit(n_buckets - 1),
                     F.greatest(
                         F.lit(0),
-                        F.floor(
-                            (F.col(col) - F.col("_mn"))
-                            * n_buckets
-                            / (F.col("_mx") - F.col("_mn"))
-                        ).cast("int"),
+                        # constant reference column → zero range; guard the
+                        # divide (ANSI mode errors on /0) and land every
+                        # value in bucket 0, like scale_properties does
+                        F.when(
+                            F.col("_mx") != F.col("_mn"),
+                            F.floor(
+                                (F.col(col) - F.col("_mn"))
+                                * n_buckets
+                                / (F.col("_mx") - F.col("_mn"))
+                            ).cast("int"),
+                        ).otherwise(F.lit(0)),
                     ),
                 ).alias("bucket")
             )

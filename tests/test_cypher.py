@@ -932,11 +932,24 @@ def test_consecutive_match_clauses_join_on_shared_var():
     sql = cypher_to_sql(q, "gn", "gr")
     assert sql.count("gn AS n") == 1
     assert "r2.START_ID = s.ID AND n.ID = r2.END_ID" in sql
-    # identical to the comma spelling
+    # separate MATCH clauses: NO relationship-uniqueness predicate
+    # (Cypher scopes the rule to one clause)
+    assert "NOT (" not in sql
+    # the comma spelling is one clause, so r1/r2 (same type, same
+    # direction) get the pairwise not-same-edge predicate
     comma = ("MATCH (c:Customer)-[r1:IN_NATION]->(n:Nation), "
              "(s:Supplier)-[r2:IN_NATION]->(n) "
              "RETURN n.name AS nation, count(*) AS pairs")
-    assert sql == cypher_to_sql(comma, "gn", "gr")
+    csql = cypher_to_sql(comma, "gn", "gr")
+    assert (
+        "NOT ((r1.START_ID = r2.START_ID AND r1.END_ID = r2.END_ID) "
+        "AND r1.TYPE = r2.TYPE)" in csql
+    )
+    # everything else matches
+    assert sql == csql.replace(
+        " AND NOT ((r1.START_ID = r2.START_ID AND r1.END_ID = r2.END_ID) "
+        "AND r1.TYPE = r2.TYPE)", ""
+    )
 
 
 def test_where_between_match_clauses_rejected():
