@@ -57,12 +57,30 @@ def _distinct_edges(rels: DataFrame, filters: Sequence[str] | None) -> DataFrame
     )
 
 
+def _remap_check(node_id: str, col: str, mcol: str) -> "F.Column":
+    """NULL remap value → job failure (the reference surfaces missing
+    remap properties as NOT_FOUND, GdsReadJob.java:281-283)."""
+    return F.when(
+        F.col(mcol).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"khop node_id remap: property '{node_id}' missing "
+                    f"or non-integral for {col} id "
+                ),
+                F.col(col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(mcol))
+
+
 def khop_flat(
     nodes: DataFrame,
     rels: DataFrame,
     filters: Sequence[str] | None = None,
     origins_complete: bool = True,
     k: int = 2,
+    node_id: str | None = None,
 ) -> DataFrame:
     """Flat k-hop edge sets: one row per (origin, src, dst).
 
@@ -93,6 +111,39 @@ def khop_flat(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     edges = _distinct_edges(rels, filters)
+
+    # ``node_id`` remap (the client's khop(node_id=...) re-key,
+    # neo4j_arrow.py:256-268 / GdsReadJob.java:281-283) happens BEFORE
+    # the expansion join: endpoints are remapped on the |E|-sized edge
+    # frame and origins on the |members|-sized frame, so the (enormous)
+    # k-hop output never joins anything — it only projects the _srcm/
+    # _dstm/_om columns it already carries. The NULL-property check for
+    # origins rides in the FINAL projection, so it fires exactly for
+    # referenced origins (an isolated node with a NULL property yields
+    # no rows, hence no error — same as the output-join formulation).
+    idmap = None
+    if node_id is not None:
+        idmap = nodes.select(
+            F.col(NodeField.ID).alias("_k"),
+            F.col(node_id).cast("long").alias("_m"),
+        )
+        edges = (
+            edges.join(
+                idmap.select(F.col("_k").alias("src"), F.col("_m").alias("_srcm")),
+                "src",
+                "left",
+            )
+            .join(
+                idmap.select(F.col("_k").alias("dst"), F.col("_m").alias("_dstm")),
+                "dst",
+                "left",
+            )
+            # every edge endpoint is referenced (its src-origin 1-hop
+            # set contains the edge), so the eager |E|-level check is
+            # semantically identical to checking on the output
+            .withColumn("_srcm", _remap_check(node_id, "src", "_srcm"))
+            .withColumn("_dstm", _remap_check(node_id, "dst", "_dstm"))
+        )
 
     identity = nodes.select(
         F.col(NodeField.ID).alias("origin"), F.col(NodeField.ID).alias("member")
@@ -136,39 +187,62 @@ def khop_flat(
     # A ∪ B' is then a disjoint union — no final dropDuplicates, so the
     # (potentially enormous) 2-hop output avoids its own shuffle; only
     # the small member/edge frames ever exchange.
-    inc_src = edges.select(F.col("src").alias("member"), "src", "dst")
+    carry = ["_srcm", "_dstm"] if idmap is not None else []
+    inc_src = edges.select(F.col("src").alias("member"), "src", "dst", *carry)
     inc_dst = edges.filter(F.col("src") != F.col("dst")).select(
-        F.col("dst").alias("member"), "src", "dst"
+        F.col("dst").alias("member"), "src", "dst", *carry
     )
     # Same fan-out hazard as the closure loop: the member frame is
     # byte-tiny but each row multiplies by deg(member) through the
     # incident joins. Pre-hash it on the join key so the (enormous)
     # output is born spread across all cores, whichever physical join
     # AQE picks.
+    if idmap is not None:
+        # origin remap on the |members| frame (≤ |V| + 2|E| rows) —
+        # the check itself is applied on the OUTPUT projection below.
+        # Joined BEFORE the member repartition so the pre-hash on the
+        # expansion key is the last exchange on this side.
+        members = members.join(
+            idmap.select(F.col("_k").alias("origin"), F.col("_m").alias("_om")),
+            "origin",
+            "left",
+        )
     members = members.repartition(par, "member")
+
+    def _project(df: DataFrame) -> DataFrame:
+        if idmap is None:
+            return df.select("origin", "src", "dst")
+        return df.select(
+            _remap_check(node_id, "origin", "_om").alias("origin"),
+            F.col("_srcm").alias("src"),
+            F.col("_dstm").alias("dst"),
+        )
+
+    out_cols = ["origin", "src", "dst"] + (
+        ["_om", "_srcm", "_dstm"] if idmap is not None else []
+    )
     if k <= 2:
         # |members| ≤ |V| + 2|E| — small next to the output
         # Σ_m deg(m), so spending an anti-join on ~2×|members| rows to
         # make A ∪ B' a disjoint union (no dedup of the output, which
         # therefore NEVER shuffles) is the right trade at scale.
-        a = members.join(inc_src, "member").select("origin", "src", "dst")
-        b = members.join(inc_dst, "member").select("origin", "src", "dst")
+        a = members.join(inc_src, "member").select(*out_cols)
+        b = members.join(inc_dst, "member").select(*out_cols)
         b_only = b.join(
             members.select("origin", F.col("member").alias("src")),
             ["origin", "src"],
             "left_anti",
         )
-        return a.unionByName(b_only)
+        return _project(a.unionByName(b_only))
     # k ≥ 3: the closure inflates |members| toward Σ_o |reach(o)| — the
     # same order as the output itself — so the anti-join would shuffle
     # ~2×output anyway. One incident join + one output dedup shuffles
     # strictly less, and AQE skew-splits the hot members (supernodes).
     incident = inc_src.unionByName(inc_dst)
-    return (
-        members.join(incident, "member")
-        .dropDuplicates(["origin", "src", "dst"])
-        .select("origin", "src", "dst")
+    joined = members.join(incident, "member").dropDuplicates(
+        ["origin", "src", "dst"]
     )
+    return _project(joined)
 
 
 def khop(
@@ -189,9 +263,10 @@ def khop(
     ``node_id`` substitutes a node property for the exported ids
     (the client's ``khop(node_id=...)`` remap, ``neo4j_arrow.py:
     256-268`` / ``GdsReadJob.java:281-283``): origin/src/dst are
-    re-keyed through the property BEFORE chunking — three equi-joins
-    on the flat set (broadcast when the node map is small; the remap
-    property must be integral since the wire shape is int lists).
+    re-keyed through the property BEFORE chunking. The remap joins run
+    on the |E|-sized edge frame and the |members| frame *before* the
+    expansion join (khop_flat) — the k-hop output, the largest frame in
+    the system, only projects columns it already carries.
 
     A referenced id whose node row is missing, whose property is NULL,
     or whose value doesn't cast to an integer FAILS the job (left join
@@ -200,34 +275,7 @@ def khop(
     (GdsReadJob.java:281-283). raise_error is evaluated inside the
     remap projection, so the check costs no extra Spark job.
     """
-    flat = khop_flat(nodes, rels, filters, k=k)
-    if node_id is not None:
-        idmap = nodes.select(
-            F.col(NodeField.ID).alias("_k"),
-            F.col(node_id).cast("long").alias("_m"),
-        )
-        for col in ("origin", "src", "dst"):
-            flat = (
-                flat.join(idmap, flat[col] == idmap["_k"], "left")
-                .withColumn(
-                    "_mv",
-                    F.when(
-                        F.col("_m").isNull(),
-                        F.raise_error(
-                            F.concat(
-                                F.lit(
-                                    f"khop node_id remap: property "
-                                    f"'{node_id}' missing or non-integral "
-                                    f"for {col} id "
-                                ),
-                                F.col(col).cast("string"),
-                            )
-                        ).cast("long"),
-                    ).otherwise(F.col("_m")),
-                )
-                .drop(col, "_k", "_m")
-                .withColumnRenamed("_mv", col)
-            )
+    flat = khop_flat(nodes, rels, filters, k=k, node_id=node_id)
     # One exchange total: the window shuffles on origin, and the
     # (origin, _chunk) groupBy is satisfied by that same partitioning
     # (ClusteredDistribution on a superset key), so no second shuffle.

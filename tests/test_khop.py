@@ -131,3 +131,44 @@ def test_khop_node_id_remap(spark):
     }
     assert ids <= {101, 102, 103}
     assert flat <= {101, 102, 103}
+
+
+def test_khop_node_id_remap_k2_exact(spark):
+    """Remap correctness at k=2 against the identity-shifted property:
+    the remapped flat set must equal the plain flat set shifted by +100
+    on every column (regression for the remap-before-expand plan)."""
+    from neo4j_arrow_spark.operators.khop import khop_flat
+
+    nodes = spark.createDataFrame(
+        [(i, ["N"], i + 100) for i in range(6)],
+        "ID long, LABELS array<string>, alt long",
+    )
+    rels = spark.createDataFrame(
+        [(0, 1, "E"), (1, 2, "E"), (2, 3, "E"), (3, 4, "E"), (4, 5, "E")],
+        "START_ID long, END_ID long, TYPE string",
+    )
+    plain = {
+        (r.origin, r.src, r.dst) for r in khop_flat(nodes, rels, k=2).collect()
+    }
+    remapped = {
+        (r.origin, r.src, r.dst)
+        for r in khop_flat(nodes, rels, k=2, node_id="alt").collect()
+    }
+    assert remapped == {(o + 100, s + 100, d + 100) for o, s, d in plain}
+
+
+def test_khop_node_id_remap_k2_missing_property_fails(spark):
+    """A referenced endpoint whose remap property is NULL fails the job
+    (NOT_FOUND parity, GdsReadJob.java:281-283) — also at k=2, where the
+    remap now rides the edge/member frames instead of the output."""
+    from neo4j_arrow_spark.operators.khop import khop
+
+    nodes = spark.createDataFrame(
+        [(1, ["N"], 101), (2, ["N"], None), (3, ["N"], 103)],
+        "ID long, LABELS array<string>, alt long",
+    )
+    rels = spark.createDataFrame(
+        [(1, 2, "E"), (2, 3, "E")], "START_ID long, END_ID long, TYPE string"
+    )
+    with pytest.raises(Exception, match="missing or non-integral"):
+        khop(nodes, rels, k=2, node_id="alt").collect()
