@@ -151,12 +151,16 @@ class _RelPat:
     rtypes: list[str]  # empty = any type; >1 = alternation :A|B
     direction: str  # '->', '<-' or '-' (undirected)
     minlen: int = 1  # *a..b variable-length bounds; (1, 1) = fixed
-    maxlen: int = 1
+    maxlen: int | None = 1  # None = unbounded (* / *a..)
     props: list[tuple[str, str]] = field(default_factory=list)
 
     @property
     def is_varlength(self) -> bool:
         return (self.minlen, self.maxlen) != (1, 1)
+
+    @property
+    def is_unbounded(self) -> bool:
+        return self.maxlen is None
 
 
 class _Parser:
@@ -310,33 +314,29 @@ class _Parser:
 
     _VARLENGTH_CAP = 4
 
-    def _varlength_bounds(self) -> tuple[int, int]:
-        """``*n`` | ``*a..b`` after the ``*`` token. Unbounded (bare
-        ``*`` / ``*a..``) is rejected: each length becomes a join chain,
-        so the bounds must be finite and small."""
+    def _varlength_bounds(self) -> tuple[int, int | None]:
+        """``*`` | ``*n`` | ``*a..b`` | ``*a..`` after the ``*`` token.
+        Bounded forms expand to join chains (finite, capped); the
+        unbounded forms (bare ``*``, open ``*a..``) return ``maxlen
+        None`` and compile to a recursive-CTE frontier expansion with a
+        configurable max-hop guard (``UNBOUNDED_HOP_GUARD``)."""
         kind, tok = self.peek()
         if kind != "num":
-            raise CypherUnsupported(
-                "unbounded variable-length (*) is not supported — give "
-                "explicit finite bounds like *1..2"
-            )
+            return 1, None  # bare `*`: any length >= 1
         lo = int(self.next()[1])
-        hi = lo
+        hi: int | None = lo
         if self.peek()[1] == ".":
             self.expect(".")
             self.expect(".")
             kind, tok = self.peek()
-            if kind != "num":
-                raise CypherUnsupported(
-                    "open upper bound *a.. is not supported — give *a..b"
-                )
-            hi = int(self.next()[1])
-        if not (1 <= lo <= hi):
+            hi = int(self.next()[1]) if kind == "num" else None  # `*a..`
+        if not (1 <= lo <= (hi if hi is not None else lo)):
             raise CypherSyntaxError(f"bad variable-length bounds *{lo}..{hi}")
-        if hi > self._VARLENGTH_CAP:
+        if hi is not None and hi > self._VARLENGTH_CAP:
             raise CypherUnsupported(
                 f"variable-length upper bound {hi} exceeds cap "
-                f"{self._VARLENGTH_CAP} (each length is a join chain)"
+                f"{self._VARLENGTH_CAP} (each length is a join chain) — "
+                "use an open bound (*a..) for the recursive expansion"
             )
         return lo, hi
 
@@ -925,7 +925,7 @@ class _Parser:
         if len(nodes) < 2:
             raise CypherSyntaxError("shortestPath needs a two-endpoint pattern")
         for r in rels:
-            if not r.is_varlength:
+            if not r.is_varlength or r.maxlen is None:
                 raise CypherUnsupported(
                     "shortestPath needs a bounded variable-length pattern "
                     "(-[:T*a..b]->)"
@@ -1462,6 +1462,7 @@ def cypher_to_sql(
     rels_view: str,
     dialect: str = "spark",
     params_out: set[str] | None = None,
+    max_hops: int | None = None,
 ) -> str:
     """Transpile the Cypher subset to one SQL string over the graph
     views. Every construct except ``collect()`` and ``UNWIND`` emits
@@ -1484,6 +1485,7 @@ def cypher_to_sql(
         for arm in arms:
             arm_parser = _Parser(arm, dialect)
             arm_ast = arm_parser.parse()
+            arm_ast["max_hops"] = max_hops
             if params_out is not None:
                 params_out.update(arm_parser.params_used)
             alias_sets.append([a for _, a, _ in arm_ast["items"]])
@@ -1502,6 +1504,7 @@ def cypher_to_sql(
         return out
     parser = _Parser(query, dialect)
     ast = parser.parse()
+    ast["max_hops"] = max_hops
     if params_out is not None:
         params_out.update(parser.params_used)
     return _single_query_sql(parser, ast, nodes_view, rels_view)
@@ -1525,6 +1528,8 @@ def _single_query_sql_inner(
         raise CypherUnsupported("UNWIND with variable-length is not supported")
 
     varlength = any(r.is_varlength for r in rels)
+    unbounded = any(r.is_unbounded for r in rels)
+    _vl_sql = _varlength_recursive_sql if unbounded else _varlength_sql
     if ast["withs"]:
         # WITH pipeline: the pattern + first WITH's items become the
         # innermost query; each further stage (and finally RETURN)
@@ -1542,7 +1547,7 @@ def _single_query_sql_inner(
             "withs": [],
         }
         sql = (
-            _varlength_sql(inner_ast, nodes_view, rels_view)
+            _vl_sql(inner_ast, nodes_view, rels_view)
             if varlength
             else _plain_sql(inner_ast, nodes_view, rels_view)
         )
@@ -1570,7 +1575,7 @@ def _single_query_sql_inner(
         return _subst_views(sql, nodes_view, rels_view)
     if varlength:
         return _subst_views(
-            _varlength_sql(ast, nodes_view, rels_view), nodes_view, rels_view
+            _vl_sql(ast, nodes_view, rels_view), nodes_view, rels_view
         )
     return _subst_views(
         _plain_sql(ast, nodes_view, rels_view), nodes_view, rels_view
@@ -1739,6 +1744,123 @@ def _order_limit_tail(sql: str, ast: dict) -> str:
 
 
 _MAX_VARLENGTH_BRANCHES = 8
+
+#: max hops for unbounded variable-length expansion (`[*]`, `*a..`) —
+#: the recursion guard that keeps cyclic graphs from looping forever.
+#: The reference gets true unbounded traversal for free from Neo4j
+#: (TransactionApiJob.java:41-220); a distributed engine must bound the
+#: frontier. Override per call via ``cypher_to_sql(..., max_hops=)``.
+UNBOUNDED_HOP_GUARD = 10
+
+
+def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
+    """Unbounded variable-length patterns (``-[:T*]->``, ``-[:T*2..]->``)
+    as a recursive CTE — supported natively by BOTH dialects (Spark 4's
+    ``WITH RECURSIVE`` and DuckDB's), so the oracle runs the exact same
+    shape. The CTE enumerates (source, target, hops) path rows up to
+    ``max_hops``; the outer query splices it into the fixed chain like
+    any other rel join, so node labels/props/WHERE/aggregates all apply
+    unchanged. Spark executes the recursion as an iterative union-loop —
+    per-hop join + union, each distributed; no driver-side traversal.
+
+    Same documented divergence as the bounded expansion: per-path
+    relationship uniqueness is not enforced (differs only on graphs
+    with directed cycles, where the hop guard also bounds the blowup).
+
+    Scope: one unbounded segment per pattern, directed, unbound var —
+    the other rels in the chain must be fixed-length.
+    """
+    nodes, rels = ast["nodes"], ast["rels"]
+    if ast["optionals"]:
+        raise CypherUnsupported(
+            "OPTIONAL MATCH combined with variable-length is not supported"
+        )
+    chains = ast.get("chains") or [(nodes, rels)]
+    if len(chains) > 1:
+        raise CypherUnsupported(
+            "unbounded variable-length with comma-separated patterns is "
+            "not supported"
+        )
+    unb = [r for r in rels if r.is_unbounded]
+    if len(unb) > 1 or any(
+        r.is_varlength and not r.is_unbounded for r in rels
+    ):
+        raise CypherUnsupported(
+            "only one variable-length segment is supported when a pattern "
+            "contains an unbounded (*) segment"
+        )
+    seg = unb[0]
+    if seg.var:
+        raise CypherUnsupported(
+            "binding an unbounded variable-length relationship to a "
+            "variable is not supported"
+        )
+    if seg.direction == "-":
+        raise CypherUnsupported(
+            "undirected unbounded variable-length is not supported"
+        )
+    guard = ast.get("max_hops") or UNBOUNDED_HOP_GUARD
+    # edge orientation: traversal always walks a -> b in pattern order
+    src, dst = (
+        ("START_ID", "END_ID") if seg.direction == "->" else ("END_ID", "START_ID")
+    )
+    tc = _type_cond(seg, "_e")
+    anchor = f"SELECT {src} AS _sid, {dst} AS _tid, 1 AS _hops FROM {rels_view} AS _e"
+    if tc:
+        anchor += f" WHERE {tc}"
+    step = (
+        f"SELECT _p._sid, _e.{dst} AS _tid, _p._hops + 1 AS _hops\n"
+        f"  FROM _vlp AS _p JOIN {rels_view} AS _e ON _e.{src} = _p._tid"
+    )
+    if tc:
+        step += f" AND {tc}"
+    step += f"\n  WHERE _p._hops < {guard}"
+    cte = (
+        f"WITH RECURSIVE _vlp(_sid, _tid, _hops) AS (\n"
+        f"{anchor}\nUNION ALL\n{step}\n)"
+    )
+
+    from_sql = f"{nodes_view} AS {nodes[0].var}"
+    joins: list[str] = []
+    conds: list[str] = []
+    for i, r in enumerate(rels):
+        a, b = nodes[i].var, nodes[i + 1].var
+        if r is seg:
+            joins.append(f"JOIN _vlp ON _vlp._sid = {a}.ID")
+            joins.append(f"JOIN {nodes_view} AS {b} ON {b}.ID = _vlp._tid")
+            if seg.minlen > 1:
+                conds.append(f"_vlp._hops >= {seg.minlen}")
+        else:
+            rv = r.var or f"_r{i}"
+            on, on2 = _rel_keys(r, rv, a, b)
+            joins.append(f"JOIN {_rel_source(r, rv, rels_view)} ON {on}")
+            joins.append(f"JOIN {nodes_view} AS {b} ON {on2}")
+            if c := _type_cond(r, rv):
+                conds.append(c)
+            conds.extend(_prop_conds(r, rv))
+    for n in nodes:
+        for lbl in n.labels:
+            conds.append(f"array_contains({n.var}.LABELS, '{lbl}')")
+        for key, lit in n.props:
+            conds.append(f"{n.var}.{key} = {lit}")
+    if ast["where"]:
+        conds.append(ast["where"])
+
+    select_parts = [f"{e} AS {a}" for e, a, _ in ast["items"]]
+    select_sql = ("DISTINCT " if ast["distinct"] else "") + ", ".join(select_parts)
+    group_cols = [e for e, _a, agg in ast["items"] if not agg]
+    has_agg = any(agg for _, _, agg in ast["items"])
+    core = f"{cte}\nSELECT {select_sql}\nFROM {from_sql}"
+    for j in joins:
+        core += f"\n{j}"
+    if conds:
+        core += "\nWHERE " + " AND ".join(conds)
+    if has_agg and group_cols:
+        core += "\nGROUP BY " + ", ".join(group_cols)
+    # subquery wrapper so the emission composes under an outer WITH
+    # (the oracle harness prepends `WITH gnodes AS (...), grels ...`)
+    sql = f"SELECT * FROM (\n{core}\n) AS _unbounded"
+    return _order_limit_tail(sql, ast)
 
 
 def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:

@@ -135,6 +135,24 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_varlength_unbounded",
+    # `[*]` compiles to a recursive-CTE frontier expansion (Spark 4 /
+    # DuckDB both run WITH RECURSIVE natively) with the UNBOUNDED_HOP_
+    # GUARD recursion cap — the reference gets unbounded traversal from
+    # Neo4j's engine (TransactionApiJob.java:41-220)
+    "MATCH (c:Customer)-[:BUYS_FROM|IN_NATION*]->(x) "
+    "RETURN x.name AS name, count(*) AS paths",
+)
+
+_cypher_query(
+    "cypher_varlength_open_bound",
+    # open lower-bounded form `*2..`: same recursive CTE, hops >= 2
+    "MATCH (c:Customer)-[:BUYS_FROM|IN_NATION*2..]->(x) "
+    "WHERE c.acctbal > 5000.0 "
+    "RETURN x.name AS name, count(*) AS paths",
+)
+
+_cypher_query(
     "cypher_where_filter",
     "MATCH (c:Customer) WHERE c.acctbal > 5000.0 AND c.acctbal <= 9000.0 "
     "RETURN c.ID AS id, c.acctbal AS acctbal ORDER BY id LIMIT 100",

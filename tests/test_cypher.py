@@ -173,8 +173,6 @@ def test_varlength_translation():
 
 def test_varlength_rejections():
     with pytest.raises(CypherUnsupported):
-        cypher_to_sql("MATCH (a)-[:T*]->(b) RETURN a.ID", "n", "e")
-    with pytest.raises(CypherUnsupported):
         cypher_to_sql("MATCH (a)-[r:T*1..2]->(b) RETURN a.ID", "n", "e")
     with pytest.raises(CypherUnsupported):
         cypher_to_sql("MATCH (a)-[:T*1..9]->(b) RETURN a.ID", "n", "e")
@@ -1028,3 +1026,80 @@ def test_all_shortest_paths_end_to_end(client):
         )
     ).collect()
     assert [(r.target, r.hops, r.n_paths) for r in rows] == [(4, 2, 2)]
+
+
+# -- unbounded variable-length (recursive CTE) -------------------------------
+
+def test_unbounded_varlength_emits_recursive_cte():
+    sql = cypher_to_sql(
+        "MATCH (a:Customer)-[:BUYS_FROM*]->(b) RETURN b.ID AS id, count(*) AS n",
+        "gn", "gr",
+    )
+    assert "WITH RECURSIVE _vlp(_sid, _tid, _hops) AS" in sql
+    assert "_p._hops < 10" in sql  # default UNBOUNDED_HOP_GUARD
+    assert "_vlp._sid = a.ID" in sql
+
+
+def test_unbounded_varlength_open_lower_bound_and_guard():
+    sql = cypher_to_sql(
+        "MATCH (a)-[:T*3..]->(b) RETURN count(*) AS n",
+        "gn", "gr", max_hops=6,
+    )
+    assert "_vlp._hops >= 3" in sql
+    assert "_p._hops < 6" in sql
+
+
+def test_unbounded_varlength_reverse_direction_swaps_endpoints():
+    sql = cypher_to_sql(
+        "MATCH (a)<-[:T*]-(b) RETURN count(*) AS n", "gn", "gr"
+    )
+    # traversal walks a -> b in pattern order over reversed edges
+    assert "SELECT END_ID AS _sid, START_ID AS _tid" in sql
+
+
+def test_unbounded_varlength_rejections():
+    with pytest.raises(CypherUnsupported):  # undirected
+        cypher_to_sql("MATCH (a)-[:T*]-(b) RETURN count(*) AS n", "gn", "gr")
+    with pytest.raises(CypherUnsupported):  # binding to a variable
+        cypher_to_sql("MATCH (a)-[r:T*]->(b) RETURN count(*) AS n", "gn", "gr")
+    with pytest.raises(CypherUnsupported):  # two unbounded segments
+        cypher_to_sql(
+            "MATCH (a)-[:T*]->(b)-[:T*]->(c) RETURN count(*) AS n", "gn", "gr"
+        )
+    with pytest.raises(CypherUnsupported):  # mixed with bounded varlength
+        cypher_to_sql(
+            "MATCH (a)-[:T*]->(b)-[:T*1..2]->(c) RETURN count(*) AS n",
+            "gn", "gr",
+        )
+    with pytest.raises(CypherUnsupported):  # comma patterns
+        cypher_to_sql(
+            "MATCH (a)-[:T*]->(b), (a)-[:K]->(c) RETURN count(*) AS n",
+            "gn", "gr",
+        )
+    with pytest.raises(CypherUnsupported):  # shortestPath stays bounded
+        cypher_to_sql(
+            "MATCH p = shortestPath((a)-[:T*]->(b)) "
+            "RETURN length(p) AS hops", "gn", "gr",
+        )
+
+
+def test_unbounded_varlength_fixed_suffix_chain(client):
+    # unbounded segment followed by a fixed rel: c -[:BUYS_FROM*]-> s
+    # -[:IN_NATION]-> n — equivalent to the bounded 1..1 expansion here
+    rows = client.stream(
+        client.cypher(
+            "MATCH (c:Customer)-[:BUYS_FROM*]->(s:Supplier)"
+            "-[i:IN_NATION]->(n:Nation) "
+            "RETURN n.name AS nation, count(*) AS paths ORDER BY nation",
+            graph="cy",
+        )
+    ).collect()
+    bounded = client.stream(
+        client.cypher(
+            "MATCH (c:Customer)-[:BUYS_FROM*1..1]->(s:Supplier)"
+            "-[i:IN_NATION]->(n:Nation) "
+            "RETURN n.name AS nation, count(*) AS paths ORDER BY nation",
+            graph="cy",
+        )
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in bounded]
