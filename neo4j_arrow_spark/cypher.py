@@ -153,6 +153,11 @@ class _RelPat:
     minlen: int = 1  # *a..b variable-length bounds; (1, 1) = fixed
     maxlen: int | None = 1  # None = unbounded (* / *a..)
     props: list[tuple[str, str]] = field(default_factory=list)
+    #: property columns an undirected rel must carry through the
+    #: natural+reverse union view (set per-emission by _plain_sql from
+    #: the query's actual var.prop references — the view cannot select
+    #: `*` because the swap renames the id columns)
+    extra_props: list[str] = field(default_factory=list)
 
     @property
     def is_varlength(self) -> bool:
@@ -447,6 +452,12 @@ class _Parser:
             inner = self.value()
             self.expect(")")
             return f"({inner})"
+        if (
+            tok == "["
+            and self.toks[self.pos + 1][0] == "name"
+            and self.toks[self.pos + 2][1].upper() == "IN"
+        ):
+            return self._list_comprehension()
         if kind == "name" and self.toks[self.pos + 1][1] == "(":
             fn = tok.upper()
             if fn in ("TOINTEGER", "TOFLOAT", "TOSTRING"):
@@ -551,10 +562,18 @@ class _Parser:
                 # shape is supported.
                 self.next()
                 self.expect("(")
+                if self.peek()[1] == "[":
+                    # size([x IN list ...]) — list-comprehension length
+                    lc = self._list_comprehension()
+                    self.expect(")")
+                    return (
+                        f"size({lc})" if self.dialect == "spark" else f"len({lc})"
+                    )
                 inner_fn = self.expect_name()
                 if inner_fn.lower() != "labels":
                     raise CypherUnsupported(
-                        "size() supports size(labels(var)) only"
+                        "size() supports size(labels(var)) or a list "
+                        "comprehension only"
                     )
                 self.expect("(")
                 var = self.expect_name()
@@ -602,6 +621,58 @@ class _Parser:
                 "percentileCont"
             )
         return self.operand()
+
+    def _list_comprehension(self) -> str:
+        """``[x IN source [WHERE pred] | body]`` → higher-order array
+        functions: Spark ``transform``/``filter``, DuckDB
+        ``list_transform``/``list_filter`` — identical lambda syntax
+        (``x -> expr``), only the function names split. ``source`` is a
+        list literal (dialect-split: ``array(...)`` vs ``[...]``), a
+        ``$param`` list, or an array property like ``n.LABELS``. The
+        iteration variable scopes like an UNWIND alias (a bare scalar)
+        for the predicate and body only."""
+        self.expect("[")
+        var = self.expect_name()
+        kind, tok = self.next()
+        if tok.upper() != "IN":
+            raise CypherSyntaxError(f"expected IN in list comprehension, got {tok!r}")
+        if self.peek()[1] == "[":
+            # literal list source
+            self.next()
+            elems = [self.value()]
+            while self.accept(","):
+                elems.append(self.value())
+            self.expect("]")
+            src = (
+                f"array({', '.join(elems)})"
+                if self.dialect == "spark"
+                else f"[{', '.join(elems)}]"
+            )
+        else:
+            src = self.value()
+        shadowed = var in self.unwind_aliases
+        self.unwind_aliases.add(var)  # scope the iteration variable
+        try:
+            pred = self.expr() if self.accept("WHERE") else None
+            body = None
+            if self.peek()[1] == "|":
+                self.next()
+                body = self.value()
+        finally:
+            if not shadowed:
+                self.unwind_aliases.discard(var)
+        self.expect("]")
+        f_filter, f_map = (
+            ("filter", "transform")
+            if self.dialect == "spark"
+            else ("list_filter", "list_transform")
+        )
+        out = src
+        if pred is not None:
+            out = f"{f_filter}({out}, {var} -> {pred})"
+        if body is not None and body != var:
+            out = f"{f_map}({out}, {var} -> {body})"
+        return out
 
     def _map_projection(self, var: str) -> str:
         """``var {.prop1, .prop2}`` map projection → a struct: Spark
@@ -1240,16 +1311,49 @@ def _rel_source(r: _RelPat, rv: str, rels_view: str) -> str:
         # undirected: join against the natural+reverse union view —
         # the reference's own projection trick (KHOP.md:55-70).
         # Each physical edge matches in both orientations, exactly
-        # Cypher's undirected semantics. Only (ids, TYPE) survive
-        # the swap, so rel-property access on an undirected rel is
-        # rejected at parse level (var kept for pattern syntax).
+        # Cypher's undirected semantics. The id columns swap, so the
+        # view cannot `SELECT *`; rel properties the query actually
+        # references ride along explicitly (extra_props, collected
+        # from the emission's var.prop references by _plain_sql).
+        extra = "".join(f", {p}" for p in r.extra_props)
         return (
-            f"(SELECT START_ID, END_ID, TYPE FROM {rels_view}"
+            f"(SELECT START_ID, END_ID, TYPE{extra} FROM {rels_view}"
             f" UNION ALL"
-            f" SELECT END_ID AS START_ID, START_ID AS END_ID, TYPE"
+            f" SELECT END_ID AS START_ID, START_ID AS END_ID, TYPE{extra}"
             f" FROM {rels_view}) AS {rv}"
         )
     return f"{rels_view} AS {rv}"
+
+
+_REL_VIEW_COLS = {"START_ID", "END_ID", "TYPE"}
+
+
+def _collect_undirected_prop_refs(ast: dict) -> None:
+    """Fill ``extra_props`` on every named undirected rel from the
+    query's actual references: ``var.prop`` occurrences in the RETURN
+    items / WHERE / ORDER BY / optional-clause WHEREs, plus the
+    pattern's own ``{key: lit}`` equalities."""
+    texts: list[str] = [e for e, _a, _g in ast.get("items", [])]
+    if ast.get("where"):
+        texts.append(ast["where"])
+    texts.extend(e for e, _d in ast.get("order", []))
+    for _on, _or, owhere in ast.get("optionals", []):
+        if owhere:
+            texts.append(owhere)
+    blob = "\n".join(texts)
+    chains = ast.get("chains") or [(ast["nodes"], ast["rels"])]
+    all_rels = [r for _, cr in chains for r in cr]
+    for _on, orels, _ow in ast.get("optionals", []):
+        all_rels.extend(orels)
+    for r in all_rels:
+        if r.direction != "-":
+            continue
+        want = {k for k, _ in r.props}
+        if r.var:
+            want.update(
+                re.findall(rf"\b{re.escape(r.var)}\.(\w+)", blob)
+            )
+        r.extra_props = sorted(want - _REL_VIEW_COLS)
 
 
 def _prop_conds(r: _RelPat, rv: str) -> list[str]:
@@ -1653,6 +1757,7 @@ def _stage_sql(
 
 def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     nodes, rels = ast["nodes"], ast["rels"]
+    _collect_undirected_prop_refs(ast)
     unwinds = list(ast.get("unwinds", ()))
     if not nodes:
         # UNWIND-only query: the first exploded list is the FROM source

@@ -153,6 +153,27 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_undirected_rel_props",
+    # rel-property access on an UNDIRECTED rel: the natural+reverse
+    # union view now carries exactly the referenced property columns
+    # through the endpoint swap (cypher._collect_undirected_prop_refs)
+    "MATCH (s:Supplier)-[r:BUYS_FROM]-(x) "
+    "WHERE r.weight > 2000.0 "
+    "RETURN s.ID AS sid, count(*) AS n, round(sum(r.weight), 2) AS total",
+)
+
+_cypher_query(
+    "cypher_list_comprehension",
+    # [x IN list WHERE pred | body] -> transform/filter (Spark) vs
+    # list_transform/list_filter (DuckDB), identical lambda syntax
+    "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "RETURN n.name AS nation, "
+    # toInteger pins the integer-sum dtype (DuckDB sums ints to HUGEINT)
+    "toInteger(sum(size([x IN [1, 2, 3, 4, 5] WHERE x < c.ID % 5 | x * 2]))) AS s, "
+    "count(*) AS members",
+)
+
+_cypher_query(
     "cypher_where_filter",
     "MATCH (c:Customer) WHERE c.acctbal > 5000.0 AND c.acctbal <= 9000.0 "
     "RETURN c.ID AS id, c.acctbal AS acctbal ORDER BY id LIMIT 100",
@@ -958,6 +979,51 @@ def khop_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", "_source_ids_").alias("src_ids"),
         F.concat_ws(",", "_target_ids_").alias("dst_ids"),
         F.size("_source_ids_").cast("long").alias("n_edges"),
+    )
+
+
+@query(
+    "khop_wire_checksum",
+    oracle=_KHOP_FLAT_CTES
+    + """
+    SELECT CAST(origin AS INT) AS origin,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST((count(*) + 31) // 32 AS BIGINT) AS n_chunks,
+           CAST(sum((src * 1000003 + dst) % 1000000007) AS BIGINT) AS pair_hash
+    FROM flat
+    GROUP BY origin
+    """,
+)
+def khop_wire_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-free verification of the CHUNKED wire output: flattens the
+    khop() wire rows back to pairs and reduces each origin to (edge
+    count, chunk count, commutative pair-hash sum). Exists because the
+    khop_wire oracle's ordered list aggregation OOMs DuckDB at sf0.1
+    (tools/oracle_check.py) — this formulation verifies the same
+    chunked machinery (explode of the produced chunks, ceil-division
+    chunk-count law) at any sf. Per-term modulo keeps the BIGINT sum
+    exact in both engines."""
+    from neo4j_arrow_spark.operators.khop import khop as khop_op
+
+    nodes, rels = _graph(spark, sf_dir)
+    wire = khop_op(nodes, rels, filters=["IN_NATION"], list_size=32)
+    # one wire row == one chunk, so the per-chunk reduction (count of
+    # chunks, per-chunk pair count and hash) folds the ACTUAL produced
+    # chunking into the checksum — the oracle recomputes n_chunks as
+    # ceil(n_edges/32), so an over- or under-split chunking fails here
+    per_chunk = wire.select(
+        F.col("_origin_id_").alias("origin"),
+        F.size("_source_ids_").cast("long").alias("_n"),
+        F.expr(
+            "aggregate(zip_with(_source_ids_, _target_ids_, "
+            "(s, d) -> (CAST(s AS BIGINT) * 1000003 + d) % 1000000007), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("_h"),
+    )
+    return per_chunk.groupBy("origin").agg(
+        F.sum("_n").alias("n_edges"),
+        F.count("*").alias("n_chunks"),
+        F.sum("_h").alias("pair_hash"),
     )
 
 
@@ -2603,6 +2669,85 @@ def closeness_centrality3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
     )
     return closeness_centrality(edges, max_hops=3)
+
+
+_SAMPLED_DIST_CTES = f"""
+    WITH RECURSIVE rels AS ({RELS_SQL}),
+    e AS (
+        SELECT DISTINCT START_ID AS u, END_ID AS v
+        FROM rels WHERE TYPE = 'BUYS_FROM'
+    ),
+    und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    src AS (SELECT DISTINCT u FROM e WHERE u % 500 = 0),
+    b(origin, node, hop) AS (
+        SELECT u, u, 0 FROM src
+        UNION
+        SELECT b.origin, und.v, b.hop + 1
+        FROM b JOIN und ON b.node = und.u
+        WHERE b.hop < 3
+    ),
+    d AS (SELECT origin, node, min(hop) AS dist FROM b GROUP BY 1, 2)
+"""
+
+
+@query(
+    "harmonic_sampled",
+    oracle=_SAMPLED_DIST_CTES
+    + """
+    SELECT origin AS node,
+           CAST(count(*) AS BIGINT) AS reached,
+           CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_q
+    FROM d WHERE dist >= 1
+    GROUP BY origin
+    """,
+)
+def harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-SAMPLED hop-bounded harmonic centrality over the large
+    BUYS_FROM graph (every 500th source, the betweenness_sampled3
+    convention) — the scale-default variant: all-origins join powers
+    cannot survive 100x on a low-diameter graph, the origins= frontier
+    path can (per-round shuffle bounded by |frontier| x avg-degree)."""
+    from neo4j_arrow_spark.operators.graph_algs import harmonic_centrality
+
+    _, rels = _graph(spark, sf_dir)
+    edges = rels.filter(F.col("TYPE") == "BUYS_FROM").select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    sources = (
+        edges.filter(F.col("u") % 500 == 0)
+        .select(F.col("u").alias("node"))
+        .distinct()
+    )
+    return harmonic_centrality(edges, origins=sources, max_hops=3)
+
+
+@query(
+    "closeness_sampled",
+    oracle=_SAMPLED_DIST_CTES
+    + """
+    SELECT origin AS node,
+           CAST(count(*) AS BIGINT) AS reached,
+           CAST(sum(dist) AS BIGINT) AS total_hops,
+           CAST((count(*) * 1000000) // sum(dist) AS BIGINT) AS closeness_q
+    FROM d WHERE dist >= 1
+    GROUP BY origin
+    """,
+)
+def closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-sampled hop-bounded closeness over BUYS_FROM — same
+    sampling and frontier-BFS rationale as harmonic_sampled."""
+    from neo4j_arrow_spark.operators.graph_algs import closeness_centrality
+
+    _, rels = _graph(spark, sf_dir)
+    edges = rels.filter(F.col("TYPE") == "BUYS_FROM").select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    sources = (
+        edges.filter(F.col("u") % 500 == 0)
+        .select(F.col("u").alias("node"))
+        .distinct()
+    )
+    return closeness_centrality(edges, origins=sources, max_hops=3)
 
 
 @query(

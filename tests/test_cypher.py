@@ -1103,3 +1103,82 @@ def test_unbounded_varlength_fixed_suffix_chain(client):
         )
     ).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in bounded]
+
+
+# -- undirected rel properties + list comprehensions -------------------------
+
+def test_undirected_rel_property_carries_through_union_view():
+    sql = cypher_to_sql(
+        "MATCH (a)-[r:T {qty: 3}]-(b) WHERE r.price > 10.0 "
+        "RETURN b.ID AS id, sum(r.price) AS total",
+        "gn", "gr",
+    )
+    assert "SELECT START_ID, END_ID, TYPE, price, qty FROM gr" in sql
+    assert "START_ID AS END_ID, TYPE, price, qty" in sql
+    # directed rels keep the bare view (no union subquery)
+    sql2 = cypher_to_sql(
+        "MATCH (a)-[r:T]->(b) RETURN sum(r.price) AS total", "gn", "gr"
+    )
+    assert "UNION ALL" not in sql2
+
+
+def test_undirected_without_prop_refs_stays_narrow():
+    sql = cypher_to_sql(
+        "MATCH (a)-[r:T]-(b) RETURN count(*) AS n", "gn", "gr"
+    )
+    assert "SELECT START_ID, END_ID, TYPE FROM gr" in sql
+
+
+def test_list_comprehension_translation():
+    sql = cypher_to_sql(
+        "MATCH (c:Customer) RETURN c.ID AS id, "
+        "size([x IN [1, 2, 3] WHERE x > 1 | x * 2]) AS k",
+        "gn", "gr",
+    )
+    assert "size(transform(filter(array(1, 2, 3), x -> (x > 1)), x -> (x * 2)))" in sql
+    dsql = cypher_to_sql(
+        "MATCH (c:Customer) RETURN c.ID AS id, "
+        "size([x IN [1, 2, 3] WHERE x > 1 | x * 2]) AS k",
+        "gn", "gr", dialect="duckdb",
+    )
+    assert "len(list_transform(list_filter([1, 2, 3], x -> (x > 1)), x -> (x * 2)))" in dsql
+
+
+def test_list_comprehension_over_labels_array():
+    sql = cypher_to_sql(
+        "MATCH (n:Nation) RETURN n.ID AS id, "
+        "size([lbl IN n.LABELS WHERE lbl = 'Nation']) AS k",
+        "gn", "gr",
+    )
+    assert "filter(n.LABELS, lbl -> (lbl = 'Nation'))" in sql
+    assert "transform(" not in sql  # identity body elided
+
+
+def test_list_comprehension_end_to_end(client):
+    rows = client.stream(
+        client.cypher(
+            "MATCH (n:Nation) RETURN n.name AS name, "
+            "size([x IN [1, 2, 3, 4] WHERE x > 2 | x]) AS k "
+            "ORDER BY name LIMIT 2",
+            graph="cy",
+        )
+    ).collect()
+    assert [r.k for r in rows] == [2, 2]
+
+
+def test_undirected_rel_props_end_to_end(client):
+    # undirected + weight access: every BUYS_FROM edge seen from both
+    # endpoints, so the weighted sum doubles the directed sum
+    und = client.stream(
+        client.cypher(
+            "MATCH (a)-[r:BUYS_FROM]-(b) RETURN round(sum(r.weight), 2) AS s",
+            graph="cy",
+        )
+    ).collect()[0].s
+    nat = client.stream(
+        client.cypher(
+            "MATCH (a)-[r:BUYS_FROM]->(b) RETURN round(sum(r.weight), 2) AS s",
+            graph="cy",
+        )
+    ).collect()[0].s
+    assert abs(und - 2 * nat) < 0.05

@@ -1,0 +1,42 @@
+"""CI gate for the FULL query registry: every ``queries()`` entry vs
+its DuckDB oracle at sf0.01 — the driver samples only 50 queries per
+round, so without this the other ~100 (including every graph
+algorithm) could regress unnoticed (r4 judge finding).
+
+Runs ``tools/oracle_check.py`` in a subprocess (its own SparkSession
+with its own conf; sharing the test session would pin the wrong
+shuffle-partition/TZ settings). ~4-6 min; skip locally with
+``SPARK_GRAFT_SKIP_FULL_ORACLE=1`` when iterating on one operator —
+then use ``python tools/oracle_check.py /root/testdata/sf0.01 <name>``
+for the targeted check.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SKIP_FULL_ORACLE") == "1",
+    reason="full-registry oracle run disabled via env",
+)
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata {SF_DIR} not present"
+)
+def test_full_registry_oracle_equivalence():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "oracle_check.py"), SF_DIR],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-40:])
+    assert proc.returncode == 0, f"oracle check failed:\n{tail}\n{proc.stderr[-2000:]}"
+    assert "all oracle checks passed" in proc.stdout, tail

@@ -28,11 +28,66 @@ def test_extract_features_shape_and_determinism(media):
     assert rows == rows2
 
 
-def test_real_codec_path_is_stubbed(media):
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _pil_available(), reason="Pillow installed: the real path activates"
+)
+def test_real_codec_path_raises_only_on_missing_import(media):
+    # CodecUnavailable marks a genuinely failed import, not a declared
+    # stub — with Pillow absent, every fake=False image op raises it
     with pytest.raises(mm.CodecUnavailable):
         mm.extract_features(media, "doc_id", fake=False)
     with pytest.raises(mm.CodecUnavailable):
         mm.decode_image(media, "doc_id", fake=False)
+    with pytest.raises(mm.CodecUnavailable):
+        mm.resize_images(media, "doc_id", fake=False)
+
+
+@pytest.mark.skipif(
+    not _pil_available(), reason="Pillow not installed in this build"
+)
+def test_real_codec_path_decodes_with_pillow(media, spark):
+    # activates wherever Pillow exists: a real 8x6 RGB PNG round-trips
+    # through decode_image / resize_images / extract_features
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 6), (255, 0, 0)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    dec = mm.decode_image(df, "doc_id", fake=False).first()
+    assert (dec.width, dec.height, dec.channels) == (8, 6, 3)
+    rs = mm.resize_images(df, "doc_id", target=(4, 4), fake=False).first()
+    assert (rs.width, rs.height) == (4, 4)
+    img = Image.open(io.BytesIO(bytes(rs.payload)))
+    assert img.size == (4, 4)
+    feat = mm.extract_features(df, "doc_id", dim=16, fake=False).first()
+    assert len(feat.feature) == 16
+    assert all(-1.0 <= x < 1.0 for x in feat.feature)
+
+
+def test_sample_frames_real_path_requires_av(media):
+    try:
+        import av  # noqa: F401
+
+        has_av = True
+    except ImportError:
+        has_av = False
+    if has_av:
+        pytest.skip("PyAV installed: the real path activates")
+    with pytest.raises(mm.CodecUnavailable):
+        mm.sample_frames(media, "doc_id", fake=False)
 
 
 def test_decode_image(media):
