@@ -402,7 +402,10 @@ class _Parser:
     #: scalar functions with identical name/arity/semantics in Spark
     #: and DuckDB (all 1-based string indexing) — the dialect-neutral
     #: whitelist; anything else raises CypherUnsupported
-    _FNS = ("UPPER", "LOWER", "LENGTH", "ABS", "ROUND", "COALESCE", "SUBSTRING")
+    _FNS = (
+        "UPPER", "LOWER", "LENGTH", "ABS", "ROUND", "COALESCE",
+        "SUBSTRING", "TRIM", "REPLACE",
+    )
 
     def value(self) -> str:
         """Arithmetic expression: term (('+'|'-') term)*."""
@@ -458,6 +461,23 @@ class _Parser:
             and self.toks[self.pos + 2][1].upper() == "IN"
         ):
             return self._list_comprehension()
+        if tok == "{":
+            # map literal {k: v, ...} — a struct per dialect (same
+            # emission split as map projections)
+            self.next()
+            pairs: list[tuple[str, str]] = []
+            while True:
+                k = self.expect_name()
+                self.expect(":")
+                pairs.append((k, self.value()))
+                if not self.accept(","):
+                    break
+            self.expect("}")
+            if self.dialect == "spark":
+                inner = ", ".join(f"'{k}', {v}" for k, v in pairs)
+                return f"named_struct({inner})"
+            inner = ", ".join(f"{k} := {v}" for k, v in pairs)
+            return f"struct_pack({inner})"
         if kind == "name" and self.toks[self.pos + 1][1] == "(":
             fn = tok.upper()
             if fn in ("TOINTEGER", "TOFLOAT", "TOSTRING"):
@@ -473,6 +493,17 @@ class _Parser:
                     "TOSTRING": "STRING" if self.dialect == "spark" else "VARCHAR",
                 }[fn]
                 return f"CAST({inner} AS {ty})"
+            if fn == "RANGE":
+                self.next()
+                return self._range_call()
+            if fn == "RAND":
+                # NONDETERMINISTIC — usable through the API (the
+                # reference's own benchmark Cypher uses it, MANIFESTO.md:
+                # 239-242); keep it out of oracle-compared queries
+                self.next()
+                self.expect("(")
+                self.expect(")")
+                return "rand()" if self.dialect == "spark" else "random()"
             if fn in ("TOUPPER", "TOLOWER"):
                 # Cypher spellings of the shared UPPER/LOWER functions
                 self.next()
@@ -1005,6 +1036,21 @@ class _Parser:
             self._splice_pathlen(path_var)
         return (all_paths, path_var, nodes, rels)
 
+    def _range_call(self) -> str:
+        """``range(a, b[, step])`` with the ``range`` name consumed —
+        Cypher's INCLUSIVE integer range. Spark ``sequence`` and DuckDB
+        ``generate_series`` share those semantics exactly (DuckDB's
+        ``range`` is end-exclusive, hence the spelling split)."""
+        self.expect("(")
+        args = [self.value()]
+        while self.accept(","):
+            args.append(self.value())
+        self.expect(")")
+        if not 2 <= len(args) <= 3:
+            raise CypherSyntaxError("range() takes (start, end[, step])")
+        name = "sequence" if self.dialect == "spark" else "generate_series"
+        return f"{name}({', '.join(args)})"
+
     def _unwind_source(self, bound: set[str]) -> tuple[str, str]:
         """One UNWIND source: ``labels(var)`` (bound var), a list
         literal ``[a, b, …]``, or a ``$param`` bound to a list —
@@ -1027,20 +1073,32 @@ class _Parser:
             arr = self._param_marker(tok)
         elif kind == "name" and self.toks[self.pos + 1][1] == "(":
             fn = self.expect_name()
-            if fn.lower() != "labels":
+            if fn.lower() == "range":
+                arr = self._range_call()
+            elif fn.lower() == "labels":
+                self.expect("(")
+                uvar = self.expect_name()
+                if uvar not in bound:
+                    raise CypherSyntaxError(f"labels({uvar}): unbound variable")
+                self.expect(")")
+                arr = f"{uvar}.LABELS"
+            else:
                 raise CypherUnsupported(
-                    f"UNWIND supports labels(var), a list literal, or a "
-                    f"$param — got {fn!r}(...)"
+                    f"UNWIND supports labels(var), range(a, b), a list "
+                    f"literal, or a $param — got {fn!r}(...)"
                 )
-            self.expect("(")
-            uvar = self.expect_name()
-            if uvar not in bound:
-                raise CypherSyntaxError(f"labels({uvar}): unbound variable")
-            self.expect(")")
-            arr = f"{uvar}.LABELS"
+        elif (
+            kind == "name"
+            and self.aliases is not None
+            and tok in self.aliases
+        ):
+            # a list-valued alias from a leading WITH
+            self.next()
+            arr = tok
         else:
             raise CypherUnsupported(
-                "UNWIND supports labels(var), a list literal, or a $param"
+                "UNWIND supports labels(var), range(a, b), a list "
+                "literal, a $param, or a leading-WITH alias"
             )
         self.expect("AS")
         alias = self.expect_name()
@@ -1048,10 +1106,33 @@ class _Parser:
         return arr, alias
 
     def parse(self) -> dict:
+        # leading WITH (no MATCH): a one-row constant projection — the
+        # reference's headline benchmark shape (MANIFESTO.md:239-242:
+        # WITH [...rand()...] AS fauxEmbedding UNWIND range(...) ...)
+        lead_with: list[tuple[str, str, bool]] = []
+        if self.peek()[1] == "WITH":
+            self.next()
+            lead_with = [self.return_item()]
+            while self.accept(","):
+                lead_with.append(self.return_item())
+            if any(g for _, _, g in lead_with):
+                raise CypherUnsupported(
+                    "aggregates in a leading WITH are not supported"
+                )
+            self.aliases = {a for _, a, _ in lead_with}
+            if self.peek()[1] not in ("UNWIND", "RETURN"):
+                raise CypherUnsupported(
+                    "a leading WITH must be followed by UNWIND or RETURN "
+                    "(no MATCH — it is a constant projection)"
+                )
         lead_unwinds: list[tuple[str, str]] = []
         while self.accept("UNWIND"):
             lead_unwinds.append(self._unwind_source(set()))
-        if lead_unwinds and self.peek()[1] != "MATCH":
+        if lead_with and self.peek()[1] == "MATCH":
+            raise CypherUnsupported(
+                "MATCH after a leading WITH is not supported"
+            )
+        if (lead_unwinds or lead_with) and self.peek()[1] != "MATCH":
             # UNWIND-only query (batch-lookup shape): no graph pattern,
             # the exploded list IS the FROM source
             shortest, path_var = False, None
@@ -1273,6 +1354,7 @@ class _Parser:
             "path_subs": path_subs,
             "chains": chains,
             "chain_groups": chain_groups,
+            "lead_with": lead_with,
             "nodes": nodes,
             "rels": rels,
             "optionals": optionals,
@@ -1760,13 +1842,20 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     _collect_undirected_prop_refs(ast)
     unwinds = list(ast.get("unwinds", ()))
     if not nodes:
-        # UNWIND-only query: the first exploded list is the FROM source
-        src, alias = unwinds.pop(0)
-        if ast["dialect"] == "spark":
-            from_sql = f"(SELECT explode({src}) AS {alias}) AS _uw0"
+        if ast.get("lead_with"):
+            # leading WITH: a one-row constant projection is the FROM
+            # source; every UNWIND rides the lateral-view loop below
+            proj = ", ".join(f"{e} AS {a}" for e, a, _ in ast["lead_with"])
+            from_sql = f"(SELECT {proj}) AS _w0"
+            joins, conds = [], []
         else:
-            from_sql = f"(SELECT unnest({src}) AS {alias}) AS _uw0"
-        joins, conds = [], []
+            # UNWIND-only query: the first exploded list is the FROM source
+            src, alias = unwinds.pop(0)
+            if ast["dialect"] == "spark":
+                from_sql = f"(SELECT explode({src}) AS {alias}) AS _uw0"
+            else:
+                from_sql = f"(SELECT unnest({src}) AS {alias}) AS _uw0"
+            joins, conds = [], []
     else:
         chains = ast.get("chains") or [(nodes, rels)]
         groups = ast.get("chain_groups") if ast.get("chains") else None
@@ -2143,5 +2232,16 @@ def _order_ref(expr: str, items: list[tuple[str, str, bool]]) -> str:
 
 def is_cypher(query: str) -> bool:
     """Cheap dispatch: the reference's job API is Cypher-first; we
-    accept both and route on the leading keyword."""
-    return bool(re.match(r"\s*(MATCH|UNWIND)\b", query, re.IGNORECASE))
+    accept both and route on the leading keyword. ``WITH [`` / ``WITH
+    name AS`` starts the leading-WITH constant projection (the
+    MANIFESTO benchmark shape) — SQL's WITH is always ``WITH name AS
+    (``, so the paren distinguishes the two."""
+    if re.match(r"\s*(MATCH|UNWIND)\b", query, re.IGNORECASE):
+        return True
+    m = re.match(r"\s*WITH\b(?!\s+RECURSIVE\b)", query, re.IGNORECASE)
+    if not m:
+        return False
+    # SQL CTE: WITH <name> AS ( ...   Cypher leading WITH: anything else
+    return not re.match(
+        r"\s*WITH\s+\w+\s+AS\s*\(", query, re.IGNORECASE
+    )

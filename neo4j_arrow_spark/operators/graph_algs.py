@@ -551,6 +551,12 @@ def harmonic_centrality(
     visited set per origin, and stops early when it drains. Per-round
     shuffle is bounded by |frontier| x avg-degree, the same budget as
     khop; hot hubs are AQE skew-split.
+
+    100-TB default: pass ``origins=`` with a source SAMPLE (the
+    ``harmonic_sampled`` registry query's shape, mirroring GDS's
+    samplingSize convention). All-origins join powers materialize every
+    (origin, node) pair within max_hops — on a low-diameter graph that
+    tends to |V|^2, the one shape here that cannot survive 100x.
     """
     dist = _bounded_distances(edges, origins, max_hops)
     return dist.groupBy(F.col("origin").alias("node")).agg(

@@ -128,7 +128,18 @@ def quality_score(df: DataFrame, id_col: str, text_col: str = "text") -> DataFra
     mean-token-length band, stopword presence, symbol density penalty.
     Weights are arbitrary but fixed; the value is a deterministic pure
     function of the text."""
-    toks = tokens(text_col)
+    # Materialize the token array ONCE in its own projection: the
+    # score references it four times (size, stopword filter, length
+    # aggregate), and Spark's subexpression elimination does not reach
+    # through higher-order-function lambdas — inline, each reference
+    # re-ran regexp_extract_all (measured 8x the single-pass cost at
+    # sf1: 16.2s vs 2.1s for one tokens() evaluation). CollapseProject
+    # keeps the alias un-inlined because it is non-cheap and
+    # multiply-referenced.
+    base = df.select(
+        F.col(id_col), F.col(text_col), tokens(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
     n_toks = F.size(toks)
     n_chars = F.length(text_col)
     en_hits = _stopword_hits(toks, LANG_STOPWORDS["en"])
@@ -157,7 +168,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str = "text") -> DataFra
         + F.lit(0.3) * stop_score
         + F.lit(0.2) * (F.lit(1.0) - symbol_penalty)
     )
-    return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
+    return base.select(F.col(id_col), F.round(score, 6).alias("quality"))
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -166,11 +177,14 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     ``fp_sorted`` hashes the SORTED token multiset (word-order-
     insensitive — catches shuffled near-dups). Both 60-bit cross-engine
     stable hashes."""
-    toks = tokens(text_col)
-    return df.select(
+    # tokens materialized once: the two fingerprints would otherwise
+    # each re-run regexp_extract_all (CSE does not reach through the
+    # array expressions — the quality_score lesson)
+    base = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return base.select(
         F.col(id_col),
-        hash64(F.array_join(toks, " ")).alias("fp_exact"),
-        hash64(F.array_join(F.array_sort(toks), " ")).alias("fp_sorted"),
+        hash64(F.array_join(F.col("_toks"), " ")).alias("fp_exact"),
+        hash64(F.array_join(F.array_sort("_toks"), " ")).alias("fp_sorted"),
     )
 
 

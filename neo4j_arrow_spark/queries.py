@@ -153,6 +153,22 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_unwind_range",
+    # range(a, b) — Cypher's inclusive integer range (the reference's
+    # own benchmark uses UNWIND range(1, $rows), MANIFESTO.md:239-242):
+    # Spark sequence() / DuckDB generate_series()
+    "UNWIND range(1, 50) AS i RETURN i AS id, i * i AS sq",
+)
+
+_cypher_query(
+    "cypher_lead_with_unwind",
+    # leading WITH (constant projection) + UNWIND over its alias — the
+    # MANIFESTO benchmark shape, deterministic variant for the oracle
+    "WITH [x IN range(1, 8) | x * 2] AS emb UNWIND emb AS v "
+    "RETURN toInteger(sum(v)) AS total, count(*) AS n",
+)
+
+_cypher_query(
     "cypher_undirected_rel_props",
     # rel-property access on an UNDIRECTED rel: the natural+reverse
     # union view now carries exactly the referenced property columns

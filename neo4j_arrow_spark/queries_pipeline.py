@@ -1246,13 +1246,20 @@ def quality_filtered_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     `percentile` matches DuckDB's quantile_cont (both linear
     interpolation); the scalar threshold broadcasts."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = text.quality_score(docs, "doc_id")
+    # persist the (doc_id, quality) frame: the threshold aggregate and
+    # the filter side otherwise EACH recompute the regex-heavy scoring
+    # pass (r4 sf1 outlier — 3 evaluations made the 10x-data wall 9.3x;
+    # the cached plan is one scoring pass + two cheap cached scans)
+    scored = text.quality_score(docs, "doc_id").persist()
     thr = scored.agg(F.expr("percentile(quality, 0.25)").alias("thr"))
-    return (
+    out = (
         scored.crossJoin(F.broadcast(thr))
         .filter(F.col("quality") >= F.col("thr"))
         .select("doc_id", "quality")
     )
+    from neo4j_arrow_spark.operators.dedup import _with_intermediates
+
+    return _with_intermediates(out, [scored])
 
 
 _RECALL_SQL = f"""

@@ -37,6 +37,16 @@ _BASE_CONF = {
     # parquet scans: allow vectorized reader + pushdown (defaults, pinned
     # explicitly because the bench depends on them)
     "spark.sql.parquet.filterPushdown": "true",
+    # Small-file scan parallelism: Spark sizes splits as
+    # min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPartitionNum)),
+    # so with the 4 MB default open cost a 6 MB documents.parquet is ONE
+    # task — and a CPU-heavy narrow stage (regex token counts, quality
+    # scoring) then runs on one core of 32 (the r4 sf1 'superlinear'
+    # outliers: quality_filtered_corpus 9-10x wall at 10x data). A 256k
+    # open cost lets small compressed-text files split down to row-group
+    # granularity; at real scale files exceed maxPartitionBytes and both
+    # knobs are inert (minPartitionNum defaults to defaultParallelism).
+    "spark.sql.files.openCostInBytes": "262144",
     # the driver's events table carries timestamp[ns]; Spark's reader
     # rejects TIMESTAMP(NANOS) unless read as long (converted to a real
     # timestamp in sources.tpch.load_table)

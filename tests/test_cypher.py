@@ -1182,3 +1182,84 @@ def test_undirected_rel_props_end_to_end(client):
         )
     ).collect()[0].s
     assert abs(und - 2 * nat) < 0.05
+
+
+# -- range() / leading WITH / map literals -----------------------------------
+
+def test_range_translation_both_dialects():
+    s = cypher_to_sql("UNWIND range(1, 50) AS i RETURN i AS id", "gn", "gr")
+    assert "explode(sequence(1, 50)) AS i" in s
+    d = cypher_to_sql(
+        "UNWIND range(1, 50) AS i RETURN i AS id", "gn", "gr", dialect="duckdb"
+    )
+    assert "unnest(generate_series(1, 50)) AS i" in d
+    s3 = cypher_to_sql(
+        "UNWIND range(0, 10, 2) AS i RETURN i AS id", "gn", "gr"
+    )
+    assert "sequence(0, 10, 2)" in s3
+
+
+def test_leading_with_unwind_translation():
+    sql = cypher_to_sql(
+        "WITH [x IN range(1, 8) | x * 2] AS emb UNWIND emb AS v "
+        "RETURN toInteger(sum(v)) AS total",
+        "gn", "gr",
+    )
+    assert "(SELECT transform(sequence(1, 8), x -> (x * 2)) AS emb) AS _w0" in sql
+    assert "LATERAL VIEW explode(emb) _u0 AS v" in sql
+
+
+def test_manifesto_benchmark_query_transpiles():
+    # the reference's headline benchmark Cypher, verbatim shape
+    # (MANIFESTO.md:239-242) — rand() keeps it out of the oracle set
+    sql = cypher_to_sql(
+        "WITH [ _ IN range(1, 256) | rand() ] AS fauxEmbedding "
+        "UNWIND range(1, 1000) AS nodeId "
+        "RETURN nodeId, fauxEmbedding",
+        "gn", "gr",
+    )
+    assert "rand()" in sql and "sequence(1, 1000)" in sql
+
+
+def test_manifesto_benchmark_query_runs(client):
+    rows = client.stream(
+        client.cypher(
+            "WITH [ _ IN range(1, 16) | rand() ] AS fauxEmbedding "
+            "UNWIND range(1, 100) AS nodeId "
+            "RETURN nodeId, fauxEmbedding",
+            graph="cy",
+        )
+    ).collect()
+    assert len(rows) == 100
+    assert all(len(r.fauxEmbedding) == 16 for r in rows)
+    assert all(0.0 <= x < 1.0 for x in rows[0].fauxEmbedding)
+
+
+def test_leading_with_rejections():
+    with pytest.raises(CypherUnsupported):  # MATCH after leading WITH
+        cypher_to_sql(
+            "WITH 1 AS x MATCH (n:P) RETURN n.ID AS id", "gn", "gr"
+        )
+    with pytest.raises(CypherUnsupported):  # aggregate in leading WITH
+        cypher_to_sql("WITH count(*) AS c RETURN c", "gn", "gr")
+
+
+def test_map_literal_translation():
+    s = cypher_to_sql(
+        "MATCH (n:Nation) RETURN {name: n.name, id: n.ID} AS m", "gn", "gr"
+    )
+    assert "named_struct('name', n.name, 'id', n.ID)" in s
+    d = cypher_to_sql(
+        "MATCH (n:Nation) RETURN {name: n.name, id: n.ID} AS m",
+        "gn", "gr", dialect="duckdb",
+    )
+    assert "struct_pack(name := n.name, id := n.ID)" in d
+
+
+def test_trim_replace_whitelisted():
+    sql = cypher_to_sql(
+        "MATCH (n:Nation) WHERE trim(n.name) = 'X' "
+        "RETURN replace(n.name, '_', '-') AS r",
+        "gn", "gr",
+    )
+    assert "TRIM(n.name)" in sql and "REPLACE(n.name, '_', '-')" in sql

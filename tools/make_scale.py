@@ -107,12 +107,21 @@ def main() -> None:
         "nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split()
+    # Small row groups keep the files SPLITTABLE: Spark parallelizes a
+    # parquet scan at row-group granularity, and DuckDB's default single
+    # giant group made every documents-table operator run its regex-
+    # heavy stage on ONE core of 32 (the r4 sf1 'superlinear' outliers —
+    # quality_filtered_corpus 9.3x — were this input artifact, not a
+    # plan defect). 5000 rows/group ≈ 64 groups at sf1 for documents.
+    row_group = {"documents": 2000, "embeddings": 1000, "events": 50000}
     for t in scaled:
         union = "\nUNION ALL\n".join(
             copy_sql(t, args.src, i) for i in range(args.mult)
         )
+        rg = row_group.get(t, 122880)
         con.execute(
-            f"COPY ({union}) TO '{args.dst}/{t}.parquet' (FORMAT PARQUET)"
+            f"COPY ({union}) TO '{args.dst}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
         )
         n = con.execute(
             f"SELECT count(*) FROM '{args.dst}/{t}.parquet'"
