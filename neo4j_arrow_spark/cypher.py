@@ -404,7 +404,8 @@ class _Parser:
     #: whitelist; anything else raises CypherUnsupported
     _FNS = (
         "UPPER", "LOWER", "LENGTH", "ABS", "ROUND", "COALESCE",
-        "SUBSTRING", "TRIM", "REPLACE",
+        "SUBSTRING", "TRIM", "REPLACE", "LTRIM", "RTRIM", "REVERSE",
+        "FLOOR", "CEIL", "SQRT", "SIGN",
     )
 
     def value(self) -> str:
@@ -436,20 +437,21 @@ class _Parser:
     def factor(self) -> str:
         kind, tok = self.peek()
         if tok == "CASE":
-            # searched CASE only (CASE WHEN cond THEN val ... [ELSE val]
-            # END) — identical syntax/semantics in Spark SQL and DuckDB,
-            # so it passes through dialect-neutral
+            # searched (CASE WHEN cond THEN val ...) and simple
+            # (CASE expr WHEN val THEN res ...) forms — identical
+            # syntax/semantics in Spark SQL and DuckDB, dialect-neutral
             self.next()
+            base = "" if self.peek()[1] == "WHEN" else f" {self.value()}"
             arms = []
             while self.accept("WHEN"):
-                cond = self.expr()
+                cond = self.expr() if not base else self.value()
                 self.expect("THEN")
                 arms.append(f"WHEN {cond} THEN {self.value()}")
             if not arms:
                 raise CypherSyntaxError("CASE requires at least one WHEN arm")
             els = f" ELSE {self.value()}" if self.accept("ELSE") else ""
             self.expect("END")
-            return "(CASE " + " ".join(arms) + els + " END)"
+            return f"(CASE{base} " + " ".join(arms) + els + " END)"
         if tok == "(":
             self.next()
             inner = self.value()

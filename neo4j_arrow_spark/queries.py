@@ -153,6 +153,15 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_simple_case",
+    # simple CASE (CASE expr WHEN val THEN res) + the shared-name math
+    # whitelist (floor/sqrt under toInteger keeps the oracle exact)
+    "MATCH (n:Nation) RETURN n.name AS name, "
+    "CASE n.ID % 2 WHEN 0 THEN 'even' WHEN 1 THEN 'odd' ELSE '?' END AS par, "
+    "toInteger(floor(sqrt(n.ID))) AS root ORDER BY name",
+)
+
+_cypher_query(
     "cypher_unwind_range",
     # range(a, b) — Cypher's inclusive integer range (the reference's
     # own benchmark uses UNWIND range(1, $rows), MANIFESTO.md:239-242):

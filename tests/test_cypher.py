@@ -310,7 +310,7 @@ def test_computed_item_requires_alias():
 
 def test_unknown_function_rejected():
     with pytest.raises((CypherUnsupported, CypherSyntaxError)):
-        cypher_to_sql("MATCH (c:X) RETURN sqrt(c.acctbal) AS r", "gn", "ge")
+        cypher_to_sql("MATCH (c:X) RETURN cbrt(c.acctbal) AS r", "gn", "ge")
 
 
 def test_arithmetic_end_to_end(client):
@@ -1263,3 +1263,29 @@ def test_trim_replace_whitelisted():
         "gn", "gr",
     )
     assert "TRIM(n.name)" in sql and "REPLACE(n.name, '_', '-')" in sql
+
+
+def test_simple_case_translation():
+    sql = cypher_to_sql(
+        "MATCH (n:Nation) RETURN "
+        "CASE n.ID % 2 WHEN 0 THEN 'e' ELSE 'o' END AS par",
+        "gn", "gr",
+    )
+    assert "(CASE (n.ID % 2) WHEN 0 THEN 'e' ELSE 'o' END)" in sql
+    # searched form unchanged
+    sql2 = cypher_to_sql(
+        "MATCH (n:Nation) RETURN "
+        "CASE WHEN n.ID > 3 THEN 'big' ELSE 'small' END AS t",
+        "gn", "gr",
+    )
+    assert "(CASE WHEN (n.ID > 3) THEN 'big' ELSE 'small' END)" in sql2
+
+
+def test_math_string_whitelist():
+    sql = cypher_to_sql(
+        "MATCH (n:Nation) WHERE sign(n.ID) = 1 "
+        "RETURN ltrim(reverse(n.name)) AS r, ceil(n.ID / 2) AS c",
+        "gn", "gr",
+    )
+    assert "SIGN(n.ID)" in sql and "LTRIM(REVERSE(n.name))" in sql
+    assert "CEIL(" in sql
