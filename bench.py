@@ -103,6 +103,25 @@ def main() -> None:
     math_sec = min(_timed_noop(emb_math) for _ in range(5))
     math_rows_per_sec = round(n_rows / math_sec, 0)
 
+    # The reference's synthetic-Cypher benchmark VERBATIM through this
+    # engine's Cypher front-end (MANIFESTO.md:236-245: >500,000 rows/s
+    # on a 30-vCPU VM; the Java driver managed ~50k). Same query text,
+    # transpiled to a recursive projection + lateral explode.
+    from neo4j_arrow_spark.cypher import cypher_to_sql
+
+    faux_sql = cypher_to_sql(
+        f"WITH [ _ IN range(1, {dim}) | rand() ] AS fauxEmbedding "
+        f"UNWIND range(1, {n_rows}) AS nodeId "
+        "RETURN nodeId, fauxEmbedding",
+        "gnodes",
+        "grels",
+    )
+    faux = spark.sql(faux_sql)
+    faux.write.format("noop").mode("overwrite").save()
+    faux.write.format("noop").mode("overwrite").save()
+    cypher_sec = min(_timed_noop(faux) for _ in range(5))
+    cypher_rows_per_sec = round(n_rows / cypher_sec, 0)
+
     # scan-path variant — the headline test reads a STORED projection
     # (PaySim embeddings in GDS memory); here: parquet scan -> sink.
     scan_path = os.path.join(
@@ -175,7 +194,9 @@ def main() -> None:
         "synth_rps": rows_per_sec,
         "synth_math_rps": math_rows_per_sec,
         "scan_rps": scan_rows_per_sec,
+        "cypher_verbatim_rps": cypher_rows_per_sec,
         "baseline_rps": 1_031_461,
+        "baseline_cypher_rps": 500_000,
     }
     # Full per-query dump goes to a side file (the driver's tail buffer
     # is 2000 chars — round 2's all-queries line overflowed it and the

@@ -47,6 +47,12 @@ _BASE_CONF = {
     # granularity; at real scale files exceed maxPartitionBytes and both
     # knobs are inert (minPartitionNum defaults to defaultParallelism).
     "spark.sql.files.openCostInBytes": "262144",
+    # recursive CTEs back the unbounded Cypher varlength expansion
+    # (cypher._varlength_recursive_sql); the 1M-row default safety stop
+    # aborts legitimate path enumerations at sf0.1+ (6M-edge anchor).
+    # Runaway recursion is already bounded by the emitted hop guard
+    # (UNBOUNDED_HOP_GUARD), so the engine limit can sit far higher.
+    "spark.sql.cteRecursionRowLimit": "2000000000",
     # the driver's events table carries timestamp[ns]; Spark's reader
     # rejects TIMESTAMP(NANOS) unless read as long (converted to a real
     # timestamp in sources.tpch.load_table)
