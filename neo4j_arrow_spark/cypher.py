@@ -2001,9 +2001,28 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         ("START_ID", "END_ID") if seg.direction == "->" else ("END_ID", "START_ID")
     )
     tc = _type_cond(seg, "_e")
+    # Seed the anchor from the segment's START node's label/property
+    # conditions: predicates do NOT push down through the recursive
+    # union loop, so without this the recursion expands paths from
+    # EVERY edge and the start-node filter only prunes at the final
+    # join — at scale that is the whole frontier wasted. The outer
+    # query re-applies the same conditions (harmless), and _sid stays
+    # fixed through the recursion, so anchor seeding is exact.
+    seg_start = nodes[rels.index(seg)]
+    seed = [
+        f"array_contains(LABELS, '{lbl}')" for lbl in seg_start.labels
+    ] + [f"{k} = {lit}" for k, lit in seg_start.props]
     anchor = f"SELECT {src} AS _sid, {dst} AS _tid, 1 AS _hops FROM {rels_view} AS _e"
-    if tc:
-        anchor += f" WHERE {tc}"
+    anchor_conds = ([tc] if tc else []) + (
+        [
+            f"_e.{src} IN (SELECT ID FROM {nodes_view} "
+            f"WHERE {' AND '.join(seed)})"
+        ]
+        if seed
+        else []
+    )
+    if anchor_conds:
+        anchor += " WHERE " + " AND ".join(anchor_conds)
     step = (
         f"SELECT _p._sid, _e.{dst} AS _tid, _p._hops + 1 AS _hops\n"
         f"  FROM _vlp AS _p JOIN {rels_view} AS _e ON _e.{src} = _p._tid"

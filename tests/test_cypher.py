@@ -1289,3 +1289,22 @@ def test_math_string_whitelist():
     )
     assert "SIGN(n.ID)" in sql and "LTRIM(REVERSE(n.name))" in sql
     assert "CEIL(" in sql
+
+
+def test_unbounded_varlength_anchor_seeded_by_start_node():
+    # predicates don't push through the recursive union loop, so the
+    # start node's label/prop conditions must seed the anchor
+    sql = cypher_to_sql(
+        "MATCH (c:Customer {acctbal: 5.0})-[:BUYS_FROM*]->(x) "
+        "RETURN x.ID AS id, count(*) AS n",
+        "gn", "gr",
+    )
+    assert (
+        "_e.START_ID IN (SELECT ID FROM gn WHERE "
+        "array_contains(LABELS, 'Customer') AND acctbal = 5.0)" in sql
+    )
+    # bare start node: no seed subquery
+    sql2 = cypher_to_sql(
+        "MATCH (c)-[:BUYS_FROM*]->(x) RETURN count(*) AS n", "gn", "gr"
+    )
+    assert "IN (SELECT ID FROM" not in sql2
