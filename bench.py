@@ -191,7 +191,18 @@ def main() -> None:
     stream_blob = {
         "rows": n_rows,
         "dim": dim,
-        "synth_rps": rows_per_sec,
+        # r5 changed the synth workload (shared float pool + per-row
+        # slice, methodology-matched to the reference's shared
+        # fauxEmbedding) while keeping the old key — renamed here so
+        # cross-round diffs don't read the workload change as an
+        # engine speedup. r1–r4 "synth_rps" measured per-element math:
+        # compare those rounds against synth_math_rps, which is that
+        # workload (a fresh 256-element array per row).
+        "synth_slice_rps": rows_per_sec,
+        "synth_rps_workload_note": (
+            "synth_slice_rps was synth_rps in r5; r1-r4 synth_rps was "
+            "the per-element-math workload now reported as synth_math_rps"
+        ),
         "synth_math_rps": math_rows_per_sec,
         "scan_rps": scan_rows_per_sec,
         "cypher_verbatim_rps": cypher_rows_per_sec,

@@ -1879,6 +1879,16 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
                     "labels/properties on OPTIONAL MATCH target nodes are "
                     "not supported (v1) — filter in WHERE with IS NULL guards"
                 )
+        # Cypher's within-clause relationship uniqueness applies to an
+        # OPTIONAL MATCH's own pattern too. Each slot's pairwise
+        # not-same-edge predicates vs EARLIER slots ride in that slot's
+        # own LEFT JOIN ON clause (WHERE would drop anchor rows instead
+        # of nulling): a same-edge bind then nulls the slot and, via
+        # the key chain, everything downstream of it.
+        oslots = [
+            (r.var or f"_o{oi}_{i}", r.direction == "-", list(r.rtypes), 0)
+            for i, r in enumerate(orels)
+        ]
         for i, r in enumerate(orels):
             rv = r.var or f"_o{oi}_{i}"
             a, b = onodes[i].var, onodes[i + 1].var
@@ -1887,6 +1897,9 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
                 on = f"{on} AND {cond}"
             for pc in _prop_conds(r, rv):
                 on = f"{on} AND {pc}"
+            for j in range(i):
+                for uc in _rel_uniqueness_conds([oslots[j], oslots[i]]):
+                    on = f"{on} AND {uc}"
             if owhere and i == len(orels) - 1:
                 # the clause's own WHERE rides in the final ON so a
                 # failed filter nulls the optional pattern instead of
@@ -1949,24 +1962,61 @@ _MAX_VARLENGTH_BRANCHES = 8
 UNBOUNDED_HOP_GUARD = 10
 
 
+def _vlp_multiplicity_insensitive(ast: dict) -> bool:
+    """True when the query's result cannot depend on HOW MANY walks
+    connect a (source, target, hops) triple — ``RETURN DISTINCT`` with
+    no aggregates, or every aggregate duplicate-insensitive
+    (count(DISTINCT ..), min, max, any_value). For such shapes the
+    recursive expansion can run in distinct-frontier mode: each
+    iteration keeps ≤|V|² distinct (source, target) rows instead of
+    enumerating every walk, turning an exponential blowup on cyclic
+    graphs into a linear-per-hop frontier — and since any walk contains
+    a path, reachability under walk semantics EQUALS Cypher's
+    edge-unique path semantics, so this mode is exact on cyclic graphs
+    (no divergence)."""
+    items = ast["items"]
+    has_agg = any(agg for _, _, agg in items)
+    if not has_agg:
+        return bool(ast["distinct"])
+    dup_safe = re.compile(
+        r"(?is)^\s*(count\s*\(\s*distinct\b|min\s*\(|max\s*\(|any_value\s*\()"
+    )
+    return all(
+        bool(dup_safe.match(e)) for e, _a, agg in items if agg
+    )
+
+
 def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
-    """Unbounded variable-length patterns (``-[:T*]->``, ``-[:T*2..]->``)
-    as a recursive CTE — supported natively by BOTH dialects (Spark 4's
-    ``WITH RECURSIVE`` and DuckDB's), so the oracle runs the exact same
-    shape. The CTE enumerates (source, target, hops) path rows up to
-    ``max_hops``; the outer query splices it into the fixed chain like
+    """Unbounded variable-length patterns (``-[:T*]->``, ``-[:T*2..]->``,
+    ``-[:T*]-``) as a recursive CTE — supported natively by BOTH dialects
+    (Spark 4's ``WITH RECURSIVE`` and DuckDB's), so the oracle runs the
+    exact same shape. The CTE enumerates (source, target, hops) rows up
+    to ``max_hops``; the outer query splices it into the fixed chain like
     any other rel join, so node labels/props/WHERE/aggregates all apply
     unchanged. Spark executes the recursion as an iterative union-loop —
     per-hop join + union, each distributed; no driver-side traversal.
 
-    Same documented divergence as the bounded expansion: per-path
-    relationship uniqueness is not enforced (differs only on graphs
-    with directed cycles, where the hop guard also bounds the blowup).
+    Two execution modes, chosen from the query shape:
 
-    Scope: one unbounded segment per pattern, directed, unbound var —
-    the other rels in the chain must be fixed-length.
+    - **distinct-frontier** (``_vlp_multiplicity_insensitive``): anchor
+      and step both SELECT DISTINCT, bounding every iteration at |V|²
+      rows — linear per hop, safe on cyclic graphs, and EXACT vs
+      Cypher (walk-reachability == edge-unique-path reachability).
+    - **walk enumeration** (multiplicity-sensitive shapes, e.g.
+      ``count(*) AS paths``): every walk is a row. Documented
+      divergence: per-path relationship uniqueness is not enforced
+      (differs only on graphs with directed cycles, where the hop
+      guard + the session ``cteRecursionRowLimit`` backstop bound the
+      blowup).
+
+    Scope: one unbounded segment per pattern, unbound var — the other
+    rels in the chain must be fixed-length. Undirected (``-[*]-``)
+    traverses the symmetric edge closure and is supported only in
+    distinct-frontier mode (walk counting over the closure would count
+    a↔b ping-pong walks that Cypher's edge-uniqueness forbids).
     """
     nodes, rels = ast["nodes"], ast["rels"]
+    _collect_undirected_prop_refs(ast)
     if ast["optionals"]:
         raise CypherUnsupported(
             "OPTIONAL MATCH combined with variable-length is not supported"
@@ -1991,16 +2041,53 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
             "binding an unbounded variable-length relationship to a "
             "variable is not supported"
         )
+    frontier_distinct = _vlp_multiplicity_insensitive(ast)
+    walk_view = rels_view
     if seg.direction == "-":
-        raise CypherUnsupported(
-            "undirected unbounded variable-length is not supported"
+        if not frontier_distinct:
+            raise CypherUnsupported(
+                "undirected unbounded variable-length requires a "
+                "duplicate-insensitive query shape (RETURN DISTINCT or "
+                "min/max/count(DISTINCT) aggregates): walk counting over "
+                "the symmetric closure would count a<->b ping-pong walks "
+                "that Cypher's relationship uniqueness forbids"
+            )
+        # symmetric edge closure: every edge traversable both ways;
+        # distinct-frontier reachability over it == Cypher's undirected
+        # path reachability (any walk contains a path). Pattern-prop
+        # columns ride along so `{key: val}` filters apply per step.
+        pextra = "".join(f", {k}" for k, _ in seg.props)
+        walk_view = (
+            f"(SELECT START_ID, END_ID, TYPE{pextra} FROM {rels_view} "
+            f"UNION ALL SELECT END_ID AS START_ID, START_ID AS END_ID, "
+            f"TYPE{pextra} FROM {rels_view})"
+        )
+        src, dst = "START_ID", "END_ID"
+    else:
+        # edge orientation: traversal always walks a -> b in pattern order
+        src, dst = (
+            ("START_ID", "END_ID")
+            if seg.direction == "->"
+            else ("END_ID", "START_ID")
         )
     guard = ast.get("max_hops") or UNBOUNDED_HOP_GUARD
-    # edge orientation: traversal always walks a -> b in pattern order
-    src, dst = (
-        ("START_ID", "END_ID") if seg.direction == "->" else ("END_ID", "START_ID")
-    )
+    if seg.minlen > guard:
+        if ast.get("max_hops"):
+            raise CypherUnsupported(
+                f"variable-length lower bound {seg.minlen} exceeds "
+                f"max_hops={guard}: the expansion would be empty by "
+                "construction (recursion stops before the lower bound)"
+            )
+        # default guard below the open lower bound (e.g. `*12..` with
+        # guard 10) would silently return zero rows — grow it so the
+        # demanded band [minlen, minlen+headroom) is reachable
+        guard = seg.minlen + UNBOUNDED_HOP_GUARD - 1
     tc = _type_cond(seg, "_e")
+    # pattern-prop equalities on the unbounded segment apply to EVERY
+    # traversed edge (Cypher: each rel in the path matches the map)
+    seg_pc = _prop_conds(seg, "_e")
+    if seg_pc:
+        tc = " AND ".join(([tc] if tc else []) + seg_pc)
     # Seed the anchor from the segment's START node's label/property
     # conditions: predicates do NOT push down through the recursive
     # union loop, so without this the recursion expands paths from
@@ -2012,7 +2099,11 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     seed = [
         f"array_contains(LABELS, '{lbl}')" for lbl in seg_start.labels
     ] + [f"{k} = {lit}" for k, lit in seg_start.props]
-    anchor = f"SELECT {src} AS _sid, {dst} AS _tid, 1 AS _hops FROM {rels_view} AS _e"
+    dk = "DISTINCT " if frontier_distinct else ""
+    anchor = (
+        f"SELECT {dk}{src} AS _sid, {dst} AS _tid, 1 AS _hops "
+        f"FROM {walk_view} AS _e"
+    )
     anchor_conds = ([tc] if tc else []) + (
         [
             f"_e.{src} IN (SELECT ID FROM {nodes_view} "
@@ -2024,8 +2115,8 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     if anchor_conds:
         anchor += " WHERE " + " AND ".join(anchor_conds)
     step = (
-        f"SELECT _p._sid, _e.{dst} AS _tid, _p._hops + 1 AS _hops\n"
-        f"  FROM _vlp AS _p JOIN {rels_view} AS _e ON _e.{src} = _p._tid"
+        f"SELECT {dk}_p._sid, _e.{dst} AS _tid, _p._hops + 1 AS _hops\n"
+        f"  FROM _vlp AS _p JOIN {walk_view} AS _e ON _e.{src} = _p._tid"
     )
     if tc:
         step += f" AND {tc}"
@@ -2093,6 +2184,7 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     import itertools
 
     nodes, rels = ast["nodes"], ast["rels"]
+    _collect_undirected_prop_refs(ast)
     if ast["optionals"]:
         raise CypherUnsupported(
             "OPTIONAL MATCH combined with variable-length is not supported"
@@ -2143,7 +2235,16 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
                 )
                 brels.append(
                     _RelPat(
-                        r.var if not r.is_varlength else "", r.rtypes, r.direction
+                        r.var if not r.is_varlength else "",
+                        r.rtypes,
+                        r.direction,
+                        # carry pattern-prop equalities and the
+                        # undirected union view's pass-through columns
+                        # into the branch copy (dropping them silently
+                        # lost `{key: val}` filters / `r.prop` refs on
+                        # fixed rels in varlength-containing patterns)
+                        props=list(r.props),
+                        extra_props=list(r.extra_props),
                     )
                 )
                 bnodes.append(target)

@@ -50,9 +50,16 @@ _BASE_CONF = {
     # recursive CTEs back the unbounded Cypher varlength expansion
     # (cypher._varlength_recursive_sql); the 1M-row default safety stop
     # aborts legitimate path enumerations at sf0.1+ (6M-edge anchor).
-    # Runaway recursion is already bounded by the emitted hop guard
-    # (UNBOUNDED_HOP_GUARD), so the engine limit can sit far higher.
-    "spark.sql.cteRecursionRowLimit": "2000000000",
+    # Sized to the expected frontier, not effectively-unlimited: the
+    # registry's walk-mode enumerations total ~13M rows at sf0.1 /
+    # ~130M at sf1, so 200M keeps ~1.5x headroom while remaining a
+    # real backstop (10x tighter than the previous 2e9). Depth is
+    # bounded by the emitted hop guard (UNBOUNDED_HOP_GUARD); breadth
+    # for DISTINCT-shaped queries is bounded by the distinct-frontier
+    # compilation, so only multiplicity-sensitive walk counting ever
+    # approaches this limit. (Scoping the raise per-statement is not
+    # possible: Spark reads this conf at action time, not plan time.)
+    "spark.sql.cteRecursionRowLimit": "200000000",
     # the driver's events table carries timestamp[ns]; Spark's reader
     # rejects TIMESTAMP(NANOS) unless read as long (converted to a real
     # timestamp in sources.tpch.load_table)
