@@ -2014,6 +2014,14 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     traverses the symmetric edge closure and is supported only in
     distinct-frontier mode (walk counting over the closure would count
     a↔b ping-pong walks that Cypher's edge-uniqueness forbids).
+
+    Undirected divergence (asserted in tests/test_cypher_golden.py
+    g17): closure walk-reachability can report the START node as
+    reachable from itself via a single-edge backtrack, which Cypher's
+    rel-uniqueness forbids unless the component has an edge-distinct
+    closed trail through it. Every s→t row with t ≠ s is exact (an
+    undirected walk reduces to an edge-distinct trail when the
+    endpoints differ); directed mode is exact for all rows.
     """
     nodes, rels = ast["nodes"], ast["rels"]
     _collect_undirected_prop_refs(ast)
