@@ -920,10 +920,21 @@ class _Parser:
         implicit-grouping rule), including nested in scalar functions
         or arithmetic, e.g. ``round(sum(x) / count(*), 2)``."""
         self._saw_agg = False
+        start = self.pos
         expr = self.value()
         is_agg = self._saw_agg
         m = re.fullmatch(r"(COUNT|SUM|AVG|MIN|MAX)\(.*\)", expr)
         default_alias = m.group(1).lower() if m else expr.replace(".", "_")
+        consumed = self.toks[start : self.pos]
+        if (
+            len(consumed) == 1
+            and consumed[0][0] == "name"
+            and expr == f"{consumed[0][1]}.ID"
+        ):
+            # a bare node variable (`WITH n, ...` / `RETURN n`) keeps
+            # its own name as the alias, openCypher-style — so a later
+            # `MATCH (n)-…` re-anchors on `n`, not on a synthetic n_ID
+            default_alias = consumed[0][1]
         if self.accept("AS"):
             alias = self.expect_name()
         else:
@@ -1108,6 +1119,9 @@ class _Parser:
         return arr, alias
 
     def parse(self) -> dict:
+        #: WHERE clauses attached to non-final MATCH clauses (ANDed
+        #: into the main filter — conjunctive equivalence)
+        self._inter_wheres: list[str] = []
         # leading WITH (no MATCH): a one-row constant projection — the
         # reference's headline benchmark shape (MANIFESTO.md:239-242:
         # WITH [...rand()...] AS fauxEmbedding UNWIND range(...) ...)
@@ -1160,17 +1174,34 @@ class _Parser:
                 chain_groups = [0] * len(chains)
                 # consecutive MATCH clauses: conjunctive, same semantics
                 # as comma-separated patterns (shared vars join). A
-                # WHERE between MATCHes is not supported — one WHERE
-                # after the last clause (OPTIONAL MATCH keeps its own).
+                # WHERE attached to a non-final MATCH clause is ANDed
+                # into the global filter — with inner joins the two are
+                # equivalent (Cypher's clause-local filtering commutes
+                # across conjunctive clauses).
                 grp = 0
-                while self.peek()[1] == "MATCH" and not getattr(
-                    self, "_plain_path", None
-                ):
-                    self.next()
-                    grp += 1
-                    more = self.patterns()
-                    chains.extend(more)
-                    chain_groups.extend([grp] * len(more))
+                while not getattr(self, "_plain_path", None):
+                    if self.peek()[1] == "MATCH":
+                        self.next()
+                        grp += 1
+                        more = self.patterns()
+                        chains.extend(more)
+                        chain_groups.extend([grp] * len(more))
+                        continue
+                    if self.peek()[1] == "WHERE":
+                        # consume only when another MATCH follows;
+                        # otherwise rewind — it is the main clause
+                        # filter (parsed after OPTIONAL MATCH below)
+                        save = self.pos
+                        self.next()
+                        self._bound = {
+                            n.var for cn, _ in chains for n in cn
+                        }
+                        w = self.expr()
+                        if self.peek()[1] == "MATCH":
+                            self._inter_wheres.append(w)
+                            continue
+                        self.pos = save
+                    break
                 nodes, rels = _flatten_chains(chains)
         path_subs: dict[str, str] = {}
         plain_path = getattr(self, "_plain_path", None)
@@ -1229,67 +1260,95 @@ class _Parser:
             # the main clause's WHERE: a post-join global filter
             self._bound = set(bound)  # EXISTS pattern anchor check
             where = self.expr()
-            if self.peek()[1] == "MATCH":
-                raise CypherUnsupported(
-                    "WHERE between MATCH clauses is not supported — put "
-                    "one WHERE after the last MATCH (conjunctive clauses "
-                    "AND anyway)"
-                )
+        if self._inter_wheres:
+            parts = [f"({w})" for w in self._inter_wheres]
+            if where:
+                parts.append(f"({where})")
+            where = " AND ".join(parts)
         unwinds: list[tuple[str, str]] = list(lead_unwinds)
         while self.accept("UNWIND"):
             unwinds.append(self._unwind_source(bound))
+        # ---- pipeline: (WITH stage [WHERE] [MATCH pattern [WHERE]])* ----
+        # Each WITH resets the scope to its aliases (Cypher rule); each
+        # MATCH-after-WITH re-anchors on a carried alias and opens fresh
+        # graph variables (full property access) alongside the carried
+        # aliases, so multi-stage MATCH…WITH agg…MATCH…RETURN composes.
         withs = []
-        while self.accept("WITH"):
-            wdistinct = self.accept("DISTINCT")
-            witems = [self.return_item()]
-            while self.accept(","):
-                witems.append(self.return_item())
-            # everything after WITH sees only the aliases (Cypher scope
-            # rule); the post-WITH WHERE is SQL HAVING when it touches
-            # an aggregate alias — same thing here, the stage below has
-            # already aggregated
-            self.aliases = {a for _, a, _ in witems}
-            wwhere = self.expr() if self.accept("WHERE") else None
-            withs.append({"items": witems, "distinct": wdistinct, "where": wwhere})
+        pipeline: list[dict] = []
         post_match = None
-        if withs and self.peek()[1] == "MATCH":
-            # MATCH after WITH: re-anchor the pipeline on a carried
-            # alias. The first pattern node must BE an alias (anchored
-            # by id); the rest are fresh variables with full property
-            # access again.
-            self.next()
-            pnodes, prels = self.pattern()
-            anchor = pnodes[0]
-            if anchor.var not in self.aliases:
-                raise CypherUnsupported(
-                    f"MATCH after WITH must start from a carried alias; "
-                    f"{anchor.var!r} is not one of {sorted(self.aliases)}"
-                )
-            if anchor.labels or anchor.props:
-                raise CypherUnsupported(
-                    "labels/properties on the anchor of MATCH-after-WITH "
-                    "are not supported (it is already bound)"
-                )
-            fresh = set()
-            for n in pnodes[1:]:
-                if n.var in self.aliases or n.var in fresh:
+        while True:
+            if self.accept("WITH"):
+                wdistinct = self.accept("DISTINCT")
+                witems = [self.return_item()]
+                while self.accept(","):
+                    witems.append(self.return_item())
+                # everything after WITH sees only the aliases (Cypher
+                # scope rule); the post-WITH WHERE is SQL HAVING when it
+                # touches an aggregate alias — same thing here, the
+                # stage below has already aggregated
+                self.aliases = {a for _, a, _ in witems}
+                self.post_vars = frozenset()
+                wwhere = self.expr() if self.accept("WHERE") else None
+                st = {
+                    "kind": "with",
+                    "items": witems,
+                    "distinct": wdistinct,
+                    "where": wwhere,
+                }
+                withs.append(st)
+                pipeline.append(st)
+                continue
+            if (
+                pipeline
+                and pipeline[-1]["kind"] == "with"
+                and self.peek()[1] == "MATCH"
+            ):
+                # MATCH after WITH: re-anchor the pipeline on a carried
+                # alias. The first pattern node must BE an alias
+                # (anchored by id); the rest are fresh variables with
+                # full property access again.
+                self.next()
+                pnodes, prels = self.pattern()
+                anchor = pnodes[0]
+                if anchor.var not in self.aliases:
                     raise CypherUnsupported(
-                        f"MATCH after WITH re-binding {n.var!r} is not "
-                        "supported (only the first node may be an alias)"
+                        f"MATCH after WITH must start from a carried alias; "
+                        f"{anchor.var!r} is not one of {sorted(self.aliases)}"
                     )
-                fresh.add(n.var)
-            for r in prels:
-                if r.is_varlength:
+                if anchor.labels or anchor.props:
                     raise CypherUnsupported(
-                        "variable-length in MATCH after WITH is not supported"
+                        "labels/properties on the anchor of MATCH-after-WITH "
+                        "are not supported (it is already bound)"
                     )
-                if r.var:
-                    fresh.add(r.var)
-            # the anchor is rejoined to the node table, so its
-            # properties are accessible again (anchor.prop)
-            self.post_vars = frozenset(fresh | {anchor.var})
-            pwhere = self.expr() if self.accept("WHERE") else None
-            post_match = {"nodes": pnodes, "rels": prels, "where": pwhere}
+                fresh = set()
+                for n in pnodes[1:]:
+                    if n.var in self.aliases or n.var in fresh:
+                        raise CypherUnsupported(
+                            f"MATCH after WITH re-binding {n.var!r} is not "
+                            "supported (only the first node may be an alias)"
+                        )
+                    fresh.add(n.var)
+                for r in prels:
+                    if r.is_varlength:
+                        raise CypherUnsupported(
+                            "variable-length in MATCH after WITH is not "
+                            "supported"
+                        )
+                    if r.var:
+                        fresh.add(r.var)
+                # the anchor is rejoined to the node table, so its
+                # properties are accessible again (anchor.prop)
+                self.post_vars = frozenset(fresh | {anchor.var})
+                pwhere = self.expr() if self.accept("WHERE") else None
+                post_match = {
+                    "kind": "match",
+                    "nodes": pnodes,
+                    "rels": prels,
+                    "where": pwhere,
+                }
+                pipeline.append(post_match)
+                continue
+            break
         self.expect("RETURN")
         distinct = self.accept("DISTINCT")
         items = [self.return_item()]
@@ -1363,6 +1422,7 @@ class _Parser:
             "where": where,
             "unwinds": unwinds,
             "withs": withs,
+            "pipeline": pipeline,
             "post_match": post_match,
             "distinct": distinct,
             "items": items,
@@ -1720,11 +1780,18 @@ def _single_query_sql_inner(
     _vl_sql = _varlength_recursive_sql if unbounded else _varlength_sql
     if ast["withs"]:
         # WITH pipeline: the pattern + first WITH's items become the
-        # innermost query; each further stage (and finally RETURN)
-        # projects/aggregates over the previous stage's aliases, with
-        # its leading WHERE as the stage filter (HAVING-equivalent when
-        # the alias is an aggregate — the stage below has aggregated).
-        first = ast["withs"][0]
+        # innermost query; the remaining pipeline elements fold left —
+        # a with-stage projects/aggregates over the previous stage
+        # (its predecessor's trailing WHERE is the stage filter,
+        # HAVING-equivalent when the alias is an aggregate), and a
+        # match-element joins the stage back to the graph anchored on
+        # a carried alias, projecting the FOLLOWING with-stage's items
+        # (or RETURN when it is the last element). Chained
+        # MATCH…WITH agg…MATCH…WITH…RETURN composes to nested
+        # subqueries — each stage a plain aggregate/join Catalyst
+        # plans like any SQL pipeline.
+        pipeline = ast["pipeline"]
+        first = pipeline[0]
         inner_ast = {
             **ast,
             "items": first["items"],
@@ -1739,27 +1806,50 @@ def _single_query_sql_inner(
             if varlength
             else _plain_sql(inner_ast, nodes_view, rels_view)
         )
-        # middle stages: WITH i+1's items over stage i, filtered by
-        # stage i's trailing WHERE; the final stage is RETURN itself
-        # (or the MATCH-after-WITH join, which consumes the last WHERE)
-        stages = [
-            (w["items"], w["distinct"], prev["where"])
-            for prev, w in zip(ast["withs"], ast["withs"][1:])
-        ]
-        if ast["post_match"]:
-            for i, (items, distinct, where) in enumerate(stages):
-                sql = _stage_sql(sql, items, distinct, where, i)
-            return _subst_views(
-                _post_match_sql(ast, sql, nodes_view, rels_view),
-                nodes_view,
-                rels_view,
-            )
-        stages.append((ast["items"], ast["distinct"], ast["withs"][-1]["where"]))
-        for i, (items, distinct, where) in enumerate(stages):
-            last = i == len(stages) - 1
-            sql = _stage_sql(sql, items, distinct, where, i)
-            if last:
-                sql = _order_limit_tail(sql, ast)
+        pending_where = first["where"]
+        els = pipeline[1:]
+        i = depth = 0
+        while i < len(els):
+            el = els[i]
+            if el["kind"] == "with":
+                sql = _stage_sql(
+                    sql, el["items"], el["distinct"], pending_where, depth
+                )
+                pending_where = el["where"]
+                i += 1
+            else:
+                # a match-element is always followed by a with-stage or
+                # by RETURN (the parser only accepts MATCH after WITH)
+                if i + 1 < len(els):
+                    nxt = els[i + 1]
+                    sql = _match_stage_sql(
+                        el,
+                        sql,
+                        nodes_view,
+                        rels_view,
+                        nxt["items"],
+                        nxt["distinct"],
+                        pending_where,
+                        depth,
+                    )
+                    pending_where = nxt["where"]
+                    i += 2
+                else:
+                    sql = _match_stage_sql(
+                        el,
+                        sql,
+                        nodes_view,
+                        rels_view,
+                        ast["items"],
+                        ast["distinct"],
+                        pending_where,
+                        depth,
+                    )
+                    sql = _order_limit_tail(sql, ast)
+                    return _subst_views(sql, nodes_view, rels_view)
+            depth += 1
+        sql = _stage_sql(sql, ast["items"], ast["distinct"], pending_where, depth)
+        sql = _order_limit_tail(sql, ast)
         return _subst_views(sql, nodes_view, rels_view)
     if varlength:
         return _subst_views(
@@ -1770,22 +1860,32 @@ def _single_query_sql_inner(
     )
 
 
-def _post_match_sql(
-    ast: dict, base_sql: str, nodes_view: str, rels_view: str
+def _match_stage_sql(
+    pm: dict,
+    base_sql: str,
+    nodes_view: str,
+    rels_view: str,
+    items: list[tuple[str, str, bool]],
+    distinct: bool,
+    stage_where: str | None,
+    depth: int,
 ) -> str:
     """MATCH after WITH: join the pipeline stage back to the graph,
     anchored on the carried alias (``JOIN nodes ON nodes.ID = alias``),
-    then extend along the fresh pattern and project RETURN."""
-    pm = ast["post_match"]
+    extend along the fresh pattern, and project the NEXT stage's items
+    (the following WITH's, or RETURN's when this is the last element).
+    ``stage_where`` is the preceding with-stage's trailing WHERE —
+    filtering the stage rows before the graph re-join, so Catalyst
+    pushes it below the join."""
     pnodes, prels = pm["nodes"], pm["rels"]
-    stage = "_scope"
+    stage = f"_scope{depth}"
     anchor = pnodes[0].var
     joins = [f"JOIN {nodes_view} AS {anchor} ON {anchor}.ID = {stage}.{anchor}"]
     conds: list[str] = []
-    if ast["withs"][-1]["where"]:
-        conds.append(ast["withs"][-1]["where"])
+    if stage_where:
+        conds.append(stage_where)
     for i, r in enumerate(prels):
-        rv = r.var or f"_p{i}"
+        rv = r.var or f"_p{depth}_{i}"
         a, b = pnodes[i].var, pnodes[i + 1].var
         on, on2 = _rel_keys(r, rv, a, b)
         joins.append(f"JOIN {_rel_source(r, rv, rels_view)} ON {on}")
@@ -1801,9 +1901,8 @@ def _post_match_sql(
     if pm["where"]:
         conds.append(pm["where"])
 
-    items = ast["items"]
     select_parts = [f"{e} AS {a}" for e, a, _ in items]
-    select_sql = ("DISTINCT " if ast["distinct"] else "") + ", ".join(select_parts)
+    select_sql = ("DISTINCT " if distinct else "") + ", ".join(select_parts)
     group_cols = [e for e, _a, agg in items if not agg]
     has_agg = any(agg for _, _, agg in items)
 
@@ -1814,7 +1913,7 @@ def _post_match_sql(
         sql += "\nWHERE " + " AND ".join(conds)
     if has_agg and group_cols:
         sql += "\nGROUP BY " + ", ".join(group_cols)
-    return _order_limit_tail(sql, ast)
+    return sql
 
 
 def _stage_sql(

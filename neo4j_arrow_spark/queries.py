@@ -129,6 +129,42 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_pipeline_two_stage",
+    # multi-stage WITH pipeline (r6): aggregate, re-join the graph on
+    # the carried node, aggregate again, filter, project — the
+    # MATCH…WITH agg…MATCH…RETURN idiom the transpiler previously
+    # rejected. Each stage is a plain nested aggregate/join subquery.
+    "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "WITH n, count(*) AS members "
+    "MATCH (n)<-[i:IN_NATION]-(s:Supplier) "
+    "WITH n.name AS nation, members, count(*) AS suppliers "
+    "WHERE suppliers > 1 "
+    "RETURN nation, members, suppliers ORDER BY nation",
+)
+
+_cypher_query(
+    "cypher_pipeline_three_stage",
+    # three stages, two graph re-joins: per-supplier buyer counts,
+    # rolled up per nation, then joined back out to resident customers
+    "MATCH (c:Customer)-[r:BUYS_FROM]->(s:Supplier) "
+    "WITH s, count(*) AS buyers "
+    "MATCH (s)-[i:IN_NATION]->(n:Nation) "
+    "WITH n, sum(buyers) AS total_buyers "
+    "MATCH (n)<-[j:IN_NATION]-(c2:Customer) "
+    "RETURN n.name AS nation, toInteger(total_buyers) AS total_buyers, "
+    "count(*) AS residents ORDER BY nation",
+)
+
+_cypher_query(
+    "cypher_where_between_match",
+    # WHERE attached to a non-final MATCH clause: conjunctive with the
+    # global filter (inner-join equivalence), previously rejected
+    "MATCH (c:Customer) WHERE c.acctbal > 9000.0 "
+    "MATCH (c)-[r:IN_NATION]->(n:Nation) "
+    "RETURN n.name AS nation, count(*) AS rich ORDER BY nation",
+)
+
+_cypher_query(
     "cypher_varlength_path",
     "MATCH (c:Customer)-[:BUYS_FROM|IN_NATION*1..2]->(x) "
     "RETURN x.name AS name, count(*) AS paths",

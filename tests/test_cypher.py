@@ -258,7 +258,7 @@ def test_match_after_with_translation():
         "RETURN nid.name AS nation, members, count(*) AS sups",
         "gn", "ge",
     )
-    assert "JOIN gn AS nid ON nid.ID = _scope.nid" in sql
+    assert "JOIN gn AS nid ON nid.ID = _scope0.nid" in sql
     assert "WHERE (members > 2)" in sql
     assert "GROUP BY nid.name, members" in sql
 
@@ -950,12 +950,16 @@ def test_consecutive_match_clauses_join_on_shared_var():
     )
 
 
-def test_where_between_match_clauses_rejected():
-    with pytest.raises(CypherUnsupported):
-        cypher_to_sql(
-            "MATCH (a:X) WHERE a.ID > 1 MATCH (b:Y) RETURN count(*) AS c",
-            "gn", "gr",
-        )
+def test_where_between_match_clauses_conjunctive():
+    # a WHERE attached to a non-final MATCH clause is ANDed into the
+    # global filter (conjunctive equivalence across inner joins)
+    sql = cypher_to_sql(
+        "MATCH (a:X) WHERE a.ID > 1 MATCH (b:Y) WHERE b.ID < 9 "
+        "RETURN count(*) AS c",
+        "gn", "gr",
+    )
+    assert "(a.ID > 1)" in sql and "(b.ID < 9)" in sql
+    assert sql.index("WHERE") < sql.index("(a.ID > 1)")
 
 
 def test_consecutive_match_end_to_end(client):
