@@ -733,20 +733,31 @@ def unigram_surprisal(
 
     Plan: explode -> corpus unigram counts (map-side combinable) ->
     one hash join token->count -> per-doc aggregation. N is a scalar
-    count. No UDFs, no driver-side data."""
-    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    count. No UDFs, no driver-side data.
+
+    The token table is persisted: it feeds THREE consumers (the corpus
+    size N action, the vocabulary count, and the per-doc join) and the
+    regex tokenization is the dominant cost — un-persisted, the explode
+    ran once per consumer (r6: 3x the regex work, the main term of the
+    sf1 scale ratio). Released via ``unpersist_intermediates`` after
+    the result is consumed."""
+    from neo4j_arrow_spark.operators.dedup import _with_intermediates
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).persist()
     n_total = tok.count()
     cnt = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     per = tok.join(cnt, "token").withColumn(
         "ifq", F.expr(f"{n_total} div cnt")
     )
-    return (
-        per.groupBy(id_col)
-        .agg(
+    return _with_intermediates(
+        per.groupBy(id_col).agg(
             F.count("*").alias("n_tokens"),
             F.expr("sum(ifq) div count(*)").alias("mitf_q"),
             F.sum(F.expr("length(bin(ifq)) - 1")).alias("log2loss_q"),
-        )
+        ),
+        [tok],
     )
 
 

@@ -25,11 +25,18 @@ _BASE_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # AQE sizes post-shuffle partitions by COMPRESSED bytes. Graph id
     # columns (sequential longs) compress ~100x, so a 10M-row member
-    # frame can coalesce to ONE partition and every downstream
-    # fan-out join/agg runs single-threaded. A small floor keeps
-    # parallelism-first sizing in charge for compressible shuffles;
-    # at cluster scale total/parallelism >> 64k, so this is inert.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # frame can coalesce to very few partitions and downstream fan-out
+    # joins/aggs lose parallelism — a floor below the 64MB advisory
+    # size keeps parallelism-first sizing in charge for compressible
+    # shuffles. r6 calibration: the r5 value of 64k OVER-fragmented
+    # small shuffles and cost a uniform ~1.3x on the graph-algorithm
+    # family (triangle_counts 3.40s -> 2.41s, bfs_multisource 2.88 ->
+    # 2.58, cms 2.89 -> 2.70 at sf0.1; khop3_in_nation 42.3 -> 35.5s
+    # at sf1 — clean-session best-of-N, both scales). 1m keeps the
+    # single-partition pathology away (a 100x-compressed 10M-row frame
+    # still splits ~10 ways) without the per-task overhead; at cluster
+    # scale total/parallelism >> 1m, so this is inert.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
     "spark.sql.session.timeZone": "UTC",

@@ -49,10 +49,40 @@ HEAVY = [
 ]
 
 
-def run(qs, spark, name: str, sf_dir: str) -> float:
-    t0 = time.time()
-    qs[name](spark, sf_dir).count()
-    return round(time.time() - t0, 2)
+def run(qs, spark, name: str, sf_dir: str, runs: int = 2) -> float:
+    """bench.py's methodology (r6 — the old single-cold-run loop with
+    no heap hygiene inflated late-sweep sf1 numbers up to 3.4x:
+    ppr_nation0 measured 34s in-sweep vs 10.1s in a clean session):
+
+    - untimed Python+JVM GC barrier before each query (localCheckpoint
+      blocks and tenured garbage from earlier queries are reclaimed
+      only after both collections),
+    - per-run release of the query's persisted intermediates (without
+      it, every pair-generator/persist across the 26-query sweep
+      stays pinned in executor memory),
+    - noop sink (count() can prune columns the real sink pays for),
+    - best-of-N with one extra run while still improving >20% (C2
+      compilation of wide codegen takes 2+ executions to kick in).
+    """
+    import gc
+
+    from neo4j_arrow_spark.operators.dedup import unpersist_intermediates
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    best = float("inf")
+    n, improving = 0, True
+    while n < runs or (n < runs + 2 and improving and best > 2.0):
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        last = time.time() - t0
+        improving = last < best * 0.8
+        best = min(best, last)
+        n += 1
+        unpersist_intermediates(df)
+        del df
+    return round(best, 2)
 
 
 def main() -> None:
