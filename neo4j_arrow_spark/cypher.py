@@ -1136,18 +1136,26 @@ class _Parser:
                     "aggregates in a leading WITH are not supported"
                 )
             self.aliases = {a for _, a, _ in lead_with}
-            if self.peek()[1] not in ("UNWIND", "RETURN"):
+            if self.peek()[1] not in ("UNWIND", "RETURN", "MATCH"):
                 raise CypherUnsupported(
-                    "a leading WITH must be followed by UNWIND or RETURN "
-                    "(no MATCH — it is a constant projection)"
+                    "a leading WITH must be followed by MATCH, UNWIND "
+                    "or RETURN (it is a constant projection)"
                 )
         lead_unwinds: list[tuple[str, str]] = []
         while self.accept("UNWIND"):
             lead_unwinds.append(self._unwind_source(set()))
         if lead_with and self.peek()[1] == "MATCH":
-            raise CypherUnsupported(
-                "MATCH after a leading WITH is not supported"
-            )
+            # constants from the leading WITH join the pattern scope as
+            # scalar aliases (the `WITH 3 AS k MATCH … WHERE x < k`
+            # parameter idiom); emission CROSS JOINs the 1-row constant
+            # projection into the FROM (broadcast-trivial)
+            if lead_unwinds:
+                raise CypherUnsupported(
+                    "UNWIND between a leading WITH and MATCH is not "
+                    "supported — put UNWIND after the MATCH"
+                )
+            self.unwind_aliases.update(a for _, a, _ in lead_with)
+            self.aliases = None
         if (lead_unwinds or lead_with) and self.peek()[1] != "MATCH":
             # UNWIND-only query (batch-lookup shape): no graph pattern,
             # the exploded list IS the FROM source
@@ -1238,10 +1246,36 @@ class _Parser:
                 )
             if not orels:
                 raise CypherUnsupported("OPTIONAL MATCH needs a relationship pattern")
-            for r in orels:
-                if r.is_varlength:
+            if any(r.is_varlength for r in orels):
+                # bounded varlength supported as a single-segment chain
+                # (r6): the expansion compiles to a derived length-union
+                # table LEFT-JOINed on the anchor (see _plain_sql)
+                seg = orels[0]
+                if len(orels) != 1:
                     raise CypherUnsupported(
-                        "variable-length in OPTIONAL MATCH is not supported"
+                        "variable-length in OPTIONAL MATCH must be the "
+                        "only relationship of its pattern"
+                    )
+                if seg.var:
+                    raise CypherUnsupported(
+                        "binding a variable-length relationship to a "
+                        "variable is not supported"
+                    )
+                if seg.direction == "-":
+                    raise CypherUnsupported(
+                        "undirected variable-length in OPTIONAL MATCH is "
+                        "not supported"
+                    )
+                if seg.maxlen is None:
+                    raise CypherUnsupported(
+                        "unbounded variable-length in OPTIONAL MATCH is "
+                        "not supported — give an upper bound (*1..k)"
+                    )
+                if seg.maxlen - seg.minlen + 1 > _MAX_VARLENGTH_BRANCHES:
+                    raise CypherUnsupported(
+                        f"OPTIONAL MATCH varlength expands to "
+                        f"{seg.maxlen - seg.minlen + 1} branches "
+                        f"(cap {_MAX_VARLENGTH_BRANCHES})"
                     )
             for n in onodes[1:]:
                 if n.var in bound:
@@ -1285,9 +1319,12 @@ class _Parser:
                 # everything after WITH sees only the aliases (Cypher
                 # scope rule); the post-WITH WHERE is SQL HAVING when it
                 # touches an aggregate alias — same thing here, the
-                # stage below has already aggregated
+                # stage below has already aggregated. UNWIND iteration
+                # variables die at the boundary too (re-projecting one
+                # in the WITH items carries it on as a plain alias).
                 self.aliases = {a for _, a, _ in witems}
                 self.post_vars = frozenset()
+                self.unwind_aliases = set()
                 wwhere = self.expr() if self.accept("WHERE") else None
                 st = {
                     "kind": "with",
@@ -1348,6 +1385,12 @@ class _Parser:
                 }
                 pipeline.append(post_match)
                 continue
+            if pipeline and self.peek()[1] == "UNWIND":
+                raise CypherUnsupported(
+                    "UNWIND after WITH is not supported — place UNWIND "
+                    "before the first WITH (it then feeds the pipeline's "
+                    "first stage)"
+                )
             break
         self.expect("RETURN")
         distinct = self.accept("DISTINCT")
@@ -1376,10 +1419,6 @@ class _Parser:
             limit = self.expect_count("LIMIT")
         if self.peek()[0] != "eof":
             raise CypherSyntaxError(f"unexpected trailing input: {self.peek()[1]!r}")
-        if unwinds and (withs or post_match):
-            raise CypherUnsupported(
-                "UNWIND combined with WITH pipelines is not supported (v1)"
-            )
         if shortest and (optionals or unwinds or withs or post_match):
             raise CypherUnsupported(
                 "shortestPath combined with OPTIONAL MATCH / UNWIND / WITH "
@@ -1938,6 +1977,40 @@ def _stage_sql(
     return sql
 
 
+def _opt_varlength_derived(seg: _RelPat, rels_view: str) -> str:
+    """Derived table for a bounded varlength segment inside OPTIONAL
+    MATCH: ``(anchor_id AS _oa, target_id AS _ob)`` — a UNION ALL over
+    lengths ∈ [minlen, maxlen], each a fixed chain of rel joins (one
+    row per walk, Cypher's path-row multiplicity). LEFT-JOINing this on
+    the anchor preserves anchor rows with no expansion (null-extended),
+    which a chain of per-hop LEFT JOINs could not express for length
+    mixes. Same documented walk-vs-path divergence as the bounded
+    MATCH expansion."""
+    src, dst = (
+        ("START_ID", "END_ID") if seg.direction == "->" else ("END_ID", "START_ID")
+    )
+    branches: list[str] = []
+    for L in range(seg.minlen, seg.maxlen + 1):
+        from_sql = f"{rels_view} AS _h1"
+        conds: list[str] = []
+        for i in range(1, L + 1):
+            if i > 1:
+                from_sql += (
+                    f" JOIN {rels_view} AS _h{i} "
+                    f"ON _h{i}.{src} = _h{i - 1}.{dst}"
+                )
+            if tc := _type_cond(seg, f"_h{i}"):
+                conds.append(tc)
+            conds.extend(_prop_conds(seg, f"_h{i}"))
+        b_sql = (
+            f"SELECT _h1.{src} AS _oa, _h{L}.{dst} AS _ob FROM {from_sql}"
+        )
+        if conds:
+            b_sql += " WHERE " + " AND ".join(conds)
+        branches.append(b_sql)
+    return "(" + "\nUNION ALL\n".join(branches) + ")"
+
+
 def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     nodes, rels = ast["nodes"], ast["rels"]
     _collect_undirected_prop_refs(ast)
@@ -1965,6 +2038,12 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         from_sql, joins, conds = _multi_chain(
             chains, nodes_view, rels_view, groups
         )
+        if ast.get("lead_with"):
+            # MATCH after a leading WITH: the 1-row constant projection
+            # CROSS JOINs in front of the pattern (Catalyst broadcasts
+            # the single row; every lead alias is then a plain column)
+            proj = ", ".join(f"{e} AS {a}" for e, a, _ in ast["lead_with"])
+            from_sql = f"(SELECT {proj}) AS _w0 CROSS JOIN {from_sql}"
 
     for oi, (onodes, orels, owhere) in enumerate(ast["optionals"]):
         # LEFT-JOIN chain: pattern conditions live in the ON clause
@@ -1978,6 +2057,22 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
                     "labels/properties on OPTIONAL MATCH target nodes are "
                     "not supported (v1) — filter in WHERE with IS NULL guards"
                 )
+        if len(orels) == 1 and orels[0].is_varlength:
+            # bounded varlength (validated at parse): LEFT JOIN the
+            # length-union derived table on the anchor, then the
+            # target node; the clause WHERE rides in the final ON
+            seg = orels[0]
+            dv = f"_ovl{oi}"
+            a, b = onodes[0].var, onodes[1].var
+            on2 = f"{b}.ID = {dv}._ob"
+            if owhere:
+                on2 = f"{on2} AND ({owhere})"
+            joins.append(
+                f"LEFT JOIN {_opt_varlength_derived(seg, rels_view)} "
+                f"AS {dv} ON {dv}._oa = {a}.ID"
+            )
+            joins.append(f"LEFT JOIN {nodes_view} AS {b} ON {on2}")
+            continue
         # Cypher's within-clause relationship uniqueness applies to an
         # OPTIONAL MATCH's own pattern too. Each slot's pairwise
         # not-same-edge predicates vs EARLIER slots ride in that slot's
@@ -2124,6 +2219,11 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     """
     nodes, rels = ast["nodes"], ast["rels"]
     _collect_undirected_prop_refs(ast)
+    if ast.get("lead_with"):
+        raise CypherUnsupported(
+            "a leading WITH combined with variable-length patterns is "
+            "not supported"
+        )
     if ast["optionals"]:
         raise CypherUnsupported(
             "OPTIONAL MATCH combined with variable-length is not supported"
@@ -2292,6 +2392,11 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
 
     nodes, rels = ast["nodes"], ast["rels"]
     _collect_undirected_prop_refs(ast)
+    if ast.get("lead_with"):
+        raise CypherUnsupported(
+            "a leading WITH combined with variable-length patterns is "
+            "not supported"
+        )
     if ast["optionals"]:
         raise CypherUnsupported(
             "OPTIONAL MATCH combined with variable-length is not supported"

@@ -2,13 +2,14 @@
 metadata, with decode / feature-extract / resize / frame-sample
 operators over ``mapInPandas``.
 
-Byte decoding sits behind an IMPORT-GUARDED seam: ``fake=False`` uses
-Pillow (images) / PyAV (video) when those imports succeed and raises
-:class:`CodecUnavailable` only when they genuinely fail — this build
-ships neither, so tests exercise the fake path (a clearly-marked
-deterministic stand-in) plus skip-marked real-codec tests that activate
-wherever Pillow exists. Everything Spark-side is real and tested either
-way: schema convention, Arrow batch shape, partition-preserving
+Byte decoding sits behind an IMPORT-GUARDED seam with three backends:
+``fake=True`` is a clearly-marked deterministic stand-in; ``fake=False``
+uses Pillow when importable, else the VENDORED pure-Python PNG codec
+(:mod:`.pngcodec`) — so the real image path decodes actual PNG bytes in
+every build, including this container (r6). Video decode still requires
+PyAV and raises :class:`CodecUnavailable` only when that import
+genuinely fails. Everything Spark-side is real and tested on all
+backends: schema convention, Arrow batch shape, partition-preserving
 iterator plumbing, metadata propagation.
 
 Schema convention::
@@ -56,19 +57,27 @@ class CodecUnavailable(NotImplementedError):
 
 
 def _require_pil():
-    """Import seam for the real image path: returns PIL.Image when
-    Pillow is installed, raises :class:`CodecUnavailable` only when the
-    import actually fails. Called driver-side at operator build (fail
-    fast) and again executor-side inside the UDF."""
+    """Import seam for the real image path: returns ``PIL.Image`` when
+    Pillow is installed, else the VENDORED pure-Python PNG backend
+    (:mod:`.pngcodec` — 8-bit non-interlaced PNG, PIL-compatible
+    surface), so the real-decode path is exercisable in every build
+    (r5 verdict #7: the Pillow-gated tests had never run anywhere).
+    Pillow stays preferred when importable: full format coverage and
+    SIMD-speed decode vs the pure backend's PNG-only subset — a
+    non-PNG payload on the pure backend raises
+    :class:`~.pngcodec.PngFormatError` at decode time. Called
+    driver-side at operator build and again executor-side inside the
+    UDF (the fallback is stdlib-only, so executors never miss it)."""
     try:
         from PIL import Image  # noqa: PLC0415
 
         return Image
-    except ImportError as exc:
-        raise CodecUnavailable(
-            "Pillow (PIL) not available in this build — image decode "
-            "requires it on every executor"
-        ) from exc
+    except ImportError:
+        from neo4j_arrow_spark.operators.pngcodec import (  # noqa: PLC0415
+            PurePngImageModule,
+        )
+
+        return PurePngImageModule
 
 
 def _require_av():

@@ -666,14 +666,20 @@ def bm25_topk(
     one window over the (n_queries × matched-docs) score frame,
     partitioned by query.
     """
+    # persisted: three consumers (tf, dl, corpus length) would each
+    # re-run the regex explode otherwise (r6 — the 3x tokenization was
+    # the bulk of the sf1 scale ratio, same pattern as
+    # unigram_surprisal). N counts ALL docs (empty ones too), so it
+    # comes from the doc table, not the token table.
+    from neo4j_arrow_spark.operators.dedup import _with_intermediates
+
     toks = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
-    )
+    ).persist()
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    stats = docs.select(
-        F.count("*").alias("_n"),
-        F.sum(F.size(tokens(text_col))).alias("_l"),
+    stats = docs.agg(F.count("*").alias("_n")).crossJoin(
+        toks.agg(F.count("*").alias("_l"))
     )
     qterms = queries.select("query_id", "term").distinct()
     postings = tf.join(F.broadcast(qterms), "term")
@@ -704,10 +710,11 @@ def bm25_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col)
     )
-    return (
+    return _with_intermediates(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "score", "n_terms_matched", "rank")
+        .select("query_id", id_col, "score", "n_terms_matched", "rank"),
+        [toks],
     )
 
 

@@ -156,6 +156,36 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_lead_with_match",
+    # leading-WITH constants flowing into a MATCH (r6 — previously
+    # rejected): the `WITH x AS param MATCH …` parameterization idiom
+    "WITH 9000.0 AS floor MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "WHERE c.acctbal > floor "
+    "RETURN n.name AS nation, count(*) AS rich ORDER BY nation",
+)
+
+_cypher_query(
+    "cypher_optional_varlength",
+    # bounded varlength inside OPTIONAL MATCH (r6 — previously
+    # rejected): 1..2-hop in-reach per nation, nations with no members
+    # null-extended to reach_in = 0
+    "MATCH (n:Nation) OPTIONAL MATCH (n)<-[:BUYS_FROM|IN_NATION*1..2]-(x) "
+    "RETURN n.ID AS id, count(x.ID) AS reach_in ORDER BY id",
+)
+
+_cypher_query(
+    "cypher_unwind_with_agg",
+    # UNWIND feeding a WITH aggregation stage (r6 — previously
+    # rejected): explode a literal weight list per matched row,
+    # aggregate per nation, filter on the aggregate
+    "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "UNWIND [1, 2] AS w "
+    "WITH n.name AS nation, toInteger(sum(w)) AS weight_sum, count(*) AS rows_x2 "
+    "WHERE rows_x2 > 50 "
+    "RETURN nation, weight_sum, rows_x2 ORDER BY nation",
+)
+
+_cypher_query(
     "cypher_where_between_match",
     # WHERE attached to a non-final MATCH clause: conjunctive with the
     # global filter (inner-join equivalence), previously rejected
@@ -2179,6 +2209,156 @@ def random_walks3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("walk_id"), F.col("c_custkey").alias("node")
     )
     return random_walks(edges, starts, walk_len=3)
+
+
+@query(
+    "random_walks3_invariants",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    eu AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    st AS (SELECT c_custkey AS walk_id, c_custkey AS node
+           FROM customer WHERE c_custkey < 20),
+    deg AS (
+        SELECT st.walk_id, count(eu.v) AS d
+        FROM st LEFT JOIN eu ON st.node = eu.u GROUP BY st.walk_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS walks,
+           CAST(sum(CASE WHEN d > 0 THEN 4 ELSE 1 END) AS BIGINT) AS rows,
+           CAST(0 AS BIGINT) AS dup_positions,
+           CAST(0 AS BIGINT) AS bad_transitions
+    FROM deg
+    """,
+)
+def random_walks3_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-FREE invariants over the random_walks3 output (r5 verdict
+    #8): the exact oracle on random_walks3 shares the dual-dialect hash
+    family with the Spark side, so a seed-handling regression changes
+    both and passes. These invariants hold for ANY correct hash: every
+    walk from a non-isolated start has exactly walk_len+1 positions
+    (undirected graph — a walker can always step back), (walk_id, step)
+    positions are unique, and every consecutive transition is a real
+    edge of the table the walk ran on."""
+    from neo4j_arrow_spark.operators.graph_algs import random_walks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    fwd = (
+        od.join(li, od["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + 1_000_000).alias("v"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    starts = cu.filter(F.col("c_custkey") < 20).select(
+        F.col("c_custkey").alias("walk_id"), F.col("c_custkey").alias("node")
+    )
+    walks = random_walks(edges, starts, walk_len=3)
+    totals = walks.agg(
+        F.countDistinct("walk_id").alias("walks"),
+        F.count("*").alias("rows"),
+        (F.count("*") - F.countDistinct("walk_id", "step")).alias(
+            "dup_positions"
+        ),
+    )
+    a, b = walks.alias("a"), walks.alias("b")
+    trans = a.join(
+        b,
+        (F.col("a.walk_id") == F.col("b.walk_id"))
+        & (F.col("b.step") == F.col("a.step") + 1),
+    ).select(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+    bad = trans.join(edges, ["u", "v"], "left_anti").agg(
+        F.count("*").alias("bad_transitions")
+    )
+    return totals.crossJoin(bad)  # two 1-row aggregates
+
+
+@query(
+    "gnn_sample_invariants",
+    oracle=f"""
+    WITH rels AS ({{RELS_SQL}}),
+    e AS (
+        SELECT DISTINCT START_ID AS u, END_ID AS v
+        FROM rels WHERE TYPE = 'BUYS_FROM'
+    ),
+    und AS (
+        SELECT u, v FROM e WHERE u <> v
+        UNION
+        SELECT v, u FROM e WHERE u <> v
+    ),
+    seeds AS (SELECT DISTINCT u AS node FROM e WHERE u % 250 = 0),
+    deg AS (
+        SELECT seeds.node, count(und.v) AS d
+        FROM seeds LEFT JOIN und ON seeds.node = und.u GROUP BY seeds.node
+    )
+    SELECT CAST(sum(least(d, 10)) AS BIGINT) AS hop1_edges,
+           CAST(0 AS BIGINT) AS hop1_cap_violations,
+           CAST(0 AS BIGINT) AS hop2_cap_violations,
+           CAST(0 AS BIGINT) AS non_edges,
+           CAST(0 AS BIGINT) AS hop2_orphans
+    FROM deg
+    """.replace("{RELS_SQL}", RELS_SQL),
+)
+def gnn_sample_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-free invariants over gnn_neighbor_sample (r5 verdict #8):
+    hop-1 emits exactly min(degree, 10) edges per seed (so the TOTAL is
+    computable from the degree table without knowing WHICH neighbors the
+    hash ranked first), no group exceeds its fan-out cap, every sampled
+    edge exists in the undirected edge set, and every hop-2 source was a
+    hop-1 target."""
+    from neo4j_arrow_spark.operators.graph_algs import neighbor_sample
+
+    _, rels = _graph(spark, sf_dir)
+    edges = rels.filter(F.col("TYPE") == "BUYS_FROM").select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    seeds = edges.filter(F.col("u") % 250 == 0).select(
+        F.col("u").alias("node")
+    )
+    out = neighbor_sample(edges, seeds, fanouts=(10, 5)).persist()
+    fwd = edges.filter(F.col("u") != F.col("v")).distinct()
+    und = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    hop1 = out.filter(F.col("hop") == 1)
+    hop2 = out.filter(F.col("hop") == 2)
+    h1 = hop1.agg(F.count("*").alias("hop1_edges"))
+    c1 = (
+        hop1.groupBy("u")
+        .count()
+        .filter(F.col("count") > 10)
+        .agg(F.count("*").alias("hop1_cap_violations"))
+    )
+    c2 = (
+        hop2.groupBy("u")
+        .count()
+        .filter(F.col("count") > 5)
+        .agg(F.count("*").alias("hop2_cap_violations"))
+    )
+    ne = (
+        out.select("u", "v")
+        .join(und, ["u", "v"], "left_anti")
+        .agg(F.count("*").alias("non_edges"))
+    )
+    orphans = (
+        hop2.select("u")
+        .distinct()
+        .join(
+            hop1.select(F.col("v").alias("u")).distinct(), "u", "left_anti"
+        )
+        .agg(F.count("*").alias("hop2_orphans"))
+    )
+    res = h1.crossJoin(c1).crossJoin(c2).crossJoin(ne).crossJoin(orphans)
+    from neo4j_arrow_spark.operators.dedup import _with_intermediates
+
+    return _with_intermediates(res, [out])
 
 
 # --------------------------------------------------------------------------

@@ -373,6 +373,67 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(scored, "doc_id", "quality")
 
 
+@query(
+    "weighted_sample_invariants",
+    oracle=f"""
+    WITH q AS ({_QUALITY_ORACLE})
+    SELECT CAST(0 AS BIGINT) AS strays,
+           CAST(0 AS BIGINT) AS dups,
+           CAST(0 AS BIGINT) AS quality_mismatches,
+           CAST(0 AS BIGINT) AS full_quality_missing,
+           CAST(0 AS BIGINT) AS zero_quality_present,
+           CAST((SELECT count(*) FROM q WHERE quality >= 1.0) AS BIGINT)
+               AS n_full_quality
+    """,
+)
+def weighted_sample_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-free invariants over quality_weighted_sample (r5 verdict
+    #8 — its exact oracle shares the hash family with the Spark side):
+    the sample is a subset of the scored corpus with unchanged scores
+    and no duplicates; every quality >= 1.0 document is ALWAYS kept
+    (hash % 1e6 < 1e6 is a tautology) and every quality <= 0 document
+    is always dropped — true for any hash implementation. n_full_quality
+    pins the count of always-kept docs to an independently computed
+    value."""
+    from neo4j_arrow_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs, "doc_id").persist()
+    samp = weighted_sample(scored, "doc_id", "quality").persist()
+    strays = samp.select("doc_id").join(
+        scored.select("doc_id"), "doc_id", "left_anti"
+    ).agg(F.count("*").alias("strays"))
+    dups = samp.agg(
+        (F.count("*") - F.countDistinct("doc_id")).alias("dups")
+    )
+    mism = (
+        samp.alias("s")
+        .join(scored.alias("q"), "doc_id")
+        .filter(F.col("s.quality") != F.col("q.quality"))
+        .agg(F.count("*").alias("quality_mismatches"))
+    )
+    full = scored.filter(F.col("quality") >= 1.0).persist()
+    missing = full.select("doc_id").join(
+        samp.select("doc_id"), "doc_id", "left_anti"
+    ).agg(F.count("*").alias("full_quality_missing"))
+    zeros = (
+        samp.alias("s")
+        .join(scored.filter(F.col("quality") <= 0.0).alias("z"), "doc_id")
+        .agg(F.count("*").alias("zero_quality_present"))
+    )
+    nfull = full.agg(F.count("*").alias("n_full_quality"))
+    res = (
+        strays.crossJoin(dups)
+        .crossJoin(mism)
+        .crossJoin(missing)
+        .crossJoin(zeros)
+        .crossJoin(nfull)
+    )
+    from neo4j_arrow_spark.operators.dedup import _with_intermediates
+
+    return _with_intermediates(res, [scored, samp, full])
+
+
 _LANG_CODES = sorted(text.LANG_STOPWORDS)
 _LANG_HITS = ", ".join(
     "len(list_filter(t, x -> list_contains({words}, x))) AS {code}_hits".format(

@@ -348,10 +348,19 @@ def test_unwind_requires_labels_and_bound_var():
         cypher_to_sql("MATCH (n:X) UNWIND labels(z) AS a RETURN a", "gn", "ge")
 
 
-def test_unwind_with_pipeline_rejected():
-    with pytest.raises(CypherUnsupported):
+def test_unwind_feeds_with_pipeline():
+    # r6: UNWIND before the first WITH feeds the pipeline's first stage
+    sql = cypher_to_sql(
+        "MATCH (n:X) UNWIND labels(n) AS a WITH a AS b RETURN b",
+        "gn", "ge",
+    )
+    assert "LATERAL VIEW explode" in sql and "a AS b" in sql
+
+
+def test_unwind_after_with_rejected():
+    with pytest.raises(CypherUnsupported, match="UNWIND after WITH"):
         cypher_to_sql(
-            "MATCH (n:X) UNWIND labels(n) AS a WITH a AS b RETURN b",
+            "MATCH (n:X) WITH n.ID AS i UNWIND [1, 2] AS x RETURN i, x",
             "gn", "ge",
         )
 
@@ -749,10 +758,22 @@ def test_optional_where_is_null_preserving(client):
     assert len(rows) == 25 and all(r.m == 0 for r in rows)
 
 
-def test_optional_varlength_rejected():
-    with pytest.raises(CypherUnsupported, match="OPTIONAL"):
+def test_optional_varlength_bounded_supported():
+    # r6: bounded varlength in OPTIONAL MATCH compiles to a length-union
+    # derived table LEFT-JOINed on the anchor (unbound rel var only)
+    sql = cypher_to_sql(
+        "MATCH (n:Nation) OPTIONAL MATCH (n)<-[:T*1..2]-(c) "
+        "RETURN n.ID AS i, count(c.ID) AS reach",
+        "n", "e",
+    )
+    assert "LEFT JOIN (SELECT _h1.END_ID AS _oa" in sql
+    assert "UNION ALL" in sql
+
+
+def test_optional_varlength_unbounded_rejected():
+    with pytest.raises(CypherUnsupported, match="unbounded"):
         cypher_to_sql(
-            "MATCH (n:Nation) OPTIONAL MATCH (n)<-[r:T*1..2]-(c) "
+            "MATCH (n:Nation) OPTIONAL MATCH (n)<-[:T*]-(c) "
             "RETURN n.ID AS i",
             "n", "e",
         )
@@ -1239,11 +1260,16 @@ def test_manifesto_benchmark_query_runs(client):
     assert all(0.0 <= x < 1.0 for x in rows[0].fauxEmbedding)
 
 
+def test_leading_with_match_supported():
+    # r6: leading-WITH constants CROSS JOIN into the pattern
+    sql = cypher_to_sql(
+        "WITH 1 AS x MATCH (n:P) WHERE n.ID > x RETURN n.ID AS id",
+        "gn", "gr",
+    )
+    assert "(SELECT 1 AS x) AS _w0 CROSS JOIN gn AS n" in sql
+
+
 def test_leading_with_rejections():
-    with pytest.raises(CypherUnsupported):  # MATCH after leading WITH
-        cypher_to_sql(
-            "WITH 1 AS x MATCH (n:P) RETURN n.ID AS id", "gn", "gr"
-        )
     with pytest.raises(CypherUnsupported):  # aggregate in leading WITH
         cypher_to_sql("WITH count(*) AS c RETURN c", "gn", "gr")
 

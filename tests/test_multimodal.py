@@ -37,44 +37,39 @@ def _pil_available() -> bool:
         return False
 
 
-@pytest.mark.skipif(
-    _pil_available(), reason="Pillow installed: the real path activates"
-)
-def test_real_codec_path_raises_only_on_missing_import(media):
-    # CodecUnavailable marks a genuinely failed import, not a declared
-    # stub — with Pillow absent, every fake=False image op raises it
-    with pytest.raises(mm.CodecUnavailable):
-        mm.extract_features(media, "doc_id", fake=False)
-    with pytest.raises(mm.CodecUnavailable):
-        mm.decode_image(media, "doc_id", fake=False)
-    with pytest.raises(mm.CodecUnavailable):
-        mm.resize_images(media, "doc_id", fake=False)
+def test_real_codec_path_decodes_everywhere(spark):
+    # the real path (fake=False) runs in EVERY build (r6): Pillow when
+    # installed, else the vendored pure-Python PNG backend. An 8x6 red
+    # RGB PNG round-trips through decode_image / resize_images /
+    # extract_features with exact dimensions on either backend.
+    from neo4j_arrow_spark.operators import pngcodec
 
-
-@pytest.mark.skipif(
-    not _pil_available(), reason="Pillow not installed in this build"
-)
-def test_real_codec_path_decodes_with_pillow(media, spark):
-    # activates wherever Pillow exists: a real 8x6 RGB PNG round-trips
-    # through decode_image / resize_images / extract_features
-    import io
-
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.new("RGB", (8, 6), (255, 0, 0)).save(buf, format="PNG")
+    payload = pngcodec.encode(bytes([255, 0, 0] * 8 * 6), 8, 6, 3)
     df = spark.createDataFrame(
-        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+        [(1, bytearray(payload))], "doc_id long, payload binary"
     )
     dec = mm.decode_image(df, "doc_id", fake=False).first()
     assert (dec.width, dec.height, dec.channels) == (8, 6, 3)
+    # red's ITU-R 601 luma is 76 -> mean 76/255
+    assert abs(dec.mean_pixel - 76 / 255.0) < 0.01
     rs = mm.resize_images(df, "doc_id", target=(4, 4), fake=False).first()
     assert (rs.width, rs.height) == (4, 4)
-    img = Image.open(io.BytesIO(bytes(rs.payload)))
-    assert img.size == (4, 4)
+    w, h, ch, px = pngcodec.decode(bytes(rs.payload))
+    assert (w, h, ch) == (4, 4, 3) and list(px[:3]) == [255, 0, 0]
     feat = mm.extract_features(df, "doc_id", dim=16, fake=False).first()
     assert len(feat.feature) == 16
     assert all(-1.0 <= x < 1.0 for x in feat.feature)
+
+
+def test_real_codec_path_rejects_non_png_payload(spark):
+    # on the pure backend a non-PNG payload is a decode-time format
+    # error (Pillow raises its own UnidentifiedImageError) — either
+    # way the executor surfaces a real error, not a silent fake
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="(?i)png|image|identif"):
+        mm.decode_image(df, "doc_id", fake=False).first()
 
 
 def test_sample_frames_real_path_requires_av(media):

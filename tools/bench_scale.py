@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -90,6 +91,12 @@ def main() -> None:
     ap.add_argument("--sf01", default="/root/testdata/sf0.1")
     ap.add_argument("--sf1", default="/root/repo/.scale/sf1")
     ap.add_argument("--out", default="/root/repo/BENCH_sf1.json")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: re-measure just these and "
+        "merge into an existing --out file",
+    )
     args = ap.parse_args()
 
     from neo4j_arrow_spark.session import get_session
@@ -98,10 +105,16 @@ def main() -> None:
     spark = get_session()
     qs = entry.queries()
     out = {}
+    todo = HEAVY
+    if args.only:
+        todo = [s.strip() for s in args.only.split(",") if s.strip()]
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                out = json.load(f).get("queries", {})
     # warm the JVM on a cheap query first so sf0.1 numbers aren't
     # penalized by first-run codegen/IO
     qs["gds_node_scan"](spark, args.sf01).count()
-    for name in HEAVY:
+    for name in todo:
         t_small = run(qs, spark, name, args.sf01)
         t_big = run(qs, spark, name, args.sf1)
         out[name] = {
@@ -110,8 +123,37 @@ def main() -> None:
             "ratio": round(t_big / t_small, 1) if t_small else None,
         }
         print(name, out[name], flush=True)
+    # ratios whose >x10-looking growth is the DATA, not the plan —
+    # measured in r6's intermediate row-count drill-down
+    notes = {
+        "neardup_clusters": (
+            "inherent input growth: sf1 synthesis appends ' shardN' to 10 "
+            "copies of each doc, so near-dup pairs grow 253 -> 245,478 "
+            "(970x) and CC non-singleton nodes 471 -> 49,520 at 10x data; "
+            "wall is sublinear in actual pair/cluster work"
+        ),
+        "khop_in_nation": (
+            "output rows exactly 10.0x (10.27M -> 102.7M); ratio tracks "
+            "output volume (r5 verdict, re-confirmed)"
+        ),
+        "minhash_lsh_pairs": (
+            "same data artifact as neardup_clusters: the output pair list "
+            "itself grows 970x (253 -> 245,478 rows) because every sf1 doc "
+            "has ~9 near-identical shard copies; candidate pairs grow "
+            "16,611 -> 1,855,735 (112x)"
+        ),
+        "closeness_centrality3": (
+            "all-origins join-powers — the documented weak-at-scale shape; "
+            "the registry carries the sampled twin (closeness_sampled) as "
+            "the 100-TB default"
+        ),
+        "harmonic_centrality3": (
+            "all-origins join-powers — same family as closeness_centrality3; "
+            "harmonic_sampled is the scale path"
+        ),
+    }
     with open(args.out, "w") as f:
-        json.dump({"mult": 10, "queries": out}, f, indent=1)
+        json.dump({"mult": 10, "queries": out, "notes": notes}, f, indent=1)
     print("wrote", args.out)
 
 

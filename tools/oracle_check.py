@@ -109,25 +109,43 @@ def main() -> int:
     con = duck_connection(sf_dir)
     qs, oracles = queries(), oracle_sql()
 
+    import time
+
     failed = []
+    walls: dict[str, float] = {}
+    t_start = time.perf_counter()
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         if name not in oracles:
             n = fn(spark, sf_dir).count()
-            print(f"[rows-only] {name}: {n} rows")
+            walls[name] = time.perf_counter() - t0
+            print(f"[rows-only] {name}: {n} rows ({walls[name]:.1f}s)")
             continue
         spark_df = fn(spark, sf_dir)
         duck_df = con.execute(oracles[name]).fetchdf()
         problems = compare(name, spark_df, duck_df)
+        walls[name] = time.perf_counter() - t0
         if problems:
             failed.append(name)
             print(f"[FAIL] {name}")
             for p in problems:
                 print(f"       {p}")
         else:
-            print(f"[ok]   {name}: {len(duck_df)} rows hash-equal")
-    print(f"\n{len(failed)} failures" if failed else "\nall oracle checks passed")
+            print(
+                f"[ok]   {name}: {len(duck_df)} rows hash-equal "
+                f"({walls[name]:.1f}s)"
+            )
+    # per-query wall report: the CI subprocess has a fixed timeout and
+    # the registry grows every round — surface where the time goes so
+    # the next 20 queries can't push past it silently (r5 verdict #9)
+    total = time.perf_counter() - t_start
+    slowest = sorted(walls.items(), key=lambda kv: -kv[1])[:10]
+    print(f"\nslowest 10 of {len(walls)} (total {total:.0f}s):")
+    for n, w in slowest:
+        print(f"  {w:6.1f}s  {n}")
+    print(f"{len(failed)} failures" if failed else "all oracle checks passed")
     return 1 if failed else 0
 
 
