@@ -2407,10 +2407,11 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
                 "binding a variable-length relationship to a variable is "
                 "not supported (it would be a list of relationships)"
             )
-        if r.is_varlength and r.direction == "-":
-            raise CypherUnsupported(
-                "undirected variable-length is not supported (v1)"
-            )
+        # undirected varlength (r6): each hop of a branch joins the
+        # natural+reverse union view (_rel_source), so every step can
+        # traverse either orientation — exactly Cypher's undirected
+        # expansion, modulo the documented walk-vs-path divergence
+        # (immediate edge backtracks are not excluded)
 
     combos = list(
         itertools.product(*[range(r.minlen, r.maxlen + 1) for r in rels])

@@ -219,6 +219,14 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_varlength_undirected_bounded",
+    # undirected bounded varlength (r6 — previously rejected): each hop
+    # traverses the natural+reverse union view
+    "MATCH (n:Nation)-[:IN_NATION*1..2]-(x) "
+    "RETURN n.name AS nation, count(*) AS walks ORDER BY nation",
+)
+
+_cypher_query(
     "cypher_simple_case",
     # simple CASE (CASE expr WHEN val THEN res) + the shared-name math
     # whitelist (floor/sqrt under toInteger keeps the oracle exact)

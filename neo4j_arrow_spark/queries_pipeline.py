@@ -275,6 +275,51 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {dedup.duck_quantized_cos("a.embedding", "b.embedding")} >= 0.4
+    ),
+    e2 AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM e2
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
+    ),
+    canon AS (SELECT a, least(min(b), a) AS comp FROM reach GROUP BY a),
+    lab AS (
+        SELECT d.vec_id, coalesce(c.comp, d.vec_id) AS canonical_id
+        FROM embeddings d LEFT JOIN canon c ON d.vec_id = c.a
+    ),
+    sz AS (SELECT canonical_id, count(*) AS cluster_size
+           FROM lab GROUP BY canonical_id)
+    SELECT lab.vec_id, lab.canonical_id,
+           lab.vec_id <> lab.canonical_id AS is_duplicate,
+           sz.cluster_size
+    FROM lab JOIN sz USING (canonical_id)
+    """,
+)
+def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs
+    (blocked integer kernel) -> connected components -> one canonical
+    vector per cluster — the same pairs->clusters->canonical step as
+    neardup_clusters but over the embedding modality, so paraphrased
+    near-dups that share no shingles still collapse. Oracle: the exact
+    quantized-cosine pair CTE + a recursive transitive closure."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    prs = dedup.embedding_neardup_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=0.4
+    )
+    return dedup.neardup_clusters(prs, emb, "vec_id")
+
+
 # ---- text analysis -----------------------------------------------------------
 
 @query(
