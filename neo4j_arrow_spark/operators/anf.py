@@ -1,0 +1,354 @@
+"""Approximate Neighborhood Function (HyperANF) — linear-state
+all-origins centrality estimates.
+
+The exact all-origins hop-bounded centralities
+(``graph_algs.harmonic_centrality`` / ``closeness_centrality`` with
+``origins=None``) materialize every ``(origin, node)`` pair within the
+hop bound — |V|^2-tending on low-diameter graphs, the one shape in this
+engine that cannot survive a 100x scale-up (r5 verdict). This module is
+the scale path: per-node HyperLogLog neighborhood sketches in the style
+of HyperANF (Boldi, Rosa & Vigna, "HyperANF: Approximating the
+Neighbourhood Function of Very Large Graphs on a Budget", WWW 2011),
+giving every node an ESTIMATED ball size / harmonic sum with
+O(|V| * m) state and one edge-join + groupBy per hop — fully linear,
+no per-origin row explosion.
+
+Determinism (the property that makes these sketches oracle-gateable by
+exact equality, unlike typical floating-point HLL):
+
+- Each HLL register is encoded as a BIGINT **bitmask of seen rho
+  values** (bit ``rho`` set when some element with that trailing-zero
+  rank hashed into the bucket). Register merge = ``bit_or`` — an
+  associative/commutative/idempotent aggregate, so the result is
+  independent of Spark's partitioning and merge order, and DuckDB
+  computes the identical value.
+- ``max rho`` of a register = exact integer floor-log2 of the mask via
+  ``length(bin(mask)) - 1`` (identical in both engines).
+- The HLL estimate is all-integer fixed point: the indicator sum
+  ``S = sum_j 2^(R - rho_max_j)`` is an exact BIGINT, and
+  ``alpha * m^2 / S`` is computed with split integer divisions
+  (``(a div d)*n + ((a mod d)*n) div d`` = exact ``floor(a*n/d)``) —
+  no float ever appears. Small-range linear counting ``m * ln(m/V)``
+  is a 32-entry integer lookup table on the count of empty registers
+  V — again engine-independent.
+
+Estimates are in **q units** (ppm of one node): ``est_q = 1_000_000``
+means "about one node". rho is capped at ``RHO_CAP`` (44) before the
+indicator sum — enough head-room for 2^44-node graphs, and it keeps
+every intermediate within BIGINT with proof-friendly margins
+(S <= 32 * 2^44 = 2^49; every split-division operand <= 2^59).
+
+Reference parity: the reference has no centrality engine at all (it
+delegates to Neo4j GDS; see ``plugin/src/main/java/.../GdsActionHandler
+.java`` for the scan-only surface) — this module exceeds it, motivated
+by GDS's own closeness/harmonic procs which this engine's exact
+operators mirror and these sketches approximate at scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+M = 32  # number of HLL registers (2^5); rel std error ~ 1.04/sqrt(32) ~ 18%
+BUCKET_BITS = 5
+RHO_CAP = 44  # cap on register rank used in the estimate (supports 2^44 nodes)
+ALPHA_PPM = 697770  # alpha_32 = 0.7213 / (1 + 1.079/32), in ppm
+SCALE = 1_000_000  # q units: est_q = SCALE means "one node"
+LC_SWITCH_Q = 80 * SCALE  # linear counting below 2.5 * m nodes
+SENTINEL_BIT = 55  # guarantees the rho-source word is nonzero; rho <= 56
+
+# linear-counting lookup: LC_Q[v] = round(m * ln(m / v) * SCALE) for
+# v empty registers (v = 0 never used — raw estimate applies there)
+LC_Q = [0] + [round(M * math.log(M / v) * SCALE) for v in range(1, M + 1)]
+
+REG_COLS = [f"r{j}" for j in range(M)]
+
+
+# --------------------------------------------------------------------------
+# Dialect-shared SQL emission. Spark and DuckDB differ only in integer
+# division (`div` vs `//`), shifts (`shiftleft(x, n)` vs `x << n`), and
+# cast spelling — tiny lambdas below; the ARITHMETIC is written once.
+# --------------------------------------------------------------------------
+
+
+def _shl(dialect: str, x: str, n) -> str:
+    if dialect == "spark":
+        return f"shiftleft({x}, {n})"
+    return f"(({x}) << ({n}))"
+
+
+def _shr(dialect: str, x: str, n) -> str:
+    if dialect == "spark":
+        return f"shiftright({x}, {n})"
+    return f"(({x}) >> ({n}))"
+
+
+def _idiv(dialect: str, a: str, b: str) -> str:
+    op = "div" if dialect == "spark" else "//"
+    return f"(({a}) {op} ({b}))"
+
+
+def _one(dialect: str) -> str:
+    return "CAST(1 AS BIGINT)" if dialect == "spark" else "1::BIGINT"
+
+
+def _zero(dialect: str) -> str:
+    return "CAST(0 AS BIGINT)" if dialect == "spark" else "0::BIGINT"
+
+
+def rho_bucket_sql(dialect: str, hash_expr: str) -> tuple[str, str]:
+    """(bucket, rho) expressions over a 60-bit nonnegative hash: low
+    BUCKET_BITS pick the register; rho = (trailing zeros of the
+    sentinel-padded remainder) + 1 via the lowest-set-bit floor-log2
+    identity length(bin(w & -w)) == ctz(w) + 1."""
+    bucket = f"(({hash_expr}) & {M - 1})"
+    w = f"({_shr(dialect, hash_expr, BUCKET_BITS)} | {_shl(dialect, _one(dialect), SENTINEL_BIT)})"
+    rho = f"length(bin({w} & -{w}))"
+    return bucket, rho
+
+
+def init_register_sql(dialect: str, hash_expr: str, j: int) -> str:
+    """Initial register j for a node: bit ``rho`` set iff the node's
+    hash lands in bucket j."""
+    bucket, rho = rho_bucket_sql(dialect, hash_expr)
+    return (
+        f"CASE WHEN {bucket} = {j} THEN {_shl(dialect, _one(dialect), rho)} "
+        f"ELSE {_zero(dialect)} END"
+    )
+
+
+def s_sum_sql(dialect: str) -> str:
+    """The exact BIGINT HLL indicator sum ``S = sum_j 2^(R - rmax_j)``
+    over register columns r0..r{M-1} (rmax capped at RHO_CAP)."""
+    rmax = [
+        f"(CASE WHEN r{j} = 0 THEN 0 "
+        f"ELSE least(length(bin(r{j})) - 1, {RHO_CAP}) END)"
+        for j in range(M)
+    ]
+    return "(" + " + ".join(
+        _shl(dialect, _one(dialect), f"{RHO_CAP} - {r}") for r in rmax
+    ) + ")"
+
+
+def v_empty_sql() -> str:
+    """Count of empty registers (dialect-neutral)."""
+    return "(" + " + ".join(
+        f"(CASE WHEN r{j} = 0 THEN 1 ELSE 0 END)" for j in range(M)
+    ) + ")"
+
+
+def e_raw_sql(dialect: str, s: str = "_s") -> str:
+    """``floor(2^RHO_CAP * m^2 / S)`` with exact split division:
+    (top div S)*m^2 + ((top mod S)*m^2) div S — every operand <= 2^59."""
+    top = _shl(dialect, _one(dialect), RHO_CAP)
+    return (
+        f"({_idiv(dialect, top, s)} * {M * M} "
+        f"+ {_idiv(dialect, f'(({top}) % {s}) * {M * M}', s)})"
+    )
+
+
+def est_from_eraw_sql(dialect: str, e_raw: str = "_eraw", v: str = "_v") -> str:
+    """Final estimate: alpha correction (exact split multiply-divide)
+    with the linear-counting lookup below the small-range switch."""
+    e_alpha = (
+        f"({_idiv(dialect, e_raw, str(SCALE))} * {ALPHA_PPM} "
+        f"+ {_idiv(dialect, f'(({e_raw}) % {SCALE}) * {ALPHA_PPM}', str(SCALE))})"
+    )
+    lc_cases = " ".join(f"WHEN {n} THEN {LC_Q[n]}" for n in range(1, M + 1))
+    lc = f"CAST(CASE {v} {lc_cases} END AS BIGINT)"
+    return (
+        f"(CASE WHEN {v} > 0 AND {e_alpha} <= {LC_SWITCH_Q} "
+        f"THEN {lc} ELSE {e_alpha} END)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark-side operator
+# --------------------------------------------------------------------------
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    fwd = edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+    return fwd.unionAll(
+        edges.select(
+            F.col("v").cast("long").alias("u"), F.col("u").cast("long").alias("v")
+        )
+    ).distinct()
+
+
+def anf_sketch_by_hop(
+    edges: DataFrame, max_hops: int = 3, seed: int = 0
+) -> list[DataFrame]:
+    """Run the register propagation and return ``[(node, est_q)]`` per
+    hop h = 0..max_hops — est_q is the estimated |ball_h(node)| in
+    q units (the ball includes the node itself).
+
+    Plan shape: state is one row per node with M BIGINT register
+    columns; each hop is one edge join + one groupBy(node) with M
+    ``bit_or`` aggregates (idempotent merge -> map-side partial
+    aggregation applies). localCheckpoint per hop cuts lineage. Per-hop
+    shuffle volume is |E| * M * 8 bytes, independent of hop count and
+    diameter — the linear-state contrast to the exact all-origins
+    frontier whose (origin, node) row count tends to |V|^2.
+    """
+    from neo4j_arrow_spark.functions.hashing import hash64
+
+    und = _undirected(edges).persist()
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    with_hash = nodes.select(
+        "node", hash64(F.col("node").cast("string"), seed=seed).alias("_h")
+    )
+    state = with_hash.select(
+        "node",
+        *[
+            F.expr(init_register_sql("spark", "_h", j)).alias(f"r{j}")
+            for j in range(M)
+        ],
+    ).localCheckpoint()
+
+    def est_frame(st: DataFrame) -> DataFrame:
+        # staged projections keep each expression within codegen limits
+        # (the one-shot inline form trips janino's 64KB method cap and
+        # falls back to interpreted eval); _s/_eraw are multiply
+        # referenced downstream, so CollapseProject keeps them staged
+        s1 = st.select(
+            "node",
+            F.expr(s_sum_sql("spark")).alias("_s"),
+            F.expr(v_empty_sql()).alias("_v"),
+        )
+        s2 = s1.select(
+            "node", "_v", F.expr(e_raw_sql("spark")).alias("_eraw")
+        )
+        return s2.select(
+            "node", F.expr(est_from_eraw_sql("spark")).alias("est_q")
+        )
+
+    per_hop = [est_frame(state)]
+    for _ in range(max_hops):
+        prop = und.join(state, und["v"] == state["node"]).select(
+            F.col("u").alias("node"), *REG_COLS
+        )
+        state = (
+            state.unionByName(prop)
+            .groupBy("node")
+            .agg(*[F.bit_or(c).alias(c) for c in REG_COLS])
+            .localCheckpoint()
+        )
+        per_hop.append(est_frame(state))
+    und.unpersist()
+    return per_hop
+
+
+def harmonic_anf(edges: DataFrame, max_hops: int = 3, seed: int = 0) -> DataFrame:
+    """All-origins ESTIMATED hop-bounded harmonic + closeness material
+    via HyperANF sketches — the 100-TB substitute for
+    ``harmonic_centrality(origins=None)``.
+
+    Per node: ``reached_est_q = est_H - est_0`` (ball growth beyond
+    self), ``harmonic_est_q = sum_h (est_h - est_{h-1}) div h`` — the
+    per-hop delta is the estimated count first reached at distance h —
+    and ``total_hops_est_q = sum_h h * delta_h`` (the closeness
+    denominator). Deltas are clamped at 0 (register monotonicity makes
+    the raw estimate monotone; the linear-counting switchover can
+    floor-jitter by a few q). All outputs are q units (SCALE = 1 node).
+    """
+    per_hop = anf_sketch_by_hop(edges, max_hops=max_hops, seed=seed)
+    out = per_hop[0].select("node", F.col("est_q").alias("e0"))
+    for h in range(1, len(per_hop)):
+        out = out.join(
+            per_hop[h].select("node", F.col("est_q").alias(f"e{h}")), "node"
+        )
+    n_hops = len(per_hop) - 1
+    deltas = {
+        h: f"greatest(e{h} - e{h-1}, CAST(0 AS BIGINT))"
+        for h in range(1, n_hops + 1)
+    }
+    harmonic = " + ".join(_idiv("spark", deltas[h], str(h)) for h in deltas)
+    total = " + ".join(f"({deltas[h]}) * {h}" for h in deltas)
+    return out.select(
+        "node",
+        (F.col(f"e{n_hops}") - F.col("e0")).alias("reached_est_q"),
+        F.expr(harmonic).cast("long").alias("harmonic_est_q"),
+        F.expr(total).cast("long").alias("total_hops_est_q"),
+    )
+
+
+def anf_curve(edges: DataFrame, max_hops: int = 3, seed: int = 0) -> DataFrame:
+    """The classic ANF curve: for each hop h, the estimated number of
+    connected pairs within distance h, ``nf_est_q = sum_v est_q_h(v)``
+    — the input to effective-diameter estimation (the hop where the
+    curve reaches 90% of its plateau). One row per hop 0..max_hops."""
+    per_hop = anf_sketch_by_hop(edges, max_hops=max_hops, seed=seed)
+    curves = [
+        df.agg(F.sum("est_q").alias("nf_est_q")).select(
+            F.lit(h).cast("int").alias("hop"), "nf_est_q"
+        )
+        for h, df in enumerate(per_hop)
+    ]
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle emission: the identical recurrence, unrolled as SQL text.
+# The CONSTANTS (M, RHO_CAP, ALPHA_PPM, LC_Q) are shared with the Spark
+# side by construction; the recurrence is emitted through the same
+# dialect-parameterized arithmetic above, so tests/test_anf.py pins the
+# estimates against EXACT neighborhood sizes on a fixture graph — a
+# shared misreading of HLL semantics cannot silently pass that.
+# --------------------------------------------------------------------------
+
+
+def duck_anf_cte(rels_sql: str, rel_type: str, max_hops: int, seed: int = 0) -> str:
+    """CTE chain ending in ``anf_est(hop, node, est_q)`` — per-hop
+    estimated ball sizes for every node, value-identical to
+    ``anf_sketch_by_hop`` (same hash, encoding, merge, estimate)."""
+    from neo4j_arrow_spark.functions.hashing import duck_hash64
+
+    h = duck_hash64("CAST(node AS VARCHAR)", seed=seed)
+    regs = ", ".join(
+        f"({init_register_sql('duck', 'h', j)}) AS r{j}" for j in range(M)
+    )
+    reg_list = ", ".join(REG_COLS)
+    parts = [
+        f"rels AS ({rels_sql})",
+        f"""e AS (
+        SELECT DISTINCT START_ID AS u, END_ID AS v
+        FROM rels WHERE TYPE = '{rel_type}'
+    )""",
+        "und AS (SELECT u, v FROM e UNION SELECT v, u FROM e)",
+        "vx AS (SELECT DISTINCT u AS node FROM und)",
+        f"hx AS (SELECT node, ({h}) AS h FROM vx)",
+        f"s0 AS (SELECT node, {regs} FROM hx)",
+    ]
+    for hh in range(1, max_hops + 1):
+        prev = f"s{hh-1}"
+        ors = ", ".join(f"bit_or(r{j}) AS r{j}" for j in range(M))
+        parts.append(
+            f"""s{hh} AS (
+        SELECT node, {ors} FROM (
+            SELECT node, {reg_list} FROM {prev}
+            UNION ALL
+            SELECT und.u AS node, {reg_list}
+            FROM und JOIN {prev} ON und.v = {prev}.node
+        ) GROUP BY node
+    )"""
+        )
+    est = est_from_eraw_sql("duck")
+    est_legs = "\n        UNION ALL\n        ".join(
+        f"""SELECT hop, node, {est} AS est_q FROM (
+            SELECT hop, node, _v, {e_raw_sql('duck')} AS _eraw FROM (
+                SELECT {hh} AS hop, node,
+                       {s_sum_sql('duck')} AS _s, {v_empty_sql()} AS _v
+                FROM s{hh}
+            )
+        )"""
+        for hh in range(0, max_hops + 1)
+    )
+    parts.append(f"anf_est AS (\n        {est_legs}\n    )")
+    return "WITH " + ",\n    ".join(parts)

@@ -2999,6 +2999,75 @@ def closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closeness_centrality(edges, origins=sources, max_hops=3)
 
 
+def _anf_cte() -> str:
+    from neo4j_arrow_spark.operators.anf import duck_anf_cte
+
+    return duck_anf_cte(RELS_SQL, "BUYS_FROM", max_hops=3)
+
+
+@query(
+    "harmonic_anf3",
+    oracle=_anf_cte()
+    + """
+    , pv AS (
+        SELECT e0.node, e0.est_q AS e0, e1.est_q AS e1,
+               e2.est_q AS e2, e3.est_q AS e3
+        FROM (SELECT node, est_q FROM anf_est WHERE hop = 0) e0
+        JOIN (SELECT node, est_q FROM anf_est WHERE hop = 1) e1 USING (node)
+        JOIN (SELECT node, est_q FROM anf_est WHERE hop = 2) e2 USING (node)
+        JOIN (SELECT node, est_q FROM anf_est WHERE hop = 3) e3 USING (node)
+    )
+    SELECT node,
+           CAST(e3 - e0 AS BIGINT) AS reached_est_q,
+           CAST(greatest(e1 - e0, 0) // 1 + greatest(e2 - e1, 0) // 2
+                + greatest(e3 - e2, 0) // 3 AS BIGINT) AS harmonic_est_q,
+           CAST(greatest(e1 - e0, 0) * 1 + greatest(e2 - e1, 0) * 2
+                + greatest(e3 - e2, 0) * 3 AS BIGINT) AS total_hops_est_q
+    FROM pv
+    """,
+)
+def harmonic_anf3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-ORIGINS estimated hop-bounded harmonic/closeness material
+    over the large BUYS_FROM graph via HyperANF sketches
+    (operators/anf.py; Boldi-Vigna WWW'11) — the linear-state scale
+    path the exact all-origins centralities (|V|^2-tending join powers,
+    r5 verdict's weak-at-scale shape) cannot offer: per-hop cost is one
+    edge join + one groupBy with 32 idempotent bit_or aggregates,
+    state is one row per node. Deterministic by construction (bitmask
+    registers, integer fixed-point estimator), hence oracle-exact."""
+    from neo4j_arrow_spark.operators.anf import harmonic_anf
+
+    _, rels = _graph(spark, sf_dir)
+    edges = rels.filter(F.col("TYPE") == "BUYS_FROM").select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    return harmonic_anf(edges, max_hops=3)
+
+
+@query(
+    "anf_curve3",
+    oracle=_anf_cte()
+    + """
+    SELECT CAST(hop AS INT) AS hop,
+           CAST(sum(est_q) AS BIGINT) AS nf_est_q
+    FROM anf_est GROUP BY hop
+    """,
+)
+def anf_curve3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic ANF curve over BUYS_FROM: estimated connected pairs
+    within distance h for h = 0..3 (sum of per-node ball estimates, q
+    units) — the effective-diameter primitive (smallest h reaching 90%
+    of the plateau). Same linear-state sketch recurrence as
+    harmonic_anf3."""
+    from neo4j_arrow_spark.operators.anf import anf_curve
+
+    _, rels = _graph(spark, sf_dir)
+    edges = rels.filter(F.col("TYPE") == "BUYS_FROM").select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    return anf_curve(edges, max_hops=3)
+
+
 @query(
     "link_prediction_nation0",
     oracle=f"""

@@ -176,8 +176,10 @@ def test_varlength_rejections():
         cypher_to_sql("MATCH (a)-[r:T*1..2]->(b) RETURN a.ID", "n", "e")
     with pytest.raises(CypherUnsupported):
         cypher_to_sql("MATCH (a)-[:T*1..9]->(b) RETURN a.ID", "n", "e")
-    with pytest.raises(CypherUnsupported):
-        cypher_to_sql("MATCH (a)-[:T*1..2]-(b) RETURN a.ID", "n", "e")
+    # undirected bounded varlength is SUPPORTED since r6 (each hop joins
+    # the natural+reverse union view) — assert it compiles, not rejects
+    sql = cypher_to_sql("MATCH (a)-[:T*1..2]-(b) RETURN a.ID", "n", "e")
+    assert "UNION ALL" in sql
 
 
 def test_type_alternation_translation():

@@ -23,6 +23,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+TIMEOUT_S = 2400
+
+
 @pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_SKIP_FULL_ORACLE") == "1",
     reason="full-registry oracle run disabled via env",
@@ -30,9 +33,6 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 @pytest.mark.skipif(
     not os.path.isdir(SF_DIR), reason=f"testdata {SF_DIR} not present"
 )
-TIMEOUT_S = 2400
-
-
 def test_full_registry_oracle_equivalence():
     import time
 
