@@ -970,6 +970,38 @@ class _Parser:
             i += 1
         self.unwind_aliases.add("_pathlen")
 
+    def _splice_varlength_path(self, path_var: str) -> None:
+        """Bounded-varlength path binding: rewrite ``length(p)`` /
+        ``nodes(p)`` token runs to the scalar markers ``_pathlen`` /
+        ``_pathnodes`` — emitted as per-branch columns by
+        ``_varlength_sql`` (the hop total is a per-branch constant; the
+        node list is the branch's comma-joined node-id string, the same
+        documented string-not-list divergence as ``collect()``). Any
+        other use of the path variable raises."""
+        i = self.pos
+        while i < len(self.toks) - 3:
+            if (
+                self.toks[i][0] == "name"
+                and self.toks[i][1].lower() in ("length", "nodes")
+                and self.toks[i + 1][1] == "("
+                and self.toks[i + 2] == ("name", path_var)
+                and self.toks[i + 3][1] == ")"
+            ):
+                marker = (
+                    "_pathlen"
+                    if self.toks[i][1].lower() == "length"
+                    else "_pathnodes"
+                )
+                self.toks[i : i + 4] = [("name", marker)]
+            i += 1
+        for k, t in self.toks[self.pos :]:
+            if (k, t) == ("name", path_var):
+                raise CypherUnsupported(
+                    f"path variable {path_var!r} supports only "
+                    f"length({path_var}) and nodes({path_var})"
+                )
+        self.unwind_aliases.update({"_pathlen", "_pathnodes"})
+
     def _splice_plain_path(
         self, path_var: str, nodes: list[_NodePat], rels: list[_RelPat]
     ) -> dict[str, str]:
@@ -1213,18 +1245,28 @@ class _Parser:
                 nodes, rels = _flatten_chains(chains)
         path_subs: dict[str, str] = {}
         plain_path = getattr(self, "_plain_path", None)
+        vlp_path = False
         if plain_path is not None:
-            if any(r.is_varlength for r in rels):
-                raise CypherUnsupported(
-                    "path variables on variable-length patterns are "
-                    "supported only via shortestPath(...)"
-                )
             if len(chains) > 1:
                 raise CypherUnsupported(
                     "path variables with comma-separated patterns are "
                     "not supported"
                 )
-            path_subs = self._splice_plain_path(plain_path, nodes, rels)
+            if any(r.is_varlength for r in rels):
+                # path variable over a BOUNDED varlength pattern (r6):
+                # length(p) / nodes(p) become per-branch scalar columns
+                # (_pathlen = branch hop total, _pathnodes = comma-
+                # joined node ids) emitted by _varlength_sql — one row
+                # per enumerated path, Cypher's non-shortest semantics
+                if any(r.is_unbounded for r in rels):
+                    raise CypherUnsupported(
+                        "path variables on unbounded (*) patterns are "
+                        "supported only via shortestPath(...)"
+                    )
+                self._splice_varlength_path(plain_path)
+                vlp_path = True
+            else:
+                path_subs = self._splice_plain_path(plain_path, nodes, rels)
         bound = {n.var for n in nodes}
         optionals: list[
             tuple[list[_NodePat], list[_RelPat], str | None]
@@ -1366,12 +1408,17 @@ class _Parser:
                         )
                     fresh.add(n.var)
                 for r in prels:
-                    if r.is_varlength:
+                    if r.is_unbounded:
                         raise CypherUnsupported(
-                            "variable-length in MATCH after WITH is not "
-                            "supported"
+                            "unbounded (*) variable-length in MATCH after "
+                            "WITH is not supported (bounded *a..b is)"
                         )
                     if r.var:
+                        if r.is_varlength:
+                            raise CypherUnsupported(
+                                "binding a variable-length relationship to "
+                                "a variable is not supported"
+                            )
                         fresh.add(r.var)
                 # the anchor is rejoined to the node table, so its
                 # properties are accessible again (anchor.prop)
@@ -1451,6 +1498,7 @@ class _Parser:
         return {
             "shortest": shortest,
             "all_paths": shortest and all_paths,
+            "vlp_path": vlp_path,
             "path_subs": path_subs,
             "chains": chains,
             "chain_groups": chain_groups,
@@ -1917,6 +1965,11 @@ def _match_stage_sql(
     filtering the stage rows before the graph re-join, so Catalyst
     pushes it below the join."""
     pnodes, prels = pm["nodes"], pm["rels"]
+    if any(r.is_varlength for r in prels):
+        return _match_stage_varlength_sql(
+            pm, base_sql, nodes_view, rels_view, items, distinct,
+            stage_where, depth,
+        )
     stage = f"_scope{depth}"
     anchor = pnodes[0].var
     joins = [f"JOIN {nodes_view} AS {anchor} ON {anchor}.ID = {stage}.{anchor}"]
@@ -1950,6 +2003,118 @@ def _match_stage_sql(
         sql += f"\n{j}"
     if conds:
         sql += "\nWHERE " + " AND ".join(conds)
+    if has_agg and group_cols:
+        sql += "\nGROUP BY " + ", ".join(group_cols)
+    return sql
+
+
+def _match_stage_varlength_sql(
+    pm: dict,
+    base_sql: str,
+    nodes_view: str,
+    rels_view: str,
+    items: list[tuple[str, str, bool]],
+    distinct: bool,
+    stage_where: str | None,
+    depth: int,
+) -> str:
+    """MATCH after WITH with BOUNDED variable-length segments (r6):
+    each length combination becomes one branch — the stage subquery
+    re-anchored on the carried alias and extended along the expanded
+    fixed chain — and the branches UNION ALL before the projection /
+    aggregation, exactly ``_varlength_sql``'s shape one pipeline stage
+    deep. The stage subquery is embedded per branch (<= 8 by the
+    branch cap, and bounded varlength in practice is *1..2 / *1..3);
+    pattern var.prop references are carried out of the branches as
+    ``var_prop`` columns, stage aliases flow through ``stage.*``."""
+    import itertools
+
+    pnodes, prels = pm["nodes"], pm["rels"]
+    combos = list(
+        itertools.product(*[range(r.minlen, r.maxlen + 1) for r in prels])
+    )
+    if len(combos) > _MAX_VARLENGTH_BRANCHES:
+        raise CypherUnsupported(
+            f"MATCH-after-WITH pattern expands to {len(combos)} length "
+            f"combinations (cap {_MAX_VARLENGTH_BRANCHES})"
+        )
+    stage = f"_scope{depth}"
+    anchor = pnodes[0].var
+    known = {n.var for n in pnodes} | {r.var for r in prels if r.var}
+    outer_exprs = [e for e, _a, _g in items]
+    refs: set[tuple[str, str]] = set()
+    for e in outer_exprs:
+        for var, prop in re.findall(r"\b([A-Za-z_][A-Za-z0-9_]*)\.(\w+)", e):
+            if var in known:
+                refs.add((var, prop))
+    ref_list = sorted(refs)
+
+    branches: list[str] = []
+    for bi, lengths in enumerate(combos):
+        bnodes = [pnodes[0]]
+        brels: list[_RelPat] = []
+        for i, (r, L) in enumerate(zip(prels, lengths)):
+            for k in range(L):
+                is_last = k == L - 1
+                target = (
+                    pnodes[i + 1]
+                    if is_last
+                    else _NodePat(f"_s{depth}_{bi}_{i}_{k}")
+                )
+                brels.append(
+                    _RelPat(
+                        r.var if not r.is_varlength else "",
+                        r.rtypes,
+                        r.direction,
+                        props=list(r.props),
+                        extra_props=list(r.extra_props),
+                    )
+                )
+                bnodes.append(target)
+        joins = [
+            f"JOIN {nodes_view} AS {anchor} ON {anchor}.ID = {stage}.{anchor}"
+        ]
+        conds: list[str] = []
+        if stage_where:
+            conds.append(stage_where)
+        for i, r in enumerate(brels):
+            rv = r.var or f"_p{depth}_{bi}_{i}"
+            a, b = bnodes[i].var, bnodes[i + 1].var
+            on, on2 = _rel_keys(r, rv, a, b)
+            joins.append(f"JOIN {_rel_source(r, rv, rels_view)} ON {on}")
+            joins.append(f"JOIN {nodes_view} AS {b} ON {on2}")
+            if cond := _type_cond(r, rv):
+                conds.append(cond)
+            conds.extend(_prop_conds(r, rv))
+        for n in bnodes[1:]:
+            for lbl in n.labels:
+                conds.append(f"array_contains({n.var}.LABELS, '{lbl}')")
+            for key, lit in n.props:
+                conds.append(f"{n.var}.{key} = {lit}")
+        if pm["where"]:
+            conds.append(pm["where"])
+        select = f"{stage}.*"
+        for v, p in ref_list:
+            select += f", {v}.{p} AS {v}_{p}"
+        b_sql = f"SELECT {select}\nFROM (\n{base_sql}\n) AS {stage}"
+        for j in joins:
+            b_sql += f"\n{j}"
+        if conds:
+            b_sql += "\nWHERE " + " AND ".join(conds)
+        branches.append(b_sql)
+
+    union = "\nUNION ALL\n".join(branches)
+
+    def rewrite(e: str) -> str:
+        for v, p in ref_list:
+            e = re.sub(rf"\b{v}\.{p}\b", f"{v}_{p}", e)
+        return e
+
+    select_parts = [f"{rewrite(e)} AS {a}" for e, a, _ in items]
+    select_sql = ("DISTINCT " if distinct else "") + ", ".join(select_parts)
+    group_cols = [rewrite(e) for e, _a, agg in items if not agg]
+    has_agg = any(agg for _, _, agg in items)
+    sql = f"SELECT {select_sql}\nFROM (\n{union}\n) AS _vmatch{depth}"
     if has_agg and group_cols:
         sql += "\nGROUP BY " + ", ".join(group_cols)
     return sql
@@ -2464,11 +2629,27 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         from_sql, joins, conds = _chain(
             bnodes, brels, nodes_view, rels_view, tag=f"b{bi}_"
         )
+        pathnodes_sql = "concat_ws(',', " + ", ".join(
+            f"{n.var}.ID" for n in bnodes
+        ) + ")"
         if ast["where"]:
-            conds.append(ast["where"])
+            w = ast["where"]
+            if ast.get("vlp_path"):
+                # path markers in WHERE are per-branch constants /
+                # expressions — inline them (they are select-list
+                # columns, not FROM columns, so WHERE can't see them)
+                w = re.sub(r"\b_pathlen\b", str(sum(lengths)), w)
+                w = re.sub(r"\b_pathnodes\b", pathnodes_sql, w)
+            conds.append(w)
         select = (
             ", ".join(f"{v}.{p} AS {v}_{p}" for v, p in ref_list) or "1 AS _one"
         )
+        if ast.get("vlp_path"):
+            # plain (non-shortest) path binding over bounded varlength:
+            # one row per enumerated path; length(p) is the branch hop
+            # total, nodes(p) the branch's comma-joined node-id string
+            select += f", {sum(lengths)} AS _pathlen"
+            select += f", {pathnodes_sql} AS _pathnodes"
         if ast.get("shortest"):
             # this branch's total path length, a per-row constant the
             # outer MIN(_pathlen) aggregates into the shortest length —

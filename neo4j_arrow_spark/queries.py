@@ -227,6 +227,24 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_with_then_varlength",
+    # bounded varlength in MATCH after WITH (r6): the carried node id
+    # re-anchors a *1..2 branch-union expansion one stage deep
+    "MATCH (n:Nation) WITH n.ID AS nid, n.name AS nation "
+    "MATCH (nid)-[:IN_NATION*1..2]-(x) "
+    "RETURN nation, count(*) AS walks ORDER BY nation",
+)
+
+_cypher_query(
+    "cypher_path_var_varlength",
+    # path variable over a bounded varlength pattern (r6): length(p) /
+    # nodes(p) become per-branch scalar columns; one row per path
+    "MATCH p = (c:Customer)-[:IN_NATION*1..2]-(x) "
+    "WHERE length(p) = 2 "
+    "RETURN length(p) AS lp, count(*) AS paths",
+)
+
+_cypher_query(
     "cypher_simple_case",
     # simple CASE (CASE expr WHEN val THEN res) + the shared-name math
     # whitelist (floor/sqrt under toInteger keeps the oracle exact)

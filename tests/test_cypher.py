@@ -435,8 +435,12 @@ def test_shortest_path_rejections():
             "WHERE length(p) > 1 RETURN a",
             "n", "r",
         )
+    # plain path vars over BOUNDED varlength are supported since r6;
+    # only unbounded (*) still requires shortestPath
     with _pytest.raises(CypherUnsupported, match="shortestPath"):
-        cypher_to_sql("MATCH p = (a:N)-[:E*1..2]->(b:N) RETURN a", "n", "r")
+        cypher_to_sql(
+            "MATCH p = (a:N)-[:E*]->(b:N) RETURN length(p) AS lp", "n", "r"
+        )
 
 
 def test_exists_pattern_rejections():
@@ -631,7 +635,9 @@ def test_path_var_length_groups_as_expression_not_ordinal():
 
 
 def test_path_var_rejections():
-    with pytest.raises(CypherUnsupported, match="shortestPath"):
+    # bounded-varlength path vars compile since r6; binding the rel
+    # variable itself (a list of relationships) is still rejected
+    with pytest.raises(CypherUnsupported, match="binding"):
         cypher_to_sql(
             "MATCH p = (a)-[r:T*1..2]->(b) RETURN length(p) AS h", "n", "e"
         )
