@@ -1466,11 +1466,15 @@ class _Parser:
             limit = self.expect_count("LIMIT")
         if self.peek()[0] != "eof":
             raise CypherSyntaxError(f"unexpected trailing input: {self.peek()[1]!r}")
-        if shortest and (optionals or unwinds or withs or post_match):
+        if shortest and (optionals or unwinds):
             raise CypherUnsupported(
-                "shortestPath combined with OPTIONAL MATCH / UNWIND / WITH "
+                "shortestPath combined with OPTIONAL MATCH / UNWIND "
                 "is not supported (v1)"
             )
+        # shortestPath + WITH pipeline (r6): the pattern and the FIRST
+        # WITH's items compile through the shortest branch-union
+        # emission (per-endpoint-pair MIN(_pathlen) grouping), and the
+        # remaining stages fold on top as plain SQL stages
         if shortest and where and re.search(r"\b_pathlen\b", where):
             raise CypherUnsupported(
                 "length(path) in WHERE is not supported — filter on the "

@@ -485,6 +485,17 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_shortest_with_pipeline",
+    # shortestPath composed with a WITH pipeline (r6): per-pair MIN
+    # inside, stage aggregation over the pairs on top
+    "MATCH p = shortestPath("
+    "(c:Customer)-[:BUYS_FROM|IN_NATION*1..3]->(n:Nation)) "
+    "WITH n.name AS nation, length(p) AS hops "
+    "WHERE hops <= 2 "
+    "RETURN nation, hops, count(*) AS pairs ORDER BY nation, hops",
+)
+
+_cypher_query(
     "cypher_path_nodes",
     # plain fixed-length path binding: length(p) is the constant rel
     # count, nodes(p) the comma-joined node-id string
