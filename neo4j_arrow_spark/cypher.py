@@ -1433,11 +1433,24 @@ class _Parser:
                 pipeline.append(post_match)
                 continue
             if pipeline and self.peek()[1] == "UNWIND":
-                raise CypherUnsupported(
-                    "UNWIND after WITH is not supported — place UNWIND "
-                    "before the first WITH (it then feeds the pipeline's "
-                    "first stage)"
+                # UNWIND after WITH (r6): a lateral explode over the
+                # stage rows; the iteration variable joins the carried
+                # aliases for everything downstream
+                if pipeline[-1]["kind"] != "with":
+                    raise CypherUnsupported(
+                        "UNWIND in a pipeline must directly follow a "
+                        "WITH stage"
+                    )
+                self.next()
+                # sources: range()/list literal/$param/carried alias —
+                # pattern variables died at the WITH boundary, so the
+                # bound set is empty (labels(var) correctly rejects)
+                usrc, ualias = self._unwind_source(set())
+                self.aliases = set(self.aliases) | {ualias}
+                pipeline.append(
+                    {"kind": "unwind", "src": usrc, "alias": ualias}
                 )
+                continue
             break
         self.expect("RETURN")
         distinct = self.accept("DISTINCT")
@@ -1908,6 +1921,30 @@ def _single_query_sql_inner(
                 )
                 pending_where = el["where"]
                 i += 1
+            elif el["kind"] == "unwind":
+                # an unwind-element projects the FOLLOWING stage's
+                # items (the next WITH's, or RETURN's when last),
+                # exploding laterally over the previous stage's rows
+                if i + 1 < len(els) and els[i + 1]["kind"] == "with":
+                    nxt = els[i + 1]
+                    sql = _unwind_stage_sql(
+                        el, sql, nxt["items"], nxt["distinct"],
+                        pending_where, depth, ast["dialect"],
+                    )
+                    pending_where = nxt["where"]
+                    i += 2
+                elif i + 1 < len(els):
+                    raise CypherUnsupported(
+                        "UNWIND in a pipeline must be followed by WITH "
+                        "or RETURN"
+                    )
+                else:
+                    sql = _unwind_stage_sql(
+                        el, sql, ast["items"], ast["distinct"],
+                        pending_where, depth, ast["dialect"],
+                    )
+                    sql = _order_limit_tail(sql, ast)
+                    return _subst_views(sql, nodes_view, rels_view)
             else:
                 # a match-element is always followed by a with-stage or
                 # by RETURN (the parser only accepts MATCH after WITH)
@@ -2007,6 +2044,39 @@ def _match_stage_sql(
         sql += f"\n{j}"
     if conds:
         sql += "\nWHERE " + " AND ".join(conds)
+    if has_agg and group_cols:
+        sql += "\nGROUP BY " + ", ".join(group_cols)
+    return sql
+
+
+def _unwind_stage_sql(
+    el: dict,
+    base_sql: str,
+    items: list[tuple[str, str, bool]],
+    distinct: bool,
+    stage_where: str | None,
+    depth: int,
+    dialect: str,
+) -> str:
+    """UNWIND after WITH: lateral explode of ``el['src']`` (an
+    expression over the carried aliases) against the previous stage's
+    rows, projecting the following stage's items. The preceding WITH's
+    trailing WHERE rides in this SELECT — it cannot reference the
+    iteration variable (out of scope at parse time), so pre- vs
+    post-explode placement is equivalent and Catalyst pushes it."""
+    stage = f"_scope{depth}"
+    src, alias = el["src"], el["alias"]
+    select_parts = [f"{e} AS {a}" for e, a, _ in items]
+    select_sql = ("DISTINCT " if distinct else "") + ", ".join(select_parts)
+    group_cols = [e for e, _a, agg in items if not agg]
+    has_agg = any(agg for _, _, agg in items)
+    sql = f"SELECT {select_sql}\nFROM (\n{base_sql}\n) AS {stage}"
+    if dialect == "spark":
+        sql += f"\nLATERAL VIEW explode({src}) _uw{depth} AS {alias}"
+    else:
+        sql += f"\nCROSS JOIN unnest({src}) AS _uw{depth}({alias})"
+    if stage_where:
+        sql += f"\nWHERE {stage_where}"
     if has_agg and group_cols:
         sql += "\nGROUP BY " + ", ".join(group_cols)
     return sql

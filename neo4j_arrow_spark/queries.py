@@ -227,6 +227,15 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_unwind_after_with",
+    # UNWIND after WITH (r6): lateral explode over the stage rows
+    "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+    "WITH n.name AS nation, count(*) AS members "
+    "UNWIND range(1, 3) AS bucket "
+    "RETURN nation, bucket, members ORDER BY nation, bucket",
+)
+
+_cypher_query(
     "cypher_with_then_varlength",
     # bounded varlength in MATCH after WITH (r6): the carried node id
     # re-anchors a *1..2 branch-union expansion one stage deep

@@ -359,10 +359,17 @@ def test_unwind_feeds_with_pipeline():
     assert "LATERAL VIEW explode" in sql and "a AS b" in sql
 
 
-def test_unwind_after_with_rejected():
-    with pytest.raises(CypherUnsupported, match="UNWIND after WITH"):
+def test_unwind_after_with():
+    # supported since r6: a lateral explode over the stage rows
+    sql = cypher_to_sql(
+        "MATCH (n:X) WITH n.ID AS i UNWIND [1, 2] AS x RETURN i, x",
+        "gn", "ge",
+    )
+    assert "LATERAL VIEW explode" in sql
+    # labels(var) is correctly out of scope past the WITH boundary
+    with pytest.raises(CypherSyntaxError, match="unbound"):
         cypher_to_sql(
-            "MATCH (n:X) WITH n.ID AS i UNWIND [1, 2] AS x RETURN i, x",
+            "MATCH (n:X) WITH n.ID AS i UNWIND labels(n) AS x RETURN x",
             "gn", "ge",
         )
 
