@@ -1462,12 +1462,29 @@ class _Parser:
             self.expect("BY")
             while True:
                 # a bare name references a RETURN alias; var.prop maps
-                # through _order_ref; anything else is a syntax error
+                # through _order_ref; name( starts a full expression
+                # (``ORDER BY count(*) DESC``) that must match a RETURN
+                # item textually — the sort runs over the projected
+                # aliases, so an unmatched expression has nothing to
+                # bind to out there
                 kind, tok = self.peek()
                 if kind != "name":
                     raise CypherSyntaxError(f"ORDER BY expects a name, got {tok!r}")
-                name = self.expect_name()
-                e = f"{name}.{self.expect_name()}" if self.accept(".") else name
+                if (
+                    self.pos + 1 < len(self.toks)
+                    and self.toks[self.pos + 1][1] == "("
+                ):
+                    saw = self._saw_agg
+                    e = self.value()
+                    self._saw_agg = saw
+                    if _order_ref(e, items) == e:
+                        raise CypherUnsupported(
+                            f"ORDER BY expression {e!r} must textually "
+                            "match a RETURN item (or ORDER BY its alias)"
+                        )
+                else:
+                    name = self.expect_name()
+                    e = f"{name}.{self.expect_name()}" if self.accept(".") else name
                 direction = "DESC" if self.accept("DESC") else ("ASC" if self.accept("ASC") else "ASC")
                 order.append((e, direction))
                 if not self.accept(","):
@@ -2250,6 +2267,63 @@ def _opt_varlength_derived(seg: _RelPat, rels_view: str) -> str:
     return "(" + "\nUNION ALL\n".join(branches) + ")"
 
 
+def _optional_nested_join(
+    oi: int,
+    onodes: list[_NodePat],
+    orels: list[_RelPat],
+    owhere: str | None,
+    nodes_view: str,
+    rels_view: str,
+) -> str:
+    """One OPTIONAL MATCH clause as a single nested parenthesized
+    join: ``LEFT JOIN (rels AS r JOIN nodes AS b ON … labels …) ON
+    anchor-link``. The inner tree binds the whole pattern as a unit,
+    so a failed label/property test on ANY hop nulls every optional
+    variable together (Cypher's all-or-nothing clause semantics) —
+    the flat LEFT-JOIN chain can only null the failing suffix.
+    Anchor-referencing conditions (the first rel's key, the clause
+    WHERE) ride in the outer ON; everything else joins inner."""
+    oslots = [
+        (r.var or f"_o{oi}_{i}", r.direction == "-", list(r.rtypes), 0)
+        for i, r in enumerate(orels)
+    ]
+    inner = ""
+    outer_on: list[str] = []
+    for i, r in enumerate(orels):
+        rv = oslots[i][0]
+        a, b = onodes[i].var, onodes[i + 1].var
+        on, on2 = _rel_keys(r, rv, a, b)
+        rconds: list[str] = []
+        if cond := _type_cond(r, rv):
+            rconds.append(cond)
+        rconds.extend(_prop_conds(r, rv))
+        tgt = onodes[i + 1]
+        nconds = [
+            f"array_contains({b}.LABELS, '{lbl}')" for lbl in tgt.labels
+        ] + [f"{b}.{key} = {lit}" for key, lit in tgt.props]
+        for j in range(i):
+            nconds.extend(_rel_uniqueness_conds([oslots[j], oslots[i]]))
+        if i == 0:
+            inner = _rel_source(r, rv, rels_view)
+            outer_on.append(on)  # anchor link — the only outer-var ref
+            inner += (
+                f"\n  JOIN {nodes_view} AS {b} ON "
+                + " AND ".join([on2, *rconds, *nconds])
+            )
+        else:
+            inner += (
+                f"\n  JOIN {_rel_source(r, rv, rels_view)} ON "
+                + " AND ".join([on, *rconds])
+            )
+            inner += (
+                f"\n  JOIN {nodes_view} AS {b} ON "
+                + " AND ".join([on2, *nconds])
+            )
+    if owhere:
+        outer_on.append(f"({owhere})")
+    return f"LEFT JOIN (\n  {inner}\n) ON " + " AND ".join(outer_on)
+
+
 def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     nodes, rels = ast["nodes"], ast["rels"]
     _collect_undirected_prop_refs(ast)
@@ -2286,16 +2360,21 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
 
     for oi, (onodes, orels, owhere) in enumerate(ast["optionals"]):
         # LEFT-JOIN chain: pattern conditions live in the ON clause
-        # (WHERE would defeat the null-preservation). Non-anchor nodes
-        # must be bare — a failed label test on an optional target
-        # would have to null the whole pattern, which needs derived-
-        # table joins; out of scope v1.
-        for n in onodes[1:]:
-            if n.labels or n.props:
-                raise CypherUnsupported(
-                    "labels/properties on OPTIONAL MATCH target nodes are "
-                    "not supported (v1) — filter in WHERE with IS NULL guards"
+        # (WHERE would defeat the null-preservation). When a non-anchor
+        # node carries labels/properties, a failed test must null the
+        # WHOLE pattern (rel vars included), so the clause compiles to
+        # ONE nested parenthesized join — LEFT JOIN (rels JOIN nodes ON
+        # … label conds …) ON anchor-link — which Catalyst/DuckDB treat
+        # as a unit: no row of the inner tree, all optional vars null.
+        if (
+            any(n.labels or n.props for n in onodes[1:]) or len(orels) > 1
+        ) and not any(r.is_varlength for r in orels):
+            joins.append(
+                _optional_nested_join(
+                    oi, onodes, orels, owhere, nodes_view, rels_view
                 )
+            )
+            continue
         if len(orels) == 1 and orels[0].is_varlength:
             # bounded varlength (validated at parse): LEFT JOIN the
             # length-union derived table on the anchor, then the

@@ -236,6 +236,25 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_optional_label_target",
+    # OPTIONAL MATCH with labeled intermediate+target nodes (r6):
+    # compiles to a nested parenthesized LEFT JOIN so a failed label
+    # test nulls the whole pattern (all-or-nothing clause semantics)
+    "MATCH (s:Supplier) "
+    "OPTIONAL MATCH (s)-[:IN_NATION]->(n:Nation)<-[:IN_NATION]-(c:Customer) "
+    "RETURN s.name AS supplier, count(c) AS nation_peers ORDER BY supplier",
+)
+
+_cypher_query(
+    "cypher_order_by_agg",
+    # ORDER BY over an aggregate expression (r6): resolves against the
+    # textually-matching RETURN item's alias in the outer sort
+    "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+    "RETURN n.name AS nation, count(*) AS members "
+    "ORDER BY count(*) DESC, n.name LIMIT 5",
+)
+
+_cypher_query(
     "cypher_with_then_varlength",
     # bounded varlength in MATCH after WITH (r6): the carried node id
     # re-anchors a *1..2 branch-union expansion one stage deep

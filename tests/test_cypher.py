@@ -135,10 +135,25 @@ def test_optional_match_translation():
 def test_optional_match_requires_bound_anchor():
     with pytest.raises(CypherUnsupported):
         cypher_to_sql("MATCH (a:X) OPTIONAL MATCH (z)-[r:T]->(b) RETURN a.ID", "n", "e")
-    with pytest.raises(CypherUnsupported):
-        cypher_to_sql(
-            "MATCH (a:X) OPTIONAL MATCH (a)-[r:T]->(b:Lab) RETURN a.ID", "n", "e"
-        )
+
+
+def test_optional_match_target_label_nested_join():
+    # r6: a labeled optional target compiles to ONE nested
+    # parenthesized join so a failed label test nulls the whole pattern
+    sql = cypher_to_sql(
+        "MATCH (a:X) OPTIONAL MATCH (a)-[r:T]->(b:Lab) RETURN a.ID AS i, b.ID AS j",
+        "n", "e",
+    )
+    assert "LEFT JOIN (\n  e AS r" in sql
+    assert "array_contains(b.LABELS, 'Lab')" in sql
+    # multi-hop optional chains route through the same nested emission
+    # (all-or-nothing clause semantics)
+    sql2 = cypher_to_sql(
+        "MATCH (a:X) OPTIONAL MATCH (a)-[:T]->(b)-[:T]->(c) "
+        "RETURN a.ID AS i, c.ID AS j",
+        "n", "e",
+    )
+    assert sql2.count("LEFT JOIN") == 1
 
 
 def test_optional_match_end_to_end(client):
