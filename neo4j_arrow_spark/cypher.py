@@ -248,13 +248,21 @@ class _Parser:
         return f":{name}" if self.dialect == "spark" else f"${name}"
 
     # -- pattern -----------------------------------------------------------
-    def node(self) -> _NodePat:
+    def node(self, anon_ok: bool = False) -> _NodePat:
         self.expect("(")
         kind, tok = self.peek()
         if kind != "name":
-            raise CypherUnsupported("anonymous nodes are not supported; name every node")
-        var = self.expect_name()
-        self.node_pat_vars.add(var)
+            if not anon_ok or tok not in (")", ":", "{"):
+                raise CypherUnsupported(
+                    "anonymous nodes are not supported; name every node"
+                )
+            # existential position (pattern predicate / COUNT {}):
+            # a fresh never-referenced variable
+            self._anon_n = getattr(self, "_anon_n", 0) + 1
+            var = f"_an{self._anon_n}"
+        else:
+            var = self.expect_name()
+            self.node_pat_vars.add(var)
         n = _NodePat(var)
         while self.accept(":"):
             n.labels.append(self.expect_name())
@@ -480,6 +488,19 @@ class _Parser:
                 return f"named_struct({inner})"
             inner = ", ".join(f"{k} := {v}" for k, v in pairs)
             return f"struct_pack({inner})"
+        if (
+            kind == "name"
+            and tok.upper() == "COUNT"
+            and self.toks[self.pos + 1][1] == "{"
+        ):
+            # COUNT { MATCH? (a)-[:T]->(b) } subquery: a correlated
+            # scalar count — degree-style expressions without a join
+            self.next()
+            self.expect("{")
+            self.accept("MATCH")
+            out = self._exists_pattern(mode="count")
+            self.expect("}")
+            return out
         if kind == "name" and self.toks[self.pos + 1][1] == "(":
             fn = tok.upper()
             if fn in ("TOINTEGER", "TOFLOAT", "TOSTRING"):
@@ -759,95 +780,119 @@ class _Parser:
             return f"{var}.ID"
         return self.literal()
 
-    def _exists_pattern(self) -> str:
-        """``EXISTS((a)-[:T]->(b[:Label]))`` pattern predicate: an
-        existential single-hop check from a BOUND variable. Emits an
-        ANSI EXISTS subquery against the ``__RELS__``/``__NODES__``
-        placeholders (the view names are only known at emission —
-        :func:`cypher_to_sql` substitutes them last). The target is
-        either a bound variable (edge-existence between two bound
-        nodes) or a fresh existential one, optionally label-filtered.
-        Direction ``-`` checks both orientations. Called with the
-        outer ``EXISTS(`` already consumed; node() consumes the
+    def _exists_pattern(self, mode: str = "exists") -> str:
+        """Single-hop pattern predicate — the shared engine behind
+        ``EXISTS((a)-[:T]->(b))``, ``EXISTS { (a)-[:T]->(:L) }``, a
+        bare ``WHERE (a)-[:T]->()`` pattern, and ``COUNT { … }``.
+        Emits an ANSI EXISTS subquery (or, for ``mode='count'``, a
+        correlated scalar ``count(*)`` subquery — Spark supports
+        correlated scalars when aggregated, DuckDB always) against the
+        ``__RELS__``/``__NODES__`` placeholders (the view names are
+        only known at emission — :func:`cypher_to_sql` substitutes
+        them last). Either endpoint may be a bound variable, a fresh
+        existential one, anonymous (``()``), label-filtered, or
+        property-filtered; at least one endpoint must be bound (the
+        correlation key). Direction ``-`` checks both orientations:
+        OR of the legs for exists, sum for count. node() consumes the
         pattern's own parens."""
-        src = self.node()
+        src = self.node(anon_ok=True)
         r = self.rel()
-        dst = self.node()
-        if src.labels or src.props or dst.props:
-            raise CypherUnsupported(
-                "EXISTS pattern supports labels only on the target node"
-            )
+        dst = self.node(anon_ok=True)
         if r.is_varlength:
-            raise CypherUnsupported("variable-length EXISTS is not supported")
-        bound = getattr(self, "_bound", set())
-        if src.var not in bound:
             raise CypherUnsupported(
-                f"EXISTS must start from a bound variable; {src.var!r} is not"
+                "variable-length pattern predicates are not supported"
+            )
+        bound = getattr(self, "_bound", set())
+        if src.var not in bound and dst.var not in bound:
+            raise CypherUnsupported(
+                "a pattern predicate needs at least one bound endpoint "
+                f"({src.var!r} and {dst.var!r} are both unbound)"
             )
         self._exists_n = getattr(self, "_exists_n", 0) + 1
         ev = f"_ex{self._exists_n}"
 
-        def leg(start: str, end: str) -> str:
-            conds = [f"{ev}.START_ID = {start}.ID"]  # start is always bound
-            tc = _type_cond(r, ev)
-            if tc:
+        def node_sub(n: _NodePat) -> str | None:
+            conds = [f"array_contains(LABELS, '{lb}')" for lb in n.labels]
+            conds += [f"{k} = {lit}" for k, lit in n.props]
+            if not conds:
+                return None
+            return "SELECT ID FROM __NODES__ WHERE " + " AND ".join(conds)
+
+        def leg(flipped: bool) -> str:
+            # flipped: src binds the edge's END_ID (reversed orientation)
+            scol, ecol = ("END_ID", "START_ID") if flipped else ("START_ID", "END_ID")
+            conds = []
+            for pat, col in ((src, scol), (dst, ecol)):
+                if pat.var in bound:
+                    conds.append(f"{ev}.{col} = {pat.var}.ID")
+                elif sub := node_sub(pat):
+                    conds.append(f"{ev}.{col} IN ({sub})")
+            if tc := _type_cond(r, ev):
                 conds.append(tc)
             conds.extend(_prop_conds(r, ev))
-            if end in bound:
-                conds.append(f"{ev}.END_ID = {end}.ID")
-            elif dst.labels:
-                lbl = dst.labels[0]
-                conds.append(
-                    f"{ev}.END_ID IN (SELECT ID FROM __NODES__ "
-                    f"WHERE array_contains(LABELS, '{lbl}'))"
-                )
-            return (
-                f"EXISTS (SELECT 1 FROM __RELS__ AS {ev} WHERE "
-                + " AND ".join(conds)
-                + ")"
-            )
+            where = " AND ".join(conds)
+            if mode == "exists":
+                return f"EXISTS (SELECT 1 FROM __RELS__ AS {ev} WHERE {where})"
+            return f"(SELECT count(*) FROM __RELS__ AS {ev} WHERE {where})"
 
-        def rleg() -> str:
-            # reversed orientation: src is the edge TARGET
-            conds = [f"{ev}.END_ID = {src.var}.ID"]
-            tc = _type_cond(r, ev)
-            if tc:
-                conds.append(tc)
-            conds.extend(_prop_conds(r, ev))
-            if dst.var in bound:
-                conds.append(f"{ev}.START_ID = {dst.var}.ID")
-            elif dst.labels:
-                lbl = dst.labels[0]
-                conds.append(
-                    f"{ev}.START_ID IN (SELECT ID FROM __NODES__ "
-                    f"WHERE array_contains(LABELS, '{lbl}'))"
-                )
-            return (
-                f"EXISTS (SELECT 1 FROM __RELS__ AS {ev} WHERE "
-                + " AND ".join(conds)
-                + ")"
-            )
-
-        if len(dst.labels) > 1:
-            raise CypherUnsupported("EXISTS target supports one label")
         if r.direction == "->":
-            return "(" + leg(src.var, dst.var) + ")"
-        if r.direction == "<-":
-            return "(" + rleg() + ")"
-        return "(" + leg(src.var, dst.var) + " OR " + rleg() + ")"
+            legs = [leg(False)]
+        elif r.direction == "<-":
+            legs = [leg(True)]
+        else:
+            legs = [leg(False), leg(True)]
+        if mode == "exists":
+            return "(" + " OR ".join(legs) + ")"
+        return "(" + " + ".join(legs) + ")"
+
+    def _at_pattern_predicate(self) -> bool:
+        """Lookahead: does a bare relationship pattern start here —
+        ``(v)-[…]``, ``(v)<-``, ``()-[…]``, ``(:L)…``, ``(v:L)…``,
+        ``(v {…})…``? Disambiguates from a parenthesized expression:
+        ``(x) - 1`` continues with a number, never ``[`` / ``-`` /
+        ``<-``, and no expression contains ``name :`` or ``name {``."""
+        t = self.toks
+        if t[self.pos][1] != "(":
+            return False
+        i = self.pos + 1
+        if t[i][1] in (":", "{"):
+            return True  # anonymous labeled/propertied node
+        if t[i][1] == ")":
+            j = i + 1  # ()
+        elif t[i][0] == "name":
+            if t[i + 1][1] in (":", "{"):
+                return True
+            if t[i + 1][1] != ")":
+                return False
+            j = i + 2  # (v)
+        else:
+            return False
+        if t[j][1] == "<-":
+            return True
+        return t[j][1] == "-" and j + 1 < len(t) and t[j + 1][1] in ("[", "-")
 
     def comparison(self) -> str:
         kind0, tok0 = self.peek()
-        if (
-            kind0 == "name"
-            and tok0.lower() == "exists"
-            and self.toks[self.pos + 1][1] == "("
-        ):
-            self.next()
-            self.expect("(")
-            out = self._exists_pattern()
-            self.expect(")")
-            return out
+        if kind0 == "name" and tok0.lower() == "exists":
+            nxt = self.toks[self.pos + 1][1]
+            if nxt == "(":
+                self.next()
+                self.expect("(")
+                out = self._exists_pattern()
+                self.expect(")")
+                return out
+            if nxt == "{":
+                # EXISTS { MATCH? (a)-[:T]->(b) } subquery form
+                self.next()
+                self.expect("{")
+                self.accept("MATCH")
+                out = self._exists_pattern()
+                self.expect("}")
+                return out
+        if self._at_pattern_predicate():
+            # bare pattern predicate: WHERE (a)-[:T]->() — sugar for
+            # EXISTS (openCypher pattern-expression-as-boolean)
+            return self._exists_pattern()
         if self.accept("("):
             inner = self.expr()
             self.expect(")")
@@ -1453,6 +1498,10 @@ class _Parser:
                 continue
             break
         self.expect("RETURN")
+        # pattern predicates / COUNT {} in RETURN items correlate on
+        # the clause's node variables; past a WITH those are dead
+        # scalars, so the bound set is empty there (parse-time reject)
+        self._bound = set(bound) if self.aliases is None else set()
         distinct = self.accept("DISTINCT")
         items = [self.return_item()]
         while self.accept(","):
@@ -1472,16 +1521,26 @@ class _Parser:
                     raise CypherSyntaxError(f"ORDER BY expects a name, got {tok!r}")
                 if (
                     self.pos + 1 < len(self.toks)
-                    and self.toks[self.pos + 1][1] == "("
+                    and self.toks[self.pos + 1][1] in ("(", "{")
                 ):
                     saw = self._saw_agg
                     e = self.value()
                     self._saw_agg = saw
-                    if _order_ref(e, items) == e:
+                    # fresh per-parse subquery aliases (_ex1, _an2 …)
+                    # must not defeat the textual match — normalize
+                    # both sides before comparing, then adopt the
+                    # matching ITEM's expr so emission maps to its alias
+                    norm = lambda s: re.sub(r"_(ex|an)\d+", r"_\1", s)
+                    matched = next(
+                        (ie for ie, _a, _g in items if norm(ie) == norm(e)),
+                        None,
+                    )
+                    if matched is None:
                         raise CypherUnsupported(
                             f"ORDER BY expression {e!r} must textually "
                             "match a RETURN item (or ORDER BY its alias)"
                         )
+                    e = matched
                 else:
                     name = self.expect_name()
                     e = f"{name}.{self.expect_name()}" if self.accept(".") else name

@@ -255,6 +255,21 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_count_subquery_degree",
+    # COUNT { pattern } subquery (r6): correlated scalar count — a
+    # per-row degree without a join+groupBy
+    "MATCH (s:Supplier) RETURN s.name AS supplier, "
+    "COUNT { (s)<-[:BUYS_FROM]-(:Customer) } AS buyers ORDER BY supplier",
+)
+
+_cypher_query(
+    "cypher_pattern_predicate",
+    # bare pattern predicate + property-filtered anonymous target (r6)
+    "MATCH (c:Customer) WHERE (c)-[:IN_NATION]->({name: 'NATION_3'}) "
+    "RETURN count(*) AS in_nation3",
+)
+
+_cypher_query(
     "cypher_with_then_varlength",
     # bounded varlength in MATCH after WITH (r6): the carried node id
     # re-anchors a *1..2 branch-union expansion one stage deep
