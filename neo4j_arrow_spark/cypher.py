@@ -471,6 +471,17 @@ class _Parser:
             and self.toks[self.pos + 2][1].upper() == "IN"
         ):
             return self._list_comprehension()
+        if tok == "[":
+            # plain list literal [a, b, …] in expression position
+            self.next()
+            if self.peek()[1] == "]":
+                raise CypherUnsupported("empty list literals have no type")
+            elems = [self.value()]
+            while self.accept(","):
+                elems.append(self.value())
+            self.expect("]")
+            body = ", ".join(elems)
+            return f"array({body})" if self.dialect == "spark" else f"[{body}]"
         if tok == "{":
             # map literal {k: v, ...} — a struct per dialect (same
             # emission split as map projections)
@@ -503,6 +514,91 @@ class _Parser:
             return out
         if kind == "name" and self.toks[self.pos + 1][1] == "(":
             fn = tok.upper()
+            if fn in ("ALL", "ANY", "NONE", "SINGLE"):
+                # list predicates ``ALL(x IN list WHERE pred)`` →
+                # higher-order array functions: Spark forall/exists/
+                # filter, DuckDB list_filter + len — same lambda syntax
+                self.next()
+                self.expect("(")
+                var = self.expect_name()
+                _, t = self.next()
+                if t.upper() != "IN":
+                    raise CypherSyntaxError(
+                        f"expected IN in {fn}(...), got {t!r}"
+                    )
+                src = self.value()
+                self.expect("WHERE")
+                shadowed = var in self.unwind_aliases
+                self.unwind_aliases.add(var)
+                try:
+                    pred = self.expr()
+                finally:
+                    if not shadowed:
+                        self.unwind_aliases.discard(var)
+                self.expect(")")
+                if self.dialect == "spark":
+                    return {
+                        "ALL": f"forall({src}, {var} -> {pred})",
+                        "ANY": f"exists({src}, {var} -> {pred})",
+                        "NONE": f"(NOT exists({src}, {var} -> {pred}))",
+                        "SINGLE": f"(size(filter({src}, {var} -> {pred})) = 1)",
+                    }[fn]
+                hits = f"len(list_filter({src}, {var} -> {pred}))"
+                return {
+                    "ALL": f"({hits} = len({src}))",
+                    "ANY": f"({hits} > 0)",
+                    "NONE": f"({hits} = 0)",
+                    "SINGLE": f"({hits} = 1)",
+                }[fn]
+            if fn == "REDUCE":
+                # ``reduce(acc = init, x IN list | body)`` → Spark
+                # aggregate(list, init, (acc, x) -> body); DuckDB 1.0's
+                # list_reduce has no init slot, so the init rides as a
+                # prepended element (left-fold equivalence)
+                self.next()
+                self.expect("(")
+                acc = self.expect_name()
+                _, t = self.next()
+                if t != "=":
+                    raise CypherSyntaxError(
+                        f"reduce expects 'acc = init', got {t!r}"
+                    )
+                init = self.value()
+                self.expect(",")
+                var = self.expect_name()
+                _, t = self.next()
+                if t.upper() != "IN":
+                    raise CypherSyntaxError(
+                        f"expected IN in reduce(...), got {t!r}"
+                    )
+                src = self.value()
+                self.expect("|")
+                shadow = {
+                    v for v in (acc, var) if v in self.unwind_aliases
+                }
+                self.unwind_aliases.update((acc, var))
+                try:
+                    body = self.value()
+                finally:
+                    self.unwind_aliases.difference_update(
+                        {acc, var} - shadow
+                    )
+                self.expect(")")
+                if self.dialect == "spark":
+                    # aggregate() requires the lambda's result type to
+                    # EQUAL the init type; a bare `0` init vs BIGINT
+                    # elements fails analysis. Prepending the init to
+                    # the array coerces it to the element type first
+                    # (mirrors the DuckDB list_prepend emission).
+                    s2 = f"concat(array({init}), {src})"
+                    return (
+                        f"aggregate(slice({s2}, 2, size({s2}) - 1), "
+                        f"element_at({s2}, 1), ({acc}, {var}) -> {body})"
+                    )
+                return (
+                    f"list_reduce(list_prepend({init}, {src}), "
+                    f"({acc}, {var}) -> {body})"
+                )
             if fn in ("TOINTEGER", "TOFLOAT", "TOSTRING"):
                 # Cypher cast functions; toString's target type name is
                 # the one dialect split (STRING vs VARCHAR)
@@ -937,7 +1033,9 @@ class _Parser:
             # and 1-based/0-miss contract in Spark and DuckDB
             return f"(instr({left}, {lit}) > 0)"
         if kind != "cmp":
-            raise CypherSyntaxError(f"expected comparison after {left}, got {tok!r}")
+            # no operator: a bare boolean expression (openCypher allows
+            # `WHERE n.flag` / `WHERE ALL(...)`) — the engine type-checks
+            return left
         self.next()
         op = "<>" if tok == "!=" else tok
         return f"({left} {op} {self.value()})"

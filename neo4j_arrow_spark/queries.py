@@ -270,6 +270,24 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_list_predicate",
+    # ANY(...) list predicate (r6): higher-order array functions —
+    # Spark exists(), DuckDB list_filter + len
+    "MATCH (c:Customer) "
+    "WHERE ANY(x IN [c.acctbal, 0.0 - c.acctbal] WHERE x > 5000.0) "
+    "RETURN count(*) AS big_abs_balance",
+)
+
+_cypher_query(
+    "cypher_reduce_fold",
+    # reduce() left-fold (r6): Spark aggregate(), DuckDB list_reduce
+    # with the init prepended (1.0 has no init slot)
+    "MATCH (n:Nation) RETURN n.name AS nation, "
+    "reduce(s = 0, x IN [1, 2, n.ID] | s + x) AS fold "
+    "ORDER BY nation LIMIT 10",
+)
+
+_cypher_query(
     "cypher_with_then_varlength",
     # bounded varlength in MATCH after WITH (r6): the carried node id
     # re-anchors a *1..2 branch-union expansion one stage deep
