@@ -1145,6 +1145,32 @@ class _Parser:
                 )
         self.unwind_aliases.update({"_pathlen", "_pathnodes"})
 
+    def _splice_relcount(self, rel_var: str) -> None:
+        """Bounded-varlength rel binding ``-[r:T*1..3]->``: rewrite
+        ``size(r)`` / ``length(r)`` token runs to the per-branch
+        ``_pathlen`` marker (the branch hop total — exactly the
+        relationship count of the matched path). Any other use of the
+        variable raises: it would denote the relationship LIST."""
+        i = self.pos
+        while i < len(self.toks) - 3:
+            if (
+                self.toks[i][0] == "name"
+                and self.toks[i][1].lower() in ("size", "length")
+                and self.toks[i + 1][1] == "("
+                and self.toks[i + 2] == ("name", rel_var)
+                and self.toks[i + 3][1] == ")"
+            ):
+                self.toks[i : i + 4] = [("name", "_pathlen")]
+            i += 1
+        for k, t in self.toks[self.pos :]:
+            if (k, t) == ("name", rel_var):
+                raise CypherUnsupported(
+                    f"variable-length relationship {rel_var!r} supports "
+                    f"only size({rel_var}) / length({rel_var}) — the "
+                    "relationship list itself is not materialized"
+                )
+        self.unwind_aliases.update({"_pathlen", "_pathnodes"})
+
     def _splice_plain_path(
         self, path_var: str, nodes: list[_NodePat], rels: list[_RelPat]
     ) -> dict[str, str]:
@@ -1410,6 +1436,21 @@ class _Parser:
                 vlp_path = True
             else:
                 path_subs = self._splice_plain_path(plain_path, nodes, rels)
+        # bounded varlength rel bound to a variable (r6): size(r) /
+        # length(r) is the hop count — splice to the same per-branch
+        # _pathlen marker as length(p). Any other reference raises (it
+        # would be a LIST of relationships, out of scope).
+        for r in rels:
+            if r.is_varlength and r.var and not r.is_unbounded:
+                if sum(1 for x in rels if x.is_varlength) > 1:
+                    raise CypherUnsupported(
+                        "binding a variable-length relationship to a "
+                        "variable needs it to be the pattern's only "
+                        "varlength segment"
+                    )
+                self._splice_relcount(r.var)
+                r.var = None
+                vlp_path = True
         bound = {n.var for n in nodes}
         optionals: list[
             tuple[list[_NodePat], list[_RelPat], str | None]
@@ -1445,11 +1486,6 @@ class _Parser:
                     raise CypherUnsupported(
                         "binding a variable-length relationship to a "
                         "variable is not supported"
-                    )
-                if seg.direction == "-":
-                    raise CypherUnsupported(
-                        "undirected variable-length in OPTIONAL MATCH is "
-                        "not supported"
                     )
                 if seg.maxlen is None:
                     raise CypherUnsupported(
@@ -2399,17 +2435,32 @@ def _opt_varlength_derived(seg: _RelPat, rels_view: str) -> str:
     which a chain of per-hop LEFT JOINs could not express for length
     mixes. Same documented walk-vs-path divergence as the bounded
     MATCH expansion."""
-    src, dst = (
-        ("START_ID", "END_ID") if seg.direction == "->" else ("END_ID", "START_ID")
-    )
+    if seg.direction == "-":
+        # undirected: each hop reads the natural+reverse union closure
+        # (the same projection trick as _rel_source), so a physical
+        # edge is traversable in both orientations
+        hop_view = (
+            f"(SELECT START_ID, END_ID, TYPE FROM {rels_view}"
+            f" UNION ALL"
+            f" SELECT END_ID AS START_ID, START_ID AS END_ID, TYPE"
+            f" FROM {rels_view})"
+        )
+        src, dst = "START_ID", "END_ID"
+    else:
+        hop_view = rels_view
+        src, dst = (
+            ("START_ID", "END_ID")
+            if seg.direction == "->"
+            else ("END_ID", "START_ID")
+        )
     branches: list[str] = []
     for L in range(seg.minlen, seg.maxlen + 1):
-        from_sql = f"{rels_view} AS _h1"
+        from_sql = f"{hop_view} AS _h1"
         conds: list[str] = []
         for i in range(1, L + 1):
             if i > 1:
                 from_sql += (
-                    f" JOIN {rels_view} AS _h{i} "
+                    f" JOIN {hop_view} AS _h{i} "
                     f"ON _h{i}.{src} = _h{i - 1}.{dst}"
                 )
             if tc := _type_cond(seg, f"_h{i}"):

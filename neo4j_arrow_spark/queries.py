@@ -288,6 +288,22 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_varlen_relvar_size",
+    # bounded varlength rel bound to a variable (r6): size(r) is the
+    # per-branch hop count, spliced to the _pathlen marker
+    "MATCH (c:Customer)-[r:BUYS_FROM|IN_NATION*1..2]->(x) "
+    "RETURN size(r) AS hops, count(*) AS walks ORDER BY hops",
+)
+
+_cypher_query(
+    "cypher_optional_undirected_varlen",
+    # undirected bounded varlength in OPTIONAL MATCH (r6): each hop
+    # reads the natural+reverse union closure
+    "MATCH (n:Nation) OPTIONAL MATCH (n)-[:IN_NATION*1..1]-(m) "
+    "RETURN n.name AS nation, count(m) AS members ORDER BY nation",
+)
+
+_cypher_query(
     "cypher_with_then_varlength",
     # bounded varlength in MATCH after WITH (r6): the carried node id
     # re-anchors a *1..2 branch-union expansion one stage deep

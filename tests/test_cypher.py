@@ -187,8 +187,15 @@ def test_varlength_translation():
 
 
 def test_varlength_rejections():
-    with pytest.raises(CypherUnsupported):
-        cypher_to_sql("MATCH (a)-[r:T*1..2]->(b) RETURN a.ID", "n", "e")
+    # binding the rel var compiles since r6 (size(r) splices to the
+    # branch hop count; an unreferenced binding is plain legal Cypher)
+    sql = cypher_to_sql(
+        "MATCH (a)-[r:T*1..2]->(b) RETURN a.ID AS i, size(r) AS h", "n", "e"
+    )
+    # per-branch constants feed the marker column
+    assert "1 AS _pathlen" in sql and "2 AS _pathlen" in sql
+    with pytest.raises(CypherUnsupported, match="supports only"):
+        cypher_to_sql("MATCH (a)-[r:T*1..2]->(b) RETURN r.w AS w", "n", "e")
     with pytest.raises(CypherUnsupported):
         cypher_to_sql("MATCH (a)-[:T*1..9]->(b) RETURN a.ID", "n", "e")
     # undirected bounded varlength is SUPPORTED since r6 (each hop joins
@@ -659,10 +666,9 @@ def test_path_var_length_groups_as_expression_not_ordinal():
 def test_path_var_rejections():
     # bounded-varlength path vars compile since r6; binding the rel
     # variable itself (a list of relationships) is still rejected
-    with pytest.raises(CypherUnsupported, match="binding"):
-        cypher_to_sql(
-            "MATCH p = (a)-[r:T*1..2]->(b) RETURN length(p) AS h", "n", "e"
-        )
+    cypher_to_sql(
+        "MATCH p = (a)-[r:T*1..2]->(b) RETURN length(p) AS h", "n", "e"
+    )  # rel + path var both bound, rel unreferenced: legal since r6
     with pytest.raises(CypherUnsupported, match="supports only"):
         cypher_to_sql("MATCH p = (a)-[r:T]->(b) RETURN p", "n", "e")
     with pytest.raises(CypherUnsupported, match="explicit AS"):
