@@ -76,7 +76,7 @@ _TOKEN_RE = re.compile(
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<arrow_r>->)
   | (?P<arrow_l><-)
-  | (?P<cmp><=|>=|<>|!=|=|<|>)
+  | (?P<cmp><=|>=|<>|!=|=~|=|<|>)
   | (?P<punct>[(){}\[\],.:*|+/%-])
     """,
     re.VERBOSE,
@@ -354,11 +354,13 @@ class _Parser:
         return lo, hi
 
     def _pattern_chain(self) -> tuple[list[_NodePat], list[_RelPat]]:
-        nodes = [self.node()]
+        # anonymous nodes get fresh never-referenced variables (r6):
+        # `(a)-[:T]->()` is an unconstrained endpoint, plain Cypher
+        nodes = [self.node(anon_ok=True)]
         rels: list[_RelPat] = []
         while self.peek()[1] in ("-", "<-"):
             rels.append(self.rel())
-            nodes.append(self.node())
+            nodes.append(self.node(anon_ok=True))
         return nodes, rels
 
     def pattern(self) -> tuple[list[_NodePat], list[_RelPat]]:
@@ -433,6 +435,27 @@ class _Parser:
 
     def term(self) -> str:
         left = self.factor()
+        # postfix element access with a literal integer index:
+        # Cypher is 0-based (negative = from the end); both engines'
+        # accessors are 1-based with negative-from-end, and both
+        # return NULL out of range (try_element_at / list_extract)
+        while self.peek()[1] == "[":
+            save = self.pos
+            self.next()
+            kind, tok = self.peek()
+            if kind == "num" and "." not in tok and self.toks[self.pos + 1][1] == "]":
+                idx = int(self.next()[1])
+                self.next()  # ']'
+                pos = idx + 1 if idx >= 0 else idx
+                fn = (
+                    "try_element_at"
+                    if self.dialect == "spark"
+                    else "list_extract"
+                )
+                left = f"{fn}({left}, {pos})"
+                continue
+            self.pos = save
+            break
         while self.peek()[1] in ("*", "/", "%"):
             op = self.next()[1]
             left = f"({left} {op} {self.factor()})"
@@ -623,6 +646,24 @@ class _Parser:
                 self.expect("(")
                 self.expect(")")
                 return "rand()" if self.dialect == "spark" else "random()"
+            if fn == "SPLIT":
+                # split(str, sep): Spark's split takes a REGEX, DuckDB's
+                # string_split a literal — regex-escape the literal on
+                # the Spark side so both mean "split on this substring".
+                # Literal separators only (escaping a runtime expression
+                # would need SQL-side string surgery).
+                self.next()
+                self.expect("(")
+                subject = self.value()
+                self.expect(",")
+                lit, _n = self._string_literal_with_len()
+                self.expect(")")
+                if self.dialect == "spark":
+                    esc = re.sub(
+                        r"([.^$*+?()\[\]{}|\\])", r"\\\\\1", lit[1:-1]
+                    )
+                    return f"split({subject}, '{esc}')"
+                return f"string_split({subject}, {lit})"
             if fn in ("TOUPPER", "TOLOWER"):
                 # Cypher spellings of the shared UPPER/LOWER functions
                 self.next()
@@ -905,7 +946,23 @@ class _Parser:
                 f"({src.var!r} and {dst.var!r} are both unbound)"
             )
         self._exists_n = getattr(self, "_exists_n", 0) + 1
-        ev = f"_ex{self._exists_n}"
+        # when the pattern names its relationship, alias the subquery's
+        # rel scan with that name so an inner WHERE (EXISTS { … WHERE
+        # r.prop … }) resolves against it
+        ev = r.var or f"_ex{self._exists_n}"
+        inner_where = None
+        if self.accept("WHERE"):
+            inner_where = self.expr()
+            for v in (src.var, dst.var):
+                if v not in bound and re.search(
+                    rf"\b{re.escape(v)}\.", inner_where
+                ):
+                    raise CypherUnsupported(
+                        f"the subquery WHERE references node {v!r}, which "
+                        "is not joined inside the EXISTS/COUNT subquery — "
+                        "filter with an inline property map instead "
+                        "({key: value})"
+                    )
 
         def node_sub(n: _NodePat) -> str | None:
             conds = [f"array_contains(LABELS, '{lb}')" for lb in n.labels]
@@ -926,6 +983,8 @@ class _Parser:
             if tc := _type_cond(r, ev):
                 conds.append(tc)
             conds.extend(_prop_conds(r, ev))
+            if inner_where:
+                conds.append(f"({inner_where})")
             where = " AND ".join(conds)
             if mode == "exists":
                 return f"EXISTS (SELECT 1 FROM __RELS__ AS {ev} WHERE {where})"
@@ -1004,12 +1063,18 @@ class _Parser:
             return f"({left} IS NULL)"
         if tok == "IN":
             self.next()
-            self.expect("[")
-            items = [self.literal()]
-            while self.accept(","):
-                items.append(self.literal())
-            self.expect("]")
-            return f"({left} IN ({', '.join(items)}))"
+            if self.peek()[1] == "[":
+                self.expect("[")
+                items = [self.literal()]
+                while self.accept(","):
+                    items.append(self.literal())
+                self.expect("]")
+                return f"({left} IN ({', '.join(items)}))"
+            # membership in an array-valued expression (a carried
+            # alias, an array property, a $param list):
+            # array_contains(haystack, needle) — shared surface
+            arr = self.value()
+            return f"array_contains({arr}, {left})"
         if kind == "name" and tok.upper() in ("STARTS", "ENDS") and (
             self.toks[self.pos + 1][1] == "WITH"
         ):
@@ -1036,6 +1101,19 @@ class _Parser:
             # no operator: a bare boolean expression (openCypher allows
             # `WHERE n.flag` / `WHERE ALL(...)`) — the engine type-checks
             return left
+        if tok == "=~":
+            # Cypher regex match is FULL-string; both engines' regex
+            # predicates search substrings, so anchor the pattern.
+            # Literal patterns only: anchoring a runtime expression
+            # would need string surgery in SQL. Spark compiles Java
+            # regex, DuckDB RE2 — identical for the common subset
+            # (classes, quantifiers, alternation, non-capturing groups).
+            self.next()
+            lit, _n = self._string_literal_with_len()
+            anchored = f"'^(?:{lit[1:-1]})$'"
+            if self.dialect == "spark":
+                return f"({left} RLIKE {anchored})"
+            return f"regexp_matches({left}, {anchored})"
         self.next()
         op = "<>" if tok == "!=" else tok
         return f"({left} {op} {self.value()})"
@@ -1144,6 +1222,58 @@ class _Parser:
                     f"length({path_var}) and nodes({path_var})"
                 )
         self.unwind_aliases.update({"_pathlen", "_pathnodes"})
+
+    def _parse_order_tail(
+        self, items: list[tuple[str, str, bool]]
+    ) -> tuple[list[tuple[str, str]], str | None, str | None]:
+        """``[ORDER BY …] [SKIP n] [LIMIT n]`` after a RETURN or WITH
+        projection. A bare name references an item alias; var.prop maps
+        through _order_ref; ``name(`` / ``name{`` starts a full
+        expression (``ORDER BY count(*) DESC``) that must match an
+        item textually — the sort runs over the projected aliases, so
+        an unmatched expression has nothing to bind to out there."""
+        order: list[tuple[str, str]] = []
+        if self.accept("ORDER"):
+            self.expect("BY")
+            while True:
+                kind, tok = self.peek()
+                if kind != "name":
+                    raise CypherSyntaxError(f"ORDER BY expects a name, got {tok!r}")
+                if (
+                    self.pos + 1 < len(self.toks)
+                    and self.toks[self.pos + 1][1] in ("(", "{")
+                ):
+                    saw = self._saw_agg
+                    e = self.value()
+                    self._saw_agg = saw
+                    # fresh per-parse subquery aliases (_ex1, _an2 …)
+                    # must not defeat the textual match — normalize
+                    # both sides before comparing, then adopt the
+                    # matching ITEM's expr so emission maps to its alias
+                    norm = lambda s: re.sub(r"_(ex|an)\d+", r"_\1", s)
+                    matched = next(
+                        (ie for ie, _a, _g in items if norm(ie) == norm(e)),
+                        None,
+                    )
+                    if matched is None:
+                        raise CypherUnsupported(
+                            f"ORDER BY expression {e!r} must textually "
+                            "match a projected item (or ORDER BY its alias)"
+                        )
+                    e = matched
+                else:
+                    name = self.expect_name()
+                    e = f"{name}.{self.expect_name()}" if self.accept(".") else name
+                direction = "DESC" if self.accept("DESC") else ("ASC" if self.accept("ASC") else "ASC")
+                order.append((e, direction))
+                if not self.accept(","):
+                    break
+        skip = limit = None
+        if self.accept("SKIP"):
+            skip = self.expect_count("SKIP")
+        if self.accept("LIMIT"):
+            limit = self.expect_count("LIMIT")
+        return order, skip, limit
 
     def _splice_relcount(self, rel_var: str) -> None:
         """Bounded-varlength rel binding ``-[r:T*1..3]->``: rewrite
@@ -1546,12 +1676,19 @@ class _Parser:
                 self.aliases = {a for _, a, _ in witems}
                 self.post_vars = frozenset()
                 self.unwind_aliases = set()
+                # Cypher clause order: WITH items [ORDER BY/SKIP/LIMIT]
+                # [WHERE] — pagination binds to the projection, the
+                # trailing WHERE then filters the paginated rows
+                worder, wskip, wlimit = self._parse_order_tail(witems)
                 wwhere = self.expr() if self.accept("WHERE") else None
                 st = {
                     "kind": "with",
                     "items": witems,
                     "distinct": wdistinct,
                     "where": wwhere,
+                    "order": worder,
+                    "skip": wskip,
+                    "limit": wlimit,
                 }
                 withs.append(st)
                 pipeline.append(st)
@@ -1640,53 +1777,7 @@ class _Parser:
         items = [self.return_item()]
         while self.accept(","):
             items.append(self.return_item())
-        order = []
-        if self.accept("ORDER"):
-            self.expect("BY")
-            while True:
-                # a bare name references a RETURN alias; var.prop maps
-                # through _order_ref; name( starts a full expression
-                # (``ORDER BY count(*) DESC``) that must match a RETURN
-                # item textually — the sort runs over the projected
-                # aliases, so an unmatched expression has nothing to
-                # bind to out there
-                kind, tok = self.peek()
-                if kind != "name":
-                    raise CypherSyntaxError(f"ORDER BY expects a name, got {tok!r}")
-                if (
-                    self.pos + 1 < len(self.toks)
-                    and self.toks[self.pos + 1][1] in ("(", "{")
-                ):
-                    saw = self._saw_agg
-                    e = self.value()
-                    self._saw_agg = saw
-                    # fresh per-parse subquery aliases (_ex1, _an2 …)
-                    # must not defeat the textual match — normalize
-                    # both sides before comparing, then adopt the
-                    # matching ITEM's expr so emission maps to its alias
-                    norm = lambda s: re.sub(r"_(ex|an)\d+", r"_\1", s)
-                    matched = next(
-                        (ie for ie, _a, _g in items if norm(ie) == norm(e)),
-                        None,
-                    )
-                    if matched is None:
-                        raise CypherUnsupported(
-                            f"ORDER BY expression {e!r} must textually "
-                            "match a RETURN item (or ORDER BY its alias)"
-                        )
-                    e = matched
-                else:
-                    name = self.expect_name()
-                    e = f"{name}.{self.expect_name()}" if self.accept(".") else name
-                direction = "DESC" if self.accept("DESC") else ("ASC" if self.accept("ASC") else "ASC")
-                order.append((e, direction))
-                if not self.accept(","):
-                    break
-        skip = limit = None
-        if self.accept("SKIP"):
-            skip = self.expect_count("SKIP")
-        if self.accept("LIMIT"):
-            limit = self.expect_count("LIMIT")
+        order, skip, limit = self._parse_order_tail(items)
         if self.peek()[0] != "eof":
             raise CypherSyntaxError(f"unexpected trailing input: {self.peek()[1]!r}")
         if shortest and (optionals or unwinds):
@@ -2120,6 +2211,7 @@ def _single_query_sql_inner(
             if varlength
             else _plain_sql(inner_ast, nodes_view, rels_view)
         )
+        sql = _stage_tail(sql, first, 0)
         pending_where = first["where"]
         els = pipeline[1:]
         i = depth = 0
@@ -2129,6 +2221,7 @@ def _single_query_sql_inner(
                 sql = _stage_sql(
                     sql, el["items"], el["distinct"], pending_where, depth
                 )
+                sql = _stage_tail(sql, el, depth)
                 pending_where = el["where"]
                 i += 1
             elif el["kind"] == "unwind":
@@ -2141,6 +2234,7 @@ def _single_query_sql_inner(
                         el, sql, nxt["items"], nxt["distinct"],
                         pending_where, depth, ast["dialect"],
                     )
+                    sql = _stage_tail(sql, nxt, depth)
                     pending_where = nxt["where"]
                     i += 2
                 elif i + 1 < len(els):
@@ -2170,6 +2264,7 @@ def _single_query_sql_inner(
                         pending_where,
                         depth,
                     )
+                    sql = _stage_tail(sql, nxt, depth)
                     pending_where = nxt["where"]
                     i += 2
                 else:
@@ -2423,6 +2518,26 @@ def _stage_sql(
         sql += f"\nWHERE {where}"
     if has_agg and group_cols:
         sql += "\nGROUP BY " + ", ".join(group_cols)
+    return sql
+
+
+def _stage_tail(sql: str, st: dict, depth: int) -> str:
+    """Apply a WITH stage's ORDER BY / SKIP / LIMIT (Cypher pagination
+    binds to the projection; the stage's trailing WHERE — emitted by
+    the NEXT stage — then filters the paginated rows, openCypher's
+    WITH…LIMIT…WHERE order of operations)."""
+    order = st.get("order") or []
+    skip, limit = st.get("skip"), st.get("limit")
+    if not order and skip is None and limit is None:
+        return sql
+    sql = f"SELECT * FROM (\n{sql}\n) AS _paged{depth}"
+    if order:
+        parts = [f"{_order_ref(e, st['items'])} {d}" for e, d in order]
+        sql += "\nORDER BY " + ", ".join(parts)
+    if limit is not None:
+        sql += f"\nLIMIT {limit}"
+    if skip is not None:
+        sql += f"\nOFFSET {skip}"
     return sql
 
 

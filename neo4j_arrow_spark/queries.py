@@ -304,6 +304,40 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_regex_split_index",
+    # =~ full-string regex + split()/[i] element access (r6): Spark
+    # RLIKE with an anchored pattern / regex-escaped split vs DuckDB
+    # regexp_matches / string_split — same literal-separator semantics
+    "MATCH (c:Customer) WHERE c.name =~ 'Customer#0*1[0-9]' "
+    "RETURN split(c.name, '#')[1] AS suffix ORDER BY suffix",
+)
+
+_cypher_query(
+    "cypher_exists_inner_where",
+    # EXISTS { … WHERE rel-prop … } subquery filter (r6)
+    "MATCH (s:Supplier) "
+    "WHERE EXISTS { MATCH (s)<-[r:BUYS_FROM]-(c) WHERE r.weight > 90000.0 } "
+    "RETURN count(*) AS with_big_order",
+)
+
+_cypher_query(
+    "cypher_with_topk_pipeline",
+    # WITH … ORDER BY … LIMIT mid-pipeline (r6): top-k then continue —
+    # pagination binds to the stage, the next stage consumes the page
+    "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+    "WITH n.name AS nation, count(*) AS members ORDER BY members DESC, nation LIMIT 5 "
+    "WITH nation, members * 2 AS doubled "
+    "RETURN nation, doubled ORDER BY nation",
+)
+
+_cypher_query(
+    "cypher_anon_endpoints",
+    # anonymous pattern nodes (r6): fresh never-referenced variables
+    "MATCH ()-[:BUYS_FROM]->(s:Supplier) "
+    "RETURN s.name AS supplier, count(*) AS inflow ORDER BY supplier",
+)
+
+_cypher_query(
     "cypher_with_then_varlength",
     # bounded varlength in MATCH after WITH (r6): the carried node id
     # re-anchors a *1..2 branch-union expansion one stage deep
