@@ -270,7 +270,15 @@ class _Parser:
             while True:
                 key = self.expect_name()
                 self.expect(":")
-                n.props.append((key, self.literal()))
+                kind, _tok = self.peek()
+                if kind == "name":
+                    # expression value — `{name: nation}` re-anchoring
+                    # on a carried alias, or `{k: other.prop}` pattern
+                    # equality; the engine's analyzer rejects refs that
+                    # don't resolve
+                    n.props.append((key, self.value()))
+                else:
+                    n.props.append((key, self.literal()))
                 if not self.accept(","):
                     break
             self.expect("}")
@@ -1705,17 +1713,24 @@ class _Parser:
                 self.next()
                 pnodes, prels = self.pattern()
                 anchor = pnodes[0]
-                if anchor.var not in self.aliases:
-                    raise CypherUnsupported(
-                        f"MATCH after WITH must start from a carried alias; "
-                        f"{anchor.var!r} is not one of {sorted(self.aliases)}"
-                    )
-                if anchor.labels or anchor.props:
+                fresh_anchor = anchor.var not in self.aliases
+                if fresh_anchor:
+                    # fresh (non-alias) anchor (r6): a property-anchored
+                    # re-join — `MATCH (n:L {k: alias})` joins the node
+                    # table on the property equality (the prop value may
+                    # reference carried aliases); with no props it is
+                    # Cypher's cartesian product against the stage
+                    if any(r.is_varlength for r in prels):
+                        raise CypherUnsupported(
+                            "a fresh (non-alias) anchor in MATCH after "
+                            "WITH does not compose with variable-length"
+                        )
+                elif anchor.labels or anchor.props:
                     raise CypherUnsupported(
                         "labels/properties on the anchor of MATCH-after-WITH "
                         "are not supported (it is already bound)"
                     )
-                fresh = set()
+                fresh = {anchor.var} if fresh_anchor else set()
                 for n in pnodes[1:]:
                     if n.var in self.aliases or n.var in fresh:
                         raise CypherUnsupported(
@@ -1745,6 +1760,8 @@ class _Parser:
                     "nodes": pnodes,
                     "rels": prels,
                     "where": pwhere,
+                    "fresh_anchor": fresh_anchor,
+                    "stage_aliases": sorted(self.aliases),
                 }
                 pipeline.append(post_match)
                 continue
@@ -2318,7 +2335,44 @@ def _match_stage_sql(
         )
     stage = f"_scope{depth}"
     anchor = pnodes[0].var
-    joins = [f"JOIN {nodes_view} AS {anchor} ON {anchor}.ID = {stage}.{anchor}"]
+    if pm.get("fresh_anchor"):
+        # property-anchored re-join (r6): the anchor is a FRESH node
+        # joined on its label/property conditions; references to the
+        # stage's carried aliases (in the prop values, the items, and
+        # the WHEREs) are qualified with the stage alias — a bare name
+        # would be ambiguous when an alias shadows a node column
+        # (e.g. `name`). String literals are left untouched.
+        def _qual(v: str) -> str:
+            parts = re.split(r"('(?:[^'\\]|\\.)*')", v)
+            for i in range(0, len(parts), 2):
+                for al in pm.get("stage_aliases", ()):
+                    parts[i] = re.sub(
+                        rf"(?<![\w.]){re.escape(al)}\b",
+                        f"{stage}.{al}",
+                        parts[i],
+                    )
+            return "".join(parts)
+
+        items = [(_qual(e), a, g) for e, a, g in items]
+        if stage_where:
+            stage_where = _qual(stage_where)
+        if pm["where"]:
+            pm = {**pm, "where": _qual(pm["where"])}
+        aconds = [
+            f"array_contains({anchor}.LABELS, '{lbl}')"
+            for lbl in pnodes[0].labels
+        ] + [f"{anchor}.{k} = {_qual(v)}" for k, v in pnodes[0].props]
+        if aconds:
+            joins = [
+                f"JOIN {nodes_view} AS {anchor} ON " + " AND ".join(aconds)
+            ]
+        else:
+            # no conditions at all: Cypher's cartesian product
+            joins = [f"CROSS JOIN {nodes_view} AS {anchor}"]
+    else:
+        joins = [
+            f"JOIN {nodes_view} AS {anchor} ON {anchor}.ID = {stage}.{anchor}"
+        ]
     conds: list[str] = []
     if stage_where:
         conds.append(stage_where)

@@ -338,6 +338,16 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_property_anchored_rematch",
+    # fresh (non-alias) anchor in MATCH after WITH (r6): re-join the
+    # node table on a property equality against a carried alias
+    "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+    "WITH n.name AS nation, count(*) AS members "
+    "MATCH (m:Nation {name: nation}) "
+    "RETURN m.ID AS nation_id, members ORDER BY nation_id",
+)
+
+_cypher_query(
     "cypher_with_then_varlength",
     # bounded varlength in MATCH after WITH (r6): the carried node id
     # re-anchors a *1..2 branch-union expansion one stage deep

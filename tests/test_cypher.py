@@ -287,12 +287,22 @@ def test_match_after_with_translation():
     assert "GROUP BY nid.name, members" in sql
 
 
-def test_match_after_with_requires_alias_anchor():
-    with pytest.raises(CypherUnsupported):
-        cypher_to_sql(
-            "MATCH (a:X) WITH a.ID AS i MATCH (z)-[r:T]->(b) RETURN i",
-            "n", "e",
-        )
+def test_match_after_with_fresh_anchor():
+    # a fresh (non-alias) anchor compiles since r6: no props makes it
+    # Cypher's cartesian product against the stage
+    sql = cypher_to_sql(
+        "MATCH (a:X) WITH a.ID AS i MATCH (z)-[r:T]->(b) RETURN i, count(*) AS k",
+        "n", "e",
+    )
+    assert "CROSS JOIN n AS z" in sql
+    # with a property equality it becomes a keyed re-join, the carried
+    # alias qualified against the stage
+    sql2 = cypher_to_sql(
+        "MATCH (a:X) WITH a.name AS name MATCH (z:X {name: name}) "
+        "RETURN count(*) AS k",
+        "n", "e",
+    )
+    assert "z.name = _scope0.name" in sql2
 
 
 def test_match_after_with_end_to_end(client):
