@@ -581,6 +581,15 @@ def _bounded_distances(
     subsets (powers would expand every origin before pruning)."""
     und = _undirected(edges).persist()
     if max_hops <= 3 and origins is None:
+        # The level frames are (origin, node) LONG pairs — 16 bytes a
+        # row — so AQE's size-based coalescing (minPartitionSize=1m)
+        # squeezes the distinct/groupBy exchanges into a handful of
+        # ~65k-row partitions and the |V|²-tending self-joins lose the
+        # cluster's parallelism. Pin the exchange width explicitly:
+        # an explicit keyed repartition is preserved by AQE, and
+        # dropDuplicates over the same keys reuses its partitioning
+        # (no second shuffle). Measured 2x at sf0.1 (8.5s -> 4.3s).
+        par = und.sparkSession.sparkContext.defaultParallelism * 2
         step = und.select(F.col("u").alias("_su"), F.col("v").alias("_sv"))
         cur = und.select(F.col("u").alias("origin"), F.col("v").alias("node"))
         acc = cur.withColumn("hop", F.lit(1))
@@ -588,11 +597,13 @@ def _bounded_distances(
             cur = (
                 cur.join(step, cur["node"] == step["_su"])
                 .select("origin", F.col("_sv").alias("node"))
-                .distinct()
+                .repartition(par, "origin", "node")
+                .dropDuplicates(["origin", "node"])
             )
             acc = acc.unionAll(cur.withColumn("hop", F.lit(h)))
         dist = (
             acc.filter(F.col("origin") != F.col("node"))
+            .repartition(par, "origin", "node")
             .groupBy("origin", "node")
             .agg(F.min("hop").alias("hop"))
         )
