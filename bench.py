@@ -213,6 +213,29 @@ def main() -> None:
     # is 2000 chars — round 2's all-queries line overflowed it and the
     # driver recorded parsed:null, losing the round's perf record).
     here = os.path.dirname(os.path.abspath(__file__))
+    if only:
+        # a filtered run (SPARK_GRAFT_BENCH_ONLY) must not clobber the
+        # full-sweep dump — merge its timings into the existing record
+        full_path = os.path.join(here, "BENCH_FULL.json")
+        try:
+            with open(full_path) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            prev = {"queries": {}}
+        merged = {**prev.get("queries", {}), **timings}
+        prev.update(
+            queries=merged,
+            n_queries=len(merged),
+            value=round(sum(merged.values()), 2),
+        )
+        with open(full_path, "w") as fh:
+            json.dump(prev, fh, indent=1)
+        print(json.dumps({
+            "metric": "registry_queries_total_wall",
+            "value": total, "unit": "sec", "queries": timings,
+            "n_queries": len(timings), "sf": _sf(sf_dir), "only": only,
+        }))
+        return
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(
             {

@@ -925,6 +925,92 @@ class _Parser:
             return f"{var}.ID"
         return self.literal()
 
+    def _exists_chain(
+        self,
+        chain: list[tuple[_RelPat, _NodePat]],
+        src: _NodePat,
+        bound: set[str],
+        mode: str,
+    ) -> str:
+        """Multi-hop pattern predicate / COUNT subquery: ONE correlated
+        subquery joining the rel table per hop (undirected hops read
+        the natural+reverse union closure inline). Node labels/props
+        filter via IN subqueries on the connecting id column; Cypher's
+        within-pattern relationship uniqueness is enforced pairwise.
+        An optional trailing WHERE may reference the hops' rel
+        variables and outer bound variables."""
+        base = self._exists_n
+        evs: list[str] = []
+        slots: list[tuple[str, bool, list[str], int]] = []
+        joins: list[str] = []
+        conds: list[str] = []
+        ecols: list[str] = []
+
+        def node_sub(n: _NodePat) -> str | None:
+            nc = [f"array_contains(LABELS, '{lb}')" for lb in n.labels]
+            nc += [f"{k} = {lit}" for k, lit in n.props]
+            if not nc:
+                return None
+            return "SELECT ID FROM __NODES__ WHERE " + " AND ".join(nc)
+
+        for i, (r, n) in enumerate(chain):
+            ev = r.var or f"_ex{base}_{i}"
+            evs.append(ev)
+            und = r.direction == "-"
+            slots.append((ev, und, list(r.rtypes), 0))
+            if und:
+                hop_src = (
+                    "(SELECT START_ID, END_ID, TYPE FROM __RELS__"
+                    " UNION ALL"
+                    " SELECT END_ID AS START_ID, START_ID AS END_ID, TYPE"
+                    f" FROM __RELS__) AS {ev}"
+                )
+                scol, ecol = "START_ID", "END_ID"
+            else:
+                hop_src = f"__RELS__ AS {ev}"
+                scol, ecol = (
+                    ("END_ID", "START_ID")
+                    if r.direction == "<-"
+                    else ("START_ID", "END_ID")
+                )
+            ecols.append(ecol)
+            if i == 0:
+                joins.append(hop_src)
+                if src.var in bound:
+                    conds.append(f"{ev}.{scol} = {src.var}.ID")
+                elif sub := node_sub(src):
+                    conds.append(f"{ev}.{scol} IN ({sub})")
+            else:
+                link = f"{ev}.{scol} = {evs[i - 1]}.{ecols[i - 1]}"
+                joins.append(f"JOIN {hop_src} ON {link}")
+            if tc := _type_cond(r, ev):
+                conds.append(tc)
+            conds.extend(_prop_conds(r, ev))
+            # the node AFTER hop i rides on this hop's end column
+            if n.var in bound:
+                conds.append(f"{ev}.{ecol} = {n.var}.ID")
+            elif sub := node_sub(n):
+                conds.append(f"{ev}.{ecol} IN ({sub})")
+        conds.extend(_rel_uniqueness_conds(slots))
+        if self.accept("WHERE"):
+            inner = self.expr()
+            for n in [src] + [n for _, n in chain]:
+                if n.var not in bound and re.search(
+                    rf"\b{re.escape(n.var)}\.", inner
+                ):
+                    raise CypherUnsupported(
+                        f"the subquery WHERE references node {n.var!r}, "
+                        "which is not joined inside the EXISTS/COUNT "
+                        "subquery — filter with an inline property map "
+                        "instead ({key: value})"
+                    )
+            conds.append(f"({inner})")
+        sql_from = joins[0] + "".join(f" {j}" for j in joins[1:])
+        where = " AND ".join(conds)
+        if mode == "exists":
+            return f"EXISTS (SELECT 1 FROM {sql_from} WHERE {where})"
+        return f"(SELECT count(*) FROM {sql_from} WHERE {where})"
+
     def _exists_pattern(self, mode: str = "exists") -> str:
         """Single-hop pattern predicate — the shared engine behind
         ``EXISTS((a)-[:T]->(b))``, ``EXISTS { (a)-[:T]->(:L) }``, a
@@ -941,19 +1027,30 @@ class _Parser:
         OR of the legs for exists, sum for count. node() consumes the
         pattern's own parens."""
         src = self.node(anon_ok=True)
-        r = self.rel()
-        dst = self.node(anon_ok=True)
-        if r.is_varlength:
+        chain: list[tuple[_RelPat, _NodePat]] = []
+        while self.peek()[1] in ("-", "<-"):
+            r_ = self.rel()
+            n_ = self.node(anon_ok=True)
+            chain.append((r_, n_))
+        if not chain:
+            raise CypherSyntaxError(
+                "a pattern predicate needs a relationship"
+            )
+        r, dst = chain[0][0], chain[-1][1]
+        if any(c[0].is_varlength for c in chain):
             raise CypherUnsupported(
                 "variable-length pattern predicates are not supported"
             )
         bound = getattr(self, "_bound", set())
-        if src.var not in bound and dst.var not in bound:
+        pat_nodes = [src] + [n for _, n in chain]
+        if not any(n.var in bound for n in pat_nodes):
             raise CypherUnsupported(
                 "a pattern predicate needs at least one bound endpoint "
-                f"({src.var!r} and {dst.var!r} are both unbound)"
+                f"(none of {[n.var for n in pat_nodes]} is bound)"
             )
         self._exists_n = getattr(self, "_exists_n", 0) + 1
+        if len(chain) > 1:
+            return self._exists_chain(chain, src, bound, mode)
         # when the pattern names its relationship, alias the subquery's
         # rel scan with that name so an inner WHERE (EXISTS { … WHERE
         # r.prop … }) resolves against it

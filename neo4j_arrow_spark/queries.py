@@ -348,6 +348,16 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_count_two_hop_subquery",
+    # multi-hop COUNT {} subquery (r6): one correlated subquery joining
+    # the rel table per hop, within-pattern rel uniqueness enforced
+    "MATCH (c:Customer) WHERE c.acctbal > 9900.0 "
+    "RETURN c.name AS customer, "
+    "COUNT { (c)-[:BUYS_FROM]->()-[:IN_NATION]->() } AS supply_paths "
+    "ORDER BY customer",
+)
+
+_cypher_query(
     "cypher_with_then_varlength",
     # bounded varlength in MATCH after WITH (r6): the carried node id
     # re-anchors a *1..2 branch-union expansion one stage deep
