@@ -77,7 +77,7 @@ _TOKEN_RE = re.compile(
   | (?P<arrow_r>->)
   | (?P<arrow_l><-)
   | (?P<cmp><=|>=|<>|!=|=~|=|<|>)
-  | (?P<punct>[(){}\[\],.:*|+/%-])
+  | (?P<punct>[(){}\[\],.:*|+/%^-])
     """,
     re.VERBOSE,
 )
@@ -442,7 +442,7 @@ class _Parser:
                 return left
 
     def term(self) -> str:
-        left = self.factor()
+        left = self._pow_factor()
         # postfix element access with a literal integer index:
         # Cypher is 0-based (negative = from the end); both engines'
         # accessors are 1-based with negative-from-end, and both
@@ -466,8 +466,18 @@ class _Parser:
             break
         while self.peek()[1] in ("*", "/", "%"):
             op = self.next()[1]
-            left = f"({left} {op} {self.factor()})"
+            left = f"({left} {op} {self._pow_factor()})"
         return left
+
+    def _pow_factor(self) -> str:
+        """``^`` binds tighter than ``* / %`` and associates right
+        (Cypher exponentiation) — power(): shared name and float
+        contract in Spark and DuckDB."""
+        base = self.factor()
+        if self.peek()[1] == "^":
+            self.next()
+            return f"power({base}, {self._pow_factor()})"
+        return base
 
     #: set by factor() when an aggregate call occurs anywhere in the
     #: expression being parsed; return_item() reads+resets it
@@ -475,6 +485,11 @@ class _Parser:
 
     def factor(self) -> str:
         kind, tok = self.peek()
+        if tok == "-":
+            # unary minus over an expression (negative LITERALS are
+            # already folded into the num token by the tokenizer)
+            self.next()
+            return f"(- {self.factor()})"
         if tok == "CASE":
             # searched (CASE WHEN cond THEN val ...) and simple
             # (CASE expr WHEN val THEN res ...) forms — identical
@@ -1758,6 +1773,39 @@ class _Parser:
         unwinds: list[tuple[str, str]] = list(lead_unwinds)
         while self.accept("UNWIND"):
             unwinds.append(self._unwind_source(bound))
+        def _star_items() -> list[tuple[str, str, bool]]:
+            """``*`` projection: past a WITH it is the carried aliases;
+            in the first projection it is every named pattern node
+            (scalarized as its id, the engine's ``RETURN n``
+            convention) plus UNWIND aliases. Named relationship
+            variables have no scalar form — project them explicitly."""
+            if self.aliases is not None:
+                return [(a, a, False) for a in sorted(self.aliases)]
+            named_rels = [
+                r.var
+                for cn, cr in chains
+                for r in cr
+                if r.var and not r.var.startswith("_")
+            ] + [
+                r.var for on_, or_, _ow in optionals for r in or_ if r.var
+            ]
+            if named_rels:
+                raise CypherUnsupported(
+                    f"* does not include relationship variables "
+                    f"({named_rels}) — project them explicitly"
+                )
+            seen_v: set[str] = set()
+            its: list[tuple[str, str, bool]] = []
+            for n in [n for cn, _ in chains for n in cn] + [
+                n for on_, _or, _ow in optionals for n in on_[1:]
+            ]:
+                if n.var.startswith("_an") or n.var in seen_v:
+                    continue
+                seen_v.add(n.var)
+                its.append((f"{n.var}.ID", n.var, False))
+            its.extend((ua, ua, False) for _src, ua in unwinds)
+            return its
+
         # ---- pipeline: (WITH stage [WHERE] [MATCH pattern [WHERE]])* ----
         # Each WITH resets the scope to its aliases (Cypher rule); each
         # MATCH-after-WITH re-anchors on a carried alias and opens fresh
@@ -1769,9 +1817,15 @@ class _Parser:
         while True:
             if self.accept("WITH"):
                 wdistinct = self.accept("DISTINCT")
-                witems = [self.return_item()]
-                while self.accept(","):
-                    witems.append(self.return_item())
+                if self.peek()[1] == "*":
+                    self.next()
+                    witems = _star_items()
+                    while self.accept(","):
+                        witems.append(self.return_item())
+                else:
+                    witems = [self.return_item()]
+                    while self.accept(","):
+                        witems.append(self.return_item())
                 # everything after WITH sees only the aliases (Cypher
                 # scope rule); the post-WITH WHERE is SQL HAVING when it
                 # touches an aggregate alias — same thing here, the
@@ -1888,9 +1942,15 @@ class _Parser:
         # scalars, so the bound set is empty there (parse-time reject)
         self._bound = set(bound) if self.aliases is None else set()
         distinct = self.accept("DISTINCT")
-        items = [self.return_item()]
-        while self.accept(","):
-            items.append(self.return_item())
+        if self.peek()[1] == "*":
+            self.next()
+            items = _star_items()
+            while self.accept(","):
+                items.append(self.return_item())
+        else:
+            items = [self.return_item()]
+            while self.accept(","):
+                items.append(self.return_item())
         order, skip, limit = self._parse_order_tail(items)
         if self.peek()[0] != "eof":
             raise CypherSyntaxError(f"unexpected trailing input: {self.peek()[1]!r}")

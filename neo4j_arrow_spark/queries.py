@@ -358,6 +358,15 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_star_projection",
+    # RETURN * / WITH * (r6): every named pattern node scalarized as
+    # its id, plus unary minus and ^ exponentiation
+    "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) WITH * "
+    "RETURN n AS nation_id, count(*) AS members, "
+    "round(-avg(c ^ 0.5), 2) AS neg_rms ORDER BY nation_id",
+)
+
+_cypher_query(
     "cypher_with_then_varlength",
     # bounded varlength in MATCH after WITH (r6): the carried node id
     # re-anchors a *1..2 branch-union expansion one stage deep
