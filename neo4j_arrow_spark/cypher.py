@@ -1916,6 +1916,58 @@ class _Parser:
                 }
                 pipeline.append(post_match)
                 continue
+            if (
+                pipeline
+                and pipeline[-1]["kind"] == "with"
+                and self.peek()[1] == "OPTIONAL"
+            ):
+                # OPTIONAL MATCH after WITH (r6): the carried aliases
+                # STAY in scope (an optional clause does not reset it);
+                # the pattern LEFT-joins the graph back onto the stage,
+                # anchored on a carried alias (a node id)
+                self.next()
+                self.expect("MATCH")
+                pnodes, prels = self.pattern()
+                anchor = pnodes[0]
+                if anchor.var not in self.aliases:
+                    raise CypherUnsupported(
+                        "OPTIONAL MATCH after WITH must start from a "
+                        f"carried alias; {anchor.var!r} is not one of "
+                        f"{sorted(self.aliases)}"
+                    )
+                if anchor.labels or anchor.props:
+                    raise CypherUnsupported(
+                        "labels/properties on the bound anchor of "
+                        "OPTIONAL MATCH are not supported"
+                    )
+                if any(r.is_varlength for r in prels):
+                    raise CypherUnsupported(
+                        "variable-length in OPTIONAL MATCH after WITH "
+                        "is not supported"
+                    )
+                ofresh: set[str] = set()
+                for n in pnodes[1:]:
+                    if n.var in self.aliases or n.var in ofresh:
+                        raise CypherUnsupported(
+                            f"OPTIONAL MATCH after WITH re-binding "
+                            f"{n.var!r} is not supported"
+                        )
+                    ofresh.add(n.var)
+                for r in prels:
+                    if r.var:
+                        ofresh.add(r.var)
+                self.post_vars = frozenset(self.post_vars | ofresh)
+                powhere = self.expr() if self.accept("WHERE") else None
+                pipeline.append(
+                    {
+                        "kind": "optmatch",
+                        "nodes": pnodes,
+                        "rels": prels,
+                        "where": powhere,
+                        "stage_aliases": sorted(self.aliases),
+                    }
+                )
+                continue
             if pipeline and self.peek()[1] == "UNWIND":
                 # UNWIND after WITH (r6): a lateral explode over the
                 # stage rows; the iteration variable joins the carried
@@ -2423,6 +2475,30 @@ def _single_query_sql_inner(
                     )
                     sql = _order_limit_tail(sql, ast)
                     return _subst_views(sql, nodes_view, rels_view)
+            elif el["kind"] == "optmatch":
+                # like a match-element, but the graph re-join is a
+                # nested LEFT join (all-or-nothing optional semantics)
+                if i + 1 < len(els) and els[i + 1]["kind"] == "with":
+                    nxt = els[i + 1]
+                    sql = _optional_stage_sql(
+                        el, sql, nodes_view, rels_view, nxt["items"],
+                        nxt["distinct"], pending_where, depth,
+                    )
+                    sql = _stage_tail(sql, nxt, depth)
+                    pending_where = nxt["where"]
+                    i += 2
+                elif i + 1 < len(els):
+                    raise CypherUnsupported(
+                        "OPTIONAL MATCH in a pipeline must be followed "
+                        "by WITH or RETURN"
+                    )
+                else:
+                    sql = _optional_stage_sql(
+                        el, sql, nodes_view, rels_view, ast["items"],
+                        ast["distinct"], pending_where, depth,
+                    )
+                    sql = _order_limit_tail(sql, ast)
+                    return _subst_views(sql, nodes_view, rels_view)
             else:
                 # a match-element is always followed by a with-stage or
                 # by RETURN (the parser only accepts MATCH after WITH)
@@ -2727,6 +2803,62 @@ def _stage_sql(
     sql = f"SELECT {select_sql}\nFROM (\n{base_sql}\n) AS _with{depth}"
     if where:
         sql += f"\nWHERE {where}"
+    if has_agg and group_cols:
+        sql += "\nGROUP BY " + ", ".join(group_cols)
+    return sql
+
+
+def _optional_stage_sql(
+    pm: dict,
+    base_sql: str,
+    nodes_view: str,
+    rels_view: str,
+    items: list[tuple[str, str, bool]],
+    distinct: bool,
+    stage_where: str | None,
+    depth: int,
+) -> str:
+    """OPTIONAL MATCH after WITH: LEFT-join the graph back onto the
+    pipeline stage as ONE nested join (all-or-nothing pattern
+    semantics, same emission as a plain OPTIONAL MATCH clause), the
+    anchor link rewritten to the stage's carried-alias column. Carried
+    aliases referenced in the items/WHEREs are qualified with the
+    stage alias — a bare name would be ambiguous when an alias shadows
+    a node column."""
+    stage = f"_scope{depth}"
+    anchor = pm["nodes"][0].var
+
+    def _qual(v: str) -> str:
+        parts = re.split(r"('(?:[^'\\]|\\.)*')", v)
+        for i in range(0, len(parts), 2):
+            for al in pm.get("stage_aliases", ()):
+                parts[i] = re.sub(
+                    rf"(?<![\w.]){re.escape(al)}\b",
+                    f"{stage}.{al}",
+                    parts[i],
+                )
+        return "".join(parts)
+
+    items = [(_qual(e), a, g) for e, a, g in items]
+    if stage_where:
+        stage_where = _qual(stage_where)
+    owhere = _qual(pm["where"]) if pm["where"] else None
+    nested = _optional_nested_join(
+        100 + depth, pm["nodes"], pm["rels"], owhere, nodes_view, rels_view
+    )
+    # the anchor is a stage COLUMN (a carried node id), not a table
+    nested = re.sub(
+        rf"(?<![\w.]){re.escape(anchor)}\.ID\b",
+        f"{stage}.{anchor}",
+        nested,
+    )
+    select_parts = [f"{e} AS {a}" for e, a, _ in items]
+    select_sql = ("DISTINCT " if distinct else "") + ", ".join(select_parts)
+    group_cols = [e for e, _a, agg in items if not agg]
+    has_agg = any(agg for _, _, agg in items)
+    sql = f"SELECT {select_sql}\nFROM (\n{base_sql}\n) AS {stage}\n{nested}"
+    if stage_where:
+        sql += f"\nWHERE {stage_where}"
     if has_agg and group_cols:
         sql += "\nGROUP BY " + ", ".join(group_cols)
     return sql

@@ -367,6 +367,17 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_optional_after_with",
+    # OPTIONAL MATCH after WITH (r6): nested LEFT join back onto the
+    # pipeline stage, carried aliases staying in scope
+    "MATCH (s:Supplier)-[:IN_NATION]->(n:Nation) "
+    "WITH n AS nation, count(*) AS suppliers "
+    "OPTIONAL MATCH (nation)<-[:IN_NATION]-(c:Customer) "
+    "RETURN suppliers, count(c) AS customers, count(*) AS rows "
+    "ORDER BY suppliers, customers",
+)
+
+_cypher_query(
     "cypher_with_then_varlength",
     # bounded varlength in MATCH after WITH (r6): the carried node id
     # re-anchors a *1..2 branch-union expansion one stage deep
