@@ -424,6 +424,12 @@ class _Parser:
         "UPPER", "LOWER", "LENGTH", "ABS", "ROUND", "COALESCE",
         "SUBSTRING", "TRIM", "REPLACE", "LTRIM", "RTRIM", "REVERSE",
         "FLOOR", "CEIL", "SQRT", "SIGN",
+        # r6 widening — verified identical name/arity/semantics in
+        # Spark 4.1 and DuckDB 1.0
+        "CONCAT", "LEFT", "RIGHT", "REPEAT", "LPAD", "RPAD",
+        "GREATEST", "LEAST", "EXP", "LN", "LOG10", "LOG2",
+        "SIN", "COS", "TAN", "ASIN", "ACOS", "ATAN", "ATAN2",
+        "DEGREES", "RADIANS", "PI", "CBRT", "NULLIF", "ISNAN",
     )
 
     def value(self) -> str:
@@ -645,7 +651,7 @@ class _Parser:
                     f"list_reduce(list_prepend({init}, {src}), "
                     f"({acc}, {var}) -> {body})"
                 )
-            if fn in ("TOINTEGER", "TOFLOAT", "TOSTRING"):
+            if fn in ("TOINTEGER", "TOFLOAT", "TOSTRING", "TOBOOLEAN"):
                 # Cypher cast functions; toString's target type name is
                 # the one dialect split (STRING vs VARCHAR)
                 self.next()
@@ -656,6 +662,7 @@ class _Parser:
                     "TOINTEGER": "BIGINT",
                     "TOFLOAT": "DOUBLE",
                     "TOSTRING": "STRING" if self.dialect == "spark" else "VARCHAR",
+                    "TOBOOLEAN": "BOOLEAN",
                 }[fn]
                 return f"CAST({inner} AS {ty})"
             if fn == "RANGE":
@@ -694,6 +701,27 @@ class _Parser:
                 inner = self.value()
                 self.expect(")")
                 return f"{'UPPER' if fn == 'TOUPPER' else 'LOWER'}({inner})"
+            if fn in ("STARTNODE", "ENDNODE"):
+                # startNode(r)/endNode(r) -> the endpoint's node id
+                # (the engine's scalar node convention, same as
+                # `RETURN n` = n.ID); composes under id(...) below
+                self.next()
+                self.expect("(")
+                rvar = self.expect_name()
+                self.expect(")")
+                col = "START_ID" if fn == "STARTNODE" else "END_ID"
+                return f"{rvar}.{col}"
+            if (
+                fn == "ID"
+                and self.toks[self.pos + 2][0] == "name"
+                and self.toks[self.pos + 2][1].upper() in ("STARTNODE", "ENDNODE")
+            ):
+                # id(startNode(r)) — the inner call already IS the id
+                self.next()
+                self.expect("(")
+                inner = self.factor()
+                self.expect(")")
+                return inner
             if fn in ("ID", "LABELS", "TYPE") and self.toks[self.pos + 2][0] == "name":
                 # graph accessors on a node variable: id(n) -> n.ID,
                 # labels(n) -> the sorted comma-joined label string
@@ -732,6 +760,9 @@ class _Parser:
             if fn in self._FNS:
                 self.next()
                 self.expect("(")
+                if self.peek()[1] == ")":  # zero-arg (pi())
+                    self.next()
+                    return f"{fn}()"
                 args = [self.value()]
                 while self.accept(","):
                     args.append(self.value())

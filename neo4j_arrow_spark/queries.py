@@ -378,6 +378,16 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_scalar_fn_widening",
+    # r6 widened dialect-neutral scalar whitelist: concat/left/right/
+    # greatest/least/degrees/pi/toBoolean/startNode/endNode
+    "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "RETURN concat(left(n.name, 7), '#', toString(endNode(r) - 2000000)) AS tag, "
+    "count(*) AS members, round(degrees(pi()), 0) AS half_turn "
+    "ORDER BY tag",
+)
+
+_cypher_query(
     "cypher_with_then_varlength",
     # bounded varlength in MATCH after WITH (r6): the carried node id
     # re-anchors a *1..2 branch-union expansion one stage deep

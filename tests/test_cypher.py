@@ -343,8 +343,9 @@ def test_computed_item_requires_alias():
 
 
 def test_unknown_function_rejected():
+    # cbrt joined the whitelist in r6; use a genuinely unknown name
     with pytest.raises((CypherUnsupported, CypherSyntaxError)):
-        cypher_to_sql("MATCH (c:X) RETURN cbrt(c.acctbal) AS r", "gn", "ge")
+        cypher_to_sql("MATCH (c:X) RETURN frobnicate(c.acctbal) AS r", "gn", "ge")
 
 
 def test_arithmetic_end_to_end(client):
