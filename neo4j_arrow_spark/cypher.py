@@ -588,19 +588,49 @@ class _Parser:
                     if not shadowed:
                         self.unwind_aliases.discard(var)
                 self.expect(")")
+                # openCypher ternary logic: ALL is FALSE on any false,
+                # NULL on any null-with-no-false; ANY is TRUE on any
+                # true, NULL on any null-with-no-true; SINGLE is FALSE
+                # past one true, NULL if a null could still change the
+                # count. Spark's forall/exists already implement the
+                # ALL/ANY/NONE tables; DuckDB's list_filter silently
+                # DROPS null-predicate elements (the r6 dialect fuzz
+                # caught `NOT ALL(x IN [null, 5] …)` diverging), so the
+                # DuckDB side counts false/null/true hits explicitly.
                 if self.dialect == "spark":
+                    if fn == "SINGLE":
+                        hits = f"size(filter({src}, {var} -> {pred}))"
+                        nulls = f"exists({src}, {var} -> ({pred}) IS NULL)"
+                        return (
+                            f"(CASE WHEN {hits} > 1 THEN FALSE "
+                            f"WHEN {nulls} THEN CAST(NULL AS BOOLEAN) "
+                            f"ELSE {hits} = 1 END)"
+                        )
                     return {
                         "ALL": f"forall({src}, {var} -> {pred})",
                         "ANY": f"exists({src}, {var} -> {pred})",
                         "NONE": f"(NOT exists({src}, {var} -> {pred}))",
-                        "SINGLE": f"(size(filter({src}, {var} -> {pred})) = 1)",
                     }[fn]
                 hits = f"len(list_filter({src}, {var} -> {pred}))"
+                falses = f"len(list_filter({src}, {var} -> NOT ({pred})))"
+                nulls = f"len(list_filter({src}, {var} -> ({pred}) IS NULL))"
                 return {
-                    "ALL": f"({hits} = len({src}))",
-                    "ANY": f"({hits} > 0)",
-                    "NONE": f"({hits} = 0)",
-                    "SINGLE": f"({hits} = 1)",
+                    "ALL": (
+                        f"(CASE WHEN {falses} > 0 THEN FALSE "
+                        f"WHEN {nulls} > 0 THEN NULL ELSE TRUE END)"
+                    ),
+                    "ANY": (
+                        f"(CASE WHEN {hits} > 0 THEN TRUE "
+                        f"WHEN {nulls} > 0 THEN NULL ELSE FALSE END)"
+                    ),
+                    "NONE": (
+                        f"(CASE WHEN {hits} > 0 THEN FALSE "
+                        f"WHEN {nulls} > 0 THEN NULL ELSE TRUE END)"
+                    ),
+                    "SINGLE": (
+                        f"(CASE WHEN {hits} > 1 THEN FALSE "
+                        f"WHEN {nulls} > 0 THEN NULL ELSE {hits} = 1 END)"
+                    ),
                 }[fn]
             if fn == "REDUCE":
                 # ``reduce(acc = init, x IN list | body)`` → Spark
