@@ -688,6 +688,11 @@ class _Parser:
                 self.expect("(")
                 inner = self.value()
                 self.expect(")")
+                if fn == "TOINTEGER" and self.dialect != "spark":
+                    # Cypher toInteger TRUNCATES toward zero (Spark's
+                    # CAST does); DuckDB's float->int CAST ROUNDS
+                    # half-away (12.9 -> 13) — trunc() first
+                    return f"CAST(trunc({inner}) AS BIGINT)"
                 ty = {
                     "TOINTEGER": "BIGINT",
                     "TOFLOAT": "DOUBLE",

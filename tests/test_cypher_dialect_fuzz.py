@@ -69,6 +69,9 @@ def _num_expr(depth: int):
         sub.map(lambda e: f"abs({e})"),
         sub.map(lambda e: f"round({e}, 2)"),
         sub.map(lambda e: f"- {e}"),
+        sub.map(lambda e: f"toInteger({e})"),
+        sub.map(lambda e: f"floor({e})"),
+        sub.map(lambda e: f"ceil({e})"),
         st.tuples(sub, sub).map(lambda t: f"greatest({t[0]}, {t[1]})"),
         st.tuples(sub, sub).map(lambda t: f"least({t[0]}, {t[1]})"),
         st.tuples(sub, sub).map(
@@ -99,6 +102,7 @@ def _str_expr(depth: int):
             lambda t: f"right({t[0]}, {t[1]})"
         ),
         st.tuples(sub, sub).map(lambda t: f"concat({t[0]}, {t[1]})"),
+        _num_expr(0).map(lambda e: f"toString(toInteger({e}))"),
         st.tuples(sub, st.sampled_from(("'l'", "'a'", "'.'")), st.integers(-1, 1)).map(
             lambda t: f"split({t[0]}, {t[1]})[{t[2]}]"
         ),
