@@ -120,6 +120,10 @@ def _normalize_str_literal(tok: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _is_string_literal(expr: str) -> bool:
+    return bool(re.fullmatch(r"'(?:[^'\\]|\\.)*'", expr))
+
+
 def _tokenize(q: str) -> list[tuple[str, str]]:
     out, i = [], 0
     while i < len(q):
@@ -433,13 +437,25 @@ class _Parser:
     )
 
     def value(self) -> str:
-        """Arithmetic expression: term (('+'|'-') term)*."""
+        """Arithmetic expression: term (('+'|'-') term)*. Cypher's
+        ``+`` also CONCATENATES strings; SQL's does not — when either
+        side is a string literal (the statically-knowable case) the
+        emission switches to concat(), which both engines share. A
+        string-typed property + property stays arithmetic ``+`` (type
+        unknown at parse time; use concat() explicitly there)."""
         left = self.term()
         while True:
             kind, tok = self.peek()
             if tok in ("+", "-"):
                 self.next()
-                left = f"({left} {tok} {self.term()})"
+                right = self.term()
+                if tok == "+" and (
+                    _is_string_literal(left) or _is_string_literal(right)
+                    or left.startswith("concat(")
+                ):
+                    left = f"concat({left}, {right})"
+                else:
+                    left = f"({left} {tok} {right})"
             elif kind == "num" and tok.startswith("-"):
                 # '2-1' tokenizes the minus into the number; re-split
                 self.next()
