@@ -2957,7 +2957,7 @@ def _stage_tail(sql: str, st: dict, depth: int) -> str:
         return sql
     sql = f"SELECT * FROM (\n{sql}\n) AS _paged{depth}"
     if order:
-        parts = [f"{_order_ref(e, st['items'])} {d}" for e, d in order]
+        parts = [f"{_order_ref(e, st['items'])} {_dir_sql(d)}" for e, d in order]
         sql += "\nORDER BY " + ", ".join(parts)
     if limit is not None:
         sql += f"\nLIMIT {limit}"
@@ -3203,7 +3203,7 @@ def _order_limit_tail(sql: str, ast: dict) -> str:
         if ast["order"]:
             parts = []
             for e, d in ast["order"]:
-                parts.append(f"{_order_ref(e, ast['items'])} {d}")
+                parts.append(f"{_order_ref(e, ast['items'])} {_dir_sql(d)}")
             sql += "\nORDER BY " + ", ".join(parts)
         if ast["limit"] is not None:
             sql += f"\nLIMIT {ast['limit']}"
@@ -3625,7 +3625,7 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         sql = f"SELECT * FROM (\n{sql}\n) AS _projected"
         if ast["order"]:
             order_items = [(rewrite(e), d) for e, d in ast["order"]]
-            parts = [f"{_order_ref(e, items)} {d}" for e, d in order_items]
+            parts = [f"{_order_ref(e, items)} {_dir_sql(d)}" for e, d in order_items]
             sql += "\nORDER BY " + ", ".join(parts)
         if ast["limit"] is not None:
             sql += f"\nLIMIT {ast['limit']}"
@@ -3636,6 +3636,14 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
 
 def n0Var(nodes: list[_NodePat]) -> str:
     return nodes[0].var
+
+
+def _dir_sql(d: str) -> str:
+    """openCypher sorts null as LARGEST (ASC -> nulls last, DESC ->
+    nulls first); the engine defaults disagree with it AND with each
+    other (Spark ASC = NULLS FIRST, DuckDB always NULLS LAST — found by
+    the r6 dialect fuzz), so every emission pins it explicitly."""
+    return f"{d} NULLS {'FIRST' if d == 'DESC' else 'LAST'}"
 
 
 def _order_ref(expr: str, items: list[tuple[str, str, bool]]) -> str:

@@ -147,7 +147,7 @@ ret_expr = st.one_of(
     ),
 )
 
-query = st.tuples(
+plain_query = st.tuples(
     st.sampled_from(("P", "Q", "R")),
     st.one_of(st.none(), _pred_expr(1)),
     ret_expr,
@@ -158,6 +158,32 @@ query = st.tuples(
         + f"RETURN n.ID AS id, {t[2]} AS x ORDER BY id"
     )
 )
+
+_agg = st.one_of(
+    _num_expr(1).map(lambda e: f"sum({e})"),
+    _num_expr(1).map(lambda e: f"min({e})"),
+    _num_expr(1).map(lambda e: f"max({e})"),
+    _num_expr(1).map(lambda e: f"round(avg({e}), 4)"),
+    st.just("count(*)"),
+    _num_expr(0).map(lambda e: f"count({e})"),
+    _num_expr(0).map(lambda e: f"collect({e})"),
+    _str_expr(1).map(lambda e: f"collect({e})"),
+)
+
+agg_query = st.tuples(
+    st.sampled_from(("P", "Q", "R")),
+    st.one_of(st.none(), _pred_expr(1)),
+    _str_expr(1),
+    _agg,
+).map(
+    lambda t: (
+        f"MATCH (n:{t[0]}) "
+        + (f"WHERE {t[1]} " if t[1] else "")
+        + f"RETURN {t[2]} AS g, {t[3]} AS x ORDER BY g"
+    )
+)
+
+query = st.one_of(plain_query, agg_query)
 
 
 @pytest.fixture(scope="module")
