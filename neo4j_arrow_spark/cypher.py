@@ -398,9 +398,18 @@ class _Parser:
         return self.or_expr()
 
     def or_expr(self) -> str:
-        left = self.and_expr()
+        left = self.xor_expr()
         while self.accept("OR"):
-            left = f"({left} OR {self.and_expr()})"
+            left = f"({left} OR {self.xor_expr()})"
+        return left
+
+    def xor_expr(self) -> str:
+        # Cypher XOR binds between OR and AND; boolean `<>` has the
+        # identical truth table incl. ternary NULL in both engines
+        left = self.and_expr()
+        while self.peek()[0] == "name" and self.peek()[1].upper() == "XOR":
+            self.next()
+            left = f"({left} <> {self.and_expr()})"
         return left
 
     def and_expr(self) -> str:
@@ -808,6 +817,49 @@ class _Parser:
                     if self.dialect == "spark":
                         return f"array_join(sort_array({var}.LABELS), ',')"
                     return f"array_to_string(list_sort({var}.LABELS), ',')"
+            if fn in ("DATE", "DATETIME", "LOCALDATETIME"):
+                # temporal constructors over an ISO literal (normalized
+                # to the shared `DATE '...'`/`TIMESTAMP '...'` literal
+                # syntax) or an expression (CAST). Zero-arg now()-style
+                # forms are rejected — nondeterministic.
+                self.next()
+                self.expect("(")
+                ttype = "DATE" if fn == "DATE" else "TIMESTAMP"
+                if self.peek()[0] == "str":
+                    lit = _normalize_str_literal(self.next()[1])
+                    body = lit[1:-1].replace("T", " ")
+                    body = body[:-1] if body.endswith("Z") else body
+                    self.expect(")")
+                    return f"{ttype} '{body}'"
+                if self.peek()[1] == ")":
+                    raise CypherUnsupported(
+                        f"zero-arg {fn.lower()}() (current time) is "
+                        "nondeterministic and not supported"
+                    )
+                inner = self.value()
+                self.expect(")")
+                return f"CAST({inner} AS {ttype})"
+            if fn in ("HEAD", "LAST", "TAIL"):
+                # list accessors. labels(var) keeps its ARRAY form here
+                # (sorted — same determinism contract as the labels()
+                # scalarization); any other argument is a general list
+                # expression (alias, split(), literal, comprehension).
+                self.next()
+                self.expect("(")
+                lst = self._list_arg()
+                self.expect(")")
+                el = (
+                    "try_element_at"
+                    if self.dialect == "spark"
+                    else "list_extract"
+                )
+                if fn == "HEAD":
+                    return f"{el}({lst}, 1)"
+                if fn == "LAST":
+                    return f"{el}({lst}, -1)"
+                if self.dialect == "spark":
+                    return f"slice({lst}, 2, greatest(size({lst}) - 1, 0))"
+                return f"list_slice({lst}, 2, len({lst}))"
             if fn in self._FNS:
                 self.next()
                 self.expect("(")
@@ -917,6 +969,34 @@ class _Parser:
                 "percentileCont"
             )
         return self.operand()
+
+    def _list_arg(self) -> str:
+        """A list-valued argument that must KEEP its array form:
+        ``labels(var)`` yields the sorted label array here (not the
+        scalarized comma-joined string the bare accessor emits);
+        anything else parses as a general value()."""
+        k, t = self.peek()
+        if (
+            k == "name"
+            and t.lower() == "labels"
+            and self.toks[self.pos + 1][1] == "("
+        ):
+            self.next()
+            self.expect("(")
+            var = self.expect_name()
+            self.expect(")")
+            if (
+                var in self.unwind_aliases
+                or (self.aliases is not None and var not in self.post_vars)
+                or var not in self.node_pat_vars
+            ):
+                raise CypherSyntaxError(
+                    f"labels({var}): not a bound node variable"
+                )
+            if self.dialect == "spark":
+                return f"sort_array({var}.LABELS)"
+            return f"list_sort({var}.LABELS)"
+        return self.value()
 
     def _list_comprehension(self) -> str:
         """``[x IN source [WHERE pred] | body]`` → higher-order array
@@ -1235,6 +1315,13 @@ class _Parser:
             if nxt == "(":
                 self.next()
                 self.expect("(")
+                k2 = self.peek()
+                if k2[0] == "name" and self.toks[self.pos + 1][1] == ".":
+                    # legacy property-existence form exists(n.prop)
+                    # (Neo4j ≤3.x surface) — sugar for IS NOT NULL
+                    inner = self.value()
+                    self.expect(")")
+                    return f"({inner} IS NOT NULL)"
                 out = self._exists_pattern()
                 self.expect(")")
                 return out
@@ -1254,6 +1341,27 @@ class _Parser:
             inner = self.expr()
             self.expect(")")
             return f"({inner})"
+        if (
+            kind0 == "name"
+            and self.toks[self.pos + 1][1] == ":"
+            and tok0 in self.node_pat_vars
+        ):
+            # label predicate in expression position: `x:A`, `x:A:B`
+            # (conjunction), `x:A|B` (disjunction) — tests the node's
+            # LABELS array (checked BEFORE value(), which rewrites bare
+            # node vars)
+            left = self.next()[1]
+            conds = []
+            while self.accept(":"):
+                ors = [self.expect_name()]
+                while self.accept("|"):
+                    ors.append(self.expect_name())
+                alt = " OR ".join(
+                    f"array_contains({left}.LABELS, '{lb}')" for lb in ors
+                )
+                conds.append(f"({alt})" if len(ors) > 1 else alt)
+            joined = " AND ".join(conds)
+            return f"({joined})" if len(conds) > 1 else conds[0]
         left = self.value()
         kind, tok = self.peek()
         if tok == "IS":
@@ -1283,22 +1391,38 @@ class _Parser:
             which = tok.upper()
             self.next()
             self.next()
-            lit, n = self._string_literal_with_len()
+            if self.peek()[0] == "str":
+                lit, n = self._string_literal_with_len()
+                if which == "STARTS":
+                    # substring equality, not LIKE: no pattern-escape
+                    # divergence between the dialects
+                    return f"(substring({left}, 1, {n}) = {lit})"
+                # an (n-char) literal can only equal an n-char substring,
+                # so no explicit length guard is needed
+                return (
+                    f"(substring({left}, length({left}) - {n - 1}, {n})"
+                    f" = {lit})"
+                )
+            # expression RHS (property, carried alias, $param): same
+            # substring-equality shape with a runtime length. A longer
+            # needle than haystack can never satisfy the equality (the
+            # substring result is at most length(left) chars), so no
+            # bounds guard is needed; NULL propagates as in Cypher.
+            rhs = self.value()
             if which == "STARTS":
-                # substring equality, not LIKE: no pattern-escape
-                # divergence between the dialects
-                return f"(substring({left}, 1, {n}) = {lit})"
-            # an (n-char) literal can only equal an n-char substring,
-            # so no explicit length guard is needed
+                return f"(substring({left}, 1, length({rhs})) = {rhs})"
             return (
-                f"(substring({left}, length({left}) - {n - 1}, {n}) = {lit})"
+                f"(substring({left}, length({left}) - length({rhs}) + 1, "
+                f"length({rhs})) = {rhs})"
             )
         if kind == "name" and tok.upper() == "CONTAINS":
             self.next()
-            lit, _ = self._string_literal_with_len()
-            # instr(haystack, needle) — identical name, argument order,
-            # and 1-based/0-miss contract in Spark and DuckDB
-            return f"(instr({left}, {lit}) > 0)"
+            if self.peek()[0] == "str":
+                lit, _ = self._string_literal_with_len()
+                # instr(haystack, needle) — identical name, argument
+                # order, and 1-based/0-miss contract in Spark and DuckDB
+                return f"(instr({left}, {lit}) > 0)"
+            return f"(instr({left}, {self.value()}) > 0)"
         if kind != "cmp":
             # no operator: a bare boolean expression (openCypher allows
             # `WHERE n.flag` / `WHERE ALL(...)`) — the engine type-checks
@@ -1318,7 +1442,19 @@ class _Parser:
             return f"regexp_matches({left}, {anchored})"
         self.next()
         op = "<>" if tok == "!=" else tok
-        return f"({left} {op} {self.value()})"
+        prev = self.value()
+        conds = [f"({left} {op} {prev})"]
+        # Cypher chains comparison operators with conjunction semantics
+        # (`0 < x < 10` means `0 < x AND x < 10`)
+        while self.peek()[0] == "cmp" and self.peek()[1] != "=~":
+            nop = self.next()[1]
+            nop = "<>" if nop == "!=" else nop
+            nxt = self.value()
+            conds.append(f"({prev} {nop} {nxt})")
+            prev = nxt
+        if len(conds) == 1:
+            return conds[0]
+        return "(" + " AND ".join(conds) + ")"
 
     def _string_literal_with_len(self) -> tuple[str, int]:
         """A STRING literal operand (STARTS WITH / ENDS WITH /
@@ -1344,7 +1480,10 @@ class _Parser:
         or arithmetic, e.g. ``round(sum(x) / count(*), 2)``."""
         self._saw_agg = False
         start = self.pos
-        expr = self.value()
+        # full boolean expression grammar: openCypher allows predicate
+        # return items (`RETURN a < b AS x`, `exists(n.p)`, `n:Label`,
+        # XOR chains) — not just arithmetic
+        expr = self.expr()
         is_agg = self._saw_agg
         m = re.fullmatch(r"(COUNT|SUM|AVG|MIN|MAX)\(.*\)", expr)
         default_alias = m.group(1).lower() if m else expr.replace(".", "_")
@@ -1689,9 +1828,11 @@ class _Parser:
                 )
             self.unwind_aliases.update(a for _, a, _ in lead_with)
             self.aliases = None
-        if (lead_unwinds or lead_with) and self.peek()[1] != "MATCH":
-            # UNWIND-only query (batch-lookup shape): no graph pattern,
-            # the exploded list IS the FROM source
+        if (
+            lead_unwinds or lead_with or self.peek()[1] == "RETURN"
+        ) and self.peek()[1] != "MATCH":
+            # UNWIND-only query (batch-lookup shape) or a standalone
+            # RETURN (one-row expression evaluation): no graph pattern
             shortest, path_var = False, None
             chains: list[tuple[list[_NodePat], list[_RelPat]]] = []
             chain_groups: list[int] = []
@@ -3083,13 +3224,18 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
             proj = ", ".join(f"{e} AS {a}" for e, a, _ in ast["lead_with"])
             from_sql = f"(SELECT {proj}) AS _w0"
             joins, conds = [], []
-        else:
+        elif unwinds:
             # UNWIND-only query: the first exploded list is the FROM source
             src, alias = unwinds.pop(0)
             if ast["dialect"] == "spark":
                 from_sql = f"(SELECT explode({src}) AS {alias}) AS _uw0"
             else:
                 from_sql = f"(SELECT unnest({src}) AS {alias}) AS _uw0"
+            joins, conds = [], []
+        else:
+            # standalone RETURN: one-row expression evaluation, no FROM
+            # clause at all (valid in both engines)
+            from_sql = None
             joins, conds = [], []
     else:
         chains = ast.get("chains") or [(nodes, rels)]
@@ -3179,7 +3325,9 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     group_cols = [e for e, _a, agg in ast["items"] if not agg]
     has_agg = any(agg for _, _, agg in ast["items"])
 
-    sql = f"SELECT {select_sql}\nFROM {from_sql}"
+    sql = f"SELECT {select_sql}"
+    if from_sql is not None:
+        sql += f"\nFROM {from_sql}"
     for j in joins:
         sql += f"\n{j}"
     for i, (src, alias) in enumerate(unwinds):
@@ -3197,18 +3345,47 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
 def _order_limit_tail(sql: str, ast: dict) -> str:
     """ORDER BY/LIMIT over the aliased projection in an outer query: a
     bare alias in ORDER BY would otherwise resolve ambiguously against
-    same-named columns of the joined tables (alias `id` vs a.ID)."""
-    if ast["order"] or ast["limit"] is not None or ast["skip"] is not None:
+    same-named columns of the joined tables (alias `id` vs a.ID).
+
+    openCypher also allows sorting by an expression that is NOT
+    projected (``RETURN n.name ORDER BY n.age``) — the outer-query
+    wrapper cannot see those columns, so that shape instead emits
+    ORDER BY at the projection level, referencing projected items by
+    their full expression text (never the bare alias, dodging the
+    ambiguity above)."""
+    if not (
+        ast["order"] or ast["limit"] is not None or ast["skip"] is not None
+    ):
+        return sql
+    items = ast["items"]
+    aliases = {a for _, a, _ in items}
+    exprs = {e for e, _, _ in items}
+
+    def _projected(e: str) -> bool:
+        return e in aliases or e in exprs
+
+    if ast["order"] and not all(_projected(e) for e, _ in ast["order"]):
+        if ast.get("distinct") or any(isagg for _, _, isagg in items):
+            raise CypherUnsupported(
+                "ORDER BY on a non-projected expression is not allowed "
+                "with DISTINCT or aggregation (openCypher restriction)"
+            )
+        by_alias = {a: e for e, a, _ in items}
+        parts = []
+        for e, d in ast["order"]:
+            parts.append(f"{by_alias.get(e, e)} {_dir_sql(d)}")
+        sql += "\nORDER BY " + ", ".join(parts)
+    else:
         sql = f"SELECT * FROM (\n{sql}\n) AS _projected"
         if ast["order"]:
             parts = []
             for e, d in ast["order"]:
                 parts.append(f"{_order_ref(e, ast['items'])} {_dir_sql(d)}")
             sql += "\nORDER BY " + ", ".join(parts)
-        if ast["limit"] is not None:
-            sql += f"\nLIMIT {ast['limit']}"
-        if ast["skip"] is not None:
-            sql += f"\nOFFSET {ast['skip']}"
+    if ast["limit"] is not None:
+        sql += f"\nLIMIT {ast['limit']}"
+    if ast["skip"] is not None:
+        sql += f"\nOFFSET {ast['skip']}"
     return sql
 
 
@@ -3661,7 +3838,7 @@ def is_cypher(query: str) -> bool:
     name AS`` starts the leading-WITH constant projection (the
     MANIFESTO benchmark shape) — SQL's WITH is always ``WITH name AS
     (``, so the paren distinguishes the two."""
-    if re.match(r"\s*(MATCH|UNWIND)\b", query, re.IGNORECASE):
+    if re.match(r"\s*(MATCH|UNWIND|RETURN)\b", query, re.IGNORECASE):
         return True
     m = re.match(r"\s*WITH\b(?!\s+RECURSIVE\b)", query, re.IGNORECASE)
     if not m:

@@ -761,6 +761,49 @@ _cypher_query(
 )
 
 
+_cypher_query(
+    "cypher_label_predicate_filter",
+    # label predicates in WHERE (x:Label / NOT x:Label) — customers
+    # carry their market segment as a second label
+    "MATCH (x)-[r:IN_NATION]->(n:Nation) "
+    "WHERE x:Customer AND NOT x:BUILDING "
+    "RETURN n.name AS nation, count(*) AS members",
+)
+
+_cypher_query(
+    "cypher_xor_chained_filter",
+    # XOR (ternary) + chained comparison 0 <= bal < 5000
+    "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "WHERE 0.0 <= c.acctbal < 5000.0 XOR c:MACHINERY "
+    "RETURN n.name AS nation, count(*) AS members",
+)
+
+_cypher_query(
+    "cypher_string_expr_predicate",
+    # ENDS WITH a runtime expression (the nation id's last digit)
+    "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "WHERE c.name ENDS WITH right(n.name, 1) "
+    "RETURN n.name AS nation, count(*) AS members",
+)
+
+_cypher_query(
+    "cypher_order_unprojected",
+    # openCypher: ORDER BY an expression that is NOT projected —
+    # emitted at the projection level, not in the outer wrapper
+    "MATCH (c:Customer) RETURN c.name AS name "
+    "ORDER BY c.acctbal DESC, c.ID ASC LIMIT 25",
+)
+
+_cypher_query(
+    "cypher_head_labels",
+    # head()/last() keep labels() in ARRAY form (sorted): segments
+    # before 'Customer' alphabetically become the head label
+    "MATCH (x:Customer) "
+    "RETURN head(labels(x)) AS primary, last(labels(x)) AS segment, "
+    "count(*) AS n",
+)
+
+
 def _sql_query(name: str, sql: str, tables: tuple[str, ...]):
     """Register a query whose Spark plan IS the oracle SQL — one ANSI
     string executed verbatim by both engines (the S1 capability, and

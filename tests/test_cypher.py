@@ -754,12 +754,14 @@ def test_string_predicates_transpile():
     assert "instr(n.name, 'm') > 0" in sql
 
 
-def test_string_predicate_requires_literal():
-    with pytest.raises(CypherUnsupported, match="string"):
-        cypher_to_sql(
-            "MATCH (n) WHERE n.name STARTS WITH n.other RETURN n.ID AS i",
-            "gn", "gr",
-        )
+def test_string_predicate_expression_rhs():
+    # expression RHS compiles to the runtime-length substring-equality
+    # shape (was literal-only before round 6)
+    sql = cypher_to_sql(
+        "MATCH (n) WHERE n.name STARTS WITH n.other RETURN n.ID AS i",
+        "gn", "gr",
+    )
+    assert "substring(n.name, 1, length(n.other)) = n.other" in sql
 
 
 def test_cast_functions_dialect_split():

@@ -107,6 +107,12 @@ def _str_expr(depth: int):
             lambda t: f"split({t[0]}, {t[1]})[{t[2]}]"
         ),
         sub.map(lambda e: f"substring({e}, 1, 3)"),
+        st.tuples(sub, st.sampled_from(("'l'", "'a'"))).map(
+            lambda t: f"head(split({t[0]}, {t[1]}))"
+        ),
+        st.tuples(sub, st.sampled_from(("'l'", "'a'"))).map(
+            lambda t: f"last(split({t[0]}, {t[1]}))"
+        ),
     )
 
 
@@ -119,11 +125,17 @@ def _pred_expr(depth: int):
         ),
         s.map(lambda e: f"{e} STARTS WITH 'a'"),
         s.map(lambda e: f"{e} CONTAINS 'o'"),
+        st.tuples(s, s).map(lambda t: f"{t[0]} STARTS WITH {t[1]}"),
+        st.tuples(s, s).map(lambda t: f"{t[0]} ENDS WITH {t[1]}"),
+        st.tuples(s, s).map(lambda t: f"{t[0]} CONTAINS {t[1]}"),
         st.sampled_from(_NUM_PROPS).map(lambda p: f"{p} IS NOT NULL"),
         st.sampled_from(_NUM_PROPS).map(lambda p: f"{p} IS NULL"),
+        st.sampled_from(_NUM_PROPS).map(lambda p: f"exists({p})"),
         s.map(lambda e: f"{e} =~ '[a-d].*'"),
         n.map(lambda e: f"ANY(x IN [{e}, 1] WHERE x > 2)"),
         n.map(lambda e: f"ALL(x IN [{e}, 5] WHERE x > 0)"),
+        st.tuples(n, n, n).map(lambda t: f"{t[0]} <= {t[1]} < {t[2]}"),
+        st.sampled_from(("n:P", "n:Q", "n:P:Q", "n:Q|R", "n:R")),
     )
     if depth <= 0:
         return base
@@ -132,6 +144,7 @@ def _pred_expr(depth: int):
         base,
         st.tuples(sub, sub).map(lambda t: f"({t[0]} AND {t[1]})"),
         st.tuples(sub, sub).map(lambda t: f"({t[0]} OR {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} XOR {t[1]})"),
         sub.map(lambda e: f"NOT ({e})"),
     )
 
