@@ -172,6 +172,19 @@ class _RelPat:
         return self.maxlen is None
 
 
+def _reverse_chain(
+    nodes: list[_NodePat], rels: list[_RelPat]
+) -> tuple[list[_NodePat], list[_RelPat]]:
+    """Reverse a pattern chain in place: node order flips and every
+    relationship's direction inverts — ``(a)-[:T]->(b)`` is the same
+    pattern as ``(b)<-[:T]-(a)``. Used to re-anchor OPTIONAL MATCH
+    when the bound variable sits at the chain's END."""
+    flip = {"->": "<-", "<-": "->", "-": "-"}
+    for r in rels:
+        r.direction = flip[r.direction]
+    return list(reversed(nodes)), list(reversed(rels))
+
+
 class _Parser:
     def __init__(self, query: str, dialect: str = "spark"):
         if dialect not in ("spark", "duckdb"):
@@ -1932,6 +1945,11 @@ class _Parser:
             self.next()
             self.expect("MATCH")
             onodes, orels = self.pattern()
+            if onodes[0].var not in bound and onodes[-1].var in bound:
+                # end-anchored pattern: re-anchor by reversing the
+                # chain — (x)-[:T]->(a) with `a` bound is the same
+                # pattern as (a)<-[:T]-(x)
+                onodes, orels = _reverse_chain(onodes, orels)
             anchor = onodes[0]
             if anchor.var not in bound:
                 raise CypherUnsupported(
@@ -2151,6 +2169,12 @@ class _Parser:
                 self.next()
                 self.expect("MATCH")
                 pnodes, prels = self.pattern()
+                if (
+                    pnodes[0].var not in self.aliases
+                    and pnodes[-1].var in self.aliases
+                ):
+                    # end-anchored: re-anchor by reversing the chain
+                    pnodes, prels = _reverse_chain(pnodes, prels)
                 anchor = pnodes[0]
                 if anchor.var not in self.aliases:
                     raise CypherUnsupported(

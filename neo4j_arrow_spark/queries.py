@@ -113,6 +113,14 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_optional_end_anchored",
+    # the bound variable sits at the chain's END — re-anchored by
+    # pattern reversal: (s)-[:IN_NATION]->(n) ≡ (n)<-[:IN_NATION]-(s)
+    "MATCH (n:Nation) OPTIONAL MATCH (s:Supplier)-[r:IN_NATION]->(n) "
+    "RETURN n.name AS name, count(s.ID) AS suppliers",
+)
+
+_cypher_query(
     "cypher_with_pipeline",
     "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
     "WITH n.name AS nation, count(*) AS members, min(c.acctbal) AS min_bal "
