@@ -2056,6 +2056,52 @@ class _Parser:
         pipeline: list[dict] = []
         post_match = None
         while True:
+            if (
+                not pipeline
+                and self.aliases is None
+                and self.peek()[1] == "WITH"
+            ):
+                # transparent WITH: `WITH a, b [WHERE pred]` carrying
+                # ONLY bare in-scope pattern/unwind variables with no
+                # DISTINCT/agg/ORDER/LIMIT is a scope no-op in this
+                # engine — pattern variables stay live and the optional
+                # WHERE conjoins with the main post-join filter
+                # (null-preserving over OPTIONAL MATCH, which is what
+                # the common `WITH a, b WHERE b IS NULL` idiom needs)
+                scope = (
+                    set(bound)
+                    | {r.var for _, cr in chains for r in cr if r.var}
+                    | {
+                        r.var
+                        for _on, orl, _ow in optionals
+                        for r in orl
+                        if r.var
+                    }
+                    | {ua for _src, ua in unwinds}
+                )
+                j = self.pos + 1
+                names: list[str] = []
+                while self.toks[j][0] == "name":
+                    names.append(self.toks[j][1])
+                    j += 1
+                    if self.toks[j][1] == ",":
+                        j += 1
+                    else:
+                        break
+                if (
+                    names
+                    and all(n in scope for n in names)
+                    and self.toks[j][1] in ("WHERE", "RETURN", "WITH")
+                ):
+                    self.next()  # WITH
+                    self.expect_name()
+                    while self.accept(","):
+                        self.expect_name()
+                    if self.accept("WHERE"):
+                        self._bound = set(bound)
+                        tw = self.expr()
+                        where = f"({where}) AND ({tw})" if where else tw
+                    continue
             if self.accept("WITH"):
                 wdistinct = self.accept("DISTINCT")
                 if self.peek()[1] == "*":
