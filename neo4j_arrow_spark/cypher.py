@@ -82,6 +82,15 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
+#: the tokenizer's keyword vocabulary — exactly the identifiers that can
+#: only reach a name position via ``expect_name(kw_ok=True)`` and so are
+#: the only ones ``_ident`` ever needs to quote in emitted SQL
+_KW_NAMES = frozenset(
+    "OPTIONAL MATCH WHERE WITH RETURN DISTINCT ORDER BY SKIP LIMIT ASC "
+    "DESC AND OR NOT IS NULL IN AS TRUE FALSE UNWIND CASE WHEN THEN "
+    "ELSE END".split()
+)
+
 
 _STR_ESCAPES = {"'": "'", '"': '"', "\\": "\\", "n": "\n", "t": "\t", "r": "\r"}
 
@@ -125,6 +134,11 @@ def _is_string_literal(expr: str) -> bool:
 
 
 def _tokenize(q: str) -> list[tuple[str, str]]:
+    """Keyword tokens are 3-tuples ``("kw", UPPER, raw)`` — the raw
+    spelling lets name positions (labels, rel types, property names)
+    accept keyword-looking identifiers like ``:Order`` or ``.end``
+    (openCypher reserves no words in those positions). All other
+    tokens stay 2-tuples; ``peek``/``next`` slice to (kind, text)."""
     out, i = [], 0
     while i < len(q):
         m = _TOKEN_RE.match(q, i)
@@ -136,8 +150,9 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
             continue
         text = m.group()
         if kind == "kw":
-            text = text.upper()
-        out.append((kind, text))
+            out.append((kind, text.upper(), text))
+        else:
+            out.append((kind, text))
     out.append(("eof", ""))
     return out
 
@@ -205,12 +220,13 @@ class _Parser:
 
     # -- token helpers -----------------------------------------------------
     def peek(self) -> tuple[str, str]:
-        return self.toks[self.pos]
+        t = self.toks[self.pos]
+        return (t[0], t[1])
 
     def next(self) -> tuple[str, str]:
         t = self.toks[self.pos]
         self.pos += 1
-        return t
+        return (t[0], t[1])
 
     def accept(self, text: str) -> bool:
         if self.peek()[1] == text:
@@ -223,11 +239,26 @@ class _Parser:
         if tok != text:
             raise CypherSyntaxError(f"expected {text!r}, got {tok!r}")
 
-    def expect_name(self) -> str:
-        kind, tok = self.next()
-        if kind != "name":
-            raise CypherSyntaxError(f"expected identifier, got {tok!r}")
-        return tok
+    def expect_name(self, kw_ok: bool = False) -> str:
+        t = self.toks[self.pos]
+        self.pos += 1
+        if t[0] == "name":
+            return t[1]
+        if kw_ok and t[0] == "kw":
+            # a keyword in a name position (label / rel type / property
+            # name / map key) — openCypher reserves nothing there, so
+            # ``:Order`` or ``.end`` are legal; return the raw spelling
+            return t[2]
+        raise CypherSyntaxError(f"expected identifier, got {t[1]!r}")
+
+    def _ident(self, name: str) -> str:
+        """Quote a property/column identifier when its upper-case form
+        collides with a SQL keyword (it can only have arrived through
+        ``expect_name(kw_ok=True)``): Spark backticks, DuckDB double
+        quotes. Plain identifiers pass through untouched."""
+        if name.upper() in _KW_NAMES:
+            return f"`{name}`" if self.dialect == "spark" else f'"{name}"'
+        return name
 
     def expect_count(self, what: str) -> str:
         """SKIP/LIMIT operand: a bare non-negative integer only — never
@@ -282,10 +313,10 @@ class _Parser:
             self.node_pat_vars.add(var)
         n = _NodePat(var)
         while self.accept(":"):
-            n.labels.append(self.expect_name())
+            n.labels.append(self.expect_name(kw_ok=True))
         if self.accept("{"):
             while True:
-                key = self.expect_name()
+                key = self._ident(self.expect_name(kw_ok=True))
                 self.expect(":")
                 kind, _tok = self.peek()
                 if kind == "name":
@@ -318,16 +349,16 @@ class _Parser:
                 self.rel_pat_vars.add(var)
             if self.accept(":"):
                 # type alternation: :A|B|C
-                rtypes.append(self.expect_name())
+                rtypes.append(self.expect_name(kw_ok=True))
                 while self.accept("|"):
-                    rtypes.append(self.expect_name())
+                    rtypes.append(self.expect_name(kw_ok=True))
             if self.accept("*"):
                 minlen, maxlen = self._varlength_bounds()
             props: list[tuple[str, str]] = []
             if self.peek()[1] == "{":
                 self.next()
                 while True:
-                    key = self.expect_name()
+                    key = self._ident(self.expect_name(kw_ok=True))
                     self.expect(":")
                     props.append((key, self.literal()))
                     if not self.accept(","):
@@ -578,7 +609,7 @@ class _Parser:
             self.next()
             pairs: list[tuple[str, str]] = []
             while True:
-                k = self.expect_name()
+                k = self.expect_name(kw_ok=True)
                 self.expect(":")
                 pairs.append((k, self.value()))
                 if not self.accept(","):
@@ -587,7 +618,9 @@ class _Parser:
             if self.dialect == "spark":
                 inner = ", ".join(f"'{k}', {v}" for k, v in pairs)
                 return f"named_struct({inner})"
-            inner = ", ".join(f"{k} := {v}" for k, v in pairs)
+            inner = ", ".join(
+                f"{self._ident(k)} := {v}" for k, v in pairs
+            )
             return f"struct_pack({inner})"
         if (
             kind == "name"
@@ -1072,16 +1105,20 @@ class _Parser:
         keys: list[str] = []
         while True:
             self.expect(".")
-            keys.append(self.expect_name())
+            keys.append(self.expect_name(kw_ok=True))
             if not self.accept(","):
                 break
         self.expect("}")
         if not keys:
             raise CypherSyntaxError("empty map projection")
         if self.dialect == "spark":
-            inner = ", ".join(f"'{k}', {var}.{k}" for k in keys)
+            inner = ", ".join(
+                f"'{k}', {var}.{self._ident(k)}" for k in keys
+            )
             return f"named_struct({inner})"
-        inner = ", ".join(f"{k} := {var}.{k}" for k in keys)
+        inner = ", ".join(
+            f"{self._ident(k)} := {var}.{self._ident(k)}" for k in keys
+        )
         return f"struct_pack({inner})"
 
     def operand(self) -> str:
@@ -1094,7 +1131,7 @@ class _Parser:
                 return self._map_projection(var)
             if self.aliases is not None:
                 if self.accept("."):
-                    prop = self.expect_name()
+                    prop = self._ident(self.expect_name(kw_ok=True))
                     if var in self.post_vars:
                         return f"{var}.{prop}"
                     raise CypherUnsupported(
@@ -1110,7 +1147,7 @@ class _Parser:
                     f"(in scope: {sorted(self.aliases | self.post_vars)})"
                 )
             if self.accept("."):
-                prop = self.expect_name()
+                prop = self._ident(self.expect_name(kw_ok=True))
                 return f"{var}.{prop}"
             return f"{var}.ID"
         return self.literal()
@@ -1305,13 +1342,27 @@ class _Parser:
         if t[self.pos][1] != "(":
             return False
         i = self.pos + 1
-        if t[i][1] in (":", "{"):
-            return True  # anonymous labeled/propertied node
+        if t[i][1] in (":", "{") or (
+            t[i][0] == "name" and t[i + 1][1] in (":", "{")
+        ):
+            # a labeled/propertied node start — but ``(n:P)`` with no
+            # relationship after the close paren is a PARENTHESIZED
+            # LABEL PREDICATE expression, not a pattern (fuzz-caught:
+            # ``WHERE NOT (n:P)``); scan to the matching ')' and
+            # require a dash to follow
+            j, depth = self.pos, 0
+            while j < len(t) - 1:
+                if t[j][1] == "(":
+                    depth += 1
+                elif t[j][1] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            return t[j][1] == ")" and t[j + 1][1] in ("-", "<-")
         if t[i][1] == ")":
             j = i + 1  # ()
         elif t[i][0] == "name":
-            if t[i + 1][1] in (":", "{"):
-                return True
             if t[i + 1][1] != ")":
                 return False
             j = i + 2  # (v)
@@ -1366,9 +1417,9 @@ class _Parser:
             left = self.next()[1]
             conds = []
             while self.accept(":"):
-                ors = [self.expect_name()]
+                ors = [self.expect_name(kw_ok=True)]
                 while self.accept("|"):
-                    ors.append(self.expect_name())
+                    ors.append(self.expect_name(kw_ok=True))
                 alt = " OR ".join(
                     f"array_contains({left}.LABELS, '{lb}')" for lb in ors
                 )
@@ -1569,7 +1620,7 @@ class _Parser:
                 )
                 self.toks[i : i + 4] = [("name", marker)]
             i += 1
-        for k, t in self.toks[self.pos :]:
+        for k, t in ((tt[0], tt[1]) for tt in self.toks[self.pos :]):
             if (k, t) == ("name", path_var):
                 raise CypherUnsupported(
                     f"path variable {path_var!r} supports only "
@@ -1617,7 +1668,11 @@ class _Parser:
                     e = matched
                 else:
                     name = self.expect_name()
-                    e = f"{name}.{self.expect_name()}" if self.accept(".") else name
+                    e = (
+                        f"{name}.{self._ident(self.expect_name(kw_ok=True))}"
+                        if self.accept(".")
+                        else name
+                    )
                 direction = "DESC" if self.accept("DESC") else ("ASC" if self.accept("ASC") else "ASC")
                 order.append((e, direction))
                 if not self.accept(","):
@@ -1646,7 +1701,7 @@ class _Parser:
             ):
                 self.toks[i : i + 4] = [("name", "_pathlen")]
             i += 1
-        for k, t in self.toks[self.pos :]:
+        for k, t in ((tt[0], tt[1]) for tt in self.toks[self.pos :]):
             if (k, t) == ("name", rel_var):
                 raise CypherUnsupported(
                     f"variable-length relationship {rel_var!r} supports "
@@ -1683,7 +1738,7 @@ class _Parser:
                 )
                 self.toks[i : i + 4] = [("name", marker)]
             i += 1
-        for k, t in self.toks[self.pos :]:
+        for k, t in ((tt[0], tt[1]) for tt in self.toks[self.pos :]):
             if (k, t) == ("name", path_var):
                 raise CypherUnsupported(
                     f"path variable {path_var!r} supports only "

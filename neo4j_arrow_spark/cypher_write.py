@@ -58,7 +58,7 @@ def is_cypher_write(query: str) -> bool:
     if first != "MATCH":
         return False
     prev_text = ""
-    for kind, text in toks:
+    for kind, text in ((tt[0], tt[1]) for tt in toks):
         if (
             kind in ("name", "kw")
             and prev_text != "."
@@ -118,7 +118,7 @@ class _WriteParser(_Parser):
                             f"{pats[0].var!r}, got {var!r}"
                         )
                     self.expect(".")
-                    prop = self.expect_name()
+                    prop = self.expect_name(kw_ok=True)
                     self.expect("=")
                     target.append((prop, self.literal()))
                     if not self.accept(","):
@@ -157,7 +157,7 @@ class _WriteParser(_Parser):
             if self.peek()[1] == ":":
                 labels = []
                 while self.accept(":"):
-                    labels.append(self.expect_name())
+                    labels.append(self.expect_name(kw_ok=True))
                 if self.peek()[0] != "eof":
                     raise CypherSyntaxError(
                         f"unexpected trailing input: {self.peek()[1]!r}"
@@ -171,7 +171,7 @@ class _WriteParser(_Parser):
             sets: list[tuple[str, str, str]] = []
             while True:
                 self.expect(".")
-                prop = self.expect_name()
+                prop = self.expect_name(kw_ok=True)
                 sets.append((var, prop, "NULL"))
                 if not self.accept(","):
                     break
@@ -236,7 +236,7 @@ class _WriteParser(_Parser):
                 # SET n:Label [:More] — label addition on matched nodes
                 labels = []
                 while self.accept(":"):
-                    labels.append(self.expect_name())
+                    labels.append(self.expect_name(kw_ok=True))
                 if self.peek()[0] != "eof":
                     raise CypherSyntaxError(
                         f"unexpected trailing input: {self.peek()[1]!r}"
@@ -248,7 +248,7 @@ class _WriteParser(_Parser):
             sets: list[tuple[str, str, str]] = []
             while True:
                 self.expect(".")
-                prop = self.expect_name()
+                prop = self.expect_name(kw_ok=True)
                 self.expect("=")
                 sets.append((var, prop, self.value()))
                 if not self.accept(","):

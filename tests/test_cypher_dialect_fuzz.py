@@ -33,7 +33,8 @@ NODES = [
     (3, ["P"], "carol", 35, 0.0),
     (4, ["P", "Q"], "dave", 40, 99.75),
     (5, ["Q"], "erin", None, None),
-    (6, ["R"], "frank", 50, 7.0),
+    # "Order" spells a Cypher keyword — label positions must accept it
+    (6, ["R", "Order"], "frank", 50, 7.0),
 ]
 RELS = [
     (1, 2, "K", 1.0),
@@ -135,7 +136,9 @@ def _pred_expr(depth: int):
         n.map(lambda e: f"ANY(x IN [{e}, 1] WHERE x > 2)"),
         n.map(lambda e: f"ALL(x IN [{e}, 5] WHERE x > 0)"),
         st.tuples(n, n, n).map(lambda t: f"{t[0]} <= {t[1]} < {t[2]}"),
-        st.sampled_from(("n:P", "n:Q", "n:P:Q", "n:Q|R", "n:R")),
+        st.sampled_from(
+            ("n:P", "n:Q", "n:P:Q", "n:Q|R", "n:R", "n:Order", "NOT (n:Order)")
+        ),
     )
     if depth <= 0:
         return base
@@ -161,7 +164,7 @@ ret_expr = st.one_of(
 )
 
 plain_query = st.tuples(
-    st.sampled_from(("P", "Q", "R")),
+    st.sampled_from(("P", "Q", "R", "Order")),
     st.one_of(st.none(), _pred_expr(1)),
     ret_expr,
 ).map(
