@@ -82,6 +82,42 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
+#: openCypher temporal component accessors (``x.year``, ``x.dayOfWeek``)
+#: → (spark, duckdb) emissions. Integer components are CAST to BIGINT on
+#: both sides so the oracle's dtype-strict compare sees one type (Spark's
+#: year() returns INT, DuckDB's BIGINT). dayOfWeek is ISO (Monday=1):
+#: Spark's dayofweek() is Sunday=1, hence the modular shift; DuckDB has
+#: isodow() natively. Case-sensitive names, per openCypher.
+_TEMPORAL_ACCESSORS: dict[str, tuple[str, str]] = {
+    "year": ("CAST(year({x}) AS BIGINT)", "CAST(year({x}) AS BIGINT)"),
+    "month": ("CAST(month({x}) AS BIGINT)", "CAST(month({x}) AS BIGINT)"),
+    "day": ("CAST(day({x}) AS BIGINT)", "CAST(day({x}) AS BIGINT)"),
+    "hour": ("CAST(hour({x}) AS BIGINT)", "CAST(hour({x}) AS BIGINT)"),
+    "minute": ("CAST(minute({x}) AS BIGINT)", "CAST(minute({x}) AS BIGINT)"),
+    "second": ("CAST(second({x}) AS BIGINT)", "CAST(second({x}) AS BIGINT)"),
+    "quarter": ("CAST(quarter({x}) AS BIGINT)", "CAST(quarter({x}) AS BIGINT)"),
+    "week": (
+        "CAST(weekofyear({x}) AS BIGINT)",
+        "CAST(weekofyear({x}) AS BIGINT)",
+    ),
+    "dayOfWeek": (
+        "CAST(((dayofweek({x}) + 5) % 7) + 1 AS BIGINT)",
+        "CAST(isodow({x}) AS BIGINT)",
+    ),
+    "ordinalDay": (
+        "CAST(dayofyear({x}) AS BIGINT)",
+        "CAST(dayofyear({x}) AS BIGINT)",
+    ),
+    "epochSeconds": (
+        "unix_seconds({x})",
+        "CAST(epoch({x}) AS BIGINT)",
+    ),
+    "epochMillis": (
+        "unix_millis({x})",
+        "CAST(epoch_ms({x}) AS BIGINT)",
+    ),
+}
+
 #: the tokenizer's keyword vocabulary — exactly the identifiers that can
 #: only reach a name position via ``expect_name(kw_ok=True)`` and so are
 #: the only ones ``_ident`` ever needs to quote in emitted SQL
@@ -250,6 +286,24 @@ class _Parser:
             # ``:Order`` or ``.end`` are legal; return the raw spelling
             return t[2]
         raise CypherSyntaxError(f"expected identifier, got {t[1]!r}")
+
+    def _temporal_accessor(self, expr: str) -> str:
+        """Consume a trailing ``.year`` / ``.dayOfWeek`` / … component
+        accessor on a date/datetime-valued expression, if present
+        (openCypher temporal instant access). Chained accessors are a
+        loop so ``x.d.year`` works after a property access consumed the
+        first dot. Names not in the table are left unconsumed — the
+        caller's grammar decides what a plain trailing ``.`` means."""
+        while self.peek()[1] == ".":
+            nxt = self.toks[self.pos + 1]
+            if nxt[0] != "name" or nxt[1] not in _TEMPORAL_ACCESSORS:
+                break
+            self.next()
+            self.next()
+            spark_t, duck_t = _TEMPORAL_ACCESSORS[nxt[1]]
+            tpl = spark_t if self.dialect == "spark" else duck_t
+            expr = tpl.format(x=expr)
+        return expr
 
     def _ident(self, name: str) -> str:
         """Quote a property/column identifier when its upper-case form
@@ -1126,14 +1180,24 @@ class _Parser:
         if kind == "name":
             var = self.expect_name()
             if var in self.unwind_aliases:
-                return var  # an UNWIND-bound scalar, not a node
+                # an UNWIND-bound scalar, not a node (may carry a
+                # temporal component accessor if the list held dates)
+                return self._temporal_accessor(var)
             if self.peek()[1] == "{" and self.aliases is None:
                 return self._map_projection(var)
             if self.aliases is not None:
+                if (
+                    self.peek()[1] == "."
+                    and var in self.aliases
+                    and self.toks[self.pos + 1][0] == "name"
+                    and self.toks[self.pos + 1][1] in _TEMPORAL_ACCESSORS
+                ):
+                    # a date-valued WITH alias: `WITH o.d AS d … d.year`
+                    return self._temporal_accessor(var)
                 if self.accept("."):
                     prop = self._ident(self.expect_name(kw_ok=True))
                     if var in self.post_vars:
-                        return f"{var}.{prop}"
+                        return self._temporal_accessor(f"{var}.{prop}")
                     raise CypherUnsupported(
                         f"{var}.{prop}: pattern variables are out of scope "
                         "after WITH — carry values through as WITH aliases"
@@ -1148,7 +1212,7 @@ class _Parser:
                 )
             if self.accept("."):
                 prop = self._ident(self.expect_name(kw_ok=True))
-                return f"{var}.{prop}"
+                return self._temporal_accessor(f"{var}.{prop}")
             return f"{var}.ID"
         return self.literal()
 

@@ -83,6 +83,104 @@ def _cypher_query(name: str, cypher_text: str, params: dict | None = None):
     return run
 
 
+# -- orders graph: keyword-spelled label + temporal properties --------------
+#
+# A second derived graph whose label spells a Cypher KEYWORD (`:Order`)
+# and whose nodes carry a DATE property — the surface any real
+# e-commerce graph hits immediately. ID offset keeps order keys disjoint
+# from customer keys (same scheme as tpch_graph.py).
+
+_ORDER_OFFSET = 4_000_000
+
+ORDER_NODES_SQL = f"""
+SELECT o_orderkey + {_ORDER_OFFSET} AS ID,
+       ['Order'] AS LABELS,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_totalprice AS totalprice
+FROM orders
+UNION ALL
+SELECT c_custkey AS ID,
+       ['Customer'] AS LABELS,
+       CAST(NULL AS DATE) AS orderdate,
+       CAST(NULL AS DOUBLE) AS totalprice
+FROM customer
+"""
+
+ORDER_RELS_SQL = f"""
+SELECT o_custkey AS START_ID,
+       o_orderkey + {_ORDER_OFFSET} AS END_ID,
+       'PLACED' AS TYPE,
+       1.0 AS weight
+FROM orders
+"""
+
+
+def _order_graph(spark: SparkSession, sf_dir: str):
+    tables = load_tables(spark, sf_dir, ("orders", "customer"))
+    orders, customer = tables["orders"], tables["customer"]
+    onodes = orders.select(
+        (F.col("o_orderkey") + _ORDER_OFFSET).cast("long").alias("ID"),
+        F.array(F.lit("Order")).alias("LABELS"),
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+        F.col("o_totalprice").alias("totalprice"),
+    ).unionByName(
+        customer.select(
+            F.col("c_custkey").cast("long").alias("ID"),
+            F.array(F.lit("Customer")).alias("LABELS"),
+            F.lit(None).cast("date").alias("orderdate"),
+            F.lit(None).cast("double").alias("totalprice"),
+        )
+    )
+    orels = orders.select(
+        F.col("o_custkey").cast("long").alias("START_ID"),
+        (F.col("o_orderkey") + _ORDER_OFFSET).cast("long").alias("END_ID"),
+        F.lit("PLACED").alias("TYPE"),
+        F.lit(1.0).alias("weight"),
+    )
+    return onodes, orels
+
+
+def _cypher_order_query(name: str, cypher_text: str):
+    """Like :func:`_cypher_query` but over the orders graph."""
+    from neo4j_arrow_spark.cypher import cypher_to_sql
+
+    sql = cypher_to_sql(cypher_text, "ognodes", "ogrels", dialect="spark")
+    duck_sql = cypher_to_sql(cypher_text, "ognodes", "ogrels", dialect="duckdb")
+    oracle = (
+        f"WITH ognodes AS ({ORDER_NODES_SQL}),\n"
+        f"ogrels AS ({ORDER_RELS_SQL})\n{duck_sql}"
+    )
+
+    @query(name, oracle=oracle)
+    def run(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+        nodes, rels = _order_graph(spark, sf_dir)
+        nodes.createOrReplaceTempView("ognodes")
+        rels.createOrReplaceTempView("ogrels")
+        return spark.sql(_sql)
+
+    run.__name__ = name
+    return run
+
+
+_cypher_order_query(
+    "cypher_order_year_rollup",
+    # keyword label scan + temporal component accessors in projection
+    # and grouping position
+    "MATCH (o:Order) "
+    "RETURN o.orderdate.year AS y, count(*) AS n, "
+    "round(sum(o.totalprice), 2) AS total ORDER BY y",
+)
+
+_cypher_order_query(
+    "cypher_order_dow_filter",
+    # hop through the keyword-labeled node, ISO dayOfWeek in WHERE,
+    # ISO week in grouping — Monday orders per week-of-year
+    "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+    "WHERE o.orderdate.dayOfWeek = 1 AND o.orderdate.year = 1995 "
+    "RETURN o.orderdate.week AS w, count(*) AS n ORDER BY w",
+)
+
+
 _cypher_query(
     "cypher_label_scan",
     "MATCH (n:Nation) RETURN n.ID AS id, n.name AS name",
