@@ -418,11 +418,11 @@ class _Parser:
                     if not self.accept(","):
                         break
                 self.expect("}")
-            if props and (minlen, maxlen) != (1, 1):
-                raise CypherUnsupported(
-                    "properties on variable-length relationships are not "
-                    "supported"
-                )
+            # properties on a variable-length relationship apply to
+            # EVERY traversed edge (openCypher: each relationship in
+            # the path matches the map) — the bounded expansion carries
+            # them into each hop's join condition and the recursive
+            # emission filters the anchor and step edge scans
             self.expect("]")
         else:
             props = []
@@ -2002,19 +2002,35 @@ class _Parser:
                         chain_groups.extend([grp] * len(more))
                         continue
                     if self.peek()[1] == "WHERE":
-                        # consume only when another MATCH follows;
-                        # otherwise rewind — it is the main clause
-                        # filter (parsed after OPTIONAL MATCH below)
-                        save = self.pos
-                        self.next()
-                        self._bound = {
-                            n.var for cn, _ in chains for n in cn
-                        }
-                        w = self.expr()
-                        if self.peek()[1] == "MATCH":
-                            self._inter_wheres.append(w)
+                        # consume only when another MATCH follows —
+                        # otherwise it is the main clause filter
+                        # (parsed after OPTIONAL MATCH below). Decide
+                        # by TOKEN SCAN, not a speculative expr parse:
+                        # the expr may reference markers (size(r) on a
+                        # varlength binding) that are spliced in only
+                        # after the full pattern block is collected.
+                        # MATCH inside EXISTS{}/COUNT{} subqueries sits
+                        # at bracket depth > 0 and does not count.
+                        depth, follows_match = 0, False
+                        for t in self.toks[self.pos + 1 :]:
+                            tx = t[1]
+                            if tx in ("{", "("):
+                                depth += 1
+                            elif tx in ("}", ")"):
+                                depth -= 1
+                            elif depth == 0 and tx in (
+                                "MATCH", "OPTIONAL", "RETURN",
+                                "WITH", "UNWIND", "",
+                            ):
+                                follows_match = tx == "MATCH"
+                                break
+                        if follows_match:
+                            self.next()
+                            self._bound = {
+                                n.var for cn, _ in chains for n in cn
+                            }
+                            self._inter_wheres.append(self.expr())
                             continue
-                        self.pos = save
                     break
                 nodes, rels = _flatten_chains(chains)
         path_subs: dict[str, str] = {}
@@ -2041,12 +2057,13 @@ class _Parser:
                 vlp_path = True
             else:
                 path_subs = self._splice_plain_path(plain_path, nodes, rels)
-        # bounded varlength rel bound to a variable (r6): size(r) /
-        # length(r) is the hop count — splice to the same per-branch
-        # _pathlen marker as length(p). Any other reference raises (it
-        # would be a LIST of relationships, out of scope).
+        # varlength rel bound to a variable (r6): size(r) / length(r)
+        # is the hop count — splice to the _pathlen marker (bounded:
+        # a per-branch constant; unbounded: the recursive CTE's
+        # _vlp._hops column). Any other reference raises (it would be
+        # a LIST of relationships, out of scope).
         for r in rels:
-            if r.is_varlength and r.var and not r.is_unbounded:
+            if r.is_varlength and r.var:
                 if sum(1 for x in rels if x.is_varlength) > 1:
                     raise CypherUnsupported(
                         "binding a variable-length relationship to a "
@@ -3791,10 +3808,21 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     if ast["where"]:
         conds.append(ast["where"])
 
-    select_parts = [f"{e} AS {a}" for e, a, _ in ast["items"]]
+    items = ast["items"]
+    order = ast["order"]
+    if ast.get("vlp_path"):
+        # size(r)/length(r) on the unbounded segment spliced to the
+        # _pathlen marker at parse time — here it is the CTE's hop
+        # counter (each enumerated walk row carries its length)
+        _rw = lambda s: re.sub(r"\b_pathlen\b", "_vlp._hops", s)
+        items = [(_rw(e), a, g) for e, a, g in items]
+        order = [(_rw(e), d) for e, d in order]
+        conds = [_rw(c) for c in conds]
+
+    select_parts = [f"{e} AS {a}" for e, a, _ in items]
     select_sql = ("DISTINCT " if ast["distinct"] else "") + ", ".join(select_parts)
-    group_cols = [e for e, _a, agg in ast["items"] if not agg]
-    has_agg = any(agg for _, _, agg in ast["items"])
+    group_cols = [e for e, _a, agg in items if not agg]
+    has_agg = any(agg for _, _, agg in items)
     core = f"{cte}\nSELECT {select_sql}\nFROM {from_sql}"
     for j in joins:
         core += f"\n{j}"
@@ -3805,7 +3833,7 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     # subquery wrapper so the emission composes under an outer WITH
     # (the oracle harness prepends `WITH gnodes AS (...), grels ...`)
     sql = f"SELECT * FROM (\n{core}\n) AS _unbounded"
-    return _order_limit_tail(sql, ast)
+    return _order_limit_tail(sql, {**ast, "items": items, "order": order})
 
 
 def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:

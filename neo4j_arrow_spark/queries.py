@@ -187,6 +187,25 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_varlength_props",
+    # property map on a VARLENGTH segment: every traversed edge must
+    # match {weight: 1.0} — BUYS_FROM edges (price weights) drop out,
+    # so only the direct IN_NATION hop survives either length
+    "MATCH (c:Customer)-[:IN_NATION|BUYS_FROM*1..2 {weight: 1.0}]->(n:Nation) "
+    "RETURN n.name AS nation, count(*) AS paths ORDER BY nation",
+)
+
+_cypher_query(
+    "cypher_unbounded_relvar_hops",
+    # unbounded segment BOUND to a variable: size(r) = hop count.
+    # min()/count(DISTINCT) are duplicate-insensitive, so this runs in
+    # distinct-frontier mode (linear per hop — the 100-TB-safe shape)
+    "MATCH (c:Customer)-[r:BUYS_FROM|IN_NATION*]->(n:Nation) "
+    "RETURN n.name AS nation, min(size(r)) AS minhops, "
+    "count(DISTINCT c.ID) AS reachers ORDER BY nation",
+)
+
+_cypher_query(
     "cypher_hop_agg",
     "MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
     "RETURN n.name AS nation, count(*) AS members, min(c.acctbal) AS min_bal",

@@ -789,10 +789,12 @@ def test_rel_props_transpile_and_reject_varlength():
         "n", "e",
     )
     assert "r.weight = 2.5" in sql and "r.kind = 'x'" in sql
-    with pytest.raises(CypherUnsupported, match="variable-length"):
-        cypher_to_sql(
-            "MATCH (a)-[r:T*1..2 {w: 1}]->(b) RETURN a.ID AS i", "n", "e"
-        )
+    # r6: props on a varlength segment apply to EVERY hop (golden
+    # g111-g113 pin the semantics; here just check the emission)
+    vsql = cypher_to_sql(
+        "MATCH (a)-[:T*1..2 {w: 1}]->(b) RETURN count(*) AS c", "n", "e"
+    )
+    assert vsql.count(".w = 1") >= 2  # per-hop equality in the L2 branch
 
 
 def test_optional_where_is_null_preserving(client):
@@ -1134,8 +1136,22 @@ def test_unbounded_varlength_reverse_direction_swaps_endpoints():
 def test_unbounded_varlength_rejections():
     with pytest.raises(CypherUnsupported):  # undirected
         cypher_to_sql("MATCH (a)-[:T*]-(b) RETURN count(*) AS n", "gn", "gr")
-    with pytest.raises(CypherUnsupported):  # binding to a variable
-        cypher_to_sql("MATCH (a)-[r:T*]->(b) RETURN count(*) AS n", "gn", "gr")
+    # binding to a variable is supported since r6 for size(r)/length(r)
+    # (and an unused binding is legal); the LIST itself is not
+    sql = cypher_to_sql(
+        "MATCH (a)-[r:T*]->(b) RETURN count(*) AS n", "gn", "gr"
+    )
+    assert "WITH RECURSIVE" in sql
+    sql = cypher_to_sql(
+        "MATCH (a)-[r:T*]->(b) RETURN b.ID AS i, min(size(r)) AS h",
+        "gn", "gr",
+    )
+    assert "_vlp._hops" in sql
+    with pytest.raises(CypherUnsupported):  # the rel LIST is unsupported
+        cypher_to_sql(
+            "MATCH (a)-[r:T*]->(b) UNWIND r AS x RETURN count(*) AS n",
+            "gn", "gr",
+        )
     with pytest.raises(CypherUnsupported):  # two unbounded segments
         cypher_to_sql(
             "MATCH (a)-[:T*]->(b)-[:T*]->(c) RETURN count(*) AS n", "gn", "gr"
