@@ -646,6 +646,9 @@ class _Parser:
             and self.toks[self.pos + 2][1].upper() == "IN"
         ):
             return self._list_comprehension()
+        if tok == "[" and self._at_pattern_comprehension():
+            self.next()
+            return self._pattern_comprehension()
         if tok == "[":
             # plain list literal [a, b, …] in expression position
             self.next()
@@ -1010,6 +1013,13 @@ class _Parser:
                 # shape is supported.
                 self.next()
                 self.expect("(")
+                if self.peek()[1] == "[" and self._at_pattern_comprehension():
+                    # size([(a)-[:T]->(m) …]) — pattern-match count,
+                    # the degree idiom; a correlated count subquery
+                    self.next()
+                    out = self._pattern_comprehension(mode="count")
+                    self.expect(")")
+                    return out
                 if self.peek()[1] == "[":
                     # size([x IN list ...]) — list-comprehension length
                     lc = self._list_comprehension()
@@ -1395,6 +1405,125 @@ class _Parser:
         if mode == "exists":
             return "(" + " OR ".join(legs) + ")"
         return "(" + " + ".join(legs) + ")"
+
+    def _pattern_comprehension(self, mode: str = "collect") -> str:
+        """``[(a)-[r:T]->(m:L) WHERE pred | expr]`` — a per-row list
+        built from a correlated pattern. Emitted as ONE correlated
+        scalar subquery joining the rel scan to the target node scan
+        (both engines decorrelate it into an aggregate + left join —
+        no per-row execution). The list renders as the SORTED
+        comma-joined string, the same documented divergence/convention
+        as ``collect()``; an empty match is ``''`` (Cypher: ``[]``).
+        ``mode='count'`` (the ``size([...])`` wrapper) returns the
+        match count instead and ignores the projection's value.
+
+        Scope (v1): single hop, one endpoint bound (either end — an
+        end-anchored pattern is reversed), target node and relationship
+        variables visible to WHERE and the projection."""
+        src = self.node(anon_ok=True)
+        chain: list[tuple[_RelPat, _NodePat]] = []
+        while self.peek()[1] in ("-", "<-"):
+            r_ = self.rel()
+            n_ = self.node(anon_ok=True)
+            chain.append((r_, n_))
+        if len(chain) != 1:
+            raise CypherUnsupported(
+                "pattern comprehensions support exactly one relationship"
+            )
+        r, dst = chain[0]
+        if r.is_varlength:
+            raise CypherUnsupported(
+                "variable-length pattern comprehensions are not supported"
+            )
+        bound = getattr(self, "_bound", set())
+        if src.var not in bound and dst.var in bound:
+            (src, dst), = [(dst, src)]
+            r.direction = {"->": "<-", "<-": "->", "-": "-"}[r.direction]
+        if src.var not in bound:
+            raise CypherUnsupported(
+                "a pattern comprehension needs a bound endpoint "
+                f"({src.var!r} / {dst.var!r})"
+            )
+        if dst.var in bound:
+            raise CypherUnsupported(
+                "pattern comprehensions with both endpoints bound are "
+                "not supported — use a COUNT {} / EXISTS {} subquery"
+            )
+        self._exists_n = getattr(self, "_exists_n", 0) + 1
+        ev = r.var or f"_ex{self._exists_n}"
+        dv = dst.var
+        inner_where = None
+        if self.accept("WHERE"):
+            inner_where = self.expr()
+        proj = "1"
+        if mode == "collect":
+            self.expect("|")
+            saw = self._saw_agg
+            proj = self.value()
+            self._saw_agg = saw
+        elif self.accept("|"):
+            saw = self._saw_agg
+            self.value()  # size([... | expr]): the value is irrelevant
+            self._saw_agg = saw
+        self.expect("]")
+
+        scol, ecol = (
+            ("END_ID", "START_ID") if r.direction == "<-"
+            else ("START_ID", "END_ID")
+        )
+        rel_src = f"__RELS__ AS {ev}"
+        if r.direction == "-":
+            # symmetric closure; carry any rel props the projection or
+            # WHERE references through the column-renaming union
+            refs = set(re.findall(
+                rf"\b{re.escape(ev)}\.(\w+)",
+                f"{proj}\n{inner_where or ''}",
+            )) | {k for k, _ in r.props}
+            extra = "".join(f", {p}" for p in sorted(refs - _REL_VIEW_COLS))
+            rel_src = (
+                f"(SELECT START_ID, END_ID, TYPE{extra} FROM __RELS__"
+                f" UNION ALL SELECT END_ID AS START_ID, START_ID AS"
+                f" END_ID, TYPE{extra} FROM __RELS__) AS {ev}"
+            )
+        conds = [f"{ev}.{scol} = {src.var}.ID"]
+        if tc := _type_cond(r, ev):
+            conds.append(tc)
+        conds.extend(_prop_conds(r, ev))
+        conds += [f"array_contains({dv}.LABELS, '{lb}')" for lb in dst.labels]
+        conds += [f"{dv}.{k} = {lit}" for k, lit in dst.props]
+        if inner_where:
+            conds.append(f"({inner_where})")
+        where = " AND ".join(conds)
+        if mode == "count":
+            agg = "count(*)"
+        elif self.dialect == "spark":
+            agg = (
+                f"coalesce(array_join(sort_array("
+                f"collect_list({proj})), ','), '')"
+            )
+        else:
+            agg = (
+                f"coalesce(array_to_string(list_sort("
+                f"list({proj})), ','), '')"
+            )
+        return (
+            f"(SELECT {agg} FROM {rel_src} "
+            f"JOIN __NODES__ AS {dv} ON {dv}.ID = {ev}.{ecol} "
+            f"WHERE {where})"
+        )
+
+    def _at_pattern_comprehension(self) -> bool:
+        """Lookahead at a ``[``: does a relationship pattern start just
+        inside it? (vs a plain list literal whose first element is a
+        parenthesized expression)"""
+        if self.peek()[1] != "[":
+            return False
+        save = self.pos
+        self.pos += 1
+        try:
+            return self._at_pattern_predicate()
+        finally:
+            self.pos = save
 
     def _at_pattern_predicate(self) -> bool:
         """Lookahead: does a bare relationship pattern start here —

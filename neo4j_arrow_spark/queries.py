@@ -196,6 +196,25 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_pattern_comp_degree",
+    # size([pattern]) — the degree idiom as a correlated count
+    # subquery (decorrelated to an aggregate + join by both engines);
+    # the pattern is end-anchored on the bound node and auto-reversed
+    "MATCH (n:Nation) RETURN n.name AS nation, "
+    "size([(c)-[:IN_NATION]->(n) WHERE c.acctbal > 0 | c]) AS funded "
+    "ORDER BY nation",
+)
+
+_cypher_query(
+    "cypher_pattern_comp_list",
+    # value-projecting comprehension: the supplier names in each
+    # nation as the sorted comma-joined list rendering
+    "MATCH (n:Nation) RETURN n.name AS nation, "
+    "[(s:Supplier)-[:IN_NATION]->(n) | s.name] AS suppliers "
+    "ORDER BY nation",
+)
+
+_cypher_query(
     "cypher_unbounded_relvar_hops",
     # unbounded segment BOUND to a variable: size(r) = hop count.
     # min()/count(DISTINCT) are duplicate-insensitive, so this runs in

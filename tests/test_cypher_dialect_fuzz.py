@@ -155,6 +155,15 @@ def _pred_expr(depth: int):
 ret_expr = st.one_of(
     _num_expr(2),
     _str_expr(2),
+    # pattern comprehensions: both dialect emissions must agree on the
+    # sorted comma-joined rendering and the '' empty case
+    st.sampled_from((
+        "[(n)-[:K]->(m) | m.name]",
+        "[(m)-[:K]->(n) | m.age]",
+        "[(n)-[r:K]-(m) WHERE r.w > 1.5 | m.name]",
+        "size([(n)-[:T]->(m) | m])",
+        "size([(n)-[r:K]-(m) WHERE r.w >= 2.0 | m])",
+    )),
     st.tuples(_num_expr(1),).map(
         lambda t: f"reduce(s = 0, x IN [{t[0]}, 2] | s + x)"
     ),
