@@ -96,9 +96,18 @@ class Neo4jArrowSpark:
         if is_cypher(query):
             db = database or self.database
             graph = self._resolve_graph(db, graph)
+            g = self.catalog.get(graph, db, self.username)
             needed: set = set()
             sql = cypher_to_sql(
-                query, f"{graph}_nodes", f"{graph}_rels", params_out=needed
+                query,
+                f"{graph}_nodes",
+                f"{graph}_rels",
+                params_out=needed,
+                # keys()/properties() need the node schema — everything
+                # except the reserved id/label columns
+                node_props=[
+                    c for c in g.nodes.columns if c not in ("ID", "LABELS")
+                ],
             )
             missing = needed - set(params or {})
             if missing:

@@ -253,6 +253,10 @@ class _Parser:
         #: $name query parameters referenced anywhere in the query —
         #: callers bind these at execution time
         self.params_used: set[str] = set()
+        #: node property column names (everything except ID/LABELS),
+        #: set by cypher_to_sql when the caller passes the graph
+        #: schema — required only by keys()/properties()
+        self.node_props: list[str] | None = None
 
     # -- token helpers -----------------------------------------------------
     def peek(self) -> tuple[str, str]:
@@ -692,6 +696,40 @@ class _Parser:
             out = self._exists_pattern(mode="count")
             self.expect("}")
             return out
+        if (
+            kind == "name"
+            and tok.upper() == "DURATION"
+            and self.toks[self.pos + 1][1] == "."
+        ):
+            # duration.inDays(a, b).days / duration.between(a, b).days
+            # — the whole-day difference (the only duration component a
+            # date pair defines exactly; months/years would need
+            # calendar-aware splitting). Spark datediff(end, start),
+            # DuckDB date_diff('day', start, end), BIGINT both.
+            self.next()
+            self.expect(".")
+            sub = self.expect_name()
+            if sub.lower() not in ("indays", "between"):
+                raise CypherUnsupported(
+                    f"duration.{sub} is not supported — use "
+                    "duration.inDays(a, b).days or "
+                    "duration.between(a, b).days"
+                )
+            self.expect("(")
+            a = self.value()
+            self.expect(",")
+            b = self.value()
+            self.expect(")")
+            self.expect(".")
+            comp = self.expect_name()
+            if comp != "days":
+                raise CypherUnsupported(
+                    f"duration component .{comp} is not supported "
+                    "(only .days — exact for date pairs)"
+                )
+            if self.dialect == "spark":
+                return f"CAST(datediff({b}, {a}) AS BIGINT)"
+            return f"CAST(date_diff('day', {a}, {b}) AS BIGINT)"
         if kind == "name" and self.toks[self.pos + 1][1] == "(":
             fn = tok.upper()
             if fn in ("ALL", "ANY", "NONE", "SINGLE"):
@@ -885,6 +923,61 @@ class _Parser:
                 inner = self.factor()
                 self.expect(")")
                 return inner
+            if fn in ("KEYS", "PROPERTIES") and (
+                self.toks[self.pos + 2][0] == "name"
+                and self.toks[self.pos + 3][1] == ")"
+            ):
+                # keys(n) / properties(n) — need the node frame's
+                # property column list, which only the caller knows
+                # (api.cypher passes it from the registered graph's
+                # schema; the oracle helper from NODES_SQL).
+                # properties(n) is a fixed-schema struct (documented
+                # divergence: Cypher omits missing keys per node, a
+                # columnar frame carries NULLs); keys(n) is the sorted
+                # comma-joined names of the NON-NULL properties (the
+                # collect() string rendering).
+                self.next()
+                self.expect("(")
+                var = self.expect_name()
+                self.expect(")")
+                if var not in self.node_pat_vars or (
+                    self.aliases is not None and var not in self.post_vars
+                ):
+                    raise CypherSyntaxError(
+                        f"{fn.lower()}({var}): not a bound node variable"
+                    )
+                if self.node_props is None:
+                    raise CypherUnsupported(
+                        f"{fn.lower()}() needs the node property schema "
+                        "— pass node_props to cypher_to_sql (api.cypher "
+                        "does this from the registered graph)"
+                    )
+                cols = sorted(self.node_props)
+                if fn == "PROPERTIES":
+                    if self.dialect == "spark":
+                        inner = ", ".join(
+                            f"'{c}', {var}.{self._ident(c)}" for c in cols
+                        )
+                        return f"named_struct({inner})"
+                    inner = ", ".join(
+                        f"{self._ident(c)} := {var}.{self._ident(c)}"
+                        for c in cols
+                    )
+                    return f"struct_pack({inner})"
+                cases = ", ".join(
+                    f"CASE WHEN {var}.{self._ident(c)} IS NOT NULL "
+                    f"THEN '{c}' END"
+                    for c in cols
+                )
+                if self.dialect == "spark":
+                    return (
+                        f"array_join(filter(array({cases}), "
+                        f"_k -> _k IS NOT NULL), ',')"
+                    )
+                return (
+                    f"array_to_string(list_filter([{cases}], "
+                    f"_k -> _k IS NOT NULL), ',')"
+                )
             if fn in ("ID", "LABELS", "TYPE") and self.toks[self.pos + 2][0] == "name":
                 # graph accessors on a node variable: id(n) -> n.ID,
                 # labels(n) -> the sorted comma-joined label string
@@ -2900,6 +2993,7 @@ def cypher_to_sql(
     dialect: str = "spark",
     params_out: set[str] | None = None,
     max_hops: int | None = None,
+    node_props: list[str] | None = None,
 ) -> str:
     """Transpile the Cypher subset to one SQL string over the graph
     views. Every construct except ``collect()`` and ``UNWIND`` emits
@@ -2911,6 +3005,8 @@ def cypher_to_sql(
     (``:name`` for Spark, ``$name`` for DuckDB); the referenced names
     are added to ``params_out`` when provided, so callers can check
     the binding set before execution."""
+    if re.match(r"\s*CALL\b", query, re.IGNORECASE):
+        return _call_procedure_sql(query, nodes_view, rels_view, dialect)
     arms, all_flags = _split_union(query)
     if len(arms) > 1:
         # Cypher UNION: every arm is a complete query and must return
@@ -2921,6 +3017,7 @@ def cypher_to_sql(
         alias_sets: list[list[str]] = []
         for arm in arms:
             arm_parser = _Parser(arm, dialect)
+            arm_parser.node_props = node_props
             arm_ast = arm_parser.parse()
             arm_ast["max_hops"] = max_hops
             if params_out is not None:
@@ -2940,11 +3037,84 @@ def cypher_to_sql(
             out += ("\nUNION ALL\n" if flag else "\nUNION\n") + f"({piece})"
         return out
     parser = _Parser(query, dialect)
+    parser.node_props = node_props
     ast = parser.parse()
     ast["max_hops"] = max_hops
     if params_out is not None:
         params_out.update(parser.params_used)
     return _single_query_sql(parser, ast, nodes_view, rels_view)
+
+
+#: built-in procedures (CALL db.*) → (default YIELD column, emission
+#: per dialect builder). The reference serves the real Neo4j procedure
+#: surface through its Cypher action (TransactionApiJob.java:41-220);
+#: here the catalog introspection pair every client uses is computed
+#: from the graph frames themselves.
+_PROCEDURES = {
+    "db.labels": "label",
+    "db.relationshipTypes": "relationshipType",
+}
+
+_CALL_RE = re.compile(
+    r"""\s*CALL\s+(?P<proc>[A-Za-z_][\w.]*)\s*\(\s*\)\s*
+        (?:YIELD\s+(?P<yield>\w+)\s*)?
+        (?:RETURN\s+(?P<ret>\w+)(?:\s+AS\s+(?P<alias>\w+))?\s*)?
+        (?:ORDER\s+BY\s+(?P<ord>\w+)(?:\s+(?P<dir>ASC|DESC))?\s*)?
+        (?:LIMIT\s+(?P<limit>\d+)\s*)?$""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+
+def _call_procedure_sql(
+    query: str, nodes_view: str, rels_view: str, dialect: str
+) -> str:
+    """``CALL db.labels() YIELD label RETURN label ORDER BY label`` —
+    the catalog-introspection procedures, computed from the graph
+    frames (distinct exploded LABELS / distinct TYPE)."""
+    m = _CALL_RE.match(query)
+    if not m:
+        raise CypherUnsupported(
+            "CALL supports db.labels() / db.relationshipTypes() with "
+            "optional YIELD / RETURN [AS] / ORDER BY / LIMIT"
+        )
+    proc = m.group("proc")
+    col = _PROCEDURES.get(proc)
+    if col is None:
+        raise CypherUnsupported(
+            f"unknown procedure {proc!r} — supported: "
+            f"{sorted(_PROCEDURES)}"
+        )
+    for g in ("yield", "ret"):
+        v = m.group(g)
+        if v is not None and v != col:
+            raise CypherUnsupported(
+                f"{proc} yields exactly one column {col!r}, got {v!r}"
+            )
+    out = m.group("alias") or col
+    if m.group("ord") not in (None, col, out):
+        raise CypherUnsupported(
+            f"ORDER BY must reference {col!r} (or its alias), "
+            f"got {m.group('ord')!r}"
+        )
+    if proc == "db.labels":
+        if dialect == "spark":
+            base = (
+                f"SELECT DISTINCT {col} AS {out} FROM "
+                f"(SELECT explode(LABELS) AS {col} FROM {nodes_view})"
+            )
+        else:
+            base = (
+                f"SELECT DISTINCT unnest(LABELS) AS {out} "
+                f"FROM {nodes_view}"
+            )
+    else:
+        base = f"SELECT DISTINCT TYPE AS {out} FROM {rels_view}"
+    sql = f"SELECT * FROM (\n{base}\n) AS _proc"
+    if m.group("ord"):
+        sql += f"\nORDER BY {out} {(m.group('dir') or 'ASC').upper()}"
+    if m.group("limit"):
+        sql += f"\nLIMIT {m.group('limit')}"
+    return sql
 
 
 def _single_query_sql(
@@ -4184,7 +4354,7 @@ def is_cypher(query: str) -> bool:
     name AS`` starts the leading-WITH constant projection (the
     MANIFESTO benchmark shape) — SQL's WITH is always ``WITH name AS
     (``, so the paren distinguishes the two."""
-    if re.match(r"\s*(MATCH|UNWIND|RETURN)\b", query, re.IGNORECASE):
+    if re.match(r"\s*(MATCH|UNWIND|RETURN|CALL)\b", query, re.IGNORECASE):
         return True
     m = re.match(r"\s*WITH\b(?!\s+RECURSIVE\b)", query, re.IGNORECASE)
     if not m:

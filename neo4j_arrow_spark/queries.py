@@ -51,7 +51,12 @@ def _sql_literal(v) -> str:
     raise TypeError(f"unsupported oracle parameter type {type(v).__name__}")
 
 
-def _cypher_query(name: str, cypher_text: str, params: dict | None = None):
+def _cypher_query(
+    name: str,
+    cypher_text: str,
+    params: dict | None = None,
+    node_props: list[str] | None = None,
+):
     """Register a Cypher-subset query: transpiled once to ANSI SQL
     (neo4j_arrow_spark.cypher), run by Spark over the derived graph
     views and by DuckDB over the same views as CTEs — the oracle checks
@@ -63,8 +68,14 @@ def _cypher_query(name: str, cypher_text: str, params: dict | None = None):
     driver runs oracle SQL with no binding channel."""
     from neo4j_arrow_spark.cypher import cypher_to_sql
 
-    sql = cypher_to_sql(cypher_text, "gnodes", "grels", dialect="spark")
-    duck_sql = cypher_to_sql(cypher_text, "gnodes", "grels", dialect="duckdb")
+    sql = cypher_to_sql(
+        cypher_text, "gnodes", "grels", dialect="spark",
+        node_props=node_props,
+    )
+    duck_sql = cypher_to_sql(
+        cypher_text, "gnodes", "grels", dialect="duckdb",
+        node_props=node_props,
+    )
     if params:
         for k in sorted(params, key=len, reverse=True):
             duck_sql = duck_sql.replace(f"${k}", _sql_literal(params[k]))
@@ -193,6 +204,36 @@ _cypher_query(
     # so only the direct IN_NATION hop survives either length
     "MATCH (c:Customer)-[:IN_NATION|BUYS_FROM*1..2 {weight: 1.0}]->(n:Nation) "
     "RETURN n.name AS nation, count(*) AS paths ORDER BY nation",
+)
+
+_cypher_order_query(
+    "cypher_order_age_days",
+    # duration.inDays(a, b).days — whole-day date arithmetic over the
+    # keyword-labeled graph (datediff / date_diff('day') per dialect)
+    "MATCH (o:Order) WHERE o.orderdate.year = 1995 "
+    "RETURN o.orderdate.month AS m, "
+    "max(duration.inDays(o.orderdate, date('1996-01-01')).days) AS max_age "
+    "ORDER BY m",
+)
+
+_cypher_query(
+    "cypher_keys_fn",
+    # keys(n): sorted non-null property names per node — nations carry
+    # a NULL acctbal, customers/suppliers both props
+    "MATCH (n) RETURN keys(n) AS ks, count(*) AS cnt ORDER BY ks",
+    node_props=["name", "acctbal"],
+)
+
+_cypher_query(
+    "cypher_call_labels",
+    # catalog introspection procedure — distinct exploded LABELS
+    "CALL db.labels() YIELD label RETURN label ORDER BY label",
+)
+
+_cypher_query(
+    "cypher_call_reltypes",
+    "CALL db.relationshipTypes() YIELD relationshipType "
+    "RETURN relationshipType AS rtype ORDER BY rtype",
 )
 
 _cypher_query(
