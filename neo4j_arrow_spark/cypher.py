@@ -1262,7 +1262,19 @@ class _Parser:
         keys: list[str] = []
         while True:
             self.expect(".")
-            keys.append(self.expect_name(kw_ok=True))
+            if self.peek()[1] == "*":
+                # `var {.*}` — all properties; needs the node schema
+                # (same channel as properties(var))
+                self.next()
+                if self.node_props is None:
+                    raise CypherUnsupported(
+                        "{.*} needs the node property schema — pass "
+                        "node_props to cypher_to_sql (api.cypher does "
+                        "this from the registered graph)"
+                    )
+                keys.extend(sorted(self.node_props))
+            else:
+                keys.append(self.expect_name(kw_ok=True))
             if not self.accept(","):
                 break
         self.expect("}")
@@ -1946,12 +1958,13 @@ class _Parser:
                         (ie for ie, _a, _g in items if norm(ie) == norm(e)),
                         None,
                     )
-                    if matched is None:
-                        raise CypherUnsupported(
-                            f"ORDER BY expression {e!r} must textually "
-                            "match a projected item (or ORDER BY its alias)"
-                        )
-                    e = matched
+                    # an unmatched expression is openCypher's
+                    # sort-by-non-projected-expression form — legal
+                    # without DISTINCT/aggregation; _order_limit_tail
+                    # emits it at projection level (and raises there
+                    # when DISTINCT/aggregates make it unresolvable)
+                    if matched is not None:
+                        e = matched
                 else:
                     name = self.expect_name()
                     e = (
@@ -2438,6 +2451,20 @@ class _Parser:
                     | {ua for _src, ua in unwinds}
                 )
                 j = self.pos + 1
+                if self.toks[j][1] == "*" and self.toks[j + 1][1] in (
+                    "WHERE", "RETURN", "WITH",
+                ):
+                    # `WITH *` carries the ENTIRE scope unchanged —
+                    # transparent by definition; the optional WHERE
+                    # conjoins with the main filter, and later clauses
+                    # keep full property access on every pattern var
+                    self.next()
+                    self.next()
+                    if self.accept("WHERE"):
+                        self._bound = set(bound)
+                        tw = self.expr()
+                        where = f"({where}) AND ({tw})" if where else tw
+                    continue
                 names: list[str] = []
                 while self.toks[j][0] == "name":
                     names.append(self.toks[j][1])

@@ -47,6 +47,10 @@ HEAVY = [
     "knn_graph_ivf",
     "local_clustering_coeff",
     "unigram_surprisal",
+    # round-6 late additions: the recursive-CTE distinct-frontier shape
+    # and the decorrelated pattern-comprehension aggregate
+    "cypher_unbounded_relvar_hops",
+    "cypher_pattern_comp_degree",
 ]
 
 
