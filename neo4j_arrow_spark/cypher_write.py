@@ -245,6 +245,30 @@ class _WriteParser(_Parser):
                     raise CypherSyntaxError(f"SET target {var!r} is not bound")
                 return {**base, "op": "label", "add": True, "var": var,
                         "labels": labels}
+            if self.peek()[1] == "+":
+                # SET n += {k: v, …} — openCypher map-merge: each key
+                # updates/creates that property, keys absent from the
+                # map keep their values. Exactly a multi-prop SET.
+                self.next()
+                self.expect("=")
+                self.expect("{")
+                sets = []
+                while True:
+                    prop = self.expect_name(kw_ok=True)
+                    self.expect(":")
+                    sets.append((var, prop, self.value()))
+                    if not self.accept(","):
+                        break
+                self.expect("}")
+                if self.peek()[0] != "eof":
+                    raise CypherSyntaxError(
+                        f"unexpected trailing input: {self.peek()[1]!r}"
+                    )
+                if var not in {n.var for n in nodes}:
+                    raise CypherSyntaxError(
+                        f"SET target {var!r} is not bound"
+                    )
+                return {**base, "op": "set", "sets": sets}
             sets: list[tuple[str, str, str]] = []
             while True:
                 self.expect(".")

@@ -354,3 +354,20 @@ def test_remove_label_strips(wapi):
         "MATCH (n:Archived) RETURN count(*) AS c", graph="wt"
     ).result(60).collect()[0].c
     assert n == 0
+
+
+def test_set_plus_equals_map_merge(wapi):
+    # SET n += {…}: each key updates that property; others keep values
+    wapi.cypher("MATCH (m:P) WHERE m.name = 'alice' "
+                "SET m += {bal: 99.0, name: 'ALICE'}").result()
+    rows = wapi.cypher(
+        "MATCH (m:P) RETURN m.name AS n, m.bal AS b ORDER BY n"
+    ).result().collect()
+    assert [(r["n"], r["b"]) for r in rows] == [
+        ("ALICE", 99.0), ("bob", 20.0),
+    ]
+
+
+def test_set_plus_equals_requires_bound_var(wapi):
+    with pytest.raises(CypherSyntaxError):
+        wapi.cypher("MATCH (m:P) SET z += {bal: 1.0}").result()
