@@ -27,14 +27,16 @@ from hypothesis import strategies as st
 
 from neo4j_arrow_spark.cypher import cypher_to_sql
 
+import datetime as _dt
+
 NODES = [
-    (1, ["P"], "alice", 30, 12.5),
-    (2, ["P"], "bob", 25, -3.25),
-    (3, ["P"], "carol", 35, 0.0),
-    (4, ["P", "Q"], "dave", 40, 99.75),
-    (5, ["Q"], "erin", None, None),
+    (1, ["P"], "alice", 30, 12.5, _dt.date(1995, 8, 15)),
+    (2, ["P"], "bob", 25, -3.25, _dt.date(1996, 1, 1)),
+    (3, ["P"], "carol", 35, 0.0, _dt.date(1997, 12, 31)),
+    (4, ["P", "Q"], "dave", 40, 99.75, _dt.date(2000, 2, 29)),
+    (5, ["Q"], "erin", None, None, None),
     # "Order" spells a Cypher keyword — label positions must accept it
-    (6, ["R", "Order"], "frank", 50, 7.0),
+    (6, ["R", "Order"], "frank", 50, 7.0, _dt.date(1999, 7, 4)),
 ]
 RELS = [
     (1, 2, "K", 1.0),
@@ -55,6 +57,13 @@ num_leaf = st.one_of(
     st.sampled_from(_NUM_PROPS),
     st.integers(min_value=-9, max_value=9).map(str),
     st.sampled_from(("1.5", "2.25", "0.5")),
+    # temporal component accessors — every one must agree across
+    # dialects (ISO dayOfWeek/week are the dangerous pair)
+    st.sampled_from((
+        "n.d.year", "n.d.month", "n.d.day", "n.d.quarter",
+        "n.d.week", "n.d.dayOfWeek", "n.d.ordinalDay",
+        "duration.inDays(n.d, date('2001-01-01')).days",
+    )),
 )
 
 
@@ -214,7 +223,9 @@ query = st.one_of(plain_query, agg_query)
 @pytest.fixture(scope="module")
 def engines(spark):
     nodes = spark.createDataFrame(
-        NODES, "ID long, LABELS array<string>, name string, age long, bal double"
+        NODES,
+        "ID long, LABELS array<string>, name string, age long, "
+        "bal double, d date",
     )
     rels = spark.createDataFrame(
         RELS, "START_ID long, END_ID long, TYPE string, w double"
@@ -227,10 +238,12 @@ def engines(spark):
         + ", ".join(
             f"({i}, {labels!r}, {name!r}, "
             f"{'NULL' if age is None else age}, "
-            f"{'NULL' if bal is None else bal})"
-            for i, labels, name, age, bal in NODES
+            f"{'NULL' if bal is None else bal}, "
+            + ("CAST(NULL AS DATE)" if d is None else f"DATE '{d}'")
+            + ")"
+            for i, labels, name, age, bal, d in NODES
         )
-        + ") t(ID, LABELS, name, age, bal)"
+        + ") t(ID, LABELS, name, age, bal, d)"
     )
     con.execute(
         "CREATE TABLE fzrels AS SELECT * FROM (VALUES "
