@@ -2078,12 +2078,28 @@ class _Parser:
         self.expect(")")
         if len(nodes) < 2:
             raise CypherSyntaxError("shortestPath needs a two-endpoint pattern")
-        for r in rels:
-            if not r.is_varlength or r.maxlen is None:
+        if any(r.is_unbounded for r in rels):
+            # unbounded shortestPath((a)-[:T*]->(b)) — BFS level via the
+            # recursive CTE's min-hops per endpoint pair; inherently
+            # multiplicity-insensitive, so it always runs in
+            # distinct-frontier mode (linear per hop)
+            if all_paths:
                 raise CypherUnsupported(
-                    "shortestPath needs a bounded variable-length pattern "
-                    "(-[:T*a..b]->)"
+                    "allShortestPaths needs a bounded pattern (*a..b) — "
+                    "unbounded path multiplicity is walk enumeration"
                 )
+            if len(rels) != 1:
+                raise CypherUnsupported(
+                    "unbounded shortestPath supports a single "
+                    "variable-length segment"
+                )
+        else:
+            for r in rels:
+                if not r.is_varlength:
+                    raise CypherUnsupported(
+                        "shortestPath needs a bounded variable-length "
+                        "pattern (-[:T*a..b]->)"
+                    )
         if path_var is not None:
             self._splice_pathlen(path_var)
         return (all_paths, path_var, nodes, rels)
@@ -4023,7 +4039,10 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
             "binding an unbounded variable-length relationship to a "
             "variable is not supported"
         )
-    frontier_distinct = _vlp_multiplicity_insensitive(ast)
+    shortest = bool(ast.get("shortest"))
+    # shortestPath is inherently multiplicity-insensitive (one row per
+    # endpoint pair, min hops) — always safe in distinct-frontier mode
+    frontier_distinct = shortest or _vlp_multiplicity_insensitive(ast)
     walk_view = rels_view
     if seg.direction == "-":
         if not frontier_distinct:
@@ -4107,6 +4126,17 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         f"WITH RECURSIVE _vlp(_sid, _tid, _hops) AS (\n"
         f"{anchor}\nUNION ALL\n{step}\n)"
     )
+    seg_cte = "_vlp"
+    if shortest:
+        # one row per endpoint pair at its BFS level — exactly
+        # shortestPath's one-path-per-pair multiplicity; a minlen
+        # lower bound restricts the minimized set, not the recursion
+        minf = f"\nWHERE _hops >= {seg.minlen}" if seg.minlen > 1 else ""
+        cte += (
+            ",\n_svlp AS (SELECT _sid, _tid, MIN(_hops) AS _hops "
+            f"FROM _vlp{minf} GROUP BY _sid, _tid)"
+        )
+        seg_cte = "_svlp"
 
     from_sql = f"{nodes_view} AS {nodes[0].var}"
     joins: list[str] = []
@@ -4114,9 +4144,11 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     for i, r in enumerate(rels):
         a, b = nodes[i].var, nodes[i + 1].var
         if r is seg:
-            joins.append(f"JOIN _vlp ON _vlp._sid = {a}.ID")
-            joins.append(f"JOIN {nodes_view} AS {b} ON {b}.ID = _vlp._tid")
-            if seg.minlen > 1:
+            joins.append(f"JOIN {seg_cte} ON {seg_cte}._sid = {a}.ID")
+            joins.append(
+                f"JOIN {nodes_view} AS {b} ON {b}.ID = {seg_cte}._tid"
+            )
+            if seg.minlen > 1 and not shortest:
                 conds.append(f"_vlp._hops >= {seg.minlen}")
         else:
             rv = r.var or f"_r{i}"
@@ -4136,11 +4168,11 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
 
     items = ast["items"]
     order = ast["order"]
-    if ast.get("vlp_path"):
-        # size(r)/length(r) on the unbounded segment spliced to the
-        # _pathlen marker at parse time — here it is the CTE's hop
-        # counter (each enumerated walk row carries its length)
-        _rw = lambda s: re.sub(r"\b_pathlen\b", "_vlp._hops", s)
+    if ast.get("vlp_path") or shortest:
+        # size(r)/length(r)/length(p) spliced to the _pathlen marker at
+        # parse time — here it is the CTE's hop counter (walk mode: each
+        # enumerated walk row; shortest mode: the pair's BFS level)
+        _rw = lambda s: re.sub(r"\b_pathlen\b", f"{seg_cte}._hops", s)
         items = [(_rw(e), a, g) for e, a, g in items]
         order = [(_rw(e), d) for e, d in order]
         conds = [_rw(c) for c in conds]

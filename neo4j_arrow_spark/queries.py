@@ -256,6 +256,16 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_shortest_unbounded",
+    # unbounded shortestPath: BFS level per endpoint pair (min-hops CTE
+    # over the distinct frontier) — nations via direct IN_NATION (1) or
+    # the customer->supplier->nation detour (2)
+    "MATCH p = shortestPath((c:Customer)-[:BUYS_FROM|IN_NATION*]->(n:Nation)) "
+    "RETURN n.name AS nation, min(length(p)) AS best, "
+    "max(length(p)) AS worst, count(*) AS pairs ORDER BY nation",
+)
+
+_cypher_query(
     "cypher_unbounded_relvar_hops",
     # unbounded segment BOUND to a variable: size(r) = hop count.
     # min()/count(DISTINCT) are duplicate-insensitive, so this runs in

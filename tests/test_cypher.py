@@ -1166,9 +1166,16 @@ def test_unbounded_varlength_rejections():
             "MATCH (a)-[:T*]->(b), (a)-[:K]->(c) RETURN count(*) AS n",
             "gn", "gr",
         )
-    with pytest.raises(CypherUnsupported):  # shortestPath stays bounded
+    # unbounded shortestPath is supported since late r6 (min-hops CTE
+    # over the distinct frontier — golden g129-g131 pin the semantics)
+    sql = cypher_to_sql(
+        "MATCH p = shortestPath((a)-[:T*]->(b)) "
+        "RETURN b.ID AS i, length(p) AS hops", "gn", "gr",
+    )
+    assert "_svlp" in sql and "MIN(_hops)" in sql
+    with pytest.raises(CypherUnsupported):  # allShortestPaths stays bounded
         cypher_to_sql(
-            "MATCH p = shortestPath((a)-[:T*]->(b)) "
+            "MATCH p = allShortestPaths((a)-[:T*]->(b)) "
             "RETURN length(p) AS hops", "gn", "gr",
         )
 
