@@ -1120,6 +1120,22 @@ class _Parser:
                     return (
                         f"size({lc})" if self.dialect == "spark" else f"len({lc})"
                     )
+                if (
+                    self.peek()[0] == "name"
+                    and self.peek()[1].upper() == "COLLECT"
+                    and self.toks[self.pos + 1][1] == "("
+                ):
+                    # size(collect([DISTINCT] x)) == count([DISTINCT] x)
+                    # exactly (collect skips NULLs, count counts
+                    # non-NULL) — no list materialization needed
+                    self.next()
+                    self.expect("(")
+                    self._saw_agg = True
+                    distinct = "DISTINCT " if self.accept("DISTINCT") else ""
+                    inner = self.value()
+                    self.expect(")")
+                    self.expect(")")
+                    return f"COUNT({distinct}{inner})"
                 inner_fn = self.expect_name()
                 if inner_fn.lower() != "labels":
                     raise CypherUnsupported(
@@ -2720,19 +2736,32 @@ class _Parser:
                 raise CypherUnsupported(
                     "a relationship variable is bound in more than one pattern"
                 )
-            if any(r.is_varlength for _, cr in chains for r in cr):
+            # BOUNDED varlength composes with comma patterns /
+            # consecutive MATCH clauses since late r6 — each branch of
+            # the length expansion joins the other chains through
+            # _multi_chain (shared variables become joins). Unbounded
+            # and path-marker shapes keep the single-chain requirement.
+            if any(r.is_varlength for _, cr in chains for r in cr) and (
+                vlp_path
+                or shortest
+                or any(r.is_unbounded for _, cr in chains for r in cr)
+            ):
                 raise CypherUnsupported(
-                    "variable-length with comma-separated patterns is not "
-                    "supported"
+                    "unbounded/path-bound variable-length with "
+                    "comma-separated patterns is not supported"
                 )
-        all_node_vars = [n.var for cn, _ in chains for n in cn]
-        if len(all_node_vars) != len(set(all_node_vars)) and any(
-            r.is_varlength for _, cr in chains for r in cr
-        ):
-            raise CypherUnsupported(
-                "repeated node variables on variable-length patterns are "
-                "not supported"
-            )
+        # a repeated variable INSIDE the varlength-bearing chain would
+        # be a cycle through the expansion's synthetic nodes — not
+        # supported; repeats ACROSS chains are plain shared-var joins
+        for cn, cr in chains:
+            vars_ci = [n.var for n in cn]
+            if len(vars_ci) != len(set(vars_ci)) and any(
+                r.is_varlength for r in cr
+            ):
+                raise CypherUnsupported(
+                    "repeated node variables on variable-length patterns "
+                    "are not supported"
+                )
         return {
             "shortest": shortest,
             "all_paths": shortest and all_paths,
@@ -2938,6 +2967,7 @@ def _multi_chain(
     #: (alias, undirected?, rtypes, clause group) per rel slot
     slots: list[tuple[str, bool, list[str], int]] = []
     rel_ix = 0
+    uniq_g = -1  # fresh group per slot for group-None chains
     for ci, (nodes, rels) in enumerate(chains):
         if nodes[0].var not in introduced:
             src = f"{nodes_view} AS {nodes[0].var}"
@@ -2949,7 +2979,13 @@ def _multi_chain(
         for i, r in enumerate(rels):
             rv = r.var or f"_r{rel_ix}"
             rel_ix += 1
-            slots.append((rv, r.direction == "-", list(r.rtypes), groups[ci]))
+            g = groups[ci]
+            if g is None:
+                # a varlength-expanded chain: its hops deliberately get
+                # NO pairwise uniqueness (the documented bounded-
+                # varlength walk divergence) — each slot in its own group
+                g, uniq_g = uniq_g, uniq_g - 1
+            slots.append((rv, r.direction == "-", list(r.rtypes), g))
             a, b = nodes[i].var, nodes[i + 1].var
             on, on2 = _rel_keys(r, rv, a, b)
             if b in introduced:
@@ -4231,8 +4267,11 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         # expansion, modulo the documented walk-vs-path divergence
         # (immediate edge backtracks are not excluded)
 
+    chains = ast.get("chains") or [(nodes, rels)]
+    groups_in = ast.get("chain_groups") or [0] * len(chains)
+    all_rels = [r for _, cr in chains for r in cr]
     combos = list(
-        itertools.product(*[range(r.minlen, r.maxlen + 1) for r in rels])
+        itertools.product(*[range(r.minlen, r.maxlen + 1) for r in all_rels])
     )
     if len(combos) > _MAX_VARLENGTH_BRANCHES:
         raise CypherUnsupported(
@@ -4254,33 +4293,50 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
 
     branches: list[str] = []
     for bi, lengths in enumerate(combos):
-        bnodes = [nodes[0]]
-        brels: list[_RelPat] = []
-        for i, (r, L) in enumerate(zip(rels, lengths)):
-            for k in range(L):
-                is_last = k == L - 1
-                target = (
-                    nodes[i + 1]
-                    if is_last
-                    else _NodePat(f"_v{bi}_{i}_{k}")
-                )
-                brels.append(
-                    _RelPat(
-                        r.var if not r.is_varlength else "",
-                        r.rtypes,
-                        r.direction,
-                        # carry pattern-prop equalities and the
-                        # undirected union view's pass-through columns
-                        # into the branch copy (dropping them silently
-                        # lost `{key: val}` filters / `r.prop` refs on
-                        # fixed rels in varlength-containing patterns)
-                        props=list(r.props),
-                        extra_props=list(r.extra_props),
+        length_it = iter(lengths)
+        branch_chains: list[tuple[list[_NodePat], list[_RelPat]]] = []
+        for ci, (cn, cr) in enumerate(chains):
+            bn = [cn[0]]
+            br: list[_RelPat] = []
+            for i, r in enumerate(cr):
+                L = next(length_it)
+                for k in range(L):
+                    is_last = k == L - 1
+                    target = (
+                        cn[i + 1]
+                        if is_last
+                        else _NodePat(f"_v{bi}_{ci}_{i}_{k}")
                     )
-                )
-                bnodes.append(target)
-        from_sql, joins, conds = _chain(
-            bnodes, brels, nodes_view, rels_view, tag=f"b{bi}_"
+                    br.append(
+                        _RelPat(
+                            r.var if not r.is_varlength else "",
+                            r.rtypes,
+                            r.direction,
+                            # carry pattern-prop equalities and the
+                            # undirected union view's pass-through columns
+                            # into the branch copy (dropping them silently
+                            # lost `{key: val}` filters / `r.prop` refs on
+                            # fixed rels in varlength-containing patterns)
+                            props=list(r.props),
+                            extra_props=list(r.extra_props),
+                        )
+                    )
+                    bn.append(target)
+            branch_chains.append((bn, br))
+        bnodes = branch_chains[0][0]  # vlp_path/shortest are single-chain
+        # comma patterns / consecutive MATCH clauses compose through the
+        # shared-variable join emission; a varlength-expanded chain's
+        # hop slots get NO pairwise uniqueness (group None — the
+        # documented bounded-varlength walk divergence), fixed chains
+        # keep their clause groups
+        from_sql, joins, conds = _multi_chain(
+            branch_chains,
+            nodes_view,
+            rels_view,
+            groups=[
+                None if any(r.is_varlength for r in cr) else groups_in[ci]
+                for ci, (_, cr) in enumerate(chains)
+            ],
         )
         pathnodes_sql = "concat_ws(',', " + ", ".join(
             f"{n.var}.ID" for n in bnodes

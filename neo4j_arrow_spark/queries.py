@@ -256,6 +256,16 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_varlength_after_match",
+    # bounded varlength composed with a preceding filtered MATCH (the
+    # anchor-filter-then-expand idiom): each expansion branch joins the
+    # fixed chain through the shared variable
+    "MATCH (n:Nation) WHERE n.name < 'NATION_2' "
+    "MATCH (x)-[:BUYS_FROM|IN_NATION*1..2]->(n) "
+    "RETURN n.name AS nation, count(*) AS paths ORDER BY nation",
+)
+
+_cypher_query(
     "cypher_shortest_unbounded",
     # unbounded shortestPath: BFS level per endpoint pair (min-hops CTE
     # over the distinct frontier) — nations via direct IN_NATION (1) or
