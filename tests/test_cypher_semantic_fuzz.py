@@ -1,0 +1,286 @@
+"""Semantic fuzz: random pattern queries vs an INDEPENDENT evaluator.
+
+The dialect fuzz proves the two emissions agree with each other; the
+golden corpus pins ~135 hand-computed cases. This suite closes the gap
+between them: hypothesis generates random MATCH/WHERE/RETURN queries
+over the fixture graph, a ~100-line pure-Python openCypher evaluator
+(written from the spec, ZERO use of cypher_to_sql) computes the
+expected rows, and the transpiled Spark result must match exactly.
+
+The evaluator implements the ENGINE'S documented edge-identity
+divergence on purpose: relationship identity is the (START_ID, END_ID,
+TYPE) triple (the frame has no edge id), so the within-clause
+uniqueness predicate treats exact-duplicate parallel edges as the same
+relationship, while each physical ROW still binds separately
+(multiplicity). Everything else — direction, label filters, property
+maps, ternary NULL logic in WHERE, grouped count(*) — is straight
+openCypher semantics.
+
+Any counterexample is a real transpiler emission bug (wrong join key,
+direction flip, filter misplacement, NULL mishandling) of exactly the
+class the r4 rel-uniqueness bug belonged to.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from neo4j_arrow_spark.cypher import cypher_to_sql
+
+# same graph as the golden corpus: multi-labels, parallel K edges,
+# a directed 3-cycle, a 2-cycle, NULL props, an isolated node
+NODES = {
+    1: (["P"], "alice", 30),
+    2: (["P"], "bob", 25),
+    3: (["P"], "carol", 35),
+    4: (["P", "Q"], "dave", 40),
+    5: (["Q"], "erin", None),
+    6: (["R"], "frank", 50),
+}
+EDGES = [
+    (1, 2, "K", 1.0),
+    (1, 2, "K", 5.0),
+    (2, 3, "K", 2.0),
+    (3, 1, "K", 3.0),
+    (4, 2, "T", 1.5),
+    (2, 4, "T", 2.5),
+    (5, 4, "T", None),
+]
+
+
+# -- the independent evaluator ------------------------------------------------
+
+def _edge_matches(e, sid_var, tid_var, binding, rtype, direction):
+    """Candidate orientations of edge e for a pattern slot, given the
+    partial node binding — yields (src_id, dst_id) node assignments."""
+    s, t, ty, _w = e
+    if rtype and ty != rtype:
+        return
+    orientations = []
+    if direction in ("->", "-"):
+        orientations.append((s, t))
+    if direction in ("<-", "-"):
+        orientations.append((t, s))
+    for a, b in orientations:
+        if sid_var in binding and binding[sid_var] != a:
+            continue
+        if tid_var in binding and binding[tid_var] != b:
+            continue
+        yield a, b
+
+
+def _node_ok(nid, labels, props):
+    nl, name, age = NODES[nid]
+    if any(lb not in nl for lb in labels):
+        return False
+    for key, val in props:
+        actual = {"name": name, "age": age}[key]
+        if actual != val:
+            return False
+    return True
+
+
+def ref_match(pattern, where=None):
+    """Enumerate bindings for one MATCH chain.
+
+    ``pattern`` = (node_specs, rel_specs):
+      node_specs: list of (var, labels, props)
+      rel_specs:  list of (rtype_or_None, direction)
+    Returns a list of dicts var -> node id, one per match (relationship
+    row multiplicity preserved; triple-identity uniqueness enforced
+    pairwise within the clause)."""
+    node_specs, rel_specs = pattern
+    out = []
+
+    def extend(i, binding, used_triples):
+        if i == len(rel_specs):
+            if where is None or where(binding) is True:
+                out.append(dict(binding))
+            return
+        av, al, ap = node_specs[i]
+        bv, bl, bp = node_specs[i + 1]
+        rtype, direction = rel_specs[i]
+        for e in EDGES:
+            triple = (e[0], e[1], e[2])
+            if triple in used_triples:
+                continue  # engine identity: the (sid, tid, type) triple
+            for a, b in _edge_matches(e, av, bv, binding, rtype, direction):
+                if not _node_ok(a, al, ap) or not _node_ok(b, bl, bp):
+                    continue
+                nb = dict(binding)
+                if av in nb and nb[av] != a:
+                    continue
+                if bv in nb and nb[bv] != b:
+                    continue
+                nb[av], nb[bv] = a, b
+                extend(i + 1, nb, used_triples | {triple})
+
+    extend(0, {}, frozenset())
+    return out
+
+
+# -- query grammar ------------------------------------------------------------
+
+_DIRS = ("->", "<-", "-")
+_TYPES = (None, "K", "T")
+_LABELS = ((), ("P",), ("Q",), ("R",), ("P", "Q"))
+_PROPS = ((), (("name", "bob"),), (("age", 40),))
+
+node_spec = st.tuples(st.sampled_from(_LABELS), st.sampled_from(_PROPS))
+rel_spec = st.tuples(st.sampled_from(_TYPES), st.sampled_from(_DIRS))
+n_hops = st.integers(min_value=1, max_value=2)
+
+# WHERE predicates with ternary NULL logic — each entry is
+# (cypher_text_fmt, python_eval) over binding vars a/b/c
+def _age(binding, var):
+    return NODES[binding[var]][2]
+
+_PREDS = [
+    ("{v}.age > 28", lambda b, v: None if _age(b, v) is None else _age(b, v) > 28),
+    ("{v}.age <= 35", lambda b, v: None if _age(b, v) is None else _age(b, v) <= 35),
+    ("{v}.age IS NULL", lambda b, v: _age(b, v) is None),
+    ("{v}.age IS NOT NULL", lambda b, v: _age(b, v) is not None),
+    ("NOT ({v}.age = 25)", lambda b, v: None if _age(b, v) is None else _age(b, v) != 25),
+]
+
+where_spec = st.one_of(
+    st.none(),
+    st.tuples(st.sampled_from(_PREDS), st.integers(0, 2)),
+    st.tuples(
+        st.sampled_from(_PREDS), st.integers(0, 2),
+        st.sampled_from(("AND", "OR")),
+        st.sampled_from(_PREDS), st.integers(0, 2),
+    ),
+)
+
+query_spec = st.tuples(
+    n_hops,
+    st.lists(node_spec, min_size=3, max_size=3),
+    st.lists(rel_spec, min_size=2, max_size=2),
+    where_spec,
+    st.booleans(),  # True: grouped count(*); False: projected ids
+)
+
+
+def _build(spec):
+    hops, nspecs, rspecs, wspec, grouped = spec
+    vars_ = ["a", "b", "c"][: hops + 1]
+    node_specs = [
+        (v, list(nspecs[i][0]), list(nspecs[i][1]))
+        for i, v in enumerate(vars_)
+    ]
+    rel_specs = [rspecs[i] for i in range(hops)]
+
+    pat_txt = ""
+    for i, (v, labels, props) in enumerate(node_specs):
+        seg = v + "".join(f":{lb}" for lb in labels)
+        if props:
+            kv = ", ".join(
+                f"{k}: {val!r}" if isinstance(val, str) else f"{k}: {val}"
+                for k, val in props
+            )
+            seg += f" {{{kv}}}"
+        pat_txt += f"({seg})"
+        if i < len(rel_specs):
+            rtype, direction = rel_specs[i]
+            rel = f"[:{rtype}]" if rtype else ""
+            if direction == "->":
+                pat_txt += f"-{rel}->"
+            elif direction == "<-":
+                pat_txt += f"<-{rel}-"
+            else:
+                pat_txt += f"-{rel}-"
+
+    where_txt, where_fn = None, None
+    if wspec is not None:
+        if len(wspec) == 2:
+            (fmt, fn), vi = wspec
+            v = vars_[vi % len(vars_)]
+            where_txt = fmt.format(v=v)
+            where_fn = lambda b, fn=fn, v=v: fn(b, v)
+        else:
+            (f1, fn1), vi1, op, (f2, fn2), vi2 = wspec
+            v1, v2 = vars_[vi1 % len(vars_)], vars_[vi2 % len(vars_)]
+            where_txt = f"({f1.format(v=v1)}) {op} ({f2.format(v=v2)})"
+
+            def where_fn(b, fn1=fn1, v1=v1, fn2=fn2, v2=v2, op=op):
+                x, y = fn1(b, v1), fn2(b, v2)
+                if op == "AND":
+                    if x is False or y is False:
+                        return False
+                    if x is None or y is None:
+                        return None
+                    return True
+                if x is True or y is True:
+                    return True
+                if x is None or y is None:
+                    return None
+                return False
+
+    proj_vars = vars_
+    if grouped:
+        q = f"MATCH {pat_txt} "
+        if where_txt:
+            q += f"WHERE {where_txt} "
+        q += "RETURN count(*) AS n"
+    else:
+        items = ", ".join(f"id({v}) AS i{v}" for v in proj_vars)
+        order = ", ".join(f"i{v}" for v in proj_vars)
+        q = f"MATCH {pat_txt} "
+        if where_txt:
+            q += f"WHERE {where_txt} "
+        q += f"RETURN {items} ORDER BY {order}"
+
+    return q, (node_specs, rel_specs), where_fn, grouped, proj_vars
+
+
+@pytest.fixture(scope="module")
+def fixture_views(spark):
+    nodes = spark.createDataFrame(
+        [(i, l, n, a) for i, (l, n, a) in NODES.items()],
+        "ID long, LABELS array<string>, name string, age long",
+    )
+    rels = spark.createDataFrame(
+        EDGES, "START_ID long, END_ID long, TYPE string, w double"
+    )
+    nodes.createOrReplaceTempView("sfznodes")
+    rels.createOrReplaceTempView("sfzrels")
+    return spark
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(spec=query_spec)
+def test_transpiled_matches_reference_semantics(fixture_views, spec):
+    spark = fixture_views
+    q, pattern, where_fn, grouped, proj_vars = _build(spec)
+    expected_bindings = ref_match(pattern, where_fn)
+
+    sql = cypher_to_sql(q, "sfznodes", "sfzrels")
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+
+    if grouped:
+        # engine convention matches Cypher: count(*) with no grouping
+        # key returns ONE row even for zero matches
+        assert len(got) == 1, f"{q}\n{sql}"
+        assert got[0][0] == len(expected_bindings), (
+            f"count mismatch: engine {got[0][0]} vs "
+            f"reference {len(expected_bindings)}\n{q}\n{sql}"
+        )
+    else:
+        want = sorted(
+            tuple(b[v] for v in proj_vars) for b in expected_bindings
+        )
+        assert got == want, (
+            f"row mismatch\nengine    {got}\nreference {want}\n{q}\n{sql}"
+        )
