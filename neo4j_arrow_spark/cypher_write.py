@@ -32,6 +32,7 @@ from neo4j_arrow_spark.cypher import (
     _flatten_chains,
     _Parser,
     _plain_sql,
+    _RelPat,
     _tokenize,
 )
 from neo4j_arrow_spark.graph import NodeField, RelField
@@ -70,28 +71,68 @@ def is_cypher_write(query: str) -> bool:
 
 
 class _WriteParser(_Parser):
-    """Grammar (v1)::
+    """Grammar::
 
         CREATE node_pattern ("," node_pattern)*
-        MERGE  node_pattern
+        CREATE node_pattern (rel_pattern node_pattern)+   (directed chain)
+        MERGE  node_pattern [ON CREATE SET …] [ON MATCH SET …]
         MATCH pattern [WHERE expr] SET var.prop = expr ("," …)*
+        MATCH pattern [WHERE expr] SET var += {map}
         MATCH pattern [WHERE expr] [DETACH] DELETE var
+        MATCH pattern [WHERE expr] CREATE/MERGE (a)-[:T]->(b)
 
-    Relationship patterns inside CREATE, multi-variable SET targets,
-    and ON CREATE/ON MATCH sub-clauses are rejected with explicit
-    errors rather than silently mis-executed."""
+    Undirected/varlength CREATE relationships and multi-variable SET
+    targets are rejected with explicit errors rather than silently
+    mis-executed."""
 
     def parse_write(self) -> dict:
         t = self.peek()[1].upper()
         if t in ("CREATE", "MERGE"):
             self.next()
             pats = [self.node()]
+            chain_rels: list[tuple[int, int, _RelPat]] = []
+            if t == "CREATE" and self.peek()[1] in ("-", "<-"):
+                # CREATE (a:X)-[:T]->(b:Y)-… — a literal node-rel chain;
+                # a repeated variable reuses the first occurrence's node
+                var_ix = {pats[0].var: 0}
+                cur = 0
+                while self.peek()[1] in ("-", "<-"):
+                    r = self.rel()
+                    n = self.node()
+                    if r.is_varlength:
+                        raise CypherUnsupported(
+                            "variable-length CREATE relationship"
+                        )
+                    if len(r.rtypes) != 1:
+                        raise CypherUnsupported(
+                            "CREATE relationship needs exactly one type"
+                        )
+                    if r.direction == "-":
+                        raise CypherUnsupported(
+                            "CREATE relationship must be directed (-> or <-)"
+                        )
+                    if n.var in var_ix:
+                        if n.labels or n.props:
+                            raise CypherUnsupported(
+                                f"repeated CREATE variable {n.var!r} cannot "
+                                "redeclare labels/properties"
+                            )
+                        ti = var_ix[n.var]
+                    else:
+                        var_ix[n.var] = len(pats)
+                        pats.append(n)
+                        ti = var_ix[n.var]
+                    si = cur
+                    if r.direction == "<-":
+                        si, ti = ti, si
+                    chain_rels.append((si, ti, r))
+                    cur = var_ix[n.var]
             while self.accept(","):
                 pats.append(self.node())
             if self.peek()[1] in ("-", "<-"):
                 raise CypherUnsupported(
-                    "CREATE relationship patterns are not supported (v1) — "
-                    "use gds_write_relationships for edges"
+                    "a CREATE chain must be the statement's only pattern "
+                    "(comma patterns are plain nodes)"
                 )
             if t == "MERGE" and len(pats) != 1:
                 raise CypherUnsupported("MERGE takes exactly one node pattern")
@@ -135,6 +176,7 @@ class _WriteParser(_Parser):
             return {
                 "op": t.lower(),
                 "patterns": pats,
+                "chain_rels": chain_rels,
                 "on_create": on_create,
                 "on_match": on_match,
             }
@@ -355,7 +397,9 @@ def _literal_rows(
     """One literal SELECT per created node, conformed to the node
     frame's schema (missing properties NULL, values cast to the
     column's type). Unknown properties are rejected — CREATE cannot
-    silently widen the graph schema."""
+    silently widen the graph schema. Returns ``(rows_df, id_sqls)``:
+    the per-pattern id expressions let a CREATE chain wire its
+    relationship endpoints to the assigned node ids."""
     fields = {f.name: f.dataType.simpleString() for f in nodes.schema.fields}
     prop_cols = [
         f.name
@@ -374,6 +418,7 @@ def _literal_rows(
                 base_id = max(base_id, int(lit))
         base_id += 1
     selects = []
+    id_sqls: list[str] = []
     for p in patterns:
         props = dict(p.props)
         unknown = set(props) - set(fields)
@@ -387,6 +432,8 @@ def _literal_rows(
         else:
             id_sql = f"CAST({base_id} AS BIGINT)"
             base_id += 1
+        # (id_sqls collected below so a CREATE chain can wire its
+        # relationship endpoints to the assigned node ids)
         labels_sql = "array(" + ", ".join(
             "'" + lb.replace("'", "''") + "'" for lb in p.labels
         ) + ")"
@@ -395,7 +442,8 @@ def _literal_rows(
             v = props.get(c, "NULL")
             cols.append(f"CAST({v} AS {fields[c]}) AS {c}")
         selects.append("SELECT " + ", ".join(cols))
-    return spark.sql("\nUNION ALL\n".join(selects))
+        id_sqls.append(id_sql)
+    return spark.sql("\nUNION ALL\n".join(selects)), id_sqls
 
 
 def execute_cypher_write(
@@ -471,7 +519,7 @@ def execute_cypher_write(
                 p.props = list(p.props) + [
                     (k, v) for k, v in ast["on_create"] if k not in have
                 ]
-        rows = _literal_rows(spark, nodes, pats)
+        rows, id_sqls = _literal_rows(spark, nodes, pats)
         # id-collision check mirrors the K1 write contract
         # (operators/ingest.py): creating an existing id is an error
         clash = rows.join(
@@ -479,7 +527,48 @@ def execute_cypher_write(
         ).limit(1).count()
         if clash:
             raise ValueError("CREATE: node id already exists in the graph")
-        return nodes.unionByName(rows), rels, summary(op, created=len(pats))
+        new_nodes = nodes.unionByName(rows)
+        chain = ast.get("chain_rels") or []
+        if not chain:
+            return new_nodes, rels, summary(op, created=len(pats))
+        # CREATE chain: literal relationship rows between the ids just
+        # assigned, conformed to the rel frame's schema
+        if rels is None:
+            raise ValueError("graph has no relationship frame to extend")
+        rfields = {
+            f.name: f.dataType.simpleString() for f in rels.schema.fields
+        }
+        rprop_cols = [
+            f.name
+            for f in rels.schema.fields
+            if f.name not in RelField.RESERVED
+        ]
+        rselects = []
+        for si, ti, r in chain:
+            props = dict(r.props)
+            unknown = set(props) - set(rfields)
+            if unknown:
+                raise CypherUnsupported(
+                    f"CREATE relationship property {sorted(unknown)} not "
+                    f"in rel schema {sorted(rfields)} — writes cannot "
+                    "widen the schema (v1)"
+                )
+            ty = r.rtypes[0].replace("'", "''")
+            cols = [
+                f"{id_sqls[si]} AS {RelField.START_ID}",
+                f"{id_sqls[ti]} AS {RelField.END_ID}",
+                f"'{ty}' AS {RelField.TYPE}",
+            ]
+            for c in rprop_cols:
+                v = props.get(c, "NULL")
+                cols.append(f"CAST({v} AS {rfields[c]}) AS {c}")
+            rselects.append("SELECT " + ", ".join(cols))
+        rrows = spark.sql("\nUNION ALL\n".join(rselects))
+        return (
+            new_nodes,
+            rels.unionByName(rrows),
+            summary(op, created=len(pats), rcre=len(chain)),
+        )
 
     if op in ("create_rel", "merge_rel"):
         if rels is None:

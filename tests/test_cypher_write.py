@@ -147,9 +147,21 @@ def test_write_rejects_params(wapi):
 
 
 def test_write_rejects_rel_create(wapi):
-    # rejected at submit by parse-as-validation
-    with pytest.raises(CypherUnsupported, match="relationship patterns"):
-        wapi.cypher("CREATE (a:P {ID: 41})-[:KNOWS]->(b:P {ID: 42})", graph="wt")
+    # CREATE chains are supported since late r6 — what stays rejected
+    # (at submit, parse-as-validation) are the undirected and
+    # varlength forms
+    with pytest.raises(CypherUnsupported, match="directed"):
+        wapi.cypher("CREATE (a:P {ID: 41})-[:KNOWS]-(b:P {ID: 42})", graph="wt")
+    with pytest.raises(CypherUnsupported, match="variable-length"):
+        wapi.cypher(
+            "CREATE (a:P {ID: 43})-[:KNOWS*1..2]->(b:P {ID: 44})", graph="wt"
+        )
+    # explicit-id directed chain works
+    s = wapi.cypher(
+        "CREATE (a:P {ID: 41, name: 'a41'})-[:KNOWS]->(b:P {ID: 42, name: 'b42'})",
+        graph="wt",
+    ).result().collect()[0]
+    assert (s["nodes_created"], s["rels_created"]) == (2, 1)
 
 
 def test_set_ambiguous_value_rejected(spark):
@@ -371,3 +383,36 @@ def test_set_plus_equals_map_merge(wapi):
 def test_set_plus_equals_requires_bound_var(wapi):
     with pytest.raises(CypherSyntaxError):
         wapi.cypher("MATCH (m:P) SET z += {bal: 1.0}").result()
+
+
+def test_create_node_rel_chain(wapi):
+    # CREATE (x:P)-[:KNOWS]->(y:Q): two nodes + one edge in one
+    # statement; auto ids continue above max(ID)
+    s = wapi.cypher(
+        "CREATE (x:P {name: 'xena', bal: 1.5})-[:KNOWS]->(y:Q {name: 'yuri'})"
+    ).result().collect()[0]
+    assert (s["nodes_created"], s["rels_created"]) == (2, 1)
+    rows = wapi.cypher(
+        "MATCH (a)-[:KNOWS]->(b) WHERE a.name = 'xena' "
+        "RETURN b.name AS n"
+    ).result().collect()
+    assert [r["n"] for r in rows] == ["yuri"]
+
+
+def test_create_chain_repeated_var_cycle(wapi):
+    # repeated variable closes a cycle on the SAME created node
+    s = wapi.cypher(
+        "CREATE (x:P {name: 'solo'})-[:KNOWS]->(y:P {name: 'other'})"
+        "<-[:KNOWS]-(x)"
+    ).result().collect()[0]
+    assert (s["nodes_created"], s["rels_created"]) == (2, 2)
+    rows = wapi.cypher(
+        "MATCH (a {name: 'solo'})-[:KNOWS]->(b) RETURN b.name AS n "
+        "ORDER BY n"
+    ).result().collect()
+    assert [r["n"] for r in rows] == ["other", "other"]
+
+
+def test_create_chain_undirected_rejected(wapi):
+    with pytest.raises(CypherUnsupported):
+        wapi.cypher("CREATE (x:P {name: 'u'})-[:KNOWS]-(y:P {name: 'v'})")
