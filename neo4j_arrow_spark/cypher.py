@@ -2942,7 +2942,7 @@ def _multi_chain(
     chains: list[tuple[list[_NodePat], list[_RelPat]]],
     nodes_view: str,
     rels_view: str,
-    groups: list[int] | None = None,
+    groups: list[int | None] | None = None,
 ) -> tuple[str, list[str], list[str]]:
     """FROM/JOIN/WHERE fragments for one or more pattern chains that
     may share node variables: comma-separated MATCH patterns join on
