@@ -257,6 +257,11 @@ class _Parser:
         #: set by cypher_to_sql when the caller passes the graph
         #: schema — required only by keys()/properties()
         self.node_props: list[str] | None = None
+        #: node variables carried BARE through WITH stages (`WITH p,
+        #: count(m) AS n`): openCypher keeps them fully accessible, so
+        #: later prop refs are allowed and the stage emission re-joins
+        #: the node table on the carried id
+        self.carried_nodes: set[str] = set()
 
     # -- token helpers -----------------------------------------------------
     def peek(self) -> tuple[str, str]:
@@ -1327,7 +1332,9 @@ class _Parser:
                     return self._temporal_accessor(var)
                 if self.accept("."):
                     prop = self._ident(self.expect_name(kw_ok=True))
-                    if var in self.post_vars:
+                    if var in self.post_vars or var in self.carried_nodes:
+                        # carried-bare node vars: the consuming stage
+                        # re-joins the node table on the carried id
                         return self._temporal_accessor(f"{var}.{prop}")
                     raise CypherUnsupported(
                         f"{var}.{prop}: pattern variables are out of scope "
@@ -1382,9 +1389,11 @@ class _Parser:
             slots.append((ev, und, list(r.rtypes), 0))
             if und:
                 hop_src = (
-                    "(SELECT START_ID, END_ID, TYPE FROM __RELS__"
+                    "(SELECT START_ID, END_ID, TYPE,"
+                    " START_ID AS _OS, END_ID AS _OE FROM __RELS__"
                     " UNION ALL"
-                    " SELECT END_ID AS START_ID, START_ID AS END_ID, TYPE"
+                    " SELECT END_ID AS START_ID, START_ID AS END_ID, TYPE,"
+                    " START_ID AS _OS, END_ID AS _OE"
                     f" FROM __RELS__) AS {ev}"
                 )
                 scol, ecol = "START_ID", "END_ID"
@@ -2521,6 +2530,7 @@ class _Parser:
                     continue
             if self.accept("WITH"):
                 wdistinct = self.accept("DISTINCT")
+                first_stage = self.aliases is None
                 if self.peek()[1] == "*":
                     self.next()
                     witems = _star_items()
@@ -2530,6 +2540,24 @@ class _Parser:
                     witems = [self.return_item()]
                     while self.accept(","):
                         witems.append(self.return_item())
+                # a node variable carried BARE through this WITH keeps
+                # full property access downstream (openCypher grouping
+                # semantics) — the consuming stage re-joins the node
+                # table on the carried id
+                if first_stage:
+                    self.carried_nodes = {
+                        a
+                        for e, a, g in witems
+                        if not g
+                        and e == f"{a}.ID"
+                        and a in self.node_pat_vars
+                    }
+                else:
+                    self.carried_nodes = {
+                        a
+                        for e, a, g in witems
+                        if not g and e == a and a in self.carried_nodes
+                    }
                 # everything after WITH sees only the aliases (Cypher
                 # scope rule); the post-WITH WHERE is SQL HAVING when it
                 # touches an aggregate alias — same thing here, the
@@ -2552,6 +2580,8 @@ class _Parser:
                     "order": worder,
                     "skip": wskip,
                     "limit": wlimit,
+                    # active while the NEXT element's items parse/emit
+                    "carried": sorted(self.carried_nodes),
                 }
                 withs.append(st)
                 pipeline.append(st)
@@ -2607,8 +2637,11 @@ class _Parser:
                             )
                         fresh.add(r.var)
                 # the anchor is rejoined to the node table, so its
-                # properties are accessible again (anchor.prop)
+                # properties are accessible again (anchor.prop); other
+                # carried nodes lose prop access through this element
+                # (its emission only joins the anchor)
                 self.post_vars = frozenset(fresh | {anchor.var})
+                self.carried_nodes = set()
                 pwhere = self.expr() if self.accept("WHERE") else None
                 post_match = {
                     "kind": "match",
@@ -2667,6 +2700,7 @@ class _Parser:
                     if r.var:
                         ofresh.add(r.var)
                 self.post_vars = frozenset(self.post_vars | ofresh)
+                self.carried_nodes = set()
                 powhere = self.expr() if self.accept("WHERE") else None
                 pipeline.append(
                     {
@@ -2693,6 +2727,7 @@ class _Parser:
                 # bound set is empty (labels(var) correctly rejects)
                 usrc, ualias = self._unwind_source(set())
                 self.aliases = set(self.aliases) | {ualias}
+                self.carried_nodes = set()
                 pipeline.append(
                     {"kind": "unwind", "src": usrc, "alias": ualias}
                 )
@@ -2814,10 +2849,16 @@ def _rel_source(r: _RelPat, rv: str, rels_view: str) -> str:
         # references ride along explicitly (extra_props, collected
         # from the emission's var.prop references by _plain_sql).
         extra = "".join(f", {p}" for p in r.extra_props)
+        # _OS/_OE keep the PHYSICAL orientation through the flip so the
+        # rel-uniqueness predicate compares edge identity, not the
+        # view's swapped endpoints (two distinct anti-parallel edges
+        # must stay distinct — r6 semantic-fuzz finding)
         return (
-            f"(SELECT START_ID, END_ID, TYPE{extra} FROM {rels_view}"
+            f"(SELECT START_ID, END_ID, TYPE{extra},"
+            f" START_ID AS _OS, END_ID AS _OE FROM {rels_view}"
             f" UNION ALL"
-            f" SELECT END_ID AS START_ID, START_ID AS END_ID, TYPE{extra}"
+            f" SELECT END_ID AS START_ID, START_ID AS END_ID, TYPE{extra},"
+            f" START_ID AS _OS, END_ID AS _OE"
             f" FROM {rels_view}) AS {rv}"
         )
     return f"{rels_view} AS {rv}"
@@ -2907,11 +2948,21 @@ def _rel_uniqueness_conds(
 ) -> list[str]:
     """Pairwise not-the-same-edge predicates for rel slots that share a
     MATCH clause group and whose declared type sets can overlap (either
-    untyped or intersecting). Directed×directed compares the physical
-    (START_ID, END_ID) pair; any undirected slot reads from the
+    untyped or intersecting). Edge identity is the PHYSICAL
+    (START_ID, END_ID, TYPE) triple: an undirected slot reads from the
     natural+reverse union view where the same edge appears flipped, so
-    the comparison is endpoint-SET equality instead."""
+    it compares its ``_OS/_OE`` original-orientation columns (carried
+    through the view) — NOT endpoint-set equality, which the r6
+    semantic fuzz proved wrong: two distinct anti-parallel edges
+    (a->b, b->a, same type) are different relationships and must both
+    bind (``MATCH (a)-->(b)--(c)`` with c = a)."""
     out: list[str] = []
+
+    def ident(rv: str, und: bool) -> tuple[str, str]:
+        if und:
+            return f"{rv}._OS", f"{rv}._OE"
+        return f"{rv}.START_ID", f"{rv}.END_ID"
+
     for x in range(len(slots)):
         rv1, und1, t1, g1 = slots[x]
         for y in range(x + 1, len(slots)):
@@ -2920,20 +2971,11 @@ def _rel_uniqueness_conds(
                 continue
             if t1 and t2 and not (set(t1) & set(t2)):
                 continue  # disjoint declared types can never collide
-            same_pair = (
-                f"{rv1}.START_ID = {rv2}.START_ID AND "
-                f"{rv1}.END_ID = {rv2}.END_ID"
-            )
-            if und1 or und2:
-                same_pair = (
-                    f"(({same_pair}) OR "
-                    f"({rv1}.START_ID = {rv2}.END_ID AND "
-                    f"{rv1}.END_ID = {rv2}.START_ID))"
-                )
-            else:
-                same_pair = f"({same_pair})"
+            s1, e1 = ident(rv1, und1)
+            s2, e2 = ident(rv2, und2)
             out.append(
-                f"NOT ({same_pair} AND {rv1}.TYPE = {rv2}.TYPE)"
+                f"NOT ({s1} = {s2} AND {e1} = {e2} "
+                f"AND {rv1}.TYPE = {rv2}.TYPE)"
             )
     return out
 
@@ -3246,16 +3288,19 @@ def _single_query_sql_inner(
         )
         sql = _stage_tail(sql, first, 0)
         pending_where = first["where"]
+        carried = first.get("carried") or []
         els = pipeline[1:]
         i = depth = 0
         while i < len(els):
             el = els[i]
             if el["kind"] == "with":
                 sql = _stage_sql(
-                    sql, el["items"], el["distinct"], pending_where, depth
+                    sql, el["items"], el["distinct"], pending_where, depth,
+                    nodes_view, carried,
                 )
                 sql = _stage_tail(sql, el, depth)
                 pending_where = el["where"]
+                carried = el.get("carried") or []
                 i += 1
             elif el["kind"] == "unwind":
                 # an unwind-element projects the FOLLOWING stage's
@@ -3269,6 +3314,7 @@ def _single_query_sql_inner(
                     )
                     sql = _stage_tail(sql, nxt, depth)
                     pending_where = nxt["where"]
+                    carried = nxt.get("carried") or []
                     i += 2
                 elif i + 1 < len(els):
                     raise CypherUnsupported(
@@ -3293,6 +3339,7 @@ def _single_query_sql_inner(
                     )
                     sql = _stage_tail(sql, nxt, depth)
                     pending_where = nxt["where"]
+                    carried = nxt.get("carried") or []
                     i += 2
                 elif i + 1 < len(els):
                     raise CypherUnsupported(
@@ -3323,6 +3370,7 @@ def _single_query_sql_inner(
                     )
                     sql = _stage_tail(sql, nxt, depth)
                     pending_where = nxt["where"]
+                    carried = nxt.get("carried") or []
                     i += 2
                 else:
                     sql = _match_stage_sql(
@@ -3338,7 +3386,10 @@ def _single_query_sql_inner(
                     sql = _order_limit_tail(sql, ast)
                     return _subst_views(sql, nodes_view, rels_view)
             depth += 1
-        sql = _stage_sql(sql, ast["items"], ast["distinct"], pending_where, depth)
+        sql = _stage_sql(
+            sql, ast["items"], ast["distinct"], pending_where, depth,
+            nodes_view, carried,
+        )
         sql = _order_limit_tail(sql, ast)
         return _subst_views(sql, nodes_view, rels_view)
     if varlength:
@@ -3599,15 +3650,51 @@ def _stage_sql(
     distinct: bool,
     where: str | None,
     depth: int,
+    nodes_view: str | None = None,
+    carried: tuple[str, ...] | list[str] = (),
 ) -> str:
     """One pipeline stage: SELECT items over the previous stage's
-    aliases, optional filter, implicit grouping."""
+    aliases, optional filter, implicit grouping.
+
+    ``carried`` names node variables carried BARE through the previous
+    WITH (their stage column is the node id): any ``var.prop``
+    reference re-joins the node table on the carried id, and bare
+    ``var`` references are qualified with the stage alias (the join
+    introduces a same-named table alias)."""
+    stage = f"_with{depth}"
+    texts = [e for e, _a, _g in items] + ([where] if where else [])
+    need = [
+        v
+        for v in carried
+        if any(re.search(rf"(?<![\w.]){re.escape(v)}\.\w", t) for t in texts)
+    ]
+    joins = ""
+    if need and nodes_view:
+
+        def _q(t: str) -> str:
+            parts = re.split(r"('(?:[^'\\]|\\.)*')", t)
+            for i in range(0, len(parts), 2):
+                for v in need:
+                    parts[i] = re.sub(
+                        rf"(?<![\w.]){re.escape(v)}\b(?!\.)",
+                        f"{stage}.{v}",
+                        parts[i],
+                    )
+            return "".join(parts)
+
+        items = [(_q(e), a, g) for e, a, g in items]
+        if where:
+            where = _q(where)
+        joins = "".join(
+            f"\nJOIN {nodes_view} AS {v} ON {v}.ID = {stage}.{v}"
+            for v in need
+        )
     select_parts = [f"{e} AS {a}" for e, a, _ in items]
     select_sql = ("DISTINCT " if distinct else "") + ", ".join(select_parts)
     group_cols = [e for e, _a, agg in items if not agg]
     has_agg = any(agg for _, _, agg in items)
 
-    sql = f"SELECT {select_sql}\nFROM (\n{base_sql}\n) AS _with{depth}"
+    sql = f"SELECT {select_sql}\nFROM (\n{base_sql}\n) AS {stage}{joins}"
     if where:
         sql += f"\nWHERE {where}"
     if has_agg and group_cols:

@@ -256,6 +256,16 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_carried_node_agg",
+    # the canonical aggregation pipeline: a node variable carried BARE
+    # through WITH keeps property access (the stage re-joins the node
+    # table on the carried id)
+    "MATCH (c:Customer)-[:BUYS_FROM]->(s:Supplier) "
+    "WITH c, count(*) AS orders WHERE orders >= 30 "
+    "RETURN c.name AS name, orders ORDER BY orders DESC, name LIMIT 10",
+)
+
+_cypher_query(
     "cypher_varlength_after_match",
     # bounded varlength composed with a preceding filtered MATCH (the
     # anchor-filter-then-expand idiom): each expansion branch joins the

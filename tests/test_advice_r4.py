@@ -130,20 +130,24 @@ def test_rel_uniqueness_disjoint_types_skip_predicate():
     assert "NOT (" not in sql  # :K and :L can never collide
 
 
-def test_rel_uniqueness_undirected_uses_endpoint_set_equality():
+def test_rel_uniqueness_undirected_uses_physical_identity():
+    # late-r6 semantic-fuzz fix: undirected slots compare the PHYSICAL
+    # (START_ID, END_ID, TYPE) triple via the union view's _OS/_OE
+    # columns — endpoint-SET equality wrongly merged two distinct
+    # anti-parallel edges into one relationship
     sql = cypher_to_sql(
         "MATCH (a:P)-[r1:K]-(b), (a)-[r2:K]-(c) RETURN count(*) AS n",
         "gn",
         "gr",
     )
-    assert "r1.START_ID = r2.END_ID AND r1.END_ID = r2.START_ID" in sql
+    assert "r1._OS = r2._OS AND r1._OE = r2._OE" in sql
 
 
 def test_rel_uniqueness_same_sql_both_dialects_shape():
     q = "MATCH (a:P)-[r1:K]->(b), (a)-[r2:K]->(c) RETURN count(*) AS n"
     for dialect in ("spark", "duckdb"):
         sql = cypher_to_sql(q, "gn", "gr", dialect=dialect)
-        assert "NOT ((r1.START_ID = r2.START_ID" in sql
+        assert "NOT (r1.START_ID = r2.START_ID" in sql
 
 
 # -- drift_psi: constant reference column (ADVICE low) ----------------------

@@ -1012,12 +1012,12 @@ def test_consecutive_match_clauses_join_on_shared_var():
              "RETURN n.name AS nation, count(*) AS pairs")
     csql = cypher_to_sql(comma, "gn", "gr")
     assert (
-        "NOT ((r1.START_ID = r2.START_ID AND r1.END_ID = r2.END_ID) "
+        "NOT (r1.START_ID = r2.START_ID AND r1.END_ID = r2.END_ID "
         "AND r1.TYPE = r2.TYPE)" in csql
     )
     # everything else matches
     assert sql == csql.replace(
-        " AND NOT ((r1.START_ID = r2.START_ID AND r1.END_ID = r2.END_ID) "
+        " AND NOT (r1.START_ID = r2.START_ID AND r1.END_ID = r2.END_ID "
         "AND r1.TYPE = r2.TYPE)", ""
     )
 
@@ -1210,7 +1210,10 @@ def test_undirected_rel_property_carries_through_union_view():
         "RETURN b.ID AS id, sum(r.price) AS total",
         "gn", "gr",
     )
-    assert "SELECT START_ID, END_ID, TYPE, price, qty FROM gr" in sql
+    assert (
+        "SELECT START_ID, END_ID, TYPE, price, qty,"
+        " START_ID AS _OS, END_ID AS _OE FROM gr" in sql
+    )
     assert "START_ID AS END_ID, TYPE, price, qty" in sql
     # directed rels keep the bare view (no union subquery)
     sql2 = cypher_to_sql(
@@ -1223,7 +1226,8 @@ def test_undirected_without_prop_refs_stays_narrow():
     sql = cypher_to_sql(
         "MATCH (a)-[r:T]-(b) RETURN count(*) AS n", "gn", "gr"
     )
-    assert "SELECT START_ID, END_ID, TYPE FROM gr" in sql
+    # narrow = id/type columns plus the physical-identity pair only
+    assert "SELECT START_ID, END_ID, TYPE, START_ID AS _OS" in sql
 
 
 def test_list_comprehension_translation():
