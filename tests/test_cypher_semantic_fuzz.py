@@ -132,7 +132,7 @@ _PROPS = ((), (("name", "bob"),), (("age", 40),))
 
 node_spec = st.tuples(st.sampled_from(_LABELS), st.sampled_from(_PROPS))
 rel_spec = st.tuples(st.sampled_from(_TYPES), st.sampled_from(_DIRS))
-n_hops = st.integers(min_value=1, max_value=2)
+n_hops = st.integers(min_value=1, max_value=3)
 
 # WHERE predicates with ternary NULL logic — each entry is
 # (cypher_text_fmt, python_eval) over binding vars a/b/c
@@ -145,6 +145,10 @@ _PREDS = [
     ("{v}.age IS NULL", lambda b, v: _age(b, v) is None),
     ("{v}.age IS NOT NULL", lambda b, v: _age(b, v) is not None),
     ("NOT ({v}.age = 25)", lambda b, v: None if _age(b, v) is None else _age(b, v) != 25),
+    # label predicates in expression position (always boolean)
+    ("{v}:P", lambda b, v: "P" in NODES[b[v]][0]),
+    ("{v}:Q", lambda b, v: "Q" in NODES[b[v]][0]),
+    ("NOT ({v}:P)", lambda b, v: "P" not in NODES[b[v]][0]),
 ]
 
 where_spec = st.one_of(
@@ -159,16 +163,18 @@ where_spec = st.one_of(
 
 query_spec = st.tuples(
     n_hops,
-    st.lists(node_spec, min_size=3, max_size=3),
-    st.lists(rel_spec, min_size=2, max_size=2),
+    st.lists(node_spec, min_size=4, max_size=4),
+    st.lists(rel_spec, min_size=3, max_size=3),
     where_spec,
-    st.booleans(),  # True: grouped count(*); False: projected ids
+    # 0: global count(*); 1: projected ids; 2: grouped count per
+    # first endpoint (implicit grouping)
+    st.integers(0, 2),
 )
 
 
 def _build(spec):
     hops, nspecs, rspecs, wspec, grouped = spec
-    vars_ = ["a", "b", "c"][: hops + 1]
+    vars_ = ["a", "b", "c", "d"][: hops + 1]
     node_specs = [
         (v, list(nspecs[i][0]), list(nspecs[i][1]))
         for i, v in enumerate(vars_)
@@ -222,17 +228,17 @@ def _build(spec):
                 return False
 
     proj_vars = vars_
-    if grouped:
-        q = f"MATCH {pat_txt} "
-        if where_txt:
-            q += f"WHERE {where_txt} "
+    q = f"MATCH {pat_txt} "
+    if where_txt:
+        q += f"WHERE {where_txt} "
+    if grouped == 0:
         q += "RETURN count(*) AS n"
+    elif grouped == 2:
+        # implicit grouping by the first endpoint
+        q += "RETURN id(a) AS ia, count(*) AS n ORDER BY ia"
     else:
         items = ", ".join(f"id({v}) AS i{v}" for v in proj_vars)
         order = ", ".join(f"i{v}" for v in proj_vars)
-        q = f"MATCH {pat_txt} "
-        if where_txt:
-            q += f"WHERE {where_txt} "
         q += f"RETURN {items} ORDER BY {order}"
 
     return q, (node_specs, rel_specs), where_fn, grouped, proj_vars
@@ -269,13 +275,20 @@ def test_transpiled_matches_reference_semantics(fixture_views, spec):
     sql = cypher_to_sql(q, "sfznodes", "sfzrels")
     got = [tuple(r) for r in spark.sql(sql).collect()]
 
-    if grouped:
+    if grouped == 0:
         # engine convention matches Cypher: count(*) with no grouping
         # key returns ONE row even for zero matches
         assert len(got) == 1, f"{q}\n{sql}"
         assert got[0][0] == len(expected_bindings), (
             f"count mismatch: engine {got[0][0]} vs "
             f"reference {len(expected_bindings)}\n{q}\n{sql}"
+        )
+    elif grouped == 2:
+        from collections import Counter
+
+        want = sorted(Counter(b["a"] for b in expected_bindings).items())
+        assert got == want, (
+            f"group mismatch\nengine    {got}\nreference {want}\n{q}\n{sql}"
         )
     else:
         want = sorted(
