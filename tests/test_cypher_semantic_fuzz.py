@@ -167,8 +167,9 @@ query_spec = st.tuples(
     st.lists(rel_spec, min_size=3, max_size=3),
     where_spec,
     # 0: global count(*); 1: projected ids; 2: grouped count per
-    # first endpoint (implicit grouping)
-    st.integers(0, 2),
+    # first endpoint (implicit grouping); 3: carried-node WITH
+    # aggregation pipeline (WITH a, count(*) AS n ... RETURN a.name)
+    st.integers(0, 3),
 )
 
 
@@ -236,6 +237,10 @@ def _build(spec):
     elif grouped == 2:
         # implicit grouping by the first endpoint
         q += "RETURN id(a) AS ia, count(*) AS n ORDER BY ia"
+    elif grouped == 3:
+        # carried-node WITH pipeline: property access restored after
+        # the aggregation (names are unique per fixture node)
+        q += "WITH a, count(*) AS n RETURN a.name AS nm, n ORDER BY nm"
     else:
         items = ", ".join(f"id({v}) AS i{v}" for v in proj_vars)
         order = ", ".join(f"i{v}" for v in proj_vars)
@@ -289,6 +294,16 @@ def test_transpiled_matches_reference_semantics(fixture_views, spec):
         want = sorted(Counter(b["a"] for b in expected_bindings).items())
         assert got == want, (
             f"group mismatch\nengine    {got}\nreference {want}\n{q}\n{sql}"
+        )
+    elif grouped == 3:
+        from collections import Counter
+
+        want = sorted(
+            Counter(NODES[b["a"]][1] for b in expected_bindings).items()
+        )
+        assert got == want, (
+            f"carried-with mismatch\nengine    {got}\n"
+            f"reference {want}\n{q}\n{sql}"
         )
     else:
         want = sorted(
