@@ -2298,7 +2298,13 @@ class _Parser:
                                 "MATCH", "OPTIONAL", "RETURN",
                                 "WITH", "UNWIND", "",
                             ):
-                                follows_match = tx == "MATCH"
+                                # a WHERE before another MATCH or an
+                                # OPTIONAL MATCH is the preceding
+                                # clause's filter — consumable here
+                                # (filtering main rows before vs after
+                                # the optional LEFT join is equivalent:
+                                # the predicate sees only main vars)
+                                follows_match = tx in ("MATCH", "OPTIONAL")
                                 break
                         if follows_match:
                             self.next()

@@ -312,3 +312,128 @@ def test_transpiled_matches_reference_semantics(fixture_views, spec):
         assert got == want, (
             f"row mismatch\nengine    {got}\nreference {want}\n{q}\n{sql}"
         )
+
+
+# -- OPTIONAL MATCH fuzz ------------------------------------------------------
+#
+# The optional emission is the most intricate (ONE nested parenthesized
+# LEFT join for all-or-nothing clause semantics, uniqueness predicates
+# in the ON clause) — fuzz it against the same reference evaluator:
+# for each main binding, enumerate the optional chain's bindings
+# (rel-uniqueness scoped to the OPTIONAL clause alone, per openCypher);
+# zero matches null-extend every optional variable together.
+
+opt_spec = st.tuples(
+    st.sampled_from(("a", "b")),            # anchor: which main var
+    st.integers(min_value=1, max_value=2),  # optional chain hops
+    st.lists(rel_spec, min_size=2, max_size=2),
+    st.lists(node_spec, min_size=2, max_size=2),
+)
+
+opt_query_spec = st.tuples(
+    st.lists(node_spec, min_size=2, max_size=2),  # main (a)-[...]-(b)
+    rel_spec,
+    st.one_of(st.none(), st.tuples(st.sampled_from(_PREDS), st.integers(0, 1))),
+    opt_spec,
+)
+
+
+def _build_optional(spec):
+    mnspecs, mrspec, wspec, (anchor, ohops, orspecs, onspecs) = spec
+    main_nodes = [
+        ("a", list(mnspecs[0][0]), list(mnspecs[0][1])),
+        ("b", list(mnspecs[1][0]), list(mnspecs[1][1])),
+    ]
+    main_rels = [mrspec]
+    ovars = ["x", "y"][:ohops]
+    opt_nodes = [(anchor, [], [])] + [
+        (v, list(onspecs[i][0]), list(onspecs[i][1]))
+        for i, v in enumerate(ovars)
+    ]
+    opt_rels = [orspecs[i] for i in range(ohops)]
+
+    def seg(nv, labels, props):
+        s = nv + "".join(f":{lb}" for lb in labels)
+        if props:
+            kv = ", ".join(
+                f"{k}: {val!r}" if isinstance(val, str) else f"{k}: {val}"
+                for k, val in props
+            )
+            s += f" {{{kv}}}"
+        return f"({s})"
+
+    def rel_txt(rtype, direction):
+        rel = f"[:{rtype}]" if rtype else ""
+        if direction == "->":
+            return f"-{rel}->"
+        if direction == "<-":
+            return f"<-{rel}-"
+        return f"-{rel}-"
+
+    pat = (
+        seg(*main_nodes[0]) + rel_txt(*main_rels[0]) + seg(*main_nodes[1])
+    )
+    # anchor occurrence in OPTIONAL carries no labels/props (engine rule)
+    opat = "(%s)" % anchor
+    for i, (v, labels, props) in enumerate(opt_nodes[1:]):
+        opat += rel_txt(*opt_rels[i]) + seg(v, labels, props)
+
+    where_txt, where_fn = None, None
+    if wspec is not None:
+        (fmt, fn), vi = wspec
+        v = ["a", "b"][vi % 2]
+        where_txt = fmt.format(v=v)
+        where_fn = lambda b, fn=fn, v=v: fn(b, v)
+
+    q = f"MATCH {pat} "
+    if where_txt:
+        q += f"WHERE {where_txt} "
+    q += f"OPTIONAL MATCH {opat} "
+    items = ["id(a) AS ia", "id(b) AS ib"] + [
+        f"id({v}) AS i{v}" for v in ovars
+    ]
+    order = ["ia", "ib"] + [f"i{v}" for v in ovars]
+    q += f"RETURN {', '.join(items)} ORDER BY {', '.join(order)}"
+    return q, (main_nodes, main_rels), where_fn, (opt_nodes, opt_rels), ovars
+
+
+@settings(
+    max_examples=100,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(spec=opt_query_spec)
+def test_optional_match_reference_semantics(fixture_views, spec):
+    spark = fixture_views
+    q, main_pat, where_fn, opt_pat, ovars = _build_optional(spec)
+    main_bindings = ref_match(main_pat, where_fn)
+
+    expected = []
+    opt_nodes, opt_rels = opt_pat
+    for mb in main_bindings:
+        # optional chain anchored on the bound main var: seed the
+        # evaluator's binding with the anchor id (uniqueness scope is
+        # the OPTIONAL clause alone)
+        anchor = opt_nodes[0][0]
+        sub = ref_match((opt_nodes, opt_rels), None)
+        rows = [
+            s for s in sub if s[anchor] == mb[anchor]
+        ]
+        if rows:
+            for s in rows:
+                expected.append(
+                    (mb["a"], mb["b"]) + tuple(s[v] for v in ovars)
+                )
+        else:
+            expected.append((mb["a"], mb["b"]) + (None,) * len(ovars))
+
+    sql = cypher_to_sql(q, "sfznodes", "sfzrels")
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    keyf = lambda row: tuple((v is None, v) for v in row)  # nulls largest
+    assert sorted(got, key=keyf) == sorted(expected, key=keyf), (
+        f"optional mismatch\nengine    {sorted(got, key=keyf)}\n"
+        f"reference {sorted(expected, key=keyf)}\n{q}\n{sql}"
+    )
