@@ -25,12 +25,14 @@ exact equality, unlike typical floating-point HLL):
 - ``max rho`` of a register = exact integer floor-log2 of the mask via
   ``length(bin(mask)) - 1`` (identical in both engines).
 - The HLL estimate is all-integer fixed point: the indicator sum
-  ``S = sum_j 2^(R - rho_max_j)`` is an exact BIGINT, and
-  ``alpha * m^2 / S`` is computed with split integer divisions
-  (``(a div d)*n + ((a mod d)*n) div d`` = exact ``floor(a*n/d)``) —
-  no float ever appears. Small-range linear counting ``m * ln(m/V)``
-  is a 32-entry integer lookup table on the count of empty registers
-  V — again engine-independent.
+  ``S = sum_j 2^(R - rho_max_j)`` is an exact BIGINT, the raw node
+  estimate ``m^2 * 2^R / S`` uses split integer division
+  (``(a div d)*n + ((a mod d)*n) div d`` = exact ``floor(a*n/d)``),
+  and the alpha correction doubles as the node->q conversion (one
+  clamped BIGINT multiply by ``ALPHA_PPM = alpha * SCALE``) — no float
+  ever appears. Small-range linear counting ``m * ln(m/V)`` is a
+  32-entry integer lookup table on the count of empty registers V —
+  again engine-independent.
 
 Estimates are in **q units** (ppm of one node): ``est_q = 1_000_000``
 means "about one node". rho is capped at ``RHO_CAP`` (44) before the
@@ -150,13 +152,22 @@ def e_raw_sql(dialect: str, s: str = "_s") -> str:
     )
 
 
+ERAW_CAP = (2**63 - 1) // ALPHA_PPM  # ~1.32e13 nodes; q units saturate here
+
+
 def est_from_eraw_sql(dialect: str, e_raw: str = "_eraw", v: str = "_v") -> str:
-    """Final estimate: alpha correction (exact split multiply-divide)
-    with the linear-counting lookup below the small-range switch."""
-    e_alpha = (
-        f"({_idiv(dialect, e_raw, str(SCALE))} * {ALPHA_PPM} "
-        f"+ {_idiv(dialect, f'(({e_raw}) % {SCALE}) * {ALPHA_PPM}', str(SCALE))})"
-    )
+    """Final estimate in q units. ``e_raw`` is the raw HLL estimate in
+    plain NODE units (``floor(2^RHO_CAP * m^2 / S)``); the alpha
+    correction and the node->q conversion are the same multiply
+    (``alpha * SCALE = ALPHA_PPM``), so ``est_q = e_raw * ALPHA_PPM``
+    exactly — clamped to BIGINT headroom first (saturates at ~1.3e13
+    nodes, beyond which q units cannot represent the estimate anyway).
+    The linear-counting branch (``LC_Q``, q units by construction)
+    applies below the small-range switch when empty registers remain —
+    both branches now agree on q units (r6 ADVICE: the unclamped
+    div-SCALE form left the raw branch in node units, collapsing
+    estimates by 1e6 once all 32 registers filled)."""
+    e_alpha = f"(least({e_raw}, {ERAW_CAP}) * {ALPHA_PPM})"
     lc_cases = " ".join(f"WHEN {n} THEN {LC_Q[n]}" for n in range(1, M + 1))
     lc = f"CAST(CASE {v} {lc_cases} END AS BIGINT)"
     return (

@@ -111,6 +111,51 @@ def test_harmonic_upper_bounds_reached(spark):
         assert r["total_hops_est_q"] >= r["reached_est_q"] - 2
 
 
+def test_large_ball_raw_branch(spark):
+    # r6 ADVICE (high): the raw-estimate branch (all 32 registers
+    # filled, v = 0) was in node units while the LC branch was in q
+    # units — a 401-node ball returned est_q ~ 452 (0.0005 nodes)
+    # instead of ~400M. A 400-leaf star makes every hop>=1 ball 401
+    # nodes, which fills all registers with overwhelming probability
+    # and pins the raw branch to the exact size within HLL error.
+    edges = [(0, i) for i in range(1, 401)]
+    exact = 401
+    edf = spark.createDataFrame(edges, "u long, v long")
+    per_hop = anf.anf_sketch_by_hop(edf, max_hops=2)
+    est_center = {
+        r["node"]: r["est_q"] for r in per_hop[1].collect()
+    }[0] / anf.SCALE
+    # m=32 -> ~18% std error; the broken branch was off by 1e6
+    assert abs(est_center - exact) / exact < 0.5, est_center
+    # hop 2: every node sees the whole star
+    for r in per_hop[2].collect():
+        est = r["est_q"] / anf.SCALE
+        assert abs(est - exact) / exact < 0.5, (r["node"], est)
+
+
+def test_raw_branch_cross_engine(spark):
+    # the same 401-node ball through the DuckDB oracle emission must
+    # produce bit-identical est_q (shared constants AND now shared
+    # units between branches)
+    import duckdb
+
+    edges = [(0, i) for i in range(1, 401)]
+    edf = spark.createDataFrame(edges, "u long, v long")
+    got_spark = {
+        (1, r["node"]): r["est_q"]
+        for r in anf.anf_sketch_by_hop(edf, max_hops=1)[1].collect()
+    }
+    rels_sql = " UNION ALL ".join(
+        f"SELECT {u} AS START_ID, {v} AS END_ID, 'E' AS TYPE" for u, v in edges
+    )
+    cte = anf.duck_anf_cte(rels_sql, "E", max_hops=1)
+    rows = duckdb.sql(
+        f"{cte} SELECT hop, node, est_q FROM anf_est WHERE hop = 1"
+    ).fetchall()
+    got_duck = {(h, n): q for h, n, q in rows}
+    assert got_spark == got_duck
+
+
 def test_singleton_pair_graph(spark):
     # one edge: each node's ball_h = 2 for every h >= 1
     edf = spark.createDataFrame([(1, 2)], "u long, v long")
