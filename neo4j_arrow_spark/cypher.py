@@ -4087,8 +4087,31 @@ def _vlp_multiplicity_insensitive(ast: dict) -> bool:
     graphs into a linear-per-hop frontier — and since any walk contains
     a path, reachability under walk semantics EQUALS Cypher's
     edge-unique path semantics, so this mode is exact on cyclic graphs
-    (no divergence)."""
+    for minlen <= 1 shapes (for minlen >= 2 see the emitter docstring's
+    documented divergence).
+
+    Hop-referencing expressions (the ``_pathlen`` splice from
+    ``size(r)`` / ``length(p)``) are frontier-safe ONLY as the exact
+    aggregate ``min(_pathlen)``: per endpoint pair the minimum walk
+    length equals the minimum edge-unique path length (a shortest walk
+    never repeats an edge), so ``min`` is exact — but the distinct
+    (src, tgt, hops) walk set contains hop counts with NO edge-unique
+    witness on cyclic graphs, bounded only by the hop guard, so
+    ``max(size(r))``, grouping or DISTINCT over ``size(r)``,
+    ``count(DISTINCT size(r))``, or a WHERE on ``size(r)`` would
+    return guard-dependent artifacts (r6 ADVICE: on a directed 2-cycle
+    ``max(size(r))`` reported the guard, not 2). Those shapes route to
+    walk enumeration with its documented divergence."""
     items = ast["items"]
+    hop = re.compile(r"\b_pathlen\b")
+    min_hop = re.compile(r"(?is)^\s*min\s*\(\s*_pathlen\s*\)\s*$")
+    for e, _a, _agg in items:
+        if hop.search(e) and not min_hop.match(e):
+            return False
+    if any(hop.search(e) for e, _d in ast["order"]):
+        return False
+    if ast["where"] and hop.search(ast["where"]):
+        return False
     has_agg = any(agg for _, _, agg in items)
     if not has_agg:
         return bool(ast["distinct"])
@@ -4115,13 +4138,29 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     - **distinct-frontier** (``_vlp_multiplicity_insensitive``): anchor
       and step both SELECT DISTINCT, bounding every iteration at |V|²
       rows — linear per hop, safe on cyclic graphs, and EXACT vs
-      Cypher (walk-reachability == edge-unique-path reachability).
+      Cypher when ``minlen <= 1`` (walk-reachability ==
+      edge-unique-path reachability; a hop-referencing aggregate is
+      admitted only as ``min(size(r))``, which is exact because a
+      shortest walk never repeats an edge). **Documented divergence
+      for ``minlen >= 2``** (asserted in tests/test_cypher_golden.py
+      g_minlen2_cycle): walk-reachability at hops >= minlen is NOT
+      path-reachability — on a directed 2-cycle ``*2..`` reports
+      (0,1)/(1,0) though no edge-unique path of length >= 2 connects
+      them (the only length-2 paths are the round trips (0,0)/(1,1)).
+      Exactness for minlen >= 2 would require per-path edge-set state
+      (longest-trail-adjacent, exponential); the engine keeps the
+      linear frontier and documents the divergence, consistent with
+      the walk-mode stance below.
     - **walk enumeration** (multiplicity-sensitive shapes, e.g.
-      ``count(*) AS paths``): every walk is a row. Documented
-      divergence: per-path relationship uniqueness is not enforced
-      (differs only on graphs with directed cycles, where the hop
-      guard + the session ``cteRecursionRowLimit`` backstop bound the
-      blowup).
+      ``count(*) AS paths``, and any non-``min`` hop-referencing
+      shape such as ``max(size(r))`` or grouping/WHERE on
+      ``size(r)``): every walk is a row. Documented divergence:
+      per-path relationship uniqueness is not enforced — exact on
+      DAGs (a directed walk in a DAG is a path), while on graphs with
+      directed cycles hop-referencing results are bounded by the hop
+      guard rather than true longest-trail semantics (exact
+      longest-trail is NP-hard), and the guard + the session
+      ``cteRecursionRowLimit`` backstop bound the blowup.
 
     Scope: one unbounded segment per pattern, unbound var — the other
     rels in the chain must be fixed-length. Undirected (``-[*]-``)
@@ -4135,7 +4174,8 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     rel-uniqueness forbids unless the component has an edge-distinct
     closed trail through it. Every s→t row with t ≠ s is exact (an
     undirected walk reduces to an edge-distinct trail when the
-    endpoints differ); directed mode is exact for all rows.
+    endpoints differ); directed mode is exact for all rows when
+    ``minlen <= 1`` (see the minlen >= 2 divergence above).
     """
     nodes, rels = ast["nodes"], ast["rels"]
     _collect_undirected_prop_refs(ast)
