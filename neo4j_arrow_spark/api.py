@@ -108,6 +108,10 @@ class Neo4jArrowSpark:
                 node_props=[
                     c for c in g.nodes.columns if c not in ("ID", "LABELS")
                 ],
+                # registration mints REL_ID (catalog.register), giving
+                # true openCypher edge identity; schema-less frames fall
+                # back to (START_ID, END_ID, TYPE) triple mode
+                rel_id=g.rels is not None and "REL_ID" in g.rels.columns,
             )
             missing = needed - set(params or {})
             if missing:

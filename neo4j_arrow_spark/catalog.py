@@ -24,6 +24,29 @@ class GraphNotFound(KeyError):
     pass
 
 
+def mint_rel_ids(rels: "DataFrame") -> "DataFrame":
+    """Surrogate relationship id (true openCypher edge identity: exact
+    duplicate parallel edges are distinct relationships). The id must be
+    CONTENT-DETERMINISTIC — a multi-slot pattern references the rels
+    view more than once, and each reference re-evaluates the plan; an
+    order-dependent id (monotonically_increasing_id after a shuffle)
+    would number the two evaluations differently and the uniqueness
+    predicate would excise arbitrary pairs. ``xxhash64(all columns,
+    within-duplicate-group row_number)`` is stable as a relation across
+    re-evaluations (identical rows are interchangeable, so which twin
+    gets k=1 is unobservable) and needs one all-columns hash partition
+    — parallel at any scale, no global sort. Only same-row inequality
+    predicates ever read the id; it is never output."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cols = list(rels.columns)
+    w = Window.partitionBy(*cols).orderBy(F.lit(1))
+    return rels.withColumn(
+        "REL_ID", F.xxhash64(*cols, F.row_number().over(w))
+    )
+
+
 class GraphAlreadyExists(ValueError):
     pass
 
@@ -75,6 +98,8 @@ class GraphCatalog:
             validate_nodes(nodes)
             if rels is not None:
                 validate_rels(rels)
+        if rels is not None and "REL_ID" not in rels.columns:
+            rels = mint_rel_ids(rels)
         if cache:
             nodes = nodes.cache()
             if rels is not None:

@@ -263,6 +263,24 @@ class _Parser:
         #: the node table on the carried id
         self.carried_nodes: set[str] = set()
 
+    @classmethod
+    def _from_tokens(
+        cls, toks: list, dialect: str, node_props: list[str] | None
+    ) -> "_Parser":
+        """A fresh parser over an already-tokenized slice (the body of
+        a CALL { } subquery) — same state a text constructor builds."""
+        sub = cls.__new__(cls)
+        sub.toks = list(toks) + [("eof", "")]
+        sub.pos = 0
+        sub.dialect = dialect
+        sub.unwind_aliases = set()
+        sub.node_pat_vars = set()
+        sub.rel_pat_vars = set()
+        sub.params_used = set()
+        sub.node_props = node_props
+        sub.carried_nodes = set()
+        return sub
+
     # -- token helpers -----------------------------------------------------
     def peek(self) -> tuple[str, str]:
         t = self.toks[self.pos]
@@ -464,12 +482,11 @@ class _Parser:
             hi = int(self.next()[1]) if kind == "num" else None  # `*a..`
         if not (1 <= lo <= (hi if hi is not None else lo)):
             raise CypherSyntaxError(f"bad variable-length bounds *{lo}..{hi}")
-        if hi is not None and hi > self._VARLENGTH_CAP:
-            raise CypherUnsupported(
-                f"variable-length upper bound {hi} exceeds cap "
-                f"{self._VARLENGTH_CAP} (each length is a join chain) — "
-                "use an open bound (*a..) for the recursive expansion"
-            )
+        # upper bounds past _VARLENGTH_CAP are legal (r7): the main
+        # pattern routes them through the recursive-CTE expansion with
+        # `_hops <= maxlen` instead of emitting a maxlen-way join
+        # chain; stage/OPTIONAL contexts stay join-chain-expanded and
+        # keep their branch-count caps
         return lo, hi
 
     def _pattern_chain(self) -> tuple[list[_NodePat], list[_RelPat]]:
@@ -536,6 +553,13 @@ class _Parser:
     #: node/rel variables of a MATCH that follows WITH — full
     #: ``var.prop`` access again, alongside the aliases
     post_vars: frozenset[str] = frozenset()
+    #: relationship identity mode: True when the rels view carries a
+    #: surrogate REL_ID column (minted at graph registration) — then
+    #: within-clause uniqueness compares REL_ID (true openCypher:
+    #: exact-duplicate parallel edges are distinct relationships);
+    #: False = schema-less triple mode ((START_ID, END_ID, TYPE)
+    #: identity, the r6-documented divergence)
+    rel_id: bool = False
 
     #: scalar functions with identical name/arity/semantics in Spark
     #: and DuckDB (all 1-based string indexing) — the dialect-neutral
@@ -994,6 +1018,14 @@ class _Parser:
                     self.expect("(")
                     var = self.expect_name()
                     self.expect(")")
+                    if (
+                        fn == "ID"
+                        and self.aliases is not None
+                        and var in self.carried_nodes
+                    ):
+                        # id() of a node carried BARE through a WITH /
+                        # CALL boundary: the carried column IS the id
+                        return var
                     if var in self.unwind_aliases or (
                         self.aliases is not None and var not in self.post_vars
                     ):
@@ -1388,12 +1420,13 @@ class _Parser:
             und = r.direction == "-"
             slots.append((ev, und, list(r.rtypes), 0))
             if und:
+                rid = " REL_ID," if self.rel_id else ""
                 hop_src = (
-                    "(SELECT START_ID, END_ID, TYPE,"
+                    f"(SELECT{rid} START_ID, END_ID, TYPE,"
                     " START_ID AS _OS, END_ID AS _OE FROM __RELS__"
                     " UNION ALL"
-                    " SELECT END_ID AS START_ID, START_ID AS END_ID, TYPE,"
-                    " START_ID AS _OS, END_ID AS _OE"
+                    f" SELECT{rid} END_ID AS START_ID, START_ID AS END_ID,"
+                    " TYPE, START_ID AS _OS, END_ID AS _OE"
                     f" FROM __RELS__) AS {ev}"
                 )
                 scol, ecol = "START_ID", "END_ID"
@@ -1422,7 +1455,7 @@ class _Parser:
                 conds.append(f"{ev}.{ecol} = {n.var}.ID")
             elif sub := node_sub(n):
                 conds.append(f"{ev}.{ecol} IN ({sub})")
-        conds.extend(_rel_uniqueness_conds(slots))
+        conds.extend(_rel_uniqueness_conds(slots, self.rel_id))
         if self.accept("WHERE"):
             inner = self.expr()
             for n in [src] + [n for _, n in chain]:
@@ -2198,6 +2231,201 @@ class _Parser:
         self.unwind_aliases.add(alias)
         return arr, alias
 
+    def _parse_call_subquery(self) -> dict:
+        """``CALL { [WITH imports] <inner query> }`` — openCypher
+        subqueries (the reference gets them free via Neo4j,
+        TransactionApiJob.java:41-220). The caller has already ensured
+        ``self.aliases`` is a live stage scope (synthesizing the
+        implicit ``WITH *`` stage when CALL directly follows MATCH).
+
+        Forms, classified here and compiled by ``_call_stage_sql``:
+
+        - **cross** (no imports): the body is a complete query compiled
+          by the ordinary single-query emitter and CROSS JOINed —
+          openCypher's execute-once semantics.
+        - **flat** (imports, no aggregate/DISTINCT/LIMIT): the inner
+          pattern joins the stage frame directly, anchored on the
+          imported node's id column — per-row multiplicity is the
+          join's.
+        - **derived** (imports + aggregate, DISTINCT, or ORDER
+          BY/LIMIT): the inner pattern compiles to a derived table
+          keyed on the single imported node's id (grouped aggregate /
+          DISTINCT / row_number top-k) and joins back on that key —
+          Spark decorrelates lateral aggregates to exactly this shape,
+          so it is emitted directly (and identically for the DuckDB
+          oracle). A pure-aggregate body LEFT-joins (openCypher: one
+          row per input row even on empty match) with count/sum
+          coalesced to 0.
+        """
+        self.expect("CALL")
+        self.expect("{")
+        imports: list[str] = []
+        if self.peek()[1] == "WITH":
+            self.next()
+            imports.append(self.expect_name())
+            while self.accept(","):
+                imports.append(self.expect_name())
+            for im in imports:
+                if im not in self.aliases:
+                    raise CypherUnsupported(
+                        f"CALL {{ WITH {im} }} imports a variable not in "
+                        f"scope (have: {sorted(self.aliases)})"
+                    )
+        # slice the body tokens up to the matching '}'
+        depth, end = 1, self.pos
+        while end < len(self.toks):
+            t = self.toks[end][1]
+            if t == "{":
+                depth += 1
+            elif t == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif t == "":
+                raise CypherSyntaxError("unterminated CALL { subquery")
+            end += 1
+        body = self.toks[self.pos : end]
+        self.pos = end + 1
+        bdepth = 0
+        for t in body:
+            if t[1] in ("{", "("):
+                bdepth += 1
+            elif t[1] in ("}", ")"):
+                bdepth -= 1
+            elif bdepth == 0 and t[1] == "UNION":
+                raise CypherUnsupported(
+                    "UNION inside CALL { } is not supported"
+                )
+        node_imports = [i for i in imports if i in self.carried_nodes]
+        scalar_imports = [i for i in imports if i not in self.carried_nodes]
+        sub = _Parser._from_tokens(body, self.dialect, self.node_props)
+        sub.rel_id = self.rel_id
+        # scalar imports behave as bound scalars inside the body
+        sub.unwind_aliases = set(scalar_imports)
+        sub_ast = sub.parse()
+        self.params_used |= sub.params_used
+        inner_aliases = [a for _, a, _ in sub_ast["items"]]
+        clash = set(inner_aliases) & set(self.aliases)
+        if clash:
+            raise CypherUnsupported(
+                f"CALL {{ }} RETURN aliases shadow enclosing variables: "
+                f"{sorted(clash)}"
+            )
+        if not imports:
+            el = {
+                "kind": "call",
+                "form": "cross",
+                "sub_parser": sub,
+                "sub_ast": sub_ast,
+                "aliases": inner_aliases,
+                "stage_aliases": sorted(self.aliases),
+            }
+            self.aliases = set(self.aliases) | set(inner_aliases)
+            return el
+        # ---- correlated: restricted to one fixed-length chain -------
+        if (
+            sub_ast["withs"]
+            or sub_ast["pipeline"]
+            or sub_ast["optionals"]
+            or sub_ast["unwinds"]
+            or sub_ast["shortest"]
+            or sub_ast["lead_with"]
+        ):
+            raise CypherUnsupported(
+                "a correlated CALL { WITH .. } body supports a single "
+                "MATCH [WHERE] RETURN block (no WITH/OPTIONAL/UNWIND "
+                "pipelines inside, v1)"
+            )
+        if len(sub_ast["chains"]) != 1:
+            raise CypherUnsupported(
+                "comma-separated patterns inside CALL { } are not "
+                "supported"
+            )
+        nodes, rels = sub_ast["nodes"], sub_ast["rels"]
+        if any(r.is_varlength for r in rels):
+            raise CypherUnsupported(
+                "variable-length patterns inside CALL { } are not "
+                "supported"
+            )
+        for n in nodes:
+            if n.var in self.aliases and n.var not in imports:
+                raise CypherUnsupported(
+                    f"CALL {{ }} pattern variable {n.var!r} shadows an "
+                    "enclosing variable — import it with WITH or rename"
+                )
+        if not rels:
+            raise CypherUnsupported(
+                "a correlated CALL { } body needs a relationship pattern"
+            )
+        if nodes[0].var not in node_imports:
+            if nodes[-1].var in node_imports:
+                nodes, rels = _reverse_chain(nodes, rels)
+            else:
+                raise CypherUnsupported(
+                    "a correlated CALL { } pattern must start or end at "
+                    f"an imported node variable ({node_imports})"
+                )
+        items = sub_ast["items"]
+        order, skip, limit = (
+            sub_ast["order"], sub_ast["skip"], sub_ast["limit"]
+        )
+        has_agg = any(g for _, _, g in items)
+        if limit is not None and not order:
+            raise CypherUnsupported(
+                "LIMIT inside CALL { } requires ORDER BY (a deterministic "
+                "per-row top-k)"
+            )
+        if not order:
+            skip = None  # order-free SKIP is as nondeterministic
+        elif limit is None and skip is None:
+            # row order is not observable through the CALL boundary —
+            # the enclosing query's ORDER BY governs output order
+            order = []
+        for e, _a, g in items:
+            if g and re.match(r"(?is)^\s*collect\s*\(", e):
+                raise CypherUnsupported(
+                    "collect() inside CALL { } is not supported (v1)"
+                )
+        form = "flat"
+        if has_agg or sub_ast["distinct"] or limit is not None:
+            form = "derived"
+            if has_agg and limit is not None:
+                raise CypherUnsupported(
+                    "ORDER BY/LIMIT combined with aggregates inside "
+                    "CALL { } is not supported"
+                )
+            if sub_ast["distinct"] and limit is not None:
+                raise CypherUnsupported(
+                    "DISTINCT combined with LIMIT inside CALL { } is "
+                    "not supported (v1)"
+                )
+            if len(node_imports) != 1 or scalar_imports:
+                raise CypherUnsupported(
+                    "an aggregating/DISTINCT/LIMIT CALL { } body supports "
+                    "exactly one imported node variable (the grouping key)"
+                )
+        el = {
+            "kind": "call",
+            "form": form,
+            "nodes": nodes,
+            "rels": rels,
+            "where": sub_ast["where"],
+            "items": items,
+            "distinct": sub_ast["distinct"],
+            "order": order,
+            "skip": skip,
+            "limit": limit,
+            "aliases": inner_aliases,
+            "imports": imports,
+            "node_imports": node_imports,
+            "scalar_imports": scalar_imports,
+            "pure_agg": has_agg and all(g for _, _, g in items),
+            "stage_aliases": sorted(self.aliases),
+            "rel_id": self.rel_id,
+        }
+        self.aliases = set(self.aliases) | set(inner_aliases)
+        return el
+
     def parse(self) -> dict:
         #: WHERE clauses attached to non-final MATCH clauses (ANDed
         #: into the main filter — conjunctive equivalence)
@@ -2396,12 +2624,12 @@ class _Parser:
                         "binding a variable-length relationship to a "
                         "variable is not supported"
                     )
-                if seg.maxlen is None:
-                    raise CypherUnsupported(
-                        "unbounded variable-length in OPTIONAL MATCH is "
-                        "not supported — give an upper bound (*1..k)"
-                    )
-                if seg.maxlen - seg.minlen + 1 > _MAX_VARLENGTH_BRANCHES:
+                if seg.maxlen is None or _needs_recursion(seg):
+                    # unbounded / deep-bounded: compiled as a distinct-
+                    # frontier recursive CTE LEFT-join branch (r7) — no
+                    # branch-count constraint applies
+                    pass
+                elif seg.maxlen - seg.minlen + 1 > _MAX_VARLENGTH_BRANCHES:
                     raise CypherUnsupported(
                         f"OPTIONAL MATCH varlength expands to "
                         f"{seg.maxlen - seg.minlen + 1} branches "
@@ -2474,6 +2702,44 @@ class _Parser:
         pipeline: list[dict] = []
         post_match = None
         while True:
+            if (
+                self.peek()[1] == "CALL"
+                and self.toks[self.pos + 1][1] == "{"
+            ):
+                if pipeline and pipeline[-1]["kind"] not in ("with", "call"):
+                    raise CypherUnsupported(
+                        "CALL { } must directly follow the MATCH block, a "
+                        "WITH stage or another CALL"
+                    )
+                if self.aliases is None:
+                    # CALL directly after the MATCH block: synthesize
+                    # the implicit `WITH *` stage (scope scalarized to
+                    # node ids, nodes carried for later prop access) so
+                    # the subquery composes with the pipeline machinery
+                    witems = _star_items()
+                    self.carried_nodes = {
+                        a
+                        for e, a, _g in witems
+                        if e == f"{a}.ID" and a in self.node_pat_vars
+                    }
+                    self.aliases = {a for _, a, _ in witems}
+                    self.post_vars = frozenset()
+                    self.unwind_aliases = set()
+                    st = {
+                        "kind": "with",
+                        "items": witems,
+                        "distinct": False,
+                        "where": None,
+                        "order": [],
+                        "skip": None,
+                        "limit": None,
+                        "carried": sorted(self.carried_nodes),
+                        "implicit": True,
+                    }
+                    withs.append(st)
+                    pipeline.append(st)
+                pipeline.append(self._parse_call_subquery())
+                continue
             if (
                 not pipeline
                 and self.aliases is None
@@ -2594,7 +2860,7 @@ class _Parser:
                 continue
             if (
                 pipeline
-                and pipeline[-1]["kind"] == "with"
+                and pipeline[-1]["kind"] in ("with", "call")
                 and self.peek()[1] == "MATCH"
             ):
                 # MATCH after WITH: re-anchor the pipeline on a carried
@@ -2661,7 +2927,7 @@ class _Parser:
                 continue
             if (
                 pipeline
-                and pipeline[-1]["kind"] == "with"
+                and pipeline[-1]["kind"] in ("with", "call")
                 and self.peek()[1] == "OPTIONAL"
             ):
                 # OPTIONAL MATCH after WITH (r6): the carried aliases
@@ -2722,10 +2988,10 @@ class _Parser:
                 # UNWIND after WITH (r6): a lateral explode over the
                 # stage rows; the iteration variable joins the carried
                 # aliases for everything downstream
-                if pipeline[-1]["kind"] != "with":
+                if pipeline[-1]["kind"] not in ("with", "call"):
                     raise CypherUnsupported(
                         "UNWIND in a pipeline must directly follow a "
-                        "WITH stage"
+                        "WITH stage or a CALL { } subquery"
                     )
                 self.next()
                 # sources: range()/list literal/$param/carried alias —
@@ -2825,6 +3091,7 @@ class _Parser:
             "skip": skip,
             "limit": limit,
             "dialect": self.dialect,
+            "rel_id": self.rel_id,
         }
 
 
@@ -2845,7 +3112,9 @@ def _flatten_chains(
     return nodes, [r for _, cr in chains for r in cr]
 
 
-def _rel_source(r: _RelPat, rv: str, rels_view: str) -> str:
+def _rel_source(
+    r: _RelPat, rv: str, rels_view: str, rel_id: bool = False
+) -> str:
     if r.direction == "-":
         # undirected: join against the natural+reverse union view —
         # the reference's own projection trick (KHOP.md:55-70).
@@ -2859,12 +3128,13 @@ def _rel_source(r: _RelPat, rv: str, rels_view: str) -> str:
         # rel-uniqueness predicate compares edge identity, not the
         # view's swapped endpoints (two distinct anti-parallel edges
         # must stay distinct — r6 semantic-fuzz finding)
+        rid = " REL_ID," if rel_id else ""
         return (
-            f"(SELECT START_ID, END_ID, TYPE{extra},"
+            f"(SELECT{rid} START_ID, END_ID, TYPE{extra},"
             f" START_ID AS _OS, END_ID AS _OE FROM {rels_view}"
             f" UNION ALL"
-            f" SELECT END_ID AS START_ID, START_ID AS END_ID, TYPE{extra},"
-            f" START_ID AS _OS, END_ID AS _OE"
+            f" SELECT{rid} END_ID AS START_ID, START_ID AS END_ID,"
+            f" TYPE{extra}, START_ID AS _OS, END_ID AS _OE"
             f" FROM {rels_view}) AS {rv}"
         )
     return f"{rels_view} AS {rv}"
@@ -2927,6 +3197,7 @@ def _chain(
     nodes_view: str,
     rels_view: str,
     tag: str = "",
+    rel_id: bool = False,
 ) -> tuple[str, list[str], list[str]]:
     """FROM/JOIN/WHERE fragments for one fixed-length pattern chain."""
     from_sql = f"{nodes_view} AS {nodes[0].var}"
@@ -2936,7 +3207,7 @@ def _chain(
         rv = r.var or f"_r{tag}{i}"
         a, b = nodes[i].var, nodes[i + 1].var
         on, on2 = _rel_keys(r, rv, a, b)
-        joins.append(f"JOIN {_rel_source(r, rv, rels_view)} ON {on}")
+        joins.append(f"JOIN {_rel_source(r, rv, rels_view, rel_id)} ON {on}")
         joins.append(f"JOIN {nodes_view} AS {b} ON {on2}")
         if cond := _type_cond(r, rv):
             conds.append(cond)
@@ -2951,6 +3222,7 @@ def _chain(
 
 def _rel_uniqueness_conds(
     slots: list[tuple[str, bool, list[str], int]],
+    rel_id: bool = False,
 ) -> list[str]:
     """Pairwise not-the-same-edge predicates for rel slots that share a
     MATCH clause group and whose declared type sets can overlap (either
@@ -2977,6 +3249,12 @@ def _rel_uniqueness_conds(
                 continue
             if t1 and t2 and not (set(t1) & set(t2)):
                 continue  # disjoint declared types can never collide
+            if rel_id:
+                # surrogate edge id (true openCypher identity): exact
+                # duplicates are distinct relationships; the undirected
+                # union view carries REL_ID through the flip
+                out.append(f"{rv1}.REL_ID <> {rv2}.REL_ID")
+                continue
             s1, e1 = ident(rv1, und1)
             s2, e2 = ident(rv2, und2)
             out.append(
@@ -2991,6 +3269,7 @@ def _multi_chain(
     nodes_view: str,
     rels_view: str,
     groups: list[int | None] | None = None,
+    rel_id: bool = False,
 ) -> tuple[str, list[str], list[str]]:
     """FROM/JOIN/WHERE fragments for one or more pattern chains that
     may share node variables: comma-separated MATCH patterns join on
@@ -3038,15 +3317,20 @@ def _multi_chain(
             on, on2 = _rel_keys(r, rv, a, b)
             if b in introduced:
                 # endpoint already bound: one rel join pinning both keys
-                joins.append(f"JOIN {_rel_source(r, rv, rels_view)} ON {on} AND {on2}")
+                joins.append(
+                    f"JOIN {_rel_source(r, rv, rels_view, rel_id)} "
+                    f"ON {on} AND {on2}"
+                )
             else:
-                joins.append(f"JOIN {_rel_source(r, rv, rels_view)} ON {on}")
+                joins.append(
+                    f"JOIN {_rel_source(r, rv, rels_view, rel_id)} ON {on}"
+                )
                 joins.append(f"JOIN {nodes_view} AS {b} ON {on2}")
                 introduced.add(b)
             if cond := _type_cond(r, rv):
                 conds.append(cond)
             conds.extend(_prop_conds(r, rv))
-    conds.extend(_rel_uniqueness_conds(slots))
+    conds.extend(_rel_uniqueness_conds(slots, rel_id))
     # label/property conditions from EVERY occurrence of a variable
     # (a var can carry different labels in different patterns), deduped
     seen_conds: set[str] = set()
@@ -3121,6 +3405,7 @@ def cypher_to_sql(
     params_out: set[str] | None = None,
     max_hops: int | None = None,
     node_props: list[str] | None = None,
+    rel_id: bool = False,
 ) -> str:
     """Transpile the Cypher subset to one SQL string over the graph
     views. Every construct except ``collect()`` and ``UNWIND`` emits
@@ -3132,8 +3417,15 @@ def cypher_to_sql(
     (``:name`` for Spark, ``$name`` for DuckDB); the referenced names
     are added to ``params_out`` when provided, so callers can check
     the binding set before execution."""
-    if re.match(r"\s*CALL\b", query, re.IGNORECASE):
+    if re.match(r"\s*CALL\s+[A-Za-z_]", query, re.IGNORECASE):
+        # CALL proc(...) — procedures; CALL { ... } subqueries parse
+        # as pipeline elements inside the ordinary query path
         return _call_procedure_sql(query, nodes_view, rels_view, dialect)
+    if re.match(r"\s*CALL\s*\{", query, re.IGNORECASE):
+        raise CypherUnsupported(
+            "a leading CALL { } subquery is not supported — start with "
+            "MATCH and place the CALL after it (or inline the body)"
+        )
     arms, all_flags = _split_union(query)
     if len(arms) > 1:
         # Cypher UNION: every arm is a complete query and must return
@@ -3145,6 +3437,7 @@ def cypher_to_sql(
         for arm in arms:
             arm_parser = _Parser(arm, dialect)
             arm_parser.node_props = node_props
+            arm_parser.rel_id = rel_id
             arm_ast = arm_parser.parse()
             arm_ast["max_hops"] = max_hops
             if params_out is not None:
@@ -3165,6 +3458,7 @@ def cypher_to_sql(
         return out
     parser = _Parser(query, dialect)
     parser.node_props = node_props
+    parser.rel_id = rel_id
     ast = parser.parse()
     ast["max_hops"] = max_hops
     if params_out is not None:
@@ -3244,6 +3538,18 @@ def _call_procedure_sql(
     return sql
 
 
+def _needs_recursion(r: _RelPat) -> bool:
+    """True for a bounded variable-length segment whose upper bound
+    exceeds the join-chain cap (``*1..5`` and up): compiled as a
+    recursive CTE bounded at exactly ``maxlen`` hops instead of a
+    maxlen-way join chain."""
+    return (
+        r.is_varlength
+        and r.maxlen is not None
+        and r.maxlen > _Parser._VARLENGTH_CAP
+    )
+
+
 def _single_query_sql(
     parser: "_Parser", ast: dict, nodes_view: str, rels_view: str
 ) -> str:
@@ -3262,7 +3568,13 @@ def _single_query_sql_inner(
         raise CypherUnsupported("UNWIND with variable-length is not supported")
 
     varlength = any(r.is_varlength for r in rels)
-    unbounded = any(r.is_unbounded for r in rels)
+    # deep bounded segments (*1..5 and up) ride the recursive CTE too:
+    # the recursion stops EXACTLY at maxlen (`_hops < maxlen` guard), so
+    # unlike the unbounded hop guard this is not a truncation — results
+    # match what a maxlen-way join chain would produce, without the
+    # join-chain blowup
+    deep = any(_needs_recursion(r) for r in rels)
+    unbounded = any(r.is_unbounded for r in rels) or deep
     _vl_sql = _varlength_recursive_sql if unbounded else _varlength_sql
     if ast["withs"]:
         # WITH pipeline: the pattern + first WITH's items become the
@@ -3334,6 +3646,15 @@ def _single_query_sql_inner(
                     )
                     sql = _order_limit_tail(sql, ast)
                     return _subst_views(sql, nodes_view, rels_view)
+            elif el["kind"] == "call":
+                # a call element EXTENDS the frame (stage columns +
+                # subquery aliases) without consuming the next stage's
+                # items — the following stage/RETURN projects over it
+                sql = _call_stage_sql(
+                    el, sql, nodes_view, rels_view, pending_where, depth
+                )
+                pending_where = None
+                i += 1
             elif el["kind"] == "optmatch":
                 # like a match-element, but the graph re-join is a
                 # nested LEFT join (all-or-nothing optional semantics)
@@ -3650,6 +3971,172 @@ def _match_stage_varlength_sql(
     return sql
 
 
+def _call_stage_sql(
+    el: dict,
+    base_sql: str,
+    nodes_view: str,
+    rels_view: str,
+    stage_where: str | None,
+    depth: int,
+) -> str:
+    """One CALL { } pipeline element: extend the stage frame with the
+    subquery's RETURN aliases, preserving every stage column (CALL does
+    not reset the enclosing scope, unlike WITH).
+
+    - cross: CROSS JOIN the independently-compiled body (execute-once).
+    - flat: the inner chain joins the stage directly, anchored on the
+      imported node id — one ordinary multi-way hash join, Cypher's
+      per-row multiplicity for free.
+    - derived: the inner chain compiles to a derived table keyed on the
+      anchor id (grouped aggregate / DISTINCT / row_number top-k) and
+      joins back on the key — stage-row multiplicity is preserved
+      because the key join never collapses duplicate stage rows. A
+      pure-aggregate body LEFT-joins with count/sum coalesced to 0
+      (openCypher: an aggregating subquery yields exactly one row per
+      input row, even over zero matches).
+    ``stage_where`` is the preceding WITH's trailing WHERE (stage
+    columns only — filtering before or while joining commutes)."""
+    stage = f"_scope{depth}"
+
+    def _qual(t: str, names) -> str:
+        parts = re.split(r"('(?:[^'\\]|\\.)*')", t)
+        for i in range(0, len(parts), 2):
+            for al in names:
+                parts[i] = re.sub(
+                    rf"(?<![\w.]){re.escape(al)}\b",
+                    f"{stage}.{al}",
+                    parts[i],
+                )
+        return "".join(parts)
+
+    if stage_where:
+        stage_where = _qual(stage_where, el["stage_aliases"])
+    if el["form"] == "cross":
+        inner = _single_query_sql(
+            el["sub_parser"], el["sub_ast"], nodes_view, rels_view
+        )
+        sql = (
+            f"SELECT {stage}.*, _call{depth}.*\n"
+            f"FROM (\n{base_sql}\n) AS {stage}\n"
+            f"CROSS JOIN (\n{inner}\n) AS _call{depth}"
+        )
+        if stage_where:
+            sql += f"\nWHERE {stage_where}"
+        return sql
+
+    nodes, rels = el["nodes"], el["rels"]
+    anchor = nodes[0].var
+    # undirected inner rels need their referenced props carried through
+    # the natural+reverse union view
+    _collect_undirected_prop_refs(
+        {
+            "items": el["items"],
+            "where": el["where"],
+            "order": el["order"],
+            "nodes": nodes,
+            "rels": rels,
+            "chains": [(nodes, rels)],
+        }
+    )
+    _, joins, conds = _chain(
+        nodes, rels, nodes_view, rels_view, f"c{depth}_",
+        bool(el.get("rel_id")),
+    )
+    # _chain names anonymous rels _r{tag}{i} — mirror that here
+    slots = [
+        (r.var or f"_rc{depth}_{i}", r.direction == "-", r.rtypes, 0)
+        for i, r in enumerate(rels)
+    ]
+    conds.extend(_rel_uniqueness_conds(slots, bool(el.get("rel_id"))))
+    if el["where"]:
+        conds.append(el["where"])
+
+    if el["form"] == "flat":
+        # scalar imports referenced inside the body are stage columns
+        items = [
+            (_qual(e, el["scalar_imports"]), a, g) for e, a, g in el["items"]
+        ]
+        conds = [_qual(c, el["scalar_imports"]) for c in conds]
+        # imported nodes re-binding mid/end-chain link to their stage id
+        for n in nodes[1:]:
+            if n.var in el["node_imports"]:
+                conds.append(f"{n.var}.ID = {stage}.{n.var}")
+        if stage_where:
+            conds.append(stage_where)
+        sel = ", ".join(f"{e} AS {a}" for e, a, _ in items)
+        sql = (
+            f"SELECT {stage}.*, {sel}\n"
+            f"FROM (\n{base_sql}\n) AS {stage}\n"
+            f"JOIN {nodes_view} AS {anchor} "
+            f"ON {anchor}.ID = {stage}.{anchor}"
+        )
+        for j in joins:
+            sql += f"\n{j}"
+        if conds:
+            sql += "\nWHERE " + " AND ".join(conds)
+        return sql
+
+    # ---- derived: grouped / distinct / top-k keyed on the anchor ----
+    key = f"{anchor}.ID"
+    items = el["items"]
+    has_agg = any(g for _, _, g in items)
+    inner_sel = [f"{key} AS _ck{depth}"] + [
+        f"{e} AS {a}" for e, a, _ in items
+    ]
+    inner = "SELECT "
+    if el["distinct"]:
+        inner += "DISTINCT "
+    inner += ", ".join(inner_sel)
+    inner += f"\nFROM {nodes_view} AS {anchor}"
+    for j in joins:
+        inner += f"\n{j}"
+    if conds:
+        inner += "\nWHERE " + " AND ".join(conds)
+    if has_agg:
+        group = [key] + [e for e, _a, g in items if not g]
+        inner += "\nGROUP BY " + ", ".join(group)
+    if el["limit"] is not None:
+        parts = ", ".join(
+            f"{e} {_dir_sql(d)}" for e, d in el["order"]
+        )
+        rn = (
+            f"row_number() OVER (PARTITION BY {key} ORDER BY {parts}) "
+            f"AS _rn{depth}"
+        )
+        inner = "SELECT " + ", ".join(inner_sel + [rn]) + inner[
+            inner.index(f"\nFROM {nodes_view} AS {anchor}"):
+        ]
+        try:
+            lo = int(el["skip"] or 0)
+            hi = lo + int(el["limit"])
+        except (TypeError, ValueError):
+            raise CypherUnsupported(
+                "SKIP/LIMIT inside CALL { } must be integer literals"
+            )
+        cols = ", ".join([f"_ck{depth}"] + [a for _, a, _ in items])
+        inner = (
+            f"SELECT {cols} FROM (\n{inner}\n) AS _topk{depth} "
+            f"WHERE _rn{depth} > {lo} AND _rn{depth} <= {hi}"
+        )
+    join_kw = "LEFT JOIN" if el["pure_agg"] else "JOIN"
+    outer_items = []
+    for e, a, _g in items:
+        if el["pure_agg"] and re.match(r"(?is)^\s*(count|sum)\s*\(", e):
+            # openCypher: count/sum over zero matches is 0, not NULL
+            outer_items.append(f"coalesce(_call{depth}.{a}, 0) AS {a}")
+        else:
+            outer_items.append(f"_call{depth}.{a} AS {a}")
+    sql = (
+        f"SELECT {stage}.*, " + ", ".join(outer_items) + "\n"
+        f"FROM (\n{base_sql}\n) AS {stage}\n"
+        f"{join_kw} (\n{inner}\n) AS _call{depth} "
+        f"ON _call{depth}._ck{depth} = {stage}.{el['node_imports'][0]}"
+    )
+    if stage_where:
+        sql += f"\nWHERE {stage_where}"
+    return sql
+
+
 def _stage_sql(
     base_sql: str,
     items: list[tuple[str, str, bool]],
@@ -3784,6 +4271,68 @@ def _stage_tail(sql: str, st: dict, depth: int) -> str:
     return sql
 
 
+def _opt_varlength_recursive_derived(
+    seg: _RelPat, rels_view: str, oi: int, max_hops: int | None = None
+) -> str:
+    """Derived table for an UNBOUNDED (or deep-bounded) varlength
+    segment inside OPTIONAL MATCH: the distinct-frontier recursive CTE
+    nested as a parenthesized subquery (both engines accept WITH
+    RECURSIVE inside a derived table — the same trick the main
+    unbounded emission uses), yielding ``(_oa, _ob)`` — one row per
+    REACHABLE endpoint pair within the hop bound. Reachability
+    semantics: the common ``OPTIONAL MATCH (a)-[*]->(b)`` idiom asks
+    "what can a reach / can it reach anything", and distinct-frontier
+    keeps the per-hop state <= |V|² (walk enumeration under a LEFT
+    join could not be bounded safely). minlen >= 2 carries the same
+    documented walk-reachability divergence as the main emission."""
+    if seg.direction == "-":
+        pextra = "".join(f", {k}" for k, _ in seg.props)
+        walk_view = (
+            f"(SELECT START_ID, END_ID, TYPE{pextra} FROM {rels_view} "
+            f"UNION ALL SELECT END_ID AS START_ID, START_ID AS END_ID, "
+            f"TYPE{pextra} FROM {rels_view})"
+        )
+        src, dst = "START_ID", "END_ID"
+    else:
+        src, dst = (
+            ("START_ID", "END_ID")
+            if seg.direction == "->"
+            else ("END_ID", "START_ID")
+        )
+        walk_view = rels_view
+    if seg.maxlen is not None:
+        guard = seg.maxlen
+    else:
+        guard = max_hops or UNBOUNDED_HOP_GUARD
+        if seg.minlen > guard:
+            guard = seg.minlen + UNBOUNDED_HOP_GUARD - 1
+    tc = _type_cond(seg, "_e")
+    seg_pc = _prop_conds(seg, "_e")
+    if seg_pc:
+        tc = " AND ".join(([tc] if tc else []) + seg_pc)
+    cte = f"_ovlp{oi}"
+    anchor = (
+        f"SELECT DISTINCT {src} AS _oa, {dst} AS _ob, 1 AS _hops "
+        f"FROM {walk_view} AS _e"
+    )
+    if tc:
+        anchor += f" WHERE {tc}"
+    step = (
+        f"SELECT DISTINCT _p._oa, _e.{dst} AS _ob, _p._hops + 1 AS _hops "
+        f"FROM {cte} AS _p JOIN {walk_view} AS _e ON _e.{src} = _p._ob"
+    )
+    if tc:
+        step += f" AND {tc}"
+    step += f" WHERE _p._hops < {guard}"
+    sel = f"SELECT DISTINCT _oa, _ob FROM {cte}"
+    if seg.minlen > 1:
+        sel += f" WHERE _hops >= {seg.minlen}"
+    return (
+        f"(WITH RECURSIVE {cte}(_oa, _ob, _hops) AS (\n"
+        f"{anchor}\nUNION ALL\n{step}\n) {sel})"
+    )
+
+
 def _opt_varlength_derived(seg: _RelPat, rels_view: str) -> str:
     """Derived table for a bounded varlength segment inside OPTIONAL
     MATCH: ``(anchor_id AS _oa, target_id AS _ob)`` — a UNION ALL over
@@ -3840,6 +4389,7 @@ def _optional_nested_join(
     owhere: str | None,
     nodes_view: str,
     rels_view: str,
+    rel_id: bool = False,
 ) -> str:
     """One OPTIONAL MATCH clause as a single nested parenthesized
     join: ``LEFT JOIN (rels AS r JOIN nodes AS b ON … labels …) ON
@@ -3868,9 +4418,11 @@ def _optional_nested_join(
             f"array_contains({b}.LABELS, '{lbl}')" for lbl in tgt.labels
         ] + [f"{b}.{key} = {lit}" for key, lit in tgt.props]
         for j in range(i):
-            nconds.extend(_rel_uniqueness_conds([oslots[j], oslots[i]]))
+            nconds.extend(
+                _rel_uniqueness_conds([oslots[j], oslots[i]], rel_id)
+            )
         if i == 0:
-            inner = _rel_source(r, rv, rels_view)
+            inner = _rel_source(r, rv, rels_view, rel_id)
             outer_on.append(on)  # anchor link — the only outer-var ref
             inner += (
                 f"\n  JOIN {nodes_view} AS {b} ON "
@@ -3878,7 +4430,7 @@ def _optional_nested_join(
             )
         else:
             inner += (
-                f"\n  JOIN {_rel_source(r, rv, rels_view)} ON "
+                f"\n  JOIN {_rel_source(r, rv, rels_view, rel_id)} ON "
                 + " AND ".join([on, *rconds])
             )
             inner += (
@@ -3920,7 +4472,7 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         if groups is not None and len(groups) != len(chains):
             groups = None  # defensive: stale/absent group info → one clause
         from_sql, joins, conds = _multi_chain(
-            chains, nodes_view, rels_view, groups
+            chains, nodes_view, rels_view, groups, bool(ast.get("rel_id"))
         )
         if ast.get("lead_with"):
             # MATCH after a leading WITH: the 1-row constant projection
@@ -3942,25 +4494,48 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         ) and not any(r.is_varlength for r in orels):
             joins.append(
                 _optional_nested_join(
-                    oi, onodes, orels, owhere, nodes_view, rels_view
+                    oi, onodes, orels, owhere, nodes_view, rels_view,
+                    bool(ast.get("rel_id")),
                 )
             )
             continue
         if len(orels) == 1 and orels[0].is_varlength:
-            # bounded varlength (validated at parse): LEFT JOIN the
-            # length-union derived table on the anchor, then the
-            # target node; the clause WHERE rides in the final ON
+            # varlength OPTIONAL MATCH: ONE nested parenthesized LEFT
+            # join — (derived expansion JOIN target node ON id +
+            # labels/props) ON anchor — so a failed target test nulls
+            # the whole clause instead of leaving a spurious
+            # null-extended row per expansion walk (r7 fix: target
+            # labels used to be dropped entirely). The derived table is
+            # the bounded length-union (one row per walk, path-row
+            # multiplicity) or, for unbounded `[*]` / deep bounds, the
+            # distinct-frontier recursive CTE (one row per REACHABLE
+            # pair — reachability semantics; multiplicity-sensitive
+            # shapes over an unbounded optional segment are the
+            # documented walk/frontier divergence family). The clause
+            # WHERE rides in the outer ON (it may reference the bound
+            # anchor).
             seg = orels[0]
             dv = f"_ovl{oi}"
             a, b = onodes[0].var, onodes[1].var
-            on2 = f"{b}.ID = {dv}._ob"
+            tgt = onodes[1]
+            if seg.is_unbounded or _needs_recursion(seg):
+                derived = _opt_varlength_recursive_derived(
+                    seg, rels_view, oi, ast.get("max_hops")
+                )
+            else:
+                derived = _opt_varlength_derived(seg, rels_view)
+            tconds = [
+                f"array_contains({b}.LABELS, '{lbl}')" for lbl in tgt.labels
+            ] + [f"{b}.{k} = {lit}" for k, lit in tgt.props]
+            inner_on = " AND ".join([f"{b}.ID = {dv}._ob", *tconds])
+            outer_on = f"{dv}._oa = {a}.ID"
             if owhere:
-                on2 = f"{on2} AND ({owhere})"
+                outer_on += f" AND ({owhere})"
             joins.append(
-                f"LEFT JOIN {_opt_varlength_derived(seg, rels_view)} "
-                f"AS {dv} ON {dv}._oa = {a}.ID"
+                f"LEFT JOIN ({derived} AS {dv}\n"
+                f"  JOIN {nodes_view} AS {b} ON {inner_on}\n"
+                f") ON {outer_on}"
             )
-            joins.append(f"LEFT JOIN {nodes_view} AS {b} ON {on2}")
             continue
         # Cypher's within-clause relationship uniqueness applies to an
         # OPTIONAL MATCH's own pattern too. Each slot's pairwise
@@ -3981,14 +4556,20 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
             for pc in _prop_conds(r, rv):
                 on = f"{on} AND {pc}"
             for j in range(i):
-                for uc in _rel_uniqueness_conds([oslots[j], oslots[i]]):
+                for uc in _rel_uniqueness_conds(
+                    [oslots[j], oslots[i]], bool(ast.get("rel_id"))
+                ):
                     on = f"{on} AND {uc}"
             if owhere and i == len(orels) - 1:
                 # the clause's own WHERE rides in the final ON so a
                 # failed filter nulls the optional pattern instead of
                 # dropping the anchor row (Cypher's semantics)
                 on2 = f"{on2} AND ({owhere})"
-            joins.append(f"LEFT JOIN {_rel_source(r, rv, rels_view)} ON {on}")
+            joins.append(
+                f"LEFT JOIN "
+                f"{_rel_source(r, rv, rels_view, bool(ast.get('rel_id')))} "
+                f"ON {on}"
+            )
             joins.append(f"LEFT JOIN {nodes_view} AS {b} ON {on2}")
 
     if ast["where"]:
@@ -4194,13 +4775,13 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
             "unbounded variable-length with comma-separated patterns is "
             "not supported"
         )
-    unb = [r for r in rels if r.is_unbounded]
+    unb = [r for r in rels if r.is_unbounded or _needs_recursion(r)]
     if len(unb) > 1 or any(
-        r.is_varlength and not r.is_unbounded for r in rels
+        r.is_varlength and r not in unb for r in rels
     ):
         raise CypherUnsupported(
             "only one variable-length segment is supported when a pattern "
-            "contains an unbounded (*) segment"
+            "contains an unbounded (*) or deep-bounded segment"
         )
     seg = unb[0]
     if seg.var:
@@ -4240,8 +4821,13 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
             if seg.direction == "->"
             else ("END_ID", "START_ID")
         )
-    guard = ast.get("max_hops") or UNBOUNDED_HOP_GUARD
-    if seg.minlen > guard:
+    if seg.maxlen is not None:
+        # deep BOUNDED segment: the recursion depth IS the declared
+        # upper bound — exact semantics, no guard truncation
+        guard = seg.maxlen
+    else:
+        guard = ast.get("max_hops") or UNBOUNDED_HOP_GUARD
+    if seg.maxlen is None and seg.minlen > guard:
         if ast.get("max_hops"):
             raise CypherUnsupported(
                 f"variable-length lower bound {seg.minlen} exceeds "
@@ -4466,6 +5052,7 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
             branch_chains,
             nodes_view,
             rels_view,
+            rel_id=bool(ast.get("rel_id")),
             groups=[
                 None if any(r.is_varlength for r in cr) else groups_in[ci]
                 for ci, (_, cr) in enumerate(chains)

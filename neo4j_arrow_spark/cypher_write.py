@@ -360,6 +360,22 @@ class _WriteParser(_Parser):
         raise CypherSyntaxError(f"expected SET or DELETE, got {tok!r}")
 
 
+def _union_rels(rels: DataFrame, new: DataFrame) -> DataFrame:
+    """Union created relationship rows into the graph's rel frame.
+    When the frame carries the surrogate REL_ID column (catalog
+    registration mints it), the ids are re-minted over the WHOLE union:
+    the minting is content-deterministic (hash of columns + duplicate-
+    group index), so minting new rows separately would collide with an
+    existing identical edge — re-minting the union gives every
+    duplicate-group member a distinct index. A plain union for
+    schema-less (triple-identity) frames."""
+    if "REL_ID" not in rels.columns:
+        return rels.unionByName(new)
+    from neo4j_arrow_spark.catalog import mint_rel_ids
+
+    return mint_rel_ids(rels.drop("REL_ID").unionByName(new))
+
+
 def _props_cond(p) -> "F.Column":
     """The node pattern's property equalities as one boolean Column."""
     cond = F.lit(True)
@@ -368,11 +384,13 @@ def _props_cond(p) -> "F.Column":
     return cond
 
 
-def _read_ast(nodes, rels, where, items, chains=None) -> dict:
+def _read_ast(nodes, rels, where, items, chains=None, rel_id=False) -> dict:
     """Synthesize a READ ast projecting ``items`` over the write's
     MATCH pattern — the whole matched-id computation rides the proven
-    read transpiler."""
+    read transpiler. ``rel_id`` mirrors the graph frame's surrogate
+    edge-id mode so within-clause uniqueness matches the read path."""
     return {
+        "rel_id": rel_id,
         "shortest": False,
         "nodes": nodes,
         "rels": rels,
@@ -459,6 +477,7 @@ def execute_cypher_write(
     ``(op, nodes_created, props_set, nodes_deleted, rels_deleted)``."""
     parser = _WriteParser(query)
     ast = parser.parse_write()
+    _rid = rels is not None and "REL_ID" in rels.columns
     if parser.params_used:
         raise CypherUnsupported(
             "parameters in write clauses are not supported (v1)"
@@ -566,7 +585,7 @@ def execute_cypher_write(
         rrows = spark.sql("\nUNION ALL\n".join(rselects))
         return (
             new_nodes,
-            rels.unionByName(rrows),
+            _union_rels(rels, rrows),
             summary(op, created=len(pats), rcre=len(chain)),
         )
 
@@ -579,7 +598,8 @@ def execute_cypher_write(
         ]
         sql = _plain_sql(
             _read_ast(
-                ast["nodes"], ast["rels"], ast["where"], items, ast["chains"]
+                ast["nodes"], ast["rels"], ast["where"], items,
+                ast["chains"], rel_id=_rid,
             ),
             nodes_view,
             rels_view,
@@ -615,7 +635,7 @@ def execute_cypher_write(
             new = new.join(rels.select(*keys), keys, "left_anti")
         new = new.localCheckpoint()  # consumed by count + union
         n_new = new.count()
-        return nodes, rels.unionByName(new), summary(op, rcre=n_new)
+        return nodes, _union_rels(rels, new), summary(op, rcre=n_new)
 
     if op == "label":
         # label add/remove over the matched ids: conditional projection
@@ -625,7 +645,8 @@ def execute_cypher_write(
         items = [(f"{var}.ID", "__sid", False)]
         sql = _plain_sql(
             _read_ast(
-                ast["nodes"], ast["rels"], ast["where"], items, ast["chains"]
+                ast["nodes"], ast["rels"], ast["where"], items,
+                ast["chains"], rel_id=_rid,
             ),
             nodes_view,
             rels_view,
@@ -658,7 +679,8 @@ def execute_cypher_write(
         ]
         sql = _plain_sql(
             _read_ast(
-                ast["nodes"], ast["rels"], ast["where"], items, ast["chains"]
+                ast["nodes"], ast["rels"], ast["where"], items,
+                ast["chains"], rel_id=_rid,
             ),
             nodes_view,
             rels_view,
@@ -681,7 +703,8 @@ def execute_cypher_write(
         ]
         sql = _plain_sql(
             _read_ast(
-                ast["nodes"], ast["rels"], ast["where"], items, ast["chains"]
+                ast["nodes"], ast["rels"], ast["where"], items,
+                ast["chains"], rel_id=_rid,
             ),
             nodes_view,
             rels_view,
@@ -710,7 +733,10 @@ def execute_cypher_write(
     # delete
     items = [(f"{ast['var']}.ID", "__sid", False)]
     sql = _plain_sql(
-        _read_ast(ast["nodes"], ast["rels"], ast["where"], items, ast["chains"]),
+        _read_ast(
+            ast["nodes"], ast["rels"], ast["where"], items,
+            ast["chains"], rel_id=_rid,
+        ),
         nodes_view,
         rels_view,
     )

@@ -38,7 +38,11 @@ class RelField:
     START_ID = "START_ID"
     END_ID = "END_ID"
     TYPE = "TYPE"
-    RESERVED = (START_ID, END_ID, TYPE)
+    #: surrogate relationship id minted at catalog registration (true
+    #: openCypher edge identity for uniqueness predicates) — reserved
+    #: so property scans/writes never treat it as a user property
+    REL_ID = "REL_ID"
+    RESERVED = (START_ID, END_ID, TYPE, REL_ID)
 
 
 #: Spark types accepted as graph property types — the translation of the

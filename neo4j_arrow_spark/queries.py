@@ -70,22 +70,38 @@ def _cypher_query(
 
     sql = cypher_to_sql(
         cypher_text, "gnodes", "grels", dialect="spark",
-        node_props=node_props,
+        node_props=node_props, rel_id=True,
     )
     duck_sql = cypher_to_sql(
         cypher_text, "gnodes", "grels", dialect="duckdb",
-        node_props=node_props,
+        node_props=node_props, rel_id=True,
     )
     if params:
         for k in sorted(params, key=len, reverse=True):
             duck_sql = duck_sql.replace(f"${k}", _sql_literal(params[k]))
-    oracle = f"WITH gnodes AS ({NODES_SQL}),\ngrels AS ({RELS_SQL})\n{duck_sql}"
+    # REL_ID: a surrogate edge id (true openCypher relationship
+    # identity — exact-duplicate parallel edges stay distinct). Any
+    # unique numbering works: it only ever feeds same-row inequality
+    # predicates, never output, so Spark's monotonically_increasing_id
+    # and DuckDB's row_number need not agree.
+    # AS MATERIALIZED: DuckDB inlines plain CTEs per reference, and
+    # row_number() OVER () would then number each scan independently —
+    # two rel slots comparing REL_IDs from different numberings exclude
+    # arbitrary pairs (caught by cypher_comma_patterns). Materializing
+    # pins ONE numbering for the whole query.
+    oracle = (
+        f"WITH gnodes AS ({NODES_SQL}),\n"
+        f"grels AS MATERIALIZED (SELECT *, row_number() OVER () AS REL_ID "
+        f"FROM ({RELS_SQL}))\n{duck_sql}"
+    )
 
     @query(name, oracle=oracle)
     def run(spark: SparkSession, sf_dir: str, _sql=sql, _params=params) -> DataFrame:
         nodes, rels = _graph(spark, sf_dir)
         nodes.createOrReplaceTempView("gnodes")
-        rels.createOrReplaceTempView("grels")
+        from neo4j_arrow_spark.catalog import mint_rel_ids
+
+        mint_rel_ids(rels).createOrReplaceTempView("grels")
         if _params:
             return spark.sql(_sql, args=_params)
         return spark.sql(_sql)
@@ -155,18 +171,25 @@ def _cypher_order_query(name: str, cypher_text: str):
     """Like :func:`_cypher_query` but over the orders graph."""
     from neo4j_arrow_spark.cypher import cypher_to_sql
 
-    sql = cypher_to_sql(cypher_text, "ognodes", "ogrels", dialect="spark")
-    duck_sql = cypher_to_sql(cypher_text, "ognodes", "ogrels", dialect="duckdb")
+    sql = cypher_to_sql(
+        cypher_text, "ognodes", "ogrels", dialect="spark", rel_id=True
+    )
+    duck_sql = cypher_to_sql(
+        cypher_text, "ognodes", "ogrels", dialect="duckdb", rel_id=True
+    )
     oracle = (
         f"WITH ognodes AS ({ORDER_NODES_SQL}),\n"
-        f"ogrels AS ({ORDER_RELS_SQL})\n{duck_sql}"
+        f"ogrels AS MATERIALIZED (SELECT *, row_number() OVER () AS REL_ID "
+        f"FROM ({ORDER_RELS_SQL}))\n{duck_sql}"
     )
 
     @query(name, oracle=oracle)
     def run(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
         nodes, rels = _order_graph(spark, sf_dir)
         nodes.createOrReplaceTempView("ognodes")
-        rels.createOrReplaceTempView("ogrels")
+        from neo4j_arrow_spark.catalog import mint_rel_ids
+
+        mint_rel_ids(rels).createOrReplaceTempView("ogrels")
         return spark.sql(_sql)
 
     run.__name__ = name
@@ -293,6 +316,72 @@ _cypher_query(
     "MATCH (c:Customer)-[r:BUYS_FROM|IN_NATION*]->(n:Nation) "
     "RETURN n.name AS nation, min(size(r)) AS minhops, "
     "count(DISTINCT c.ID) AS reachers ORDER BY nation",
+)
+
+_cypher_query(
+    "cypher_optional_unbounded",
+    # unbounded varlength under OPTIONAL MATCH (r7): distinct-frontier
+    # reachability as the LEFT-join branch — customers reach nations
+    # directly (IN_NATION) and through suppliers (BUYS_FROM->IN_NATION)
+    "MATCH (c:Customer) WHERE c.ID <= 50 "
+    "OPTIONAL MATCH (c)-[:BUYS_FROM|IN_NATION*]->(t:Nation) "
+    "RETURN c.ID AS cid, count(t) AS reachable ORDER BY cid",
+)
+
+_cypher_query(
+    "cypher_optional_unbounded_nulls",
+    # the no-match side: nations have no outgoing BUYS_FROM edges, so
+    # every anchor null-extends and count(x) aggregates the NULLs to 0
+    "MATCH (n:Nation) OPTIONAL MATCH (n)-[:BUYS_FROM*]->(x) "
+    "RETURN n.name AS nation, count(x) AS outreach ORDER BY nation",
+)
+
+_cypher_query(
+    "cypher_varlength_deep",
+    # bounded upper bound past the join-chain cap (*1..6, r7): compiled
+    # as a recursive CTE stopped at EXACTLY maxlen hops — distinct-
+    # frontier mode here (count(DISTINCT)/min are duplicate-
+    # insensitive), so per-hop state stays <= |V|^2 instead of
+    # enumerating every length-6 walk
+    "MATCH (c:Customer)-[r:BUYS_FROM|IN_NATION*1..6]->(n:Nation) "
+    "RETURN n.name AS nation, count(DISTINCT c.ID) AS reachers, "
+    "min(size(r)) AS minhops ORDER BY nation",
+)
+
+_cypher_query(
+    "cypher_call_topk_per_nation",
+    # CALL { } subquery, per-anchor top-k form (r6 verdict #2): the
+    # body's ORDER BY/LIMIT compiles to a row_number window partitioned
+    # on the imported node's id — per-nation top-2 customers by balance
+    # in ONE windowed pass, no per-key re-scan. ID tiebreak keeps the
+    # top-k deterministic for the oracle.
+    "MATCH (n:Nation) CALL { WITH n "
+    "MATCH (c:Customer)-[:IN_NATION]->(n) "
+    "RETURN c.name AS cname, c.acctbal AS bal "
+    "ORDER BY c.acctbal DESC, c.ID LIMIT 2 } "
+    "RETURN n.name AS nation, cname, round(bal, 2) AS bal "
+    "ORDER BY nation, bal DESC, cname",
+)
+
+_cypher_query(
+    "cypher_call_agg_per_nation",
+    # CALL { } subquery, pure-aggregate form: one row per enclosing row
+    # even over zero matches (LEFT join + count coalesced to 0) — the
+    # grouped-subquery decorrelation Spark itself applies to lateral
+    # aggregates, emitted directly and identically for the oracle.
+    "MATCH (n:Nation) CALL { WITH n "
+    "MATCH (c:Customer)-[:IN_NATION]->(n) "
+    "RETURN count(*) AS ncust, sum(c.acctbal) AS rawbal } "
+    "RETURN n.name AS nation, ncust, round(rawbal, 2) AS totbal "
+    "ORDER BY nation",
+)
+
+_cypher_query(
+    "cypher_call_uncorrelated",
+    # uncorrelated CALL { }: the body executes once (a broadcastable
+    # 1-row aggregate) and CROSS JOINs every enclosing row
+    "MATCH (n:Nation) CALL { MATCH (s:Supplier) RETURN count(s) AS nsup } "
+    "RETURN n.name AS nation, nsup ORDER BY nation",
 )
 
 _cypher_query(

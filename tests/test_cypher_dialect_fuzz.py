@@ -228,7 +228,8 @@ def engines(spark):
         "bal double, d date",
     )
     rels = spark.createDataFrame(
-        RELS, "START_ID long, END_ID long, TYPE string, w double"
+        [(i, *r) for i, r in enumerate(RELS)],
+        "REL_ID long, START_ID long, END_ID long, TYPE string, w double",
     )
     nodes.createOrReplaceTempView("fznodes")
     rels.createOrReplaceTempView("fzrels")
@@ -248,10 +249,10 @@ def engines(spark):
     con.execute(
         "CREATE TABLE fzrels AS SELECT * FROM (VALUES "
         + ", ".join(
-            f"({a}, {b}, {ty!r}, {'NULL' if w is None else w})"
-            for a, b, ty, w in RELS
+            f"({i}, {a}, {b}, {ty!r}, {'NULL' if w is None else w})"
+            for i, (a, b, ty, w) in enumerate(RELS)
         )
-        + ") t(START_ID, END_ID, TYPE, w)"
+        + ") t(REL_ID, START_ID, END_ID, TYPE, w)"
     )
     return spark, con
 
@@ -278,8 +279,10 @@ def _cells_equal(a, b) -> bool:
 @given(q=query)
 def test_dialect_emissions_agree(engines, q):
     spark, con = engines
-    spark_sql = cypher_to_sql(q, "fznodes", "fzrels")
-    duck_sql = cypher_to_sql(q, "fznodes", "fzrels", dialect="duckdb")
+    spark_sql = cypher_to_sql(q, "fznodes", "fzrels", rel_id=True)
+    duck_sql = cypher_to_sql(
+        q, "fznodes", "fzrels", dialect="duckdb", rel_id=True
+    )
     got_spark = [tuple(r) for r in spark.sql(spark_sql).collect()]
     got_duck = con.execute(duck_sql).fetchall()
     assert len(got_spark) == len(got_duck), (

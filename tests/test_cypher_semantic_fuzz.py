@@ -7,14 +7,13 @@ over the fixture graph, a ~100-line pure-Python openCypher evaluator
 (written from the spec, ZERO use of cypher_to_sql) computes the
 expected rows, and the transpiled Spark result must match exactly.
 
-The evaluator implements the ENGINE'S documented edge-identity
-divergence on purpose: relationship identity is the (START_ID, END_ID,
-TYPE) triple (the frame has no edge id), so the within-clause
-uniqueness predicate treats exact-duplicate parallel edges as the same
-relationship, while each physical ROW still binds separately
-(multiplicity). Everything else — direction, label filters, property
-maps, ternary NULL logic in WHERE, grouped count(*) — is straight
-openCypher semantics.
+Relationship identity is TRUE openCypher since r7: the fixture rels
+carry the surrogate REL_ID column that catalog registration mints, so
+the evaluator keys within-clause uniqueness on the edge ROW (its list
+index) — exact-duplicate parallel edges are distinct relationships
+(the fixture includes one such pair to pin this). Everything else —
+direction, label filters, property maps, ternary NULL logic in WHERE,
+grouped count(*) — is straight openCypher semantics.
 
 Any counterexample is a real transpiler emission bug (wrong join key,
 direction flip, filter misplacement, NULL mishandling) of exactly the
@@ -45,6 +44,7 @@ EDGES = [
     (1, 2, "K", 1.0),
     (1, 2, "K", 5.0),
     (2, 3, "K", 2.0),
+    (2, 3, "K", 2.0),  # EXACT duplicate — a distinct relationship
     (3, 1, "K", 3.0),
     (4, 2, "T", 1.5),
     (2, 4, "T", 2.5),
@@ -91,12 +91,12 @@ def ref_match(pattern, where=None):
       node_specs: list of (var, labels, props)
       rel_specs:  list of (rtype_or_None, direction)
     Returns a list of dicts var -> node id, one per match (relationship
-    row multiplicity preserved; triple-identity uniqueness enforced
+    row multiplicity preserved; per-row edge-identity uniqueness
     pairwise within the clause)."""
     node_specs, rel_specs = pattern
     out = []
 
-    def extend(i, binding, used_triples):
+    def extend(i, binding, used_ids):
         if i == len(rel_specs):
             if where is None or where(binding) is True:
                 out.append(dict(binding))
@@ -104,10 +104,9 @@ def ref_match(pattern, where=None):
         av, al, ap = node_specs[i]
         bv, bl, bp = node_specs[i + 1]
         rtype, direction = rel_specs[i]
-        for e in EDGES:
-            triple = (e[0], e[1], e[2])
-            if triple in used_triples:
-                continue  # engine identity: the (sid, tid, type) triple
+        for ei, e in enumerate(EDGES):
+            if ei in used_ids:
+                continue  # true openCypher identity: the edge ROW
             for a, b in _edge_matches(e, av, bv, binding, rtype, direction):
                 if not _node_ok(a, al, ap) or not _node_ok(b, bl, bp):
                     continue
@@ -117,7 +116,7 @@ def ref_match(pattern, where=None):
                 if bv in nb and nb[bv] != b:
                     continue
                 nb[av], nb[bv] = a, b
-                extend(i + 1, nb, used_triples | {triple})
+                extend(i + 1, nb, used_ids | {ei})
 
     extend(0, {}, frozenset())
     return out
@@ -256,7 +255,8 @@ def fixture_views(spark):
         "ID long, LABELS array<string>, name string, age long",
     )
     rels = spark.createDataFrame(
-        EDGES, "START_ID long, END_ID long, TYPE string, w double"
+        [(i, *e) for i, e in enumerate(EDGES)],
+        "REL_ID long, START_ID long, END_ID long, TYPE string, w double",
     )
     nodes.createOrReplaceTempView("sfznodes")
     rels.createOrReplaceTempView("sfzrels")
@@ -277,7 +277,7 @@ def test_transpiled_matches_reference_semantics(fixture_views, spec):
     q, pattern, where_fn, grouped, proj_vars = _build(spec)
     expected_bindings = ref_match(pattern, where_fn)
 
-    sql = cypher_to_sql(q, "sfznodes", "sfzrels")
+    sql = cypher_to_sql(q, "sfznodes", "sfzrels", rel_id=True)
     got = [tuple(r) for r in spark.sql(sql).collect()]
 
     if grouped == 0:
@@ -430,10 +430,126 @@ def test_optional_match_reference_semantics(fixture_views, spec):
         else:
             expected.append((mb["a"], mb["b"]) + (None,) * len(ovars))
 
-    sql = cypher_to_sql(q, "sfznodes", "sfzrels")
+    sql = cypher_to_sql(q, "sfznodes", "sfzrels", rel_id=True)
     got = [tuple(r) for r in spark.sql(sql).collect()]
     keyf = lambda row: tuple((v is None, v) for v in row)  # nulls largest
     assert sorted(got, key=keyf) == sorted(expected, key=keyf), (
         f"optional mismatch\nengine    {sorted(got, key=keyf)}\n"
         f"reference {sorted(expected, key=keyf)}\n{q}\n{sql}"
+    )
+
+
+# -- CALL { } subquery fuzz (r7) -----------------------------------------------
+#
+# The call emission has three forms (flat join / keyed derived table /
+# cross join); fuzz the two correlated ones against the evaluator: for
+# each main binding, enumerate the body chain's bindings anchored on
+# the imported variable (rel-uniqueness scoped to the body alone —
+# openCypher: CALL is its own clause scope). Flat mode checks per-row
+# multiplicity; agg mode checks the one-row-per-input-row rule
+# including count(*) = 0 on zero matches (the LEFT-join + coalesce
+# path).
+
+call_query_spec = st.tuples(
+    st.lists(node_spec, min_size=2, max_size=2),   # main (a)-(b)
+    rel_spec,
+    st.integers(min_value=1, max_value=2),         # body chain hops
+    st.lists(rel_spec, min_size=2, max_size=2),
+    st.lists(node_spec, min_size=2, max_size=2),
+    st.one_of(
+        st.none(), st.tuples(st.sampled_from(_PREDS), st.integers(0, 1))
+    ),                                             # body WHERE over x/y
+    st.integers(0, 1),                             # 0 flat, 1 pure-agg
+)
+
+
+def _build_call(spec):
+    mnspecs, mrspec, chops, crspecs, cnspecs, cwspec, mode = spec
+    main_nodes = [
+        ("a", list(mnspecs[0][0]), list(mnspecs[0][1])),
+        ("b", list(mnspecs[1][0]), list(mnspecs[1][1])),
+    ]
+    main_rels = [mrspec]
+    cvars = ["x", "y"][:chops]
+    call_nodes = [("a", [], [])] + [
+        (v, list(cnspecs[i][0]), list(cnspecs[i][1]))
+        for i, v in enumerate(cvars)
+    ]
+    call_rels = [crspecs[i] for i in range(chops)]
+
+    def seg(nv, labels, props):
+        s = nv + "".join(f":{lb}" for lb in labels)
+        if props:
+            kv = ", ".join(
+                f"{k}: {val!r}" if isinstance(val, str) else f"{k}: {val}"
+                for k, val in props
+            )
+            s += f" {{{kv}}}"
+        return f"({s})"
+
+    def rel_txt(rtype, direction):
+        rel = f"[:{rtype}]" if rtype else ""
+        if direction == "->":
+            return f"-{rel}->"
+        if direction == "<-":
+            return f"<-{rel}-"
+        return f"-{rel}-"
+
+    pat = seg(*main_nodes[0]) + rel_txt(*main_rels[0]) + seg(*main_nodes[1])
+    cpat = "(a)"
+    for i, (v, labels, props) in enumerate(call_nodes[1:]):
+        cpat += rel_txt(*call_rels[i]) + seg(v, labels, props)
+
+    cwhere_txt, cwhere_fn = None, None
+    if cwspec is not None:
+        (fmt, fn), vi = cwspec
+        v = cvars[vi % len(cvars)]
+        cwhere_txt = fmt.format(v=v)
+        cwhere_fn = lambda b, fn=fn, v=v: fn(b, v)
+
+    q = f"MATCH {pat} CALL {{ WITH a MATCH {cpat} "
+    if cwhere_txt:
+        q += f"WHERE {cwhere_txt} "
+    if mode == 1:
+        q += "RETURN count(*) AS n } "
+        q += "RETURN id(a) AS ia, id(b) AS ib, n ORDER BY ia, ib, n"
+    else:
+        items = ", ".join(f"id({v}) AS i{v}" for v in cvars)
+        q += f"RETURN {items} }} "
+        tail = ", ".join(f"i{v}" for v in cvars)
+        q += f"RETURN id(a) AS ia, id(b) AS ib, {tail} ORDER BY ia, ib, {tail}"
+    return q, (main_nodes, main_rels), (call_nodes, call_rels), cwhere_fn, cvars, mode
+
+
+@settings(
+    max_examples=100,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(spec=call_query_spec)
+def test_call_subquery_reference_semantics(fixture_views, spec):
+    spark = fixture_views
+    q, main_pat, call_pat, cwhere_fn, cvars, mode = _build_call(spec)
+    main_bindings = ref_match(main_pat, None)
+    sub_all = ref_match(call_pat, cwhere_fn)
+
+    expected = []
+    for mb in main_bindings:
+        rows = [s for s in sub_all if s["a"] == mb["a"]]
+        if mode == 1:
+            expected.append((mb["a"], mb["b"], len(rows)))
+        else:
+            for s in rows:
+                expected.append(
+                    (mb["a"], mb["b"]) + tuple(s[v] for v in cvars)
+                )
+
+    sql = cypher_to_sql(q, "sfznodes", "sfzrels", rel_id=True)
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    assert sorted(got) == sorted(expected), (
+        f"call mismatch\nengine    {sorted(got)}\n"
+        f"reference {sorted(expected)}\n{q}\n{sql}"
     )
