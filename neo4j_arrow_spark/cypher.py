@@ -686,7 +686,12 @@ class _Parser:
             # plain list literal [a, b, …] in expression position
             self.next()
             if self.peek()[1] == "]":
-                raise CypherUnsupported("empty list literals have no type")
+                # empty list: element type coerces from context (both
+                # engines unify CASE/array-function branches) — enables
+                # the FOREACH conditional idiom `CASE WHEN c THEN [1]
+                # ELSE [] END`
+                self.next()
+                return "array()" if self.dialect == "spark" else "[]"
             elems = [self.value()]
             while self.accept(","):
                 elems.append(self.value())
@@ -2041,6 +2046,52 @@ class _Parser:
             limit = self.expect_count("LIMIT")
         return order, skip, limit
 
+    def _splice_relvar_unwind(self, rel_var: str) -> list[str]:
+        """``UNWIND r AS e`` over a BOUNDED varlength rel binding (r7):
+        consume the UNWIND tokens and rewrite every ``e.prop`` to the
+        ``_rup_<prop>`` marker — the branch emission fans each
+        length-L branch into L per-hop copies, each projecting hop k's
+        relationship properties under those markers (openCypher: one
+        row per relationship of the path, in path order). Returns the
+        referenced property names ([] when no such UNWIND exists).
+        Bare uses of the iteration variable (``RETURN e``) raise — a
+        relationship has no scalar form; project ``e.prop``."""
+        alias = None
+        i = self.pos
+        while i < len(self.toks) - 3:
+            if (
+                self.toks[i][1] == "UNWIND"
+                and self.toks[i + 1][:2] == ("name", rel_var)
+                and self.toks[i + 2][1] == "AS"
+                and self.toks[i + 3][0] == "name"
+            ):
+                alias = self.toks[i + 3][1]
+                del self.toks[i : i + 4]
+                break
+            i += 1
+        if alias is None:
+            return []
+        props: set[str] = set()
+        i = self.pos
+        while i < len(self.toks) - 2:
+            if (
+                self.toks[i][:2] == ("name", alias)
+                and self.toks[i + 1][1] == "."
+            ):
+                p = self.toks[i + 2]
+                prop = p[2] if p[0] == "kw" else p[1]
+                props.add(prop)
+                self.toks[i : i + 3] = [("name", f"_rup_{prop}")]
+            i += 1
+        for k, t in ((tt[0], tt[1]) for tt in self.toks[self.pos :]):
+            if (k, t) == ("name", alias):
+                raise CypherUnsupported(
+                    f"UNWIND {rel_var} AS {alias}: a relationship has no "
+                    f"scalar form — project {alias}.<prop>"
+                )
+        self.unwind_aliases.update(f"_rup_{p}" for p in props)
+        return sorted(props)
+
     def _splice_relcount(self, rel_var: str) -> None:
         """Bounded-varlength rel binding ``-[r:T*1..3]->``: rewrite
         ``size(r)`` / ``length(r)`` token runs to the per-branch
@@ -2572,6 +2623,7 @@ class _Parser:
         # a per-branch constant; unbounded: the recursive CTE's
         # _vlp._hops column). Any other reference raises (it would be
         # a LIST of relationships, out of scope).
+        vlp_rel_unwind: list[str] = []
         for r in rels:
             if r.is_varlength and r.var:
                 if sum(1 for x in rels if x.is_varlength) > 1:
@@ -2580,6 +2632,8 @@ class _Parser:
                         "variable needs it to be the pattern's only "
                         "varlength segment"
                     )
+                if not r.is_unbounded and not _needs_recursion(r):
+                    vlp_rel_unwind = self._splice_relvar_unwind(r.var)
                 self._splice_relcount(r.var)
                 r.var = None
                 vlp_path = True
@@ -3073,6 +3127,7 @@ class _Parser:
             "shortest": shortest,
             "all_paths": shortest and all_paths,
             "vlp_path": vlp_path,
+            "vlp_rel_unwind": vlp_rel_unwind,
             "path_subs": path_subs,
             "chains": chains,
             "chain_groups": chain_groups,
@@ -5010,10 +5065,12 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
                 refs.add((var, prop))
     ref_list = sorted(refs)
 
+    rup = ast.get("vlp_rel_unwind") or []
     branches: list[str] = []
     for bi, lengths in enumerate(combos):
         length_it = iter(lengths)
         branch_chains: list[tuple[list[_NodePat], list[_RelPat]]] = []
+        hop_rvs: list[str] = []  # the bound segment's per-hop aliases
         for ci, (cn, cr) in enumerate(chains):
             bn = [cn[0]]
             br: list[_RelPat] = []
@@ -5026,9 +5083,17 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
                         if is_last
                         else _NodePat(f"_v{bi}_{ci}_{i}_{k}")
                     )
+                    rv = r.var if not r.is_varlength else ""
+                    extra = list(r.extra_props)
+                    if rup and r.is_varlength:
+                        # UNWIND r AS e: name every hop slot so the
+                        # per-hop copies below can project its props
+                        rv = f"_bvr{bi}_{len(hop_rvs)}"
+                        hop_rvs.append(rv)
+                        extra = sorted(set(extra) | set(rup))
                     br.append(
                         _RelPat(
-                            r.var if not r.is_varlength else "",
+                            rv,
                             r.rtypes,
                             r.direction,
                             # carry pattern-prop equalities and the
@@ -5037,7 +5102,7 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
                             # lost `{key: val}` filters / `r.prop` refs on
                             # fixed rels in varlength-containing patterns)
                             props=list(r.props),
-                            extra_props=list(r.extra_props),
+                            extra_props=extra,
                         )
                     )
                     bn.append(target)
@@ -5090,6 +5155,21 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
                 f", {nodes[0].var}.ID AS _ep_a"
                 f", {nodes[-1].var}.ID AS _ep_b"
             )
+        if rup:
+            # UNWIND r AS e: L copies of this branch, copy k projecting
+            # hop k's relationship properties — one output row per
+            # relationship of each matched path, in path order
+            for rv in hop_rvs:
+                sel_k = select + "".join(
+                    f", {rv}.{p} AS _rup_{p}" for p in rup
+                )
+                b_sql = f"SELECT {sel_k}\nFROM {from_sql}"
+                for j in joins:
+                    b_sql += f"\n{j}"
+                if conds:
+                    b_sql += "\nWHERE " + " AND ".join(conds)
+                branches.append(b_sql)
+            continue
         b_sql = f"SELECT {select}\nFROM {from_sql}"
         for j in joins:
             b_sql += f"\n{j}"

@@ -23,6 +23,8 @@ eagerly and lineage doesn't stack across writes.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -272,6 +274,62 @@ class _WriteParser(_Parser):
                 "rtype": r.rtypes[0],
                 "rprops": r.props,
             }
+        if t == "FOREACH":
+            # FOREACH (x IN <list> | SET n.prop = <expr>) — the update
+            # applies once per list element in order, so the FINAL
+            # value is the last element's; an empty list applies
+            # nothing (the WHERE below excludes those rows). This
+            # covers both real iteration and the conditional-update
+            # idiom FOREACH (_ IN CASE WHEN c THEN [1] ELSE [] END |
+            # SET ...). Compiled to the ordinary SET machinery with
+            # the iteration variable spliced to element_at(list,
+            # size(list)) — the last element.
+            self.expect("(")
+            it = self.expect_name()
+            self.expect("IN")
+            self._bound = {n.var for n in nodes}
+            self.unwind_aliases.add(it)
+            lst = self.value()
+            self.expect("|")
+            self.expect("SET")
+            fsets: list[tuple[str, str, str]] = []
+            while True:
+                var = self.expect_name()
+                self.expect(".")
+                prop = self.expect_name(kw_ok=True)
+                self.expect("=")
+                fsets.append((var, prop, self.value()))
+                if not self.accept(","):
+                    break
+            self.expect(")")
+            if self.peek()[0] != "eof":
+                raise CypherSyntaxError(
+                    f"unexpected trailing input: {self.peek()[1]!r}"
+                )
+            tvars = {v for v, _, _ in fsets}
+            if len(tvars) != 1:
+                raise CypherUnsupported(
+                    "FOREACH … SET targets one variable per statement "
+                    f"(got {sorted(tvars)})"
+                )
+            if next(iter(tvars)) not in {n.var for n in nodes}:
+                raise CypherSyntaxError(
+                    f"FOREACH SET target {tvars} is not bound"
+                )
+            last = f"element_at(({lst}), size(({lst})))"
+
+            def _splice_iter(expr: str) -> str:
+                parts = re.split(r"('(?:[^'\\]|\\.)*')", expr)
+                for i in range(0, len(parts), 2):
+                    parts[i] = re.sub(
+                        rf"(?<![\w.]){re.escape(it)}\b", last, parts[i]
+                    )
+                return "".join(parts)
+
+            fsets = [(v, p, _splice_iter(e)) for v, p, e in fsets]
+            empty_guard = f"size(({lst})) > 0"
+            fwhere = f"({where}) AND {empty_guard}" if where else empty_guard
+            return {**base, "where": fwhere, "op": "set", "sets": fsets}
         if t == "SET":
             var = self.expect_name()
             if self.peek()[1] == ":":

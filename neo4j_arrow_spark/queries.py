@@ -860,6 +860,42 @@ _cypher_query(
     "ORDER BY n_labels",
 )
 
+_FOREACH_ROUNDTRIP_SQL = """
+    SELECT CAST(n_nationkey + 2000000 AS BIGINT) AS id,
+           CASE WHEN n_name < 'NATION_2' THEN 99.0 ELSE 20.0 END AS bal
+    FROM nation
+"""
+
+
+@query("cypher_foreach_roundtrip", oracle=_FOREACH_ROUNDTRIP_SQL)
+def cypher_foreach_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREACH write clause (r7): a plain iteration (last element
+    wins, openCypher's apply-per-element order) followed by the
+    conditional-update idiom ``FOREACH (_ IN CASE WHEN c THEN [1]
+    ELSE [] END | SET …)``, read back through the read transpiler.
+    The reference gets FOREACH free via Neo4j
+    (TransactionApiJob.java:41-220)."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    api.catalog.register("cfor", nodes, rels, overwrite=True)
+    api.cypher(
+        "MATCH (n:Nation) FOREACH (x IN [5.0, 10.0, 20.0] | "
+        "SET n.acctbal = x)",
+        graph="cfor",
+    ).result(300)
+    api.cypher(
+        "MATCH (n:Nation) FOREACH (_ IN CASE WHEN n.name < 'NATION_2' "
+        "THEN [1] ELSE [] END | SET n.acctbal = 99.0)",
+        graph="cfor",
+    ).result(300)
+    return api.cypher(
+        "MATCH (n:Nation) RETURN n.ID AS id, n.acctbal AS bal",
+        graph="cfor",
+    ).result(300)
+
+
 _CREATE_ROUNDTRIP_SQL = """
     SELECT CAST(n_nationkey + 2000000 AS BIGINT) AS id,
            lower(n_name) AS name

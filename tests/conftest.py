@@ -1,10 +1,28 @@
 from __future__ import annotations
 
+import os
+import subprocess
+import sys
+
 import pytest
 
 from neo4j_arrow_spark.session import get_session
 
 SF_DIR = "/root/testdata/sf0.001"
+
+#: test profile (r6 verdict #6 — the default suite must stay under
+#: ~12 min). "quick" (default) trims hypothesis example counts; "full"
+#: restores the round-gate counts. Select with
+#: ``SPARK_GRAFT_TEST_PROFILE=full pytest tests/``. Coverage note: the
+#: quick profile runs every test and the ENTIRE 220+-query oracle gate
+#: (concurrently, see full_oracle_background) — only the fuzz example
+#: counts shrink.
+PROFILE = os.environ.get("SPARK_GRAFT_TEST_PROFILE", "quick")
+
+
+def fuzz_examples(full_count: int, quick_count: int = 25) -> int:
+    """Hypothesis max_examples for the active profile."""
+    return full_count if PROFILE == "full" else min(full_count, quick_count)
 
 
 @pytest.fixture(scope="session")
@@ -22,3 +40,46 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+# -- full-registry oracle gate, started at session BEGIN -------------------
+#
+# The full oracle run (tools/oracle_check.py, every registry query vs
+# DuckDB at sf0.01) takes ~9 min in its own subprocess/SparkSession.
+# Running it sequentially would alone blow the 12-min budget, so an
+# autouse session fixture launches it when the first test starts and
+# test_full_oracle.py JOINS it at its turn — wall time becomes
+# max(oracle, rest-of-suite) instead of the sum, with zero coverage
+# loss in either profile.
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ORACLE_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session", autouse=True)
+def full_oracle_background(request):
+    selected = any(
+        "test_full_oracle" in item.nodeid for item in request.session.items
+    )
+    if (
+        not selected
+        or os.environ.get("SPARK_GRAFT_SKIP_FULL_ORACLE") == "1"
+        or not os.path.isdir(_ORACLE_SF)
+    ):
+        yield None
+        return
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(_REPO, "tools", "oracle_check.py"), _ORACLE_SF],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        yield proc
+    finally:
+        if proc.poll() is None:
+            proc.terminate()
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()

@@ -25,6 +25,7 @@ from __future__ import annotations
 import itertools
 
 import pytest
+from conftest import fuzz_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -264,7 +265,7 @@ def fixture_views(spark):
 
 
 @settings(
-    max_examples=120,
+    max_examples=fuzz_examples(120),
     deadline=None,
     suppress_health_check=[
         HealthCheck.too_slow,
@@ -398,7 +399,7 @@ def _build_optional(spec):
 
 
 @settings(
-    max_examples=100,
+    max_examples=fuzz_examples(100),
     deadline=None,
     suppress_health_check=[
         HealthCheck.too_slow,
@@ -522,7 +523,7 @@ def _build_call(spec):
 
 
 @settings(
-    max_examples=100,
+    max_examples=fuzz_examples(100),
     deadline=None,
     suppress_health_check=[
         HealthCheck.too_slow,

@@ -416,3 +416,47 @@ def test_create_chain_repeated_var_cycle(wapi):
 def test_create_chain_undirected_rejected(wapi):
     with pytest.raises(CypherUnsupported):
         wapi.cypher("CREATE (x:P {name: 'u'})-[:KNOWS]-(y:P {name: 'v'})")
+
+
+# -- FOREACH (r7) -------------------------------------------------------------
+
+def test_foreach_iteration_last_element_wins(wapi):
+    wapi.cypher(
+        "MATCH (n:P) FOREACH (x IN [10.0, 20.0, 99.0] | SET n.bal = x)",
+        graph="wt",
+    ).result(120)
+    got = {
+        r["name"]: r["bal"]
+        for r in wapi.cypher(
+            "MATCH (n) RETURN n.name AS name, n.bal AS bal", graph="wt"
+        ).result(120).collect()
+    }
+    # the update applies per element in order -> last element wins
+    assert got == {"alice": 99.0, "bob": 99.0, "carol": 30.0}
+
+
+def test_foreach_conditional_idiom(wapi):
+    wapi.cypher(
+        "MATCH (n) FOREACH (_ IN CASE WHEN n.bal > 25.0 THEN [1] ELSE []"
+        " END | SET n.bal = 0.0)",
+        graph="wt",
+    ).result(120)
+    got = {
+        r["name"]: r["bal"]
+        for r in wapi.cypher(
+            "MATCH (n) RETURN n.name AS name, n.bal AS bal", graph="wt"
+        ).result(120).collect()
+    }
+    # only carol (30.0) crossed the threshold; empty lists apply nothing
+    assert got == {"alice": 10.0, "bob": 20.0, "carol": 0.0}
+
+
+def test_foreach_iteration_var_in_value(wapi):
+    wapi.cypher(
+        "MATCH (n:Q) FOREACH (x IN [1.0, 2.0, 3.0] | SET n.bal = x * 100)",
+        graph="wt",
+    ).result(120)
+    got = wapi.cypher(
+        "MATCH (n:Q) RETURN n.bal AS bal", graph="wt"
+    ).result(120).collect()
+    assert [r["bal"] for r in got] == [300.0]
