@@ -305,6 +305,40 @@ def anf_curve(edges: DataFrame, max_hops: int = 3, seed: int = 0) -> DataFrame:
     return out
 
 
+def effective_diameter_hops(
+    curve: DataFrame, q_pct: int = 90
+) -> DataFrame:
+    """The ANF curve's actionable readout: the smallest hop h whose
+    neighborhood function reaches ``q_pct``% of the curve's plateau —
+    the standard effective-diameter estimate (Palmer/Gibbons/Faloutsos,
+    ANF, KDD 2002). One row: ``(eff_hops, plateau_nf_q, nf_at_eff_q)``.
+
+    This is the data-driven escape hatch for the |V|²-tending exact
+    all-origins centralities: run ``anf_curve`` (linear state), read
+    ``eff_hops``, and (a) cap the exact frontier's hop bound at it —
+    beyond the effective diameter each extra hop multiplies cost for
+    <10% more reached pairs — or (b) when ``eff_hops`` is small and
+    the plateau large (a low-diameter giant component), skip the exact
+    expansion entirely and use the ANF/sampled variants, because the
+    (origin, node) pair count approaches |V|² by that hop. All-integer
+    comparison (nf*100 >= plateau*q_pct) keeps it oracle-exact."""
+    plateau = curve.agg(F.max("nf_est_q").alias("_plat"))
+    return (
+        curve.crossJoin(F.broadcast(plateau))
+        .where(F.col("nf_est_q") * 100 >= F.col("_plat") * q_pct)
+        .agg(
+            F.min("hop").cast("int").alias("eff_hops"),
+            F.max("_plat").alias("plateau_nf_q"),
+        )
+        .join(curve.withColumnRenamed("hop", "eff_hops"), "eff_hops")
+        .select(
+            "eff_hops",
+            "plateau_nf_q",
+            F.col("nf_est_q").alias("nf_at_eff_q"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle emission: the identical recurrence, unrolled as SQL text.
 # The CONSTANTS (M, RHO_CAP, ALPHA_PPM, LC_Q) are shared with the Spark

@@ -557,6 +557,17 @@ def harmonic_centrality(
     samplingSize convention). All-origins join powers materialize every
     (origin, node) pair within max_hops — on a low-diameter graph that
     tends to |V|^2, the one shape here that cannot survive 100x.
+
+    Choosing ``max_hops`` and the sampling rate is DATA-DRIVEN, not a
+    guess: run ``operators.anf.anf_curve`` first (linear O(|V|*m)
+    state) and read ``operators.anf.effective_diameter_hops`` — the
+    90%-plateau hop (the ``anf_effective_diameter`` registry query).
+    Cap ``max_hops`` there (hops past the effective diameter multiply
+    frontier cost for <10% more pairs), and when ``eff_hops`` is small
+    while the plateau approaches |V|^2 q-units, skip the exact
+    expansion entirely: the frontier WILL materialize ~|V|^2 rows by
+    that hop, so use ``operators.anf.harmonic_anf`` (estimates) or a
+    source sample sized to the budget instead.
     """
     dist = _bounded_distances(edges, origins, max_hops)
     return dist.groupBy(F.col("origin").alias("node")).agg(
@@ -655,7 +666,12 @@ def closeness_centrality(
 
     Plan: shares _bounded_distances with harmonic_centrality (join
     powers at small bounds, frontier BFS otherwise) — one extra
-    aggregate over the same distance frame, no new shuffle shape."""
+    aggregate over the same distance frame, no new shuffle shape.
+    Same 100-TB guidance as :func:`harmonic_centrality`: size
+    ``max_hops`` / the origin sample from the ANF curve's 90%-plateau
+    hop (``anf.effective_diameter_hops`` / the
+    ``anf_effective_diameter`` registry query) before paying for the
+    exact all-origins frontier."""
     dist = _bounded_distances(edges, origins, max_hops)
     return dist.groupBy(F.col("origin").alias("node")).agg(
         F.count("*").alias("reached"),

@@ -203,7 +203,14 @@ class PurePngImageModule:
 
     @staticmethod
     def open(fp) -> PngImage:
-        return PngImage(*decode(fp.read()))
+        data = fp.read()
+        if data[:2] == b"\xff\xd8":
+            # baseline grayscale JPEG — the second real format behind
+            # the seam (vendored spec codec, operators/jpegcodec.py)
+            from neo4j_arrow_spark.operators import jpegcodec
+
+            return PngImage(*jpegcodec.decode(data))
+        return PngImage(*decode(data))
 
     @staticmethod
     def frombytes(width: int, height: int, channels: int, samples: bytes) -> PngImage:

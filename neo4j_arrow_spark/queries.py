@@ -3642,6 +3642,43 @@ def anf_curve3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "anf_effective_diameter",
+    oracle=_anf_cte()
+    + """
+    , curve AS (
+        SELECT CAST(hop AS INT) AS hop,
+               CAST(sum(est_q) AS BIGINT) AS nf_est_q
+        FROM anf_est GROUP BY hop
+    ), plat AS (SELECT max(nf_est_q) AS _plat FROM curve)
+    SELECT CAST(min(hop) AS INT) AS eff_hops,
+           CAST(max(_plat) AS BIGINT) AS plateau_nf_q
+    FROM curve, plat
+    WHERE nf_est_q * 100 >= _plat * 90
+    """,
+)
+def anf_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 verdict #9: the ANF curve's 90%-plateau hop as a first-class
+    readout — the bound that SIZES the exact all-origins centralities
+    (see harmonic_centrality/closeness_centrality docstrings): cap
+    their hop bound at eff_hops, or switch to the ANF/sampled variants
+    when eff_hops is small and the plateau large (the frontier reaches
+    ~|V|² pairs by that hop). All-integer plateau comparison keeps the
+    readout oracle-exact."""
+    from neo4j_arrow_spark.operators.anf import (
+        anf_curve,
+        effective_diameter_hops,
+    )
+
+    _, rels = _graph(spark, sf_dir)
+    edges = rels.filter(F.col("TYPE") == "BUYS_FROM").select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    return effective_diameter_hops(anf_curve(edges, max_hops=3)).select(
+        "eff_hops", "plateau_nf_q"
+    )
+
+
+@query(
     "link_prediction_nation0",
     oracle=f"""
     WITH rels AS ({RELS_SQL}),

@@ -113,3 +113,23 @@ def test_features_feed_similarity(spark, media):
     feats = mm.extract_features(media, "doc_id", dim=8)
     out = cosine_topk(feats, feats.limit(2), "doc_id", "feature", k=3)
     assert out.groupBy("query_id").count().filter("count != 3").count() == 0
+
+
+def test_real_codec_path_decodes_jpeg(spark):
+    # SECOND real format through the same fake=False seam (r7): a
+    # baseline grayscale JPEG payload decodes on executors via the
+    # magic-byte sniff in the pure backend (Pillow handles it natively
+    # when installed). Lossy codec -> mean-pixel asserted within the
+    # quantization error bound.
+    from neo4j_arrow_spark.operators import jpegcodec
+
+    img = bytes([200]) * (16 * 8)
+    payload = jpegcodec.encode(img, 16, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    dec = mm.decode_image(df, "doc_id", fake=False).first()
+    assert (dec.width, dec.height, dec.channels) == (16, 8, 1)
+    assert abs(dec.mean_pixel - 200 / 255.0) < 0.02
+    feat = mm.extract_features(df, "doc_id", dim=8, fake=False).first()
+    assert len(feat.feature) == 8
