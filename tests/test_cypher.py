@@ -196,8 +196,13 @@ def test_varlength_rejections():
     assert "1 AS _pathlen" in sql and "2 AS _pathlen" in sql
     with pytest.raises(CypherUnsupported, match="supports only"):
         cypher_to_sql("MATCH (a)-[r:T*1..2]->(b) RETURN r.w AS w", "n", "e")
-    with pytest.raises(CypherUnsupported):
-        cypher_to_sql("MATCH (a)-[:T*1..9]->(b) RETURN a.ID", "n", "e")
+    # deep bounds past the join-chain cap compile via the recursive CTE
+    # since r7, stopped at EXACTLY the declared maxlen (no hop-guard
+    # truncation)
+    sql = cypher_to_sql(
+        "MATCH (a)-[:T*1..9]->(b) RETURN DISTINCT b.ID AS i", "n", "e"
+    )
+    assert "WITH RECURSIVE" in sql and "_hops < 9" in sql
     # undirected bounded varlength is SUPPORTED since r6 (each hop joins
     # the natural+reverse union view) — assert it compiles, not rejects
     sql = cypher_to_sql("MATCH (a)-[:T*1..2]-(b) RETURN a.ID", "n", "e")
@@ -810,24 +815,30 @@ def test_optional_where_is_null_preserving(client):
 
 
 def test_optional_varlength_bounded_supported():
-    # r6: bounded varlength in OPTIONAL MATCH compiles to a length-union
-    # derived table LEFT-JOINed on the anchor (unbound rel var only)
+    # bounded varlength in OPTIONAL MATCH: the length-union derived
+    # table and the target node join as ONE nested parenthesized LEFT
+    # join (r7 — target label/prop conds ride the inner ON, so a failed
+    # test nulls the clause instead of dropping or ghost-extending)
     sql = cypher_to_sql(
         "MATCH (n:Nation) OPTIONAL MATCH (n)<-[:T*1..2]-(c) "
         "RETURN n.ID AS i, count(c.ID) AS reach",
         "n", "e",
     )
-    assert "LEFT JOIN (SELECT _h1.END_ID AS _oa" in sql
+    assert "LEFT JOIN ((SELECT _h1.END_ID AS _oa" in sql
     assert "UNION ALL" in sql
+    assert "JOIN n AS c ON c.ID = _ovl0._ob" in sql
 
 
-def test_optional_varlength_unbounded_rejected():
-    with pytest.raises(CypherUnsupported, match="unbounded"):
-        cypher_to_sql(
-            "MATCH (n:Nation) OPTIONAL MATCH (n)<-[:T*]-(c) "
-            "RETURN n.ID AS i",
-            "n", "e",
-        )
+def test_optional_varlength_unbounded_supported():
+    # r7: unbounded varlength under OPTIONAL MATCH compiles to a
+    # distinct-frontier recursive CTE nested as the LEFT-join branch
+    sql = cypher_to_sql(
+        "MATCH (n:Nation) OPTIONAL MATCH (n)<-[:T*]-(c) "
+        "RETURN n.ID AS i, count(c.ID) AS reach",
+        "n", "e",
+    )
+    assert "LEFT JOIN ((WITH RECURSIVE _ovlp0" in sql
+    assert "SELECT DISTINCT _oa, _ob FROM _ovlp0" in sql
 
 
 # -- comma-separated patterns / cycles -------------------------------------

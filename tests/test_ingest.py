@@ -42,7 +42,8 @@ def test_write_nodes_then_rels(spark, cat, node_df, rel_df):
         cat, "wg", rel_df, source_field="src", target_field="dst",
         type_field="relType", cache=False,
     )
-    assert g.rels.columns == ["START_ID", "END_ID", "TYPE", "weight"]
+    # registration mints the surrogate REL_ID (r7 true edge identity)
+    assert g.rels.columns == ["START_ID", "END_ID", "TYPE", "weight", "REL_ID"]
     assert g.rel_count() == 3
 
 
