@@ -12,8 +12,12 @@ barrier; per-query rep lists and second-best/best spreads are recorded
 in the tail line); and any query whose best drifts >1.3x above the
 previous full sweep's record (same sf) is re-measured with up to 2
 extra fresh reps and adjudicated in-harness as ``noise`` /
-``noisy-query`` / ``real`` (``drift`` maps) — round-over-round deltas
-no longer need post-hoc forensics.
+``session-noise`` / ``noisy-query`` / ``real`` (``drift`` maps);
+suspects that survive the extra reps are re-measured in ONE fresh-JVM
+probe subprocess — a drift that vanishes in a fresh process is session
+state, not an engine change, and its fresh number replaces the
+polluted one. Round-over-round deltas no longer need post-hoc
+forensics.
 
 Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
 ``SPARK_GRAFT_CPUS`` (default 32).
@@ -49,9 +53,19 @@ def _timed_noop(df) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    probe = os.environ.get("SPARK_GRAFT_BENCH_PROBE") == "1"
     spark = get_session("neo4j_arrow_spark-bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
+    stream_blob = None
+    if not only:
+        stream_blob = _stream_legs(spark)
+
+    _sweep(spark, sf_dir, runs, only, probe, stream_blob)
+
+
+def _stream_legs(spark) -> dict:
     # The stream leg runs FIRST: after the ~90-query sweep the driver
     # heap carries enough tenured garbage that this allocation-heavy
     # noop write measured 5x slower run-to-run — ordering it before
@@ -142,7 +156,30 @@ def main() -> None:
     stored.write.format("noop").mode("overwrite").save()  # warm-up
     scan_sec = min(_timed_noop(stored) for _ in range(5))
     scan_rows_per_sec = round(n_rows / scan_sec, 0)
+    return {
+        "rows": n_rows,
+        "dim": dim,
+        # r5 changed the synth workload (shared float pool + per-row
+        # slice, methodology-matched to the reference's shared
+        # fauxEmbedding) while keeping the old key — renamed here so
+        # cross-round diffs don't read the workload change as an
+        # engine speedup. r1–r4 "synth_rps" measured per-element math:
+        # compare those rounds against synth_math_rps, which is that
+        # workload (a fresh 256-element array per row).
+        "synth_slice_rps": rows_per_sec,
+        "synth_rps_workload_note": (
+            "synth_slice_rps was synth_rps in r5; r1-r4 synth_rps was "
+            "the per-element-math workload now reported as synth_math_rps"
+        ),
+        "synth_math_rps": math_rows_per_sec,
+        "scan_rps": scan_rows_per_sec,
+        "cypher_verbatim_rps": cypher_rows_per_sec,
+        "baseline_rps": 1_031_461,
+        "baseline_cypher_rps": 500_000,
+    }
 
+
+def _sweep(spark, sf_dir, runs, only, probe, stream_blob) -> None:
     # Per query: `runs` executions at the TARGET sf, record the best.
     # The first execution C2-compiles the query's whole-stage-codegen
     # classes (measured 4x on the khop family: 11.7s cold -> 2.9s
@@ -152,7 +189,6 @@ def main() -> None:
     # the reference's own methodology (speed/26-aug-2021/README.md:
     # 5 warm-ups, best-3-of-5).
     max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "4"))
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     selected = sorted(queries().items())
     if only:
         keep = {s.strip() for s in only.split(",") if s.strip()}
@@ -261,6 +297,63 @@ def main() -> None:
         reps_all[name] = [round(t, 3) for t in times]
         timings[name] = round(best, 3)
 
+    # Fresh-JVM arbitration (the r6 verdict's third suggestion): a
+    # drift that survives extra in-session reps can still be SESSION
+    # state (tenured heap, codegen cache pressure) rather than an
+    # engine change — measured: conductance_lpa2 11.6s in-sweep vs
+    # 3.7s in a fresh process, identical code. Re-measure every
+    # surviving suspect in one probe subprocess (own JVM, GC-barriered
+    # reps, stream legs skipped); if the fresh best lands back inside
+    # the band the verdict flips to "session-noise" and the fresh
+    # number (a true measurement of the same code+data) replaces the
+    # polluted one. Only a fresh-JVM-reproducible slowdown stays
+    # "real".
+    suspects = sorted(
+        n for n, d in drift.items() if d["verdict"] in ("real", "noisy-query")
+    )
+    if suspects and not only and not probe:
+        import subprocess
+
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_ONLY=",".join(suspects),
+            SPARK_GRAFT_BENCH_PROBE="1",
+        )
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            fresh_line = next(
+                (
+                    ln
+                    for ln in reversed(out.stdout.splitlines())
+                    if ln.startswith("{")
+                ),
+                None,
+            )
+            fresh = json.loads(fresh_line)["queries"] if fresh_line else {}
+        except Exception as exc:  # probe failure must not sink the sweep
+            fresh = {}
+            for n in suspects:
+                drift[n]["probe_error"] = str(exc)[:200]
+        for n in suspects:
+            f = fresh.get(n)
+            if f is None:
+                continue
+            d = drift[n]
+            d["fresh_best"] = f
+            if f <= d["prev"] * DRIFT_BAND:
+                d["verdict"] = "session-noise"
+            else:
+                d["verdict"] = "real"
+            if f < timings[n]:
+                timings[n] = round(f, 3)
+                reps_all[n] = reps_all[n] + [round(f, 3)]
+
     # second-best/best repeatability spread per query (1.0 = perfectly
     # repeatable); queries with a single rep report null
     noise = {
@@ -272,31 +365,19 @@ def main() -> None:
         drift_counts[d["verdict"]] = drift_counts.get(d["verdict"], 0) + 1
 
     total = round(sum(timings.values()), 2)
-    stream_blob = {
-        "rows": n_rows,
-        "dim": dim,
-        # r5 changed the synth workload (shared float pool + per-row
-        # slice, methodology-matched to the reference's shared
-        # fauxEmbedding) while keeping the old key — renamed here so
-        # cross-round diffs don't read the workload change as an
-        # engine speedup. r1–r4 "synth_rps" measured per-element math:
-        # compare those rounds against synth_math_rps, which is that
-        # workload (a fresh 256-element array per row).
-        "synth_slice_rps": rows_per_sec,
-        "synth_rps_workload_note": (
-            "synth_slice_rps was synth_rps in r5; r1-r4 synth_rps was "
-            "the per-element-math workload now reported as synth_math_rps"
-        ),
-        "synth_math_rps": math_rows_per_sec,
-        "scan_rps": scan_rows_per_sec,
-        "cypher_verbatim_rps": cypher_rows_per_sec,
-        "baseline_rps": 1_031_461,
-        "baseline_cypher_rps": 500_000,
-    }
     # Full per-query dump goes to a side file (the driver's tail buffer
     # is 2000 chars — round 2's all-queries line overflowed it and the
     # driver recorded parsed:null, losing the round's perf record).
     if only:
+        if probe:
+            # fresh-JVM arbitration probe: report, never touch the dump
+            print(json.dumps({
+                "metric": "registry_queries_total_wall",
+                "value": total, "unit": "sec", "queries": timings,
+                "n_queries": len(timings), "sf": _sf(sf_dir),
+                "probe": True,
+            }))
+            return
         # a filtered run (SPARK_GRAFT_BENCH_ONLY) must not clobber the
         # full-sweep dump — merge its timings into the existing record
         full_path = os.path.join(here, "BENCH_FULL.json")
