@@ -51,6 +51,15 @@ HEAVY = [
     # and the decorrelated pattern-comprehension aggregate
     "cypher_unbounded_relvar_hops",
     "cypher_pattern_comp_degree",
+    # round-7: CALL {} derived-table forms (per-anchor windowed top-k,
+    # keyed LEFT-join aggregate), deep bounded recursion, unbounded
+    # varlength as an OPTIONAL LEFT-join branch, the ANF diameter
+    # readout
+    "cypher_call_topk_per_nation",
+    "cypher_call_agg_per_nation",
+    "cypher_varlength_deep",
+    "cypher_optional_unbounded",
+    "anf_effective_diameter",
 ]
 
 
