@@ -2484,6 +2484,17 @@ class _Parser:
         # leading WITH (no MATCH): a one-row constant projection — the
         # reference's headline benchmark shape (MANIFESTO.md:239-242:
         # WITH [...rand()...] AS fauxEmbedding UNWIND range(...) ...)
+        # leading CALL { } (r7): the canonical uncorrelated-subquery
+        # opener — the body executes once and its result frame is the
+        # query's FROM source (CROSS JOINed in front of a following
+        # MATCH pattern). Imports are impossible at query start (empty
+        # scope), which _parse_call_subquery enforces.
+        lead_call = None
+        if self.peek()[1] == "CALL" and self.toks[self.pos + 1][1] == "{":
+            self.aliases = set()
+            lead_call = self._parse_call_subquery()
+            self.unwind_aliases.update(lead_call["aliases"])
+            self.aliases = None
         lead_with: list[tuple[str, str, bool]] = []
         if self.peek()[1] == "WITH":
             self.next()
@@ -2516,7 +2527,10 @@ class _Parser:
             self.unwind_aliases.update(a for _, a, _ in lead_with)
             self.aliases = None
         if (
-            lead_unwinds or lead_with or self.peek()[1] == "RETURN"
+            lead_unwinds
+            or lead_with
+            or lead_call
+            or self.peek()[1] == "RETURN"
         ) and self.peek()[1] != "MATCH":
             # UNWIND-only query (batch-lookup shape) or a standalone
             # RETURN (one-row expression evaluation): no graph pattern
@@ -3132,6 +3146,7 @@ class _Parser:
             "chains": chains,
             "chain_groups": chain_groups,
             "lead_with": lead_with,
+            "lead_call": lead_call,
             "nodes": nodes,
             "rels": rels,
             "optionals": optionals,
@@ -3476,11 +3491,6 @@ def cypher_to_sql(
         # CALL proc(...) — procedures; CALL { ... } subqueries parse
         # as pipeline elements inside the ordinary query path
         return _call_procedure_sql(query, nodes_view, rels_view, dialect)
-    if re.match(r"\s*CALL\s*\{", query, re.IGNORECASE):
-        raise CypherUnsupported(
-            "a leading CALL { } subquery is not supported — start with "
-            "MATCH and place the CALL after it (or inline the body)"
-        )
     arms, all_flags = _split_union(query)
     if len(arms) > 1:
         # Cypher UNION: every arm is a complete query and must return
@@ -4501,8 +4511,20 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     nodes, rels = ast["nodes"], ast["rels"]
     _collect_undirected_prop_refs(ast)
     unwinds = list(ast.get("unwinds", ()))
+    lc = ast.get("lead_call")
+    lc_sql = (
+        _single_query_sql(lc["sub_parser"], lc["sub_ast"], nodes_view, rels_view)
+        if lc
+        else None
+    )
     if not nodes:
-        if ast.get("lead_with"):
+        if lc is not None:
+            # leading CALL { }: the subquery's result frame IS the
+            # FROM source (execute-once; any UNWINDs explode laterally
+            # over it below)
+            from_sql = f"({lc_sql}) AS _lc0"
+            joins, conds = [], []
+        elif ast.get("lead_with"):
             # leading WITH: a one-row constant projection is the FROM
             # source; every UNWIND rides the lateral-view loop below
             proj = ", ".join(f"{e} AS {a}" for e, a, _ in ast["lead_with"])
@@ -4535,6 +4557,10 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
             # the single row; every lead alias is then a plain column)
             proj = ", ".join(f"{e} AS {a}" for e, a, _ in ast["lead_with"])
             from_sql = f"(SELECT {proj}) AS _w0 CROSS JOIN {from_sql}"
+        if lc is not None:
+            # MATCH after a leading CALL: execute-once result frame
+            # cross-joined in front of the pattern
+            from_sql = f"({lc_sql}) AS _lc0 CROSS JOIN {from_sql}"
 
     for oi, (onodes, orels, owhere) in enumerate(ast["optionals"]):
         # LEFT-JOIN chain: pattern conditions live in the ON clause

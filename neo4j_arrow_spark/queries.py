@@ -377,6 +377,16 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_call_leading",
+    # leading uncorrelated CALL { } (r7): the execute-once body frame
+    # cross-joins in front of the following MATCH — customers richer
+    # than the richest supplier
+    "CALL { MATCH (s:Supplier) RETURN max(s.acctbal) AS topbal } "
+    "MATCH (c:Customer) WHERE c.acctbal > topbal "
+    "RETURN count(*) AS richer",
+)
+
+_cypher_query(
     "cypher_call_uncorrelated",
     # uncorrelated CALL { }: the body executes once (a broadcastable
     # 1-row aggregate) and CROSS JOINs every enclosing row

@@ -554,3 +554,122 @@ def test_call_subquery_reference_semantics(fixture_views, spec):
         f"call mismatch\nengine    {sorted(got)}\n"
         f"reference {sorted(expected)}\n{q}\n{sql}"
     )
+
+
+# -- bounded varlength fuzz (r7) -----------------------------------------------
+#
+# The branch-union emission (*1..2 -> a 1-hop chain UNION ALL a 2-hop
+# chain) is fuzzed against the evaluator under the ENGINE'S documented
+# varlength semantics: walks, with NO per-path edge-uniqueness inside
+# the segment (openCypher would forbid reusing an edge within one
+# path; on this fixture the two differ only for undirected backtracks
+# a-e-b-e-a, since there are no self-loops). Both count(*) walk
+# multiplicity and DISTINCT reachability shapes are checked.
+
+vl_query_spec = st.tuples(
+    st.lists(node_spec, min_size=2, max_size=2),   # endpoints a, b
+    st.sampled_from(_TYPES),
+    st.sampled_from(_DIRS),
+    st.one_of(
+        st.none(), st.tuples(st.sampled_from(_PREDS), st.integers(0, 1))
+    ),
+    st.integers(0, 1),                             # 0 walk counts, 1 distinct
+)
+
+
+def _vl_walks(rtype, direction, a_ok, b_ok):
+    """All (a, b) endpoint pairs of 1- and 2-hop walks (engine
+    semantics: no intra-segment edge uniqueness)."""
+    def steps(frm=None):
+        for e in EDGES:
+            s, t, ty, _w = e
+            if rtype and ty != rtype:
+                continue
+            if direction in ("->", "-") and (frm is None or s == frm):
+                yield s, t
+            if direction in ("<-", "-"):
+                # <- flips the traversal; '-' walks both ways
+                if direction == "<-":
+                    if frm is None or t == frm:
+                        yield t, s
+                elif frm is None or t == frm:
+                    yield t, s
+
+    out = []
+    for a, m in steps():
+        if a_ok(a) and b_ok(m):
+            out.append((a, m))
+        for m2, b in steps(frm=m):
+            if a_ok(a) and b_ok(b):
+                out.append((a, b))
+    return out
+
+
+@settings(
+    max_examples=fuzz_examples(80),
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(spec=vl_query_spec)
+def test_bounded_varlength_reference_semantics(fixture_views, spec):
+    spark = fixture_views
+    (aspec, bspec), rtype, direction, wspec, mode = spec[0], spec[1], spec[2], spec[3], spec[4]
+
+    def seg(nv, labels, props):
+        s = nv + "".join(f":{lb}" for lb in labels)
+        if props:
+            kv = ", ".join(
+                f"{k}: {val!r}" if isinstance(val, str) else f"{k}: {val}"
+                for k, val in props
+            )
+            s += f" {{{kv}}}"
+        return f"({s})"
+
+    rel = f"[:{rtype}*1..2]" if rtype else "[*1..2]"
+    if direction == "->":
+        arrow = f"-{rel}->"
+    elif direction == "<-":
+        arrow = f"<-{rel}-"
+    else:
+        arrow = f"-{rel}-"
+    pat = seg("a", list(aspec[0]), list(aspec[1])) + arrow + seg(
+        "b", list(bspec[0]), list(bspec[1])
+    )
+
+    where_txt, where_fn = None, None
+    if wspec is not None:
+        (fmt, fn), vi = wspec
+        v = ["a", "b"][vi % 2]
+        where_txt = fmt.format(v=v)
+        where_fn = lambda bind, fn=fn, v=v: fn(bind, v)
+
+    q = f"MATCH {pat} "
+    if where_txt:
+        q += f"WHERE {where_txt} "
+    if mode == 0:
+        q += "RETURN id(a) AS ia, id(b) AS ib, count(*) AS n ORDER BY ia, ib"
+    else:
+        q += "RETURN DISTINCT id(a) AS ia, id(b) AS ib ORDER BY ia, ib"
+
+    a_ok = lambda n: _node_ok(n, list(aspec[0]), list(aspec[1]))
+    b_ok = lambda n: _node_ok(n, list(bspec[0]), list(bspec[1]))
+    pairs = _vl_walks(rtype, direction, a_ok, b_ok)
+    if where_fn is not None:
+        pairs = [
+            (a, b) for a, b in pairs if where_fn({"a": a, "b": b}) is True
+        ]
+
+    sql = cypher_to_sql(q, "sfznodes", "sfzrels", rel_id=True)
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    if mode == 0:
+        from collections import Counter
+
+        want = sorted((a, b, c) for (a, b), c in Counter(pairs).items())
+    else:
+        want = sorted(set(pairs))
+    assert got == want, (
+        f"varlength mismatch\nengine    {got}\nreference {want}\n{q}\n{sql}"
+    )
