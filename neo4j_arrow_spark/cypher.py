@@ -394,7 +394,13 @@ class _Parser:
             self.node_pat_vars.add(var)
         n = _NodePat(var)
         while self.accept(":"):
-            n.labels.append(self.expect_name(kw_ok=True))
+            # one colon group; `:A|B` label alternation (openCypher 5)
+            # folds into a single "A|B" entry that _label_cond renders
+            # as an OR of membership tests — groups themselves AND
+            lbl = self.expect_name(kw_ok=True)
+            while self.accept("|"):
+                lbl += "|" + self.expect_name(kw_ok=True)
+            n.labels.append(lbl)
         if self.accept("{"):
             while True:
                 key = self._ident(self.expect_name(kw_ok=True))
@@ -1162,6 +1168,13 @@ class _Parser:
                     return (
                         f"size({lc})" if self.dialect == "spark" else f"len({lc})"
                     )
+                if self.peek()[1] == "(":
+                    # size((a)-[:T]->(b)) — the legacy Neo4j degree
+                    # idiom (deprecated upstream in favor of COUNT{}):
+                    # the same correlated count subquery
+                    out = self._exists_pattern(mode="count")
+                    self.expect(")")
+                    return out
                 if (
                     self.peek()[0] == "name"
                     and self.peek()[1].upper() == "COLLECT"
@@ -1210,6 +1223,23 @@ class _Parser:
                 self.expect(")")
                 name = "STDDEV_SAMP" if fn == "STDEV" else "STDDEV_POP"
                 return f"{name}({inner})"
+            if fn == "PERCENTILEDISC":
+                # nearest-rank percentile: Spark percentile_disc is
+                # WITHIN-GROUP syntax and returns DOUBLE; DuckDB's
+                # quantile_disc keeps the column type — CAST both
+                self.next()
+                self.expect("(")
+                self._saw_agg = True
+                inner = self.value()
+                self.expect(",")
+                p = self.value()
+                self.expect(")")
+                if self.dialect == "spark":
+                    return (
+                        f"percentile_disc({p}) WITHIN GROUP "
+                        f"(ORDER BY {inner})"
+                    )
+                return f"CAST(quantile_disc({inner}, {p}) AS DOUBLE)"
             if fn == "PERCENTILECONT":
                 # interpolated percentile: Spark percentile() is exact/
                 # interpolated, DuckDB's twin is quantile_cont()
@@ -1413,7 +1443,7 @@ class _Parser:
         ecols: list[str] = []
 
         def node_sub(n: _NodePat) -> str | None:
-            nc = [f"array_contains(LABELS, '{lb}')" for lb in n.labels]
+            nc = [_label_cond("", lb) for lb in n.labels]
             nc += [f"{k} = {lit}" for k, lit in n.props]
             if not nc:
                 return None
@@ -1539,7 +1569,7 @@ class _Parser:
                     )
 
         def node_sub(n: _NodePat) -> str | None:
-            conds = [f"array_contains(LABELS, '{lb}')" for lb in n.labels]
+            conds = [_label_cond("", lb) for lb in n.labels]
             conds += [f"{k} = {lit}" for k, lit in n.props]
             if not conds:
                 return None
@@ -1657,7 +1687,7 @@ class _Parser:
         if tc := _type_cond(r, ev):
             conds.append(tc)
         conds.extend(_prop_conds(r, ev))
-        conds += [f"array_contains({dv}.LABELS, '{lb}')" for lb in dst.labels]
+        conds += [_label_cond(f"{dv}.", lb) for lb in dst.labels]
         conds += [f"{dv}.{k} = {lit}" for k, lit in dst.props]
         if inner_where:
             conds.append(f"({inner_where})")
@@ -3165,6 +3195,24 @@ class _Parser:
         }
 
 
+def _label_cond(prefix: str, lbl: str) -> str:
+    """Label condition for one colon group. A group may carry the
+    openCypher label alternation ``:A|B`` (parsed by node() into the
+    single entry "A|B") — it renders as an OR of membership tests;
+    plain groups stay a single array_contains. ``prefix`` is
+    "var." or "" (subqueries over an implicit LABELS column)."""
+    if "|" in lbl:
+        return (
+            "("
+            + " OR ".join(
+                f"array_contains({prefix}LABELS, '{p}')"
+                for p in lbl.split("|")
+            )
+            + ")"
+        )
+    return f"array_contains({prefix}LABELS, '{lbl}')"
+
+
 def _flatten_chains(
     chains: list[tuple[list[_NodePat], list[_RelPat]]],
 ) -> tuple[list[_NodePat], list[_RelPat]]:
@@ -3284,7 +3332,7 @@ def _chain(
         conds.extend(_prop_conds(r, rv))
     for n in nodes:
         for lbl in n.labels:
-            conds.append(f"array_contains({n.var}.LABELS, '{lbl}')")
+            conds.append(_label_cond(f"{n.var}.", lbl))
         for key, lit in n.props:
             conds.append(f"{n.var}.{key} = {lit}")
     return from_sql, joins, conds
@@ -3407,7 +3455,7 @@ def _multi_chain(
     for nodes, _ in chains:
         for n in nodes:
             for lbl in n.labels:
-                c = f"array_contains({n.var}.LABELS, '{lbl}')"
+                c = _label_cond(f"{n.var}.", lbl)
                 if c not in seen_conds:
                     seen_conds.add(c)
                     conds.append(c)
@@ -3842,7 +3890,7 @@ def _match_stage_sql(
         if pm["where"]:
             pm = {**pm, "where": _qual(pm["where"])}
         aconds = [
-            f"array_contains({anchor}.LABELS, '{lbl}')"
+            _label_cond(f"{anchor}.", lbl)
             for lbl in pnodes[0].labels
         ] + [f"{anchor}.{k} = {_qual(v)}" for k, v in pnodes[0].props]
         if aconds:
@@ -3870,7 +3918,7 @@ def _match_stage_sql(
         conds.extend(_prop_conds(r, rv))
     for n in pnodes[1:]:
         for lbl in n.labels:
-            conds.append(f"array_contains({n.var}.LABELS, '{lbl}')")
+            conds.append(_label_cond(f"{n.var}.", lbl))
         for key, lit in n.props:
             conds.append(f"{n.var}.{key} = {lit}")
     if pm["where"]:
@@ -4004,7 +4052,7 @@ def _match_stage_varlength_sql(
             conds.extend(_prop_conds(r, rv))
         for n in bnodes[1:]:
             for lbl in n.labels:
-                conds.append(f"array_contains({n.var}.LABELS, '{lbl}')")
+                conds.append(_label_cond(f"{n.var}.", lbl))
             for key, lit in n.props:
                 conds.append(f"{n.var}.{key} = {lit}")
         if pm["where"]:
@@ -4480,7 +4528,7 @@ def _optional_nested_join(
         rconds.extend(_prop_conds(r, rv))
         tgt = onodes[i + 1]
         nconds = [
-            f"array_contains({b}.LABELS, '{lbl}')" for lbl in tgt.labels
+            _label_cond(f"{b}.", lbl) for lbl in tgt.labels
         ] + [f"{b}.{key} = {lit}" for key, lit in tgt.props]
         for j in range(i):
             nconds.extend(
@@ -4606,7 +4654,7 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
             else:
                 derived = _opt_varlength_derived(seg, rels_view)
             tconds = [
-                f"array_contains({b}.LABELS, '{lbl}')" for lbl in tgt.labels
+                _label_cond(f"{b}.", lbl) for lbl in tgt.labels
             ] + [f"{b}.{k} = {lit}" for k, lit in tgt.props]
             inner_on = " AND ".join([f"{b}.ID = {dv}._ob", *tconds])
             outer_on = f"{dv}._oa = {a}.ID"
@@ -4934,7 +4982,7 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     # fixed through the recursion, so anchor seeding is exact.
     seg_start = nodes[rels.index(seg)]
     seed = [
-        f"array_contains(LABELS, '{lbl}')" for lbl in seg_start.labels
+        _label_cond("", lbl) for lbl in seg_start.labels
     ] + [f"{k} = {lit}" for k, lit in seg_start.props]
     dk = "DISTINCT " if frontier_distinct else ""
     anchor = (
@@ -4996,7 +5044,7 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
             conds.extend(_prop_conds(r, rv))
     for n in nodes:
         for lbl in n.labels:
-            conds.append(f"array_contains({n.var}.LABELS, '{lbl}')")
+            conds.append(_label_cond(f"{n.var}.", lbl))
         for key, lit in n.props:
             conds.append(f"{n.var}.{key} = {lit}")
     if ast["where"]:

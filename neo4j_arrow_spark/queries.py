@@ -377,6 +377,15 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_label_alternation",
+    # :A|B label alternation (openCypher 5): one membership-OR filter
+    # per colon group — Customer-or-Supplier account balances by label
+    "MATCH (n:Customer|Supplier) "
+    "RETURN size(labels(n)) AS nlabels, count(*) AS cnt, "
+    "round(sum(n.acctbal), 2) AS bal ORDER BY nlabels",
+)
+
+_cypher_query(
     "cypher_call_leading",
     # leading uncorrelated CALL { } (r7): the execute-once body frame
     # cross-joins in front of the following MATCH — customers richer

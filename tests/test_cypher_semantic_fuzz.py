@@ -76,7 +76,11 @@ def _edge_matches(e, sid_var, tid_var, binding, rtype, direction):
 
 def _node_ok(nid, labels, props):
     nl, name, age = NODES[nid]
-    if any(lb not in nl for lb in labels):
+    # a label entry may be an alternation group "A|B" (r7): any part
+    # matching satisfies the group; groups AND
+    if any(
+        not any(part in nl for part in lb.split("|")) for lb in labels
+    ):
         return False
     for key, val in props:
         actual = {"name": name, "age": age}[key]
@@ -127,7 +131,7 @@ def ref_match(pattern, where=None):
 
 _DIRS = ("->", "<-", "-")
 _TYPES = (None, "K", "T")
-_LABELS = ((), ("P",), ("Q",), ("R",), ("P", "Q"))
+_LABELS = ((), ("P",), ("Q",), ("R",), ("P", "Q"), ("Q|R",), ("P|Q",))
 _PROPS = ((), (("name", "bob"),), (("age", 40),))
 
 node_spec = st.tuples(st.sampled_from(_LABELS), st.sampled_from(_PROPS))
