@@ -1129,17 +1129,35 @@ class _Parser:
                 self.expect(")")
                 return f"{fn}({inner})"
             if fn == "COLLECT":
-                # Cypher's list aggregate. Emitted per dialect as a
-                # SORTED comma-joined string (documented divergence:
-                # Cypher preserves encounter order, which a distributed
-                # engine cannot reproduce deterministically — sorting
-                # makes the result a pure function of the data, which
-                # is also what lets the oracle verify it).
+                # Cypher's list aggregate. In FINAL output position it
+                # is emitted as a SORTED comma-joined string (documented
+                # divergence: Cypher preserves encounter order, which a
+                # distributed engine cannot reproduce deterministically
+                # — sorting makes the result a pure function of the
+                # data, which is also what lets the oracle verify it).
+                # In a WITH stage (r7) it stays a REAL sorted array so
+                # the alias composes downstream: UNWIND it, size() it,
+                # index it — the string form only materializes at the
+                # observable boundary.
                 self.next()
                 self.expect("(")
                 self._saw_agg = True
                 distinct = self.accept("DISTINCT")
                 inner = self.value()
+                if getattr(self, "_collect_array", False):
+                    self.expect(")")
+                    if self.dialect == "spark":
+                        agg = (
+                            f"collect_set({inner})"
+                            if distinct
+                            else f"collect_list({inner})"
+                        )
+                        return f"sort_array({agg})"
+                    d = "DISTINCT " if distinct else ""
+                    return (
+                        f"list_sort(list({d}{inner}) "
+                        f"FILTER (({inner}) IS NOT NULL))"
+                    )
                 if distinct:
                     inner = f"DISTINCT {inner}"
                 self.expect(")")
@@ -1191,12 +1209,22 @@ class _Parser:
                     self.expect(")")
                     self.expect(")")
                     return f"COUNT({distinct}{inner})"
-                inner_fn = self.expect_name()
-                if inner_fn.lower() != "labels":
-                    raise CypherUnsupported(
-                        "size() supports size(labels(var)) or a list "
-                        "comprehension only"
+                if not (
+                    self.peek()[0] == "name"
+                    and self.peek()[1].lower() == "labels"
+                    and self.toks[self.pos + 1][1] == "("
+                ):
+                    # size(<list expression>) — a carried collect()
+                    # alias, split(), a list literal … (r7): plain
+                    # element count. Strings should use length().
+                    v = self.value()
+                    self.expect(")")
+                    return (
+                        f"size({v})"
+                        if self.dialect == "spark"
+                        else f"len({v})"
                     )
+                inner_fn = self.expect_name()
                 self.expect("(")
                 var = self.expect_name()
                 self.expect(")")
@@ -2901,6 +2929,9 @@ class _Parser:
             if self.accept("WITH"):
                 wdistinct = self.accept("DISTINCT")
                 first_stage = self.aliases is None
+                # collect() in a WITH stage stays a real sorted array
+                # (string form only at the final RETURN boundary)
+                self._collect_array = True
                 if self.peek()[1] == "*":
                     self.next()
                     witems = _star_items()
@@ -2910,6 +2941,7 @@ class _Parser:
                     witems = [self.return_item()]
                     while self.accept(","):
                         witems.append(self.return_item())
+                self._collect_array = False
                 # a node variable carried BARE through this WITH keeps
                 # full property access downstream (openCypher grouping
                 # semantics) — the consuming stage re-joins the node

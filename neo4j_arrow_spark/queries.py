@@ -377,6 +377,16 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_with_collect_array",
+    # collect() as a REAL array through a WITH stage (r7): size/index
+    # compose; the per-nation customer-name list's extremes
+    "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+    "WITH n.name AS nation, collect(c.name) AS members "
+    "RETURN nation, size(members) AS n_members, members[0] AS first "
+    "ORDER BY nation",
+)
+
+_cypher_query(
     "cypher_label_alternation",
     # :A|B label alternation (openCypher 5): one membership-OR filter
     # per colon group — Customer-or-Supplier account balances by label

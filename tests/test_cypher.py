@@ -1061,8 +1061,12 @@ def test_size_labels_dialect_split():
     q = "MATCH (n) RETURN size(labels(n)) AS n_labels, count(*) AS c"
     assert "size(n.LABELS)" in cypher_to_sql(q, "gn", "gr", "spark")
     assert "len(n.LABELS)" in cypher_to_sql(q, "gn", "gr", "duckdb")
-    with pytest.raises(CypherUnsupported):
-        cypher_to_sql("MATCH (n) RETURN size(n.name) AS s", "gn", "gr")
+    # r7: size(<expr>) is the generic list length (carried collect
+    # aliases, split(), literals); a string-typed argument surfaces the
+    # engine's own type error — use length() for strings
+    assert "size(n.name)" in cypher_to_sql(
+        "MATCH (n) RETURN size(n.name) AS s", "gn", "gr"
+    )
 
 
 def test_size_labels_end_to_end(client):
