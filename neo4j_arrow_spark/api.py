@@ -108,10 +108,15 @@ class Neo4jArrowSpark:
                 node_props=[
                     c for c in g.nodes.columns if c not in ("ID", "LABELS")
                 ],
-                # registration mints REL_ID (catalog.register), giving
-                # true openCypher edge identity; schema-less frames fall
-                # back to (START_ID, END_ID, TYPE) triple mode
-                rel_id=g.rels is not None and "REL_ID" in g.rels.columns,
+                # registration mints (REL_ID, REL_ID2) into the
+                # companion `<graph>_rels_eid` view (catalog.register),
+                # giving true openCypher edge identity; the transpiler
+                # reads the eid view ONLY when the query references
+                # edge identity, so identity-free queries never pay the
+                # minting shuffle. Frames with no eid view fall back to
+                # (START_ID, END_ID, TYPE) triple mode.
+                rel_id=g.rels_eid is not None,
+                rels_eid_view=f"{graph}_rels_eid",
             )
             missing = needed - set(params or {})
             if missing:
@@ -172,17 +177,25 @@ class Neo4jArrowSpark:
         g = self.catalog.get(graph, db, self.username)
 
         def run() -> DataFrame:
+            # writes operate on the identity-minted frame/view so any
+            # multi-rel-slot read part keeps true openCypher edge
+            # identity; the result (pre-minted) re-registers without a
+            # second minting pass
             new_nodes, new_rels, summary = execute_cypher_write(
                 self.spark,
                 g.nodes,
-                g.rels,
+                g.rels_eid if g.rels_eid is not None else g.rels,
                 query,
                 f"{graph}_nodes",
-                f"{graph}_rels",
+                f"{graph}_rels_eid" if g.rels_eid is not None else f"{graph}_rels",
             )
             if new_nodes is not g.nodes:
                 new_nodes = new_nodes.localCheckpoint()
-            if new_rels is not None and new_rels is not g.rels:
+            if (
+                new_rels is not None
+                and new_rels is not g.rels
+                and new_rels is not g.rels_eid
+            ):
                 new_rels = new_rels.localCheckpoint()
             self.catalog.register(
                 graph,

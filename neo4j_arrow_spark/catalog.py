@@ -25,25 +25,36 @@ class GraphNotFound(KeyError):
 
 
 def mint_rel_ids(rels: "DataFrame") -> "DataFrame":
-    """Surrogate relationship id (true openCypher edge identity: exact
-    duplicate parallel edges are distinct relationships). The id must be
-    CONTENT-DETERMINISTIC — a multi-slot pattern references the rels
-    view more than once, and each reference re-evaluates the plan; an
-    order-dependent id (monotonically_increasing_id after a shuffle)
+    """Surrogate relationship identity (true openCypher edge identity:
+    exact duplicate parallel edges are distinct relationships). The id
+    must be CONTENT-DETERMINISTIC — a multi-slot pattern references the
+    rels view more than once, and each reference re-evaluates the plan;
+    an order-dependent id (monotonically_increasing_id after a shuffle)
     would number the two evaluations differently and the uniqueness
-    predicate would excise arbitrary pairs. ``xxhash64(all columns,
-    within-duplicate-group row_number)`` is stable as a relation across
-    re-evaluations (identical rows are interchangeable, so which twin
-    gets k=1 is unobservable) and needs one all-columns hash partition
-    — parallel at any scale, no global sort. Only same-row inequality
-    predicates ever read the id; it is never output."""
+    predicate would excise arbitrary pairs. ``xxhash64(seed, all
+    columns, within-duplicate-group row_number)`` is stable as a
+    relation across re-evaluations (identical rows are interchangeable,
+    so which twin gets k=1 is unobservable) and needs one all-columns
+    hash partition — parallel at any scale, no global sort.
+
+    Identity is 128-bit: TWO independently-seeded hashes (``REL_ID``,
+    ``REL_ID2``). A single 64-bit hash expects collisions around 1e10
+    edges — inside the 100-TB design target — and a collision makes the
+    ``r1 <> r2`` uniqueness predicate silently drop a valid row pair.
+    Comparing the pair pushes expected collisions past 1e18 edges.
+    ``id(r)`` returns REL_ID alone (a documented 64-bit readout);
+    uniqueness predicates always compare both columns."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    cols = list(rels.columns)
+    cols = [c for c in rels.columns if c not in ("REL_ID", "REL_ID2")]
+    base = rels.select(*cols)
     w = Window.partitionBy(*cols).orderBy(F.lit(1))
-    return rels.withColumn(
-        "REL_ID", F.xxhash64(*cols, F.row_number().over(w))
+    rn = F.row_number().over(w)
+    return base.select(
+        "*",
+        F.xxhash64(F.lit(1), *cols, rn).alias("REL_ID"),
+        F.xxhash64(F.lit(2), *cols, rn).alias("REL_ID2"),
     )
 
 
@@ -98,17 +109,37 @@ class GraphCatalog:
             validate_nodes(nodes)
             if rels is not None:
                 validate_rels(rels)
-        if rels is not None and "REL_ID" not in rels.columns:
-            rels = mint_rel_ids(rels)
+        # Two rel views: `<name>_rels` is the PLAIN frame (no identity
+        # minting — no window, no all-columns shuffle on read), and
+        # `<name>_rels_eid` carries the surrogate (REL_ID, REL_ID2)
+        # identity. The Cypher transpiler picks the eid view ONLY when
+        # the query actually references edge identity (multi-rel-slot
+        # uniqueness, id(r), count(r)); every other query reads the
+        # plain view and never pays the minting shuffle+window — the
+        # r7 read-path tax, removed.
+        rels_eid = None
+        if rels is not None:
+            if "REL_ID" in rels.columns and "REL_ID2" in rels.columns:
+                rels_eid = rels  # pre-minted (e.g. a write's output)
+            else:
+                rels_eid = mint_rel_ids(rels)
         if cache:
             nodes = nodes.cache()
             if rels is not None:
                 rels = rels.cache()
-        graph = Graph(name=name, nodes=nodes, rels=rels, database=database, username=username)
+        graph = Graph(
+            name=name,
+            nodes=nodes,
+            rels=rels,
+            rels_eid=rels_eid,
+            database=database,
+            username=username,
+        )
         self._graphs[key] = graph
         nodes.createOrReplaceTempView(f"{name}_nodes")
         if rels is not None:
             rels.createOrReplaceTempView(f"{name}_rels")
+            rels_eid.createOrReplaceTempView(f"{name}_rels_eid")
         return graph
 
     def get(self, name: str, database: str = "neo4j", username: str = "neo4j") -> Graph:
@@ -130,6 +161,7 @@ class GraphCatalog:
         self.spark.catalog.dropTempView(f"{name}_nodes")
         if graph.rels is not None:
             self.spark.catalog.dropTempView(f"{name}_rels")
+            self.spark.catalog.dropTempView(f"{name}_rels_eid")
 
     def list(self) -> list[tuple[str, str, str]]:
         """list_flights parity (Producer.java:412-416): enumerate streams."""

@@ -1483,7 +1483,7 @@ class _Parser:
             und = r.direction == "-"
             slots.append((ev, und, list(r.rtypes), 0))
             if und:
-                rid = " REL_ID," if self.rel_id else ""
+                rid = " REL_ID, REL_ID2," if self.rel_id else ""
                 hop_src = (
                     f"(SELECT{rid} START_ID, END_ID, TYPE,"
                     " START_ID AS _OS, END_ID AS _OE FROM __RELS__"
@@ -3278,7 +3278,7 @@ def _rel_source(
         # rel-uniqueness predicate compares edge identity, not the
         # view's swapped endpoints (two distinct anti-parallel edges
         # must stay distinct — r6 semantic-fuzz finding)
-        rid = " REL_ID," if rel_id else ""
+        rid = " REL_ID, REL_ID2," if rel_id else ""
         return (
             f"(SELECT{rid} START_ID, END_ID, TYPE{extra},"
             f" START_ID AS _OS, END_ID AS _OE FROM {rels_view}"
@@ -3400,10 +3400,16 @@ def _rel_uniqueness_conds(
             if t1 and t2 and not (set(t1) & set(t2)):
                 continue  # disjoint declared types can never collide
             if rel_id:
-                # surrogate edge id (true openCypher identity): exact
-                # duplicates are distinct relationships; the undirected
-                # union view carries REL_ID through the flip
-                out.append(f"{rv1}.REL_ID <> {rv2}.REL_ID")
+                # surrogate edge identity (true openCypher: exact
+                # duplicates are distinct relationships); the undirected
+                # union view carries the columns through the flip. The
+                # identity is the 128-bit (REL_ID, REL_ID2) pair — see
+                # catalog.mint_rel_ids — so a 64-bit hash collision
+                # between distinct edges cannot excise a valid pair.
+                out.append(
+                    f"({rv1}.REL_ID <> {rv2}.REL_ID"
+                    f" OR {rv1}.REL_ID2 <> {rv2}.REL_ID2)"
+                )
                 continue
             s1, e1 = ident(rv1, und1)
             s2, e2 = ident(rv2, und2)
@@ -3556,6 +3562,7 @@ def cypher_to_sql(
     max_hops: int | None = None,
     node_props: list[str] | None = None,
     rel_id: bool = False,
+    rels_eid_view: str | None = None,
 ) -> str:
     """Transpile the Cypher subset to one SQL string over the graph
     views. Every construct except ``collect()`` and ``UNWIND`` emits
@@ -3566,7 +3573,48 @@ def cypher_to_sql(
     ``$name`` query parameters become named-parameter markers
     (``:name`` for Spark, ``$name`` for DuckDB); the referenced names
     are added to ``params_out`` when provided, so callers can check
-    the binding set before execution."""
+    the binding set before execution.
+
+    ``rels_eid_view`` names the identity-minted companion view
+    (catalog registers ``<name>_rels_eid`` with the surrogate
+    (REL_ID, REL_ID2) columns). When given with ``rel_id=True`` the
+    transpile is TWO-PASS: pass 1 emits against the eid view assuming
+    identity is available; if the emitted SQL never actually
+    references an identity column (single-rel-slot queries, the vast
+    majority), pass 2 re-emits against the plain view with
+    ``rel_id=False`` — so identity-free queries never pay the minting
+    window's full-edge-table shuffle (the r7 read-path tax)."""
+    if rel_id and rels_eid_view is not None:
+        scratch: set[str] = set()
+        sql = _cypher_to_sql_once(
+            query, nodes_view, rels_eid_view, dialect, scratch,
+            max_hops, node_props, rel_id=True,
+        )
+        if re.search(r"\.REL_ID", sql) is None:
+            sql = _cypher_to_sql_once(
+                query, nodes_view, rels_view, dialect, scratch,
+                max_hops, node_props, rel_id=False,
+            )
+        if params_out is not None:
+            params_out.update(scratch)
+        return sql
+    return _cypher_to_sql_once(
+        query, nodes_view, rels_view, dialect, params_out,
+        max_hops, node_props, rel_id,
+    )
+
+
+def _cypher_to_sql_once(
+    query: str,
+    nodes_view: str,
+    rels_view: str,
+    dialect: str = "spark",
+    params_out: set[str] | None = None,
+    max_hops: int | None = None,
+    node_props: list[str] | None = None,
+    rel_id: bool = False,
+) -> str:
+    """Single-pass transpile against one rels view (see cypher_to_sql)."""
     if re.match(r"\s*CALL\s+[A-Za-z_]", query, re.IGNORECASE):
         # CALL proc(...) — procedures; CALL { ... } subqueries parse
         # as pipeline elements inside the ordinary query path

@@ -431,7 +431,7 @@ def _union_rels(rels: DataFrame, new: DataFrame) -> DataFrame:
         return rels.unionByName(new)
     from neo4j_arrow_spark.catalog import mint_rel_ids
 
-    return mint_rel_ids(rels.drop("REL_ID").unionByName(new))
+    return mint_rel_ids(rels.drop("REL_ID", "REL_ID2").unionByName(new))
 
 
 def _props_cond(p) -> "F.Column":

@@ -42,7 +42,8 @@ class RelField:
     #: openCypher edge identity for uniqueness predicates) — reserved
     #: so property scans/writes never treat it as a user property
     REL_ID = "REL_ID"
-    RESERVED = (START_ID, END_ID, TYPE, REL_ID)
+    REL_ID2 = "REL_ID2"
+    RESERVED = (START_ID, END_ID, TYPE, REL_ID, REL_ID2)
 
 
 #: Spark types accepted as graph property types — the translation of the
@@ -128,6 +129,11 @@ class Graph:
     name: str
     nodes: DataFrame
     rels: DataFrame | None = None
+    #: rels + the surrogate (REL_ID, REL_ID2) edge-identity columns —
+    #: set by catalog registration; read only by queries that actually
+    #: reference edge identity (the plain ``rels`` frame is the default
+    #: read path, so the minting window never taxes identity-free reads)
+    rels_eid: DataFrame | None = None
     database: str = "neo4j"
     username: str = "neo4j"
     metadata: dict = field(default_factory=dict)

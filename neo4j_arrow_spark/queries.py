@@ -70,38 +70,51 @@ def _cypher_query(
 
     sql = cypher_to_sql(
         cypher_text, "gnodes", "grels", dialect="spark",
-        node_props=node_props, rel_id=True,
+        node_props=node_props, rel_id=True, rels_eid_view="grels_eid",
     )
     duck_sql = cypher_to_sql(
         cypher_text, "gnodes", "grels", dialect="duckdb",
-        node_props=node_props, rel_id=True,
+        node_props=node_props, rel_id=True, rels_eid_view="grels_eid",
     )
     if params:
         for k in sorted(params, key=len, reverse=True):
             duck_sql = duck_sql.replace(f"${k}", _sql_literal(params[k]))
-    # REL_ID: a surrogate edge id (true openCypher relationship
-    # identity — exact-duplicate parallel edges stay distinct). Any
-    # unique numbering works: it only ever feeds same-row inequality
-    # predicates, never output, so Spark's monotonically_increasing_id
-    # and DuckDB's row_number need not agree.
+    # grels is the PLAIN edge view; grels_eid carries the surrogate
+    # (REL_ID, REL_ID2) identity (true openCypher relationship
+    # identity — exact-duplicate parallel edges stay distinct). The
+    # transpiler picks grels_eid only when the query references edge
+    # identity, so identity-free queries skip the minting cost on both
+    # engines. Any unique numbering works for the oracle: identity only
+    # feeds same-row inequality predicates (and id(r), whose raw value
+    # no registry query outputs), so Spark's hash and DuckDB's
+    # row_number need not agree.
     # AS MATERIALIZED: DuckDB inlines plain CTEs per reference, and
     # row_number() OVER () would then number each scan independently —
     # two rel slots comparing REL_IDs from different numberings exclude
     # arbitrary pairs (caught by cypher_comma_patterns). Materializing
-    # pins ONE numbering for the whole query.
+    # pins ONE numbering for the whole query. DuckDB skips unreferenced
+    # CTEs, so defining grels_eid unconditionally costs nothing.
     oracle = (
         f"WITH gnodes AS ({NODES_SQL}),\n"
-        f"grels AS MATERIALIZED (SELECT *, row_number() OVER () AS REL_ID "
+        f"grels AS ({RELS_SQL}),\n"
+        f"grels_eid AS MATERIALIZED (SELECT *, row_number() OVER () "
+        f"AS REL_ID, row_number() OVER () AS REL_ID2 "
         f"FROM ({RELS_SQL}))\n{duck_sql}"
     )
+    needs_eid = ".REL_ID" in sql
 
     @query(name, oracle=oracle)
-    def run(spark: SparkSession, sf_dir: str, _sql=sql, _params=params) -> DataFrame:
+    def run(
+        spark: SparkSession, sf_dir: str, _sql=sql, _params=params,
+        _eid=needs_eid,
+    ) -> DataFrame:
         nodes, rels = _graph(spark, sf_dir)
         nodes.createOrReplaceTempView("gnodes")
-        from neo4j_arrow_spark.catalog import mint_rel_ids
+        rels.createOrReplaceTempView("grels")
+        if _eid:
+            from neo4j_arrow_spark.catalog import mint_rel_ids
 
-        mint_rel_ids(rels).createOrReplaceTempView("grels")
+            mint_rel_ids(rels).createOrReplaceTempView("grels_eid")
         if _params:
             return spark.sql(_sql, args=_params)
         return spark.sql(_sql)
@@ -172,24 +185,31 @@ def _cypher_order_query(name: str, cypher_text: str):
     from neo4j_arrow_spark.cypher import cypher_to_sql
 
     sql = cypher_to_sql(
-        cypher_text, "ognodes", "ogrels", dialect="spark", rel_id=True
+        cypher_text, "ognodes", "ogrels", dialect="spark", rel_id=True,
+        rels_eid_view="ogrels_eid",
     )
     duck_sql = cypher_to_sql(
-        cypher_text, "ognodes", "ogrels", dialect="duckdb", rel_id=True
+        cypher_text, "ognodes", "ogrels", dialect="duckdb", rel_id=True,
+        rels_eid_view="ogrels_eid",
     )
     oracle = (
         f"WITH ognodes AS ({ORDER_NODES_SQL}),\n"
-        f"ogrels AS MATERIALIZED (SELECT *, row_number() OVER () AS REL_ID "
+        f"ogrels AS ({ORDER_RELS_SQL}),\n"
+        f"ogrels_eid AS MATERIALIZED (SELECT *, row_number() OVER () "
+        f"AS REL_ID, row_number() OVER () AS REL_ID2 "
         f"FROM ({ORDER_RELS_SQL}))\n{duck_sql}"
     )
+    needs_eid = ".REL_ID" in sql
 
     @query(name, oracle=oracle)
-    def run(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+    def run(spark: SparkSession, sf_dir: str, _sql=sql, _eid=needs_eid) -> DataFrame:
         nodes, rels = _order_graph(spark, sf_dir)
         nodes.createOrReplaceTempView("ognodes")
-        from neo4j_arrow_spark.catalog import mint_rel_ids
+        rels.createOrReplaceTempView("ogrels")
+        if _eid:
+            from neo4j_arrow_spark.catalog import mint_rel_ids
 
-        mint_rel_ids(rels).createOrReplaceTempView("ogrels")
+            mint_rel_ids(rels).createOrReplaceTempView("ogrels_eid")
         return spark.sql(_sql)
 
     run.__name__ = name

@@ -262,7 +262,7 @@ def fixture_views(spark):
     rels = spark.createDataFrame(
         [(i, *e) for i, e in enumerate(EDGES)],
         "REL_ID long, START_ID long, END_ID long, TYPE string, w double",
-    )
+    ).selectExpr("*", "REL_ID AS REL_ID2")
     nodes.createOrReplaceTempView("sfznodes")
     rels.createOrReplaceTempView("sfzrels")
     return spark

@@ -42,8 +42,13 @@ def test_write_nodes_then_rels(spark, cat, node_df, rel_df):
         cat, "wg", rel_df, source_field="src", target_field="dst",
         type_field="relType", cache=False,
     )
-    # registration mints the surrogate REL_ID (r7 true edge identity)
-    assert g.rels.columns == ["START_ID", "END_ID", "TYPE", "weight", "REL_ID"]
+    # r8: the plain rels frame stays unminted (no identity-window read
+    # tax); the surrogate 128-bit identity lives on the companion
+    # rels_eid frame/view that only identity-referencing queries read
+    assert g.rels.columns == ["START_ID", "END_ID", "TYPE", "weight"]
+    assert g.rels_eid.columns == [
+        "START_ID", "END_ID", "TYPE", "weight", "REL_ID", "REL_ID2",
+    ]
     assert g.rel_count() == 3
 
 
