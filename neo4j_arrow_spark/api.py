@@ -108,6 +108,11 @@ class Neo4jArrowSpark:
                 node_props=[
                     c for c in g.nodes.columns if c not in ("ID", "LABELS")
                 ],
+                # RETURN r (bare rel projection) needs the rel property
+                # schema the same way
+                rel_props=None if g.rels is None else [
+                    c for c in g.rels.columns if c not in RelField.RESERVED
+                ],
                 # registration mints (REL_ID, REL_ID2) into the
                 # companion `<graph>_rels_eid` view (catalog.register),
                 # giving true openCypher edge identity; the transpiler

@@ -250,6 +250,21 @@ class _Parser:
         #: surfacing an opaque AnalysisException later
         self.node_pat_vars: set[str] = set()
         self.rel_pat_vars: set[str] = set()
+        #: rel variables bound to a VARLENGTH pattern — these are rel
+        #: LISTS, so value-context uses (id(r), count(r)) must reject
+        #: instead of resolving to the single-edge identity column
+        self.vl_rel_vars: set[str] = set()
+        #: rel variables on an UNDIRECTED slot (read the swapped-
+        #: endpoint union view)
+        self.und_rel_vars: set[str] = set()
+        #: True while parsing final-RETURN items (not WITH): bare rel
+        #: variables project as rel-object structs and computed items
+        #: auto-alias by their expression text, both RETURN-only
+        self._in_return: bool = False
+        #: False for sub-parsers (CALL { } bodies): their RETURN feeds
+        #: the outer scope like a WITH, so computed items still demand
+        #: an explicit alias and bare rel vars stay identity-valued
+        self._auto_alias_ok: bool = True
         #: $name query parameters referenced anywhere in the query —
         #: callers bind these at execution time
         self.params_used: set[str] = set()
@@ -257,6 +272,10 @@ class _Parser:
         #: set by cypher_to_sql when the caller passes the graph
         #: schema — required only by keys()/properties()
         self.node_props: list[str] | None = None
+        #: rel property column names (everything except the reserved
+        #: START_ID/END_ID/TYPE/identity columns) — required only by
+        #: bare-rel-variable RETURN projection
+        self.rel_props: list[str] | None = None
         #: node variables carried BARE through WITH stages (`WITH p,
         #: count(m) AS n`): openCypher keeps them fully accessible, so
         #: later prop refs are allowed and the stage emission re-joins
@@ -276,8 +295,13 @@ class _Parser:
         sub.unwind_aliases = set()
         sub.node_pat_vars = set()
         sub.rel_pat_vars = set()
+        sub.vl_rel_vars = set()
+        sub.und_rel_vars = set()
+        sub._in_return = False
+        sub._auto_alias_ok = False
         sub.params_used = set()
         sub.node_props = node_props
+        sub.rel_props = None
         sub.carried_nodes = set()
         return sub
 
@@ -441,6 +465,8 @@ class _Parser:
                     rtypes.append(self.expect_name(kw_ok=True))
             if self.accept("*"):
                 minlen, maxlen = self._varlength_bounds()
+                if var:
+                    self.vl_rel_vars.add(var)
             props: list[tuple[str, str]] = []
             if self.peek()[1] == "{":
                 self.next()
@@ -465,6 +491,11 @@ class _Parser:
         if self.accept("->"):
             return _RelPat(var, rtypes, "->", minlen, maxlen, props)
         if self.accept("-"):
+            if var:
+                # undirected slots read the natural+reverse union view
+                # (swapped endpoints) — bare-rel projection must use
+                # the physical _OS/_OE originals
+                self.und_rel_vars.add(var)
             return _RelPat(var, rtypes, "-", minlen, maxlen, props)
         raise CypherSyntaxError("malformed relationship pattern")
 
@@ -1047,6 +1078,14 @@ class _Parser:
                         raise CypherSyntaxError(
                             f"type({var}): not a relationship variable"
                         )
+                    if (
+                        fn == "ID"
+                        and var in self.rel_pat_vars
+                        and var not in self.node_pat_vars
+                    ):
+                        # id(r) on a relationship variable — the
+                        # surrogate edge identity
+                        return self._rel_identity(var)
                     if fn in ("ID", "LABELS") and var not in self.node_pat_vars:
                         raise CypherSyntaxError(
                             f"{fn.lower()}({var}): not a bound node variable"
@@ -1217,6 +1256,34 @@ class _Parser:
                     # size(<list expression>) — a carried collect()
                     # alias, split(), a list literal … (r7): plain
                     # element count. Strings should use length().
+                    # A bare FIXED-length rel/node variable is not a
+                    # list — reject with a targeted message instead of
+                    # letting the generic branch emit an unresolvable
+                    # column (varlength rel vars ARE lists and resolve
+                    # via the _vlp._hops splice before reaching here).
+                    nk, nv = self.peek()
+                    if (
+                        nk == "name"
+                        and self.toks[self.pos + 1][1] == ")"
+                        and nv not in self.vl_rel_vars
+                        and nv not in self.unwind_aliases
+                        and (self.aliases is None or nv not in self.aliases)
+                        and (
+                            nv in self.rel_pat_vars
+                            or nv in self.node_pat_vars
+                        )
+                    ):
+                        raise CypherUnsupported(
+                            f"size({nv}): {nv} is a "
+                            + (
+                                "relationship"
+                                if nv in self.rel_pat_vars
+                                else "node"
+                            )
+                            + " variable, not a list — size() takes "
+                            "lists (use a varlength binding, "
+                            "collect(), or size(labels(n)))"
+                        )
                     v = self.value()
                     self.expect(")")
                     return (
@@ -1316,6 +1383,67 @@ class _Parser:
                 return f"sort_array({var}.LABELS)"
             return f"list_sort({var}.LABELS)"
         return self.value()
+
+    def _quoted_alias(self, text: str) -> str:
+        """Quote an arbitrary auto-generated column name for the
+        emission dialect (Spark backticks / DuckDB double quotes)."""
+        if self.dialect == "spark":
+            return "`" + text.replace("`", "``") + "`"
+        return '"' + text.replace('"', '""') + '"'
+
+    def _rel_identity(self, var: str) -> str:
+        """A fixed-length relationship variable used as a VALUE
+        (``id(r)``, ``count(r)``, ``count(DISTINCT r)``, ``r1 <> r2``)
+        resolves to the surrogate REL_ID identity column (minted at
+        catalog registration — the transpiler's eid-view pass picks the
+        identity-carrying view whenever this emission appears). Neo4j
+        returns the store's internal edge id; REL_ID is the honest
+        Spark analogue (documented: a 64-bit content hash, stable
+        within a registration, not a Neo4j id).
+
+        Reference gets this free via Neo4j
+        (plugin/.../job/TransactionApiJob.java:41-220)."""
+        if var in self.vl_rel_vars:
+            raise CypherUnsupported(
+                f"{var} is a variable-length relationship list — "
+                "use size()/UNWIND over it, not a single-edge value"
+            )
+        if not self.rel_id:
+            raise CypherUnsupported(
+                f"relationship identity for {var!r} needs the minted "
+                "identity view (register the graph through "
+                "GraphCatalog; schema-less rel frames carry no "
+                "edge identity)"
+            )
+        return f"{var}.REL_ID"
+
+    def _rel_object(self, var: str, directed: bool) -> str:
+        """``RETURN r`` — the rel-object projection. Neo4j returns a
+        relationship object; the honest Spark analogue is a struct
+        ``{start, end, type, <properties…>}`` (documented divergence:
+        Cypher renders ids + dynamic property map, a columnar engine
+        carries the fixed property schema with NULLs). Undirected
+        slots read the natural+reverse union view whose endpoint
+        columns are swapped per orientation, so the struct uses the
+        physical ``_OS/_OE`` originals."""
+        if self.rel_props is None:
+            raise CypherUnsupported(
+                f"RETURN {var}: bare relationship projection needs "
+                "the rel property schema — pass rel_props to "
+                "cypher_to_sql (api.cypher does this from the "
+                "registered graph)"
+            )
+        s, e = ("START_ID", "END_ID") if directed else ("_OS", "_OE")
+        fields = [
+            ("start", f"{var}.{s}"),
+            ("end", f"{var}.{e}"),
+            ("type", f"{var}.TYPE"),
+        ] + [(p, f"{var}.{self._ident(p)}") for p in sorted(self.rel_props)]
+        if self.dialect == "spark":
+            inner = ", ".join(f"'{k}', {v}" for k, v in fields)
+            return f"named_struct({inner})"
+        inner = ", ".join(f"{self._ident(k)} := {v}" for k, v in fields)
+        return f"struct_pack({inner})"
 
     def _list_comprehension(self) -> str:
         """``[x IN source [WHERE pred] | body]`` → higher-order array
@@ -1446,6 +1574,11 @@ class _Parser:
             if self.accept("."):
                 prop = self._ident(self.expect_name(kw_ok=True))
                 return self._temporal_accessor(f"{var}.{prop}")
+            if var in self.rel_pat_vars and var not in self.node_pat_vars:
+                # bare fixed-length rel variable as a value —
+                # count(r) / count(DISTINCT r) / collect(r) / r1 <> r2
+                # all compare-or-count edge identity
+                return self._rel_identity(var)
             return f"{var}.ID"
         return self.literal()
 
@@ -1963,6 +2096,37 @@ class _Parser:
         or arithmetic, e.g. ``round(sum(x) / count(*), 2)``."""
         self._saw_agg = False
         start = self.pos
+        k0, t0 = self.peek()
+        t1 = self.toks[self.pos + 1][1].upper() if len(
+            self.toks
+        ) > self.pos + 1 else ""
+        if (
+            k0 == "name"
+            and t0 in self.rel_pat_vars
+            and t0 not in self.node_pat_vars
+            and t0 not in self.vl_rel_vars
+            and (self.aliases is None or t0 in self.post_vars)
+            and t1 in (
+                "", ",", "AS", "ORDER", "LIMIT", "SKIP", "WHERE",
+                "RETURN", "WITH", "MATCH", "OPTIONAL", "UNWIND",
+                "CALL", "UNION", "FOREACH",
+            )
+        ):
+            # a bare fixed-length relationship variable as a whole
+            # item. RETURN r projects the rel-object struct (no edge
+            # identity needed — handled here, before expression
+            # parsing, so identity-free queries stay on the plain
+            # view); WITH r (carrying the rel) is unsupported.
+            self.next()
+            if not self._in_return:
+                raise CypherUnsupported(
+                    f"WITH {t0}: carrying a relationship variable "
+                    "through WITH is not supported — carry its "
+                    "properties / type(r) / id(r) as aliases"
+                )
+            expr = self._rel_object(t0, t0 not in self.und_rel_vars)
+            alias = self.expect_name() if self.accept("AS") else t0
+            return expr, alias, False
         # full boolean expression grammar: openCypher allows predicate
         # return items (`RETURN a < b AS x`, `exists(n.p)`, `n:Label`,
         # XOR chains) — not just arithmetic
@@ -1983,17 +2147,24 @@ class _Parser:
         if self.accept("AS"):
             alias = self.expect_name()
         else:
-            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", default_alias):
-                raise CypherUnsupported(
-                    f"computed return item {expr!r} needs an explicit "
-                    "AS alias"
-                )
-            if default_alias.startswith("_path"):
-                raise CypherUnsupported(
-                    "length(path)/nodes(path) return items need an "
-                    "explicit AS alias"
-                )
-            alias = default_alias
+            if (
+                not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", default_alias)
+                or default_alias.startswith("_path")
+            ):
+                if not self._in_return:
+                    raise CypherUnsupported(
+                        f"computed WITH item {expr!r} needs an "
+                        "explicit AS alias (openCypher requires one "
+                        "in WITH)"
+                    )
+                # openCypher auto-names computed RETURN items by their
+                # expression text — reconstruct it from the consumed
+                # tokens and emit as a quoted column name (both
+                # engines strip the quoting, so the output column is
+                # the bare expression text in Spark and DuckDB alike)
+                alias = self._quoted_alias(_token_text(consumed))
+            else:
+                alias = default_alias
         return expr, alias, is_agg
 
     # -- full query ----------------------------------------------------------
@@ -3141,6 +3312,7 @@ class _Parser:
         # scalars, so the bound set is empty there (parse-time reject)
         self._bound = set(bound) if self.aliases is None else set()
         distinct = self.accept("DISTINCT")
+        self._in_return = self._auto_alias_ok
         if self.peek()[1] == "*":
             self.next()
             items = _star_items()
@@ -3150,6 +3322,7 @@ class _Parser:
             items = [self.return_item()]
             while self.accept(","):
                 items.append(self.return_item())
+        self._in_return = False
         order, skip, limit = self._parse_order_tail(items)
         if self.peek()[0] != "eof":
             raise CypherSyntaxError(f"unexpected trailing input: {self.peek()[1]!r}")
@@ -3318,7 +3491,12 @@ def _collect_undirected_prop_refs(ast: dict) -> None:
             want.update(
                 re.findall(rf"\b{re.escape(r.var)}\.(\w+)", blob)
             )
-        r.extra_props = sorted(want - _REL_VIEW_COLS)
+        # _OS/_OE (physical-orientation originals, referenced by the
+        # bare-rel struct projection) and the identity columns are
+        # carried by the union view itself — never ride-alongs
+        r.extra_props = sorted(
+            want - _REL_VIEW_COLS - {"_OS", "_OE", "REL_ID", "REL_ID2"}
+        )
 
 
 def _prop_conds(r: _RelPat, rv: str) -> list[str]:
@@ -3368,6 +3546,21 @@ def _chain(
         for key, lit in n.props:
             conds.append(f"{n.var}.{key} = {lit}")
     return from_sql, joins, conds
+
+
+def _token_text(toks: list) -> str:
+    """Reconstruct (approximate) source text from a consumed token
+    run — used to auto-name computed RETURN items the way openCypher
+    does. Word-ish neighbours get a separating space; punctuation
+    packs tight, so `size( collect(DISTINCT  x) )` renders as
+    `size(collect(DISTINCT x))`."""
+    out: list[str] = []
+    for t in toks:
+        raw = str(t[2] if len(t) > 2 else t[1])
+        if out and re.match(r"[\w$']", raw[:1]) and re.match(r"[\w$']", out[-1][-1:]):
+            out.append(" ")
+        out.append(raw)
+    return "".join(out)
 
 
 def _rel_uniqueness_conds(
@@ -3563,6 +3756,7 @@ def cypher_to_sql(
     node_props: list[str] | None = None,
     rel_id: bool = False,
     rels_eid_view: str | None = None,
+    rel_props: list[str] | None = None,
 ) -> str:
     """Transpile the Cypher subset to one SQL string over the graph
     views. Every construct except ``collect()`` and ``UNWIND`` emits
@@ -3588,19 +3782,19 @@ def cypher_to_sql(
         scratch: set[str] = set()
         sql = _cypher_to_sql_once(
             query, nodes_view, rels_eid_view, dialect, scratch,
-            max_hops, node_props, rel_id=True,
+            max_hops, node_props, rel_id=True, rel_props=rel_props,
         )
         if re.search(r"\.REL_ID", sql) is None:
             sql = _cypher_to_sql_once(
                 query, nodes_view, rels_view, dialect, scratch,
-                max_hops, node_props, rel_id=False,
+                max_hops, node_props, rel_id=False, rel_props=rel_props,
             )
         if params_out is not None:
             params_out.update(scratch)
         return sql
     return _cypher_to_sql_once(
         query, nodes_view, rels_view, dialect, params_out,
-        max_hops, node_props, rel_id,
+        max_hops, node_props, rel_id, rel_props=rel_props,
     )
 
 
@@ -3613,6 +3807,7 @@ def _cypher_to_sql_once(
     max_hops: int | None = None,
     node_props: list[str] | None = None,
     rel_id: bool = False,
+    rel_props: list[str] | None = None,
 ) -> str:
     """Single-pass transpile against one rels view (see cypher_to_sql)."""
     if re.match(r"\s*CALL\s+[A-Za-z_]", query, re.IGNORECASE):
@@ -3630,6 +3825,7 @@ def _cypher_to_sql_once(
         for arm in arms:
             arm_parser = _Parser(arm, dialect)
             arm_parser.node_props = node_props
+            arm_parser.rel_props = rel_props
             arm_parser.rel_id = rel_id
             arm_ast = arm_parser.parse()
             arm_ast["max_hops"] = max_hops
@@ -3651,6 +3847,7 @@ def _cypher_to_sql_once(
         return out
     parser = _Parser(query, dialect)
     parser.node_props = node_props
+    parser.rel_props = rel_props
     parser.rel_id = rel_id
     ast = parser.parse()
     ast["max_hops"] = max_hops

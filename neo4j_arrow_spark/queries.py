@@ -235,6 +235,123 @@ _cypher_order_query(
 )
 
 
+# -- duplicate-edge multigraph: relationship identity semantics -------------
+#
+# nation→region membership edges, UNIONed twice: every edge is an EXACT
+# duplicate parallel pair. openCypher treats the twins as distinct
+# relationships — the fixture that proves count(DISTINCT r) / id(r)
+# honor the surrogate (REL_ID, REL_ID2) identity instead of collapsing
+# on content. Reference gets these semantics free from Neo4j
+# (plugin/.../job/TransactionApiJob.java:41-220).
+
+_REGION_OFFSET = 8_000_000
+
+DUP_NODES_SQL = f"""
+SELECT n_nationkey AS ID, ['Nation'] AS LABELS, n_name AS name FROM nation
+UNION ALL
+SELECT r_regionkey + {_REGION_OFFSET} AS ID, ['Region'] AS LABELS,
+       r_name AS name FROM region
+"""
+
+DUP_RELS_SQL = f"""
+SELECT n_nationkey AS START_ID,
+       n_regionkey + {_REGION_OFFSET} AS END_ID,
+       'IN_REGION' AS TYPE
+FROM nation
+UNION ALL
+SELECT n_nationkey AS START_ID,
+       n_regionkey + {_REGION_OFFSET} AS END_ID,
+       'IN_REGION' AS TYPE
+FROM nation
+"""
+
+
+def _dup_graph(spark: SparkSession, sf_dir: str):
+    tables = load_tables(spark, sf_dir, ("nation", "region"))
+    nation, region = tables["nation"], tables["region"]
+    nodes = nation.select(
+        F.col("n_nationkey").cast("long").alias("ID"),
+        F.array(F.lit("Nation")).alias("LABELS"),
+        F.col("n_name").alias("name"),
+    ).unionByName(
+        region.select(
+            (F.col("r_regionkey") + _REGION_OFFSET).cast("long").alias("ID"),
+            F.array(F.lit("Region")).alias("LABELS"),
+            F.col("r_name").alias("name"),
+        )
+    )
+    edge = nation.select(
+        F.col("n_nationkey").cast("long").alias("START_ID"),
+        (F.col("n_regionkey") + _REGION_OFFSET).cast("long").alias("END_ID"),
+        F.lit("IN_REGION").alias("TYPE"),
+    )
+    return nodes, edge.unionByName(edge)
+
+
+def _cypher_dup_query(name: str, cypher_text: str):
+    """Like :func:`_cypher_query` but over the duplicate-edge graph."""
+    from neo4j_arrow_spark.cypher import cypher_to_sql
+
+    sql = cypher_to_sql(
+        cypher_text, "dgnodes", "dgrels", dialect="spark", rel_id=True,
+        rels_eid_view="dgrels_eid",
+    )
+    duck_sql = cypher_to_sql(
+        cypher_text, "dgnodes", "dgrels", dialect="duckdb", rel_id=True,
+        rels_eid_view="dgrels_eid",
+    )
+    oracle = (
+        f"WITH dgnodes AS ({DUP_NODES_SQL}),\n"
+        f"dgrels AS ({DUP_RELS_SQL}),\n"
+        f"dgrels_eid AS MATERIALIZED (SELECT *, row_number() OVER () "
+        f"AS REL_ID, row_number() OVER () AS REL_ID2 "
+        f"FROM ({DUP_RELS_SQL}))\n{duck_sql}"
+    )
+    needs_eid = ".REL_ID" in sql
+
+    @query(name, oracle=oracle)
+    def run(spark: SparkSession, sf_dir: str, _sql=sql, _eid=needs_eid) -> DataFrame:
+        nodes, rels = _dup_graph(spark, sf_dir)
+        nodes.createOrReplaceTempView("dgnodes")
+        rels.createOrReplaceTempView("dgrels")
+        if _eid:
+            from neo4j_arrow_spark.catalog import mint_rel_ids
+
+            mint_rel_ids(rels).createOrReplaceTempView("dgrels_eid")
+        return spark.sql(_sql)
+
+    run.__name__ = name
+    return run
+
+
+_cypher_dup_query(
+    "cypher_rel_count",
+    # count(r) over a rel variable — resolves to the identity column;
+    # parallel duplicates each count (2 edges per nation)
+    "MATCH (n:Nation)-[r:IN_REGION]->(g:Region) "
+    "RETURN g.name AS region, count(r) AS members ORDER BY region",
+)
+
+_cypher_dup_query(
+    "cypher_rel_distinct_parallel",
+    # count(DISTINCT r): exact-duplicate parallel edges are DISTINCT
+    # relationships (surrogate identity, not content) — 2x nations,
+    # where content-identity would collapse to 1x
+    "MATCH (n:Nation)-[r:IN_REGION]->(g:Region) "
+    "RETURN count(DISTINCT r) AS rels, count(DISTINCT n) AS nations",
+)
+
+_cypher_dup_query(
+    "cypher_rel_id_pairs",
+    # id(r) in a predicate: the duplicate twin is a DIFFERENT
+    # relationship, so each nation contributes ordered twin pairs; a
+    # content identity would return 0 for same-start pairs
+    "MATCH (a:Nation)-[r1:IN_REGION]->(g:Region)<-[r2:IN_REGION]-(b:Nation) "
+    "WHERE id(r1) <> id(r2) AND a.ID = b.ID "
+    "RETURN g.name AS region, count(*) AS twin_pairs ORDER BY region",
+)
+
+
 _cypher_query(
     "cypher_label_scan",
     "MATCH (n:Nation) RETURN n.ID AS id, n.name AS name",

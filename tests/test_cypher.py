@@ -49,8 +49,13 @@ def test_aggregate_implicit_grouping():
 
 
 def test_unsupported_forms():
+    # r8: `MATCH () RETURN 1` is now supported — computed RETURN items
+    # auto-alias by their expression text (openCypher behavior)
+    sql = cypher_to_sql("MATCH () RETURN 1", "n", "e")
+    assert "AS `1`" in sql
     with pytest.raises(CypherUnsupported):
-        cypher_to_sql("MATCH () RETURN 1", "n", "e")  # anonymous node
+        # WITH still demands explicit aliases (openCypher requires)
+        cypher_to_sql("MATCH (a:P) WITH a.x + 1 RETURN 1", "n", "e")
     with pytest.raises(CypherSyntaxError):
         cypher_to_sql("MATCH (a RETURN a.ID", "n", "e")
 
@@ -342,9 +347,17 @@ def test_arithmetic_in_aggregate_and_precedence():
     assert "SUM(((c.acctbal * 2) + 1)) AS s" in sql
 
 
-def test_computed_item_requires_alias():
+def test_computed_item_auto_alias():
+    # r8: computed RETURN items auto-name by expression text
+    # (openCypher behavior); WITH still requires an explicit alias
+    sql = cypher_to_sql("MATCH (c:X) RETURN c.acctbal + 1", "gn", "ge")
+    assert "AS `c.acctbal+1`" in sql
+    duck = cypher_to_sql(
+        "MATCH (c:X) RETURN c.acctbal + 1", "gn", "ge", dialect="duckdb"
+    )
+    assert 'AS "c.acctbal+1"' in duck
     with pytest.raises(CypherUnsupported):
-        cypher_to_sql("MATCH (c:X) RETURN c.acctbal + 1", "gn", "ge")
+        cypher_to_sql("MATCH (c:X) WITH c.acctbal + 1 RETURN 1", "gn", "ge")
 
 
 def test_unknown_function_rejected():
@@ -687,8 +700,11 @@ def test_path_var_rejections():
     )  # rel + path var both bound, rel unreferenced: legal since r6
     with pytest.raises(CypherUnsupported, match="supports only"):
         cypher_to_sql("MATCH p = (a)-[r:T]->(b) RETURN p", "n", "e")
-    with pytest.raises(CypherUnsupported, match="explicit AS"):
-        cypher_to_sql("MATCH p = (a)-[r:T]->(b) RETURN nodes(p)", "n", "e")
+    # r8: unaliased path-function items auto-alias like any computed
+    # item (the name reflects the spliced emission, not the source
+    # text — write AS for a pretty column name)
+    sql = cypher_to_sql("MATCH p = (a)-[r:T]->(b) RETURN nodes(p)", "n", "e")
+    assert "concat_ws" in sql
 
 
 def test_path_var_end_to_end(client):
