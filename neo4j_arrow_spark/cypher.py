@@ -4846,8 +4846,18 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         if lc is not None:
             # leading CALL { }: the subquery's result frame IS the
             # FROM source (execute-once; any UNWINDs explode laterally
-            # over it below)
-            from_sql = f"({lc_sql}) AS _lc0"
+            # over it below). A leading WITH after the CALL projects
+            # over that frame — wrap it, or its aliases vanish and the
+            # RETURN references undefined columns (r7 ADVICE).
+            if ast.get("lead_with"):
+                proj = ", ".join(
+                    f"{e} AS {a}" for e, a, _ in ast["lead_with"]
+                )
+                from_sql = (
+                    f"(SELECT {proj} FROM ({lc_sql}) AS _lc1) AS _lc0"
+                )
+            else:
+                from_sql = f"({lc_sql}) AS _lc0"
             joins, conds = [], []
         elif ast.get("lead_with"):
             # leading WITH: a one-row constant projection is the FROM
@@ -4876,13 +4886,23 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         from_sql, joins, conds = _multi_chain(
             chains, nodes_view, rels_view, groups, bool(ast.get("rel_id"))
         )
-        if ast.get("lead_with"):
+        if lc is not None and ast.get("lead_with"):
+            # MATCH after CALL { } + WITH: the WITH projects over the
+            # subquery's frame (its items may reference the CALL's
+            # aliases, so the projection must wrap the frame, not sit
+            # beside it as a sibling join item)
+            proj = ", ".join(f"{e} AS {a}" for e, a, _ in ast["lead_with"])
+            from_sql = (
+                f"(SELECT {proj} FROM ({lc_sql}) AS _lc1) AS _w0 "
+                f"CROSS JOIN {from_sql}"
+            )
+        elif ast.get("lead_with"):
             # MATCH after a leading WITH: the 1-row constant projection
             # CROSS JOINs in front of the pattern (Catalyst broadcasts
             # the single row; every lead alias is then a plain column)
             proj = ", ".join(f"{e} AS {a}" for e, a, _ in ast["lead_with"])
             from_sql = f"(SELECT {proj}) AS _w0 CROSS JOIN {from_sql}"
-        if lc is not None:
+        elif lc is not None:
             # MATCH after a leading CALL: execute-once result frame
             # cross-joined in front of the pattern
             from_sql = f"({lc_sql}) AS _lc0 CROSS JOIN {from_sql}"

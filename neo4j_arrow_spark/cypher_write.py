@@ -275,61 +275,169 @@ class _WriteParser(_Parser):
                 "rprops": r.props,
             }
         if t == "FOREACH":
-            # FOREACH (x IN <list> | SET n.prop = <expr>) — the update
-            # applies once per list element in order, so the FINAL
-            # value is the last element's; an empty list applies
-            # nothing (the WHERE below excludes those rows). This
-            # covers both real iteration and the conditional-update
-            # idiom FOREACH (_ IN CASE WHEN c THEN [1] ELSE [] END |
-            # SET ...). Compiled to the ordinary SET machinery with
-            # the iteration variable spliced to element_at(list,
-            # size(list)) — the last element.
+            # FOREACH (x IN <list> | SET target.prop = <expr>). Two
+            # compiled shapes, both exact openCypher:
+            #
+            # 1. target is a MATCH-bound variable (the conditional-
+            #    update idiom and per-element accumulation): the update
+            #    applies once per list element IN ORDER. An RHS that
+            #    never reads the property it sets is loop-invariant up
+            #    to the element, so the final value is the LAST
+            #    element's — spliced as element_at(list, size(list)).
+            #    An RHS that DOES read its own target property is a
+            #    sequential fold (openCypher applies SET per element:
+            #    `SET n.total = n.total + x` over [1,2,3] adds 6, not
+            #    3) — compiled to the aggregate() higher-order fold
+            #    with the property as the init and the RHS as the
+            #    merge lambda.
+            # 2. target IS the iteration variable over a literal list
+            #    of bound node variables (`FOREACH (x IN [p, q] | SET
+            #    x.seen = true)`) — each listed node gets the update;
+            #    compiled to the multi-target SET executor.
             self.expect("(")
             it = self.expect_name()
             self.expect("IN")
             self._bound = {n.var for n in nodes}
+
+            def _parse_sets() -> list[tuple[str, str, str]]:
+                self.expect("|")
+                self.expect("SET")
+                out: list[tuple[str, str, str]] = []
+                while True:
+                    var = self.expect_name()
+                    self.expect(".")
+                    prop = self.expect_name(kw_ok=True)
+                    self.expect("=")
+                    out.append((var, prop, self.value()))
+                    if not self.accept(","):
+                        break
+                self.expect(")")
+                if self.peek()[0] != "eof":
+                    raise CypherSyntaxError(
+                        f"unexpected trailing input: {self.peek()[1]!r}"
+                    )
+                return out
+
+            bound_vars = {n.var for n in nodes}
+            # literal list of bound node variables? ([p] / [p, q]) —
+            # lookahead on raw tokens before generic value() parsing
+            if self.peek()[1] == "[":
+                save = self.pos
+                names: list[str] = []
+                self.next()
+                while self.peek()[0] == "name":
+                    names.append(self.next()[1])
+                    if not self.accept(","):
+                        break
+                is_node_list = (
+                    bool(names)
+                    and self.peek()[1] == "]"
+                    and all(n in bound_vars for n in names)
+                )
+                if is_node_list:
+                    self.expect("]")
+                    self.unwind_aliases.add(it)
+                    fsets = _parse_sets()
+                    tvars = {v for v, _, _ in fsets}
+                    if tvars == {it}:
+                        # shape 2: SET on the loop elements — expand to
+                        # one set per listed node var, substituting the
+                        # iterator (x / x.prop references read the
+                        # element's pre-statement state, exactly
+                        # openCypher within-statement visibility)
+                        def _sub(expr: str, v: str) -> str:
+                            parts = re.split(
+                                r"('(?:[^'\\]|\\.)*')", expr
+                            )
+                            for i in range(0, len(parts), 2):
+                                parts[i] = re.sub(
+                                    rf"(?<![\w.]){re.escape(it)}\b",
+                                    v,
+                                    parts[i],
+                                )
+                            return "".join(parts)
+
+                        msets = [
+                            (v, p, _sub(e, v))
+                            for v in names
+                            for _, p, e in fsets
+                        ]
+                        return {**base, "op": "set_multi", "sets": msets}
+                    # a literal node list but SET targets a bound var —
+                    # fall through to shape 1 with the list re-parsed
+                self.pos = save
             self.unwind_aliases.add(it)
             lst = self.value()
-            self.expect("|")
-            self.expect("SET")
-            fsets: list[tuple[str, str, str]] = []
-            while True:
-                var = self.expect_name()
-                self.expect(".")
-                prop = self.expect_name(kw_ok=True)
-                self.expect("=")
-                fsets.append((var, prop, self.value()))
-                if not self.accept(","):
-                    break
-            self.expect(")")
-            if self.peek()[0] != "eof":
-                raise CypherSyntaxError(
-                    f"unexpected trailing input: {self.peek()[1]!r}"
-                )
+            fsets = _parse_sets()
             tvars = {v for v, _, _ in fsets}
             if len(tvars) != 1:
                 raise CypherUnsupported(
                     "FOREACH … SET targets one variable per statement "
                     f"(got {sorted(tvars)})"
                 )
-            if next(iter(tvars)) not in {n.var for n in nodes}:
+            tvar = next(iter(tvars))
+            if tvar == it:
+                raise CypherUnsupported(
+                    "FOREACH SET on the loop variable needs a literal "
+                    "list of bound node variables (e.g. FOREACH (x IN "
+                    "[p, q] | SET x.prop = …))"
+                )
+            if tvar not in bound_vars:
                 raise CypherSyntaxError(
                     f"FOREACH SET target {tvars} is not bound"
                 )
             last = f"element_at(({lst}), size(({lst})))"
+            set_props = {(v, p) for v, p, _ in fsets}
 
-            def _splice_iter(expr: str) -> str:
+            def _splice(expr: str, pat: str, repl: str) -> str:
                 parts = re.split(r"('(?:[^'\\]|\\.)*')", expr)
                 for i in range(0, len(parts), 2):
-                    parts[i] = re.sub(
-                        rf"(?<![\w.]){re.escape(it)}\b", last, parts[i]
-                    )
+                    parts[i] = re.sub(pat, repl, parts[i])
                 return "".join(parts)
 
-            fsets = [(v, p, _splice_iter(e)) for v, p, e in fsets]
+            out_sets: list[tuple[str, str, str]] = []
+            for v, p, e in fsets:
+                selfref = re.search(
+                    rf"(?<![\w.]){re.escape(v)}\.{re.escape(p)}\b", e
+                )
+                others = [
+                    (ov, op)
+                    for ov, op in set_props
+                    if (ov, op) != (v, p)
+                    and re.search(
+                        rf"(?<![\w.]){re.escape(ov)}\.{re.escape(op)}\b", e
+                    )
+                ]
+                if others:
+                    raise CypherUnsupported(
+                        f"FOREACH SET {v}.{p} reads another property "
+                        f"set in the same FOREACH ({others}) — the "
+                        "element-interleaved evaluation order is not "
+                        "supported; split into separate statements"
+                    )
+                if selfref:
+                    # sequential fold: init = current property value,
+                    # merge = the RHS with self-references -> the
+                    # accumulator and the iterator as the lambda param
+                    body = _splice(
+                        e,
+                        rf"(?<![\w.]){re.escape(v)}\.{re.escape(p)}\b",
+                        "_facc",
+                    )
+                    out_sets.append(
+                        (v, p,
+                         f"aggregate(({lst}), {v}.{p}, "
+                         f"(_facc, {it}) -> ({body}))")
+                    )
+                else:
+                    # loop-invariant up to the element: last element
+                    out_sets.append(
+                        (v, p,
+                         _splice(e, rf"(?<![\w.]){re.escape(it)}\b", last))
+                    )
             empty_guard = f"size(({lst})) > 0"
             fwhere = f"({where}) AND {empty_guard}" if where else empty_guard
-            return {**base, "where": fwhere, "op": "set", "sets": fsets}
+            return {**base, "where": fwhere, "op": "set", "sets": out_sets}
         if t == "SET":
             var = self.expect_name()
             if self.peek()[1] == ":":
@@ -416,6 +524,21 @@ class _WriteParser(_Parser):
                 raise CypherSyntaxError(f"DELETE target {var!r} is not bound")
             return {**base, "op": "delete", "detach": detach, "var": var}
         raise CypherSyntaxError(f"expected SET or DELETE, got {tok!r}")
+
+
+def _decimals_to_double(df: DataFrame) -> DataFrame:
+    """Cypher's numeric literals are long/double — Spark parses `42.0`
+    as DECIMAL, which the graph property model rejects. Normalize any
+    decimal-typed update values before they become node columns."""
+    from pyspark.sql import types as T
+
+    casts = [
+        F.col(f.name).cast("double").alias(f.name)
+        if isinstance(f.dataType, T.DecimalType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(*casts)
 
 
 def _union_rels(rels: DataFrame, new: DataFrame) -> DataFrame:
@@ -754,6 +877,68 @@ def execute_cypher_write(
         r_del = rels.count() - kept.count()
         return nodes, kept, summary("delete", rdel=r_del)
 
+    if op == "set_multi":
+        # FOREACH (x IN [p, q] | SET x.prop = …) — the parser expanded
+        # the loop into one set per listed node variable; a node can be
+        # listed through several variables, so updates resolve through
+        # a unioned (id, value) pair frame per property (exact
+        # duplicates collapse; conflicting values raise, same as the
+        # single-target ambiguity check).
+        vars_ = list(dict.fromkeys(v for v, _, _ in ast["sets"]))
+        sid = {v: f"__sid{j}" for j, v in enumerate(vars_)}
+        items = [(f"{v}.ID", sid[v], False) for v in vars_] + [
+            (rhs, f"__v{i}", False)
+            for i, (_, _, rhs) in enumerate(ast["sets"])
+        ]
+        sql = _plain_sql(
+            _read_ast(
+                ast["nodes"], ast["rels"], ast["where"], items,
+                ast["chains"], rel_id=_rid,
+            ),
+            nodes_view,
+            rels_view,
+        )
+        upd = _decimals_to_double(spark.sql(sql)).localCheckpoint()
+        fields = {
+            f.name: f.dataType.simpleString() for f in nodes.schema.fields
+        }
+        out = nodes
+        n_props = 0
+        for prop in dict.fromkeys(p for _, p, _ in ast["sets"]):
+            pieces = [
+                upd.select(
+                    F.col(sid[v]).alias("__sid"),
+                    F.col(f"__v{i}").alias("__val"),
+                )
+                for i, (v, p, _) in enumerate(ast["sets"])
+                if p == prop
+            ]
+            pairs = pieces[0]
+            for extra in pieces[1:]:
+                pairs = pairs.unionByName(extra)
+            pairs = pairs.dropDuplicates().localCheckpoint()
+            if pairs.groupBy("__sid").count().filter("count > 1").limit(1).count():
+                raise ValueError(
+                    "FOREACH SET is ambiguous: a listed node receives "
+                    "more than one distinct value for "
+                    f"{prop!r} — make the expression functional per node"
+                )
+            n_props += pairs.count()
+            matched = F.col("__sid").isNotNull()
+            val = F.col("__val")
+            joined = out.join(
+                pairs, out[NodeField.ID] == pairs["__sid"], "left"
+            )
+            if prop in fields:
+                val = val.cast(fields[prop])
+                joined = joined.withColumn(
+                    prop, F.when(matched, val).otherwise(F.col(prop))
+                )
+            else:
+                joined = joined.withColumn(prop, F.when(matched, val))
+            out = joined.drop("__sid", "__val")
+        return out, rels, summary("set", props=n_props)
+
     if op == "set":
         var = ast["sets"][0][0]
         items = [(f"{var}.ID", "__sid", False)] + [
@@ -767,7 +952,7 @@ def execute_cypher_write(
             nodes_view,
             rels_view,
         )
-        upd = spark.sql(sql).localCheckpoint()  # consumed 3×: dup-check, count, join
+        upd = _decimals_to_double(spark.sql(sql)).localCheckpoint()  # consumed 3×: dup-check, count, join
         if upd.groupBy("__sid").count().filter("count > 1").limit(1).count():
             raise ValueError(
                 "SET is ambiguous: a matched node receives more than one "

@@ -321,11 +321,21 @@ def effective_diameter_hops(
     the plateau large (a low-diameter giant component), skip the exact
     expansion entirely and use the ANF/sampled variants, because the
     (origin, node) pair count approaches |V|² by that hop. All-integer
-    comparison (nf*100 >= plateau*q_pct) keeps it oracle-exact."""
+    comparison keeps it oracle-exact — and it must avoid the naive
+    ``nf*100 >= plateau*q_pct`` multiply: the plateau of a connected
+    graph is ~|V|² * 1e6 q-units, so ``_plat * 90`` wraps 2^63 around
+    |V| ≈ 3e5 — exactly the scales this readout sizes. The equivalent
+    split ``nf >= (plat div 100)*q + ceil((plat mod 100)*q / 100)``
+    stays within 64 bits for any BIGINT plateau (q_pct ≤ 100)."""
+    if not 1 <= q_pct <= 100:
+        raise ValueError(f"q_pct must be in 1..100, got {q_pct}")
     plateau = curve.agg(F.max("nf_est_q").alias("_plat"))
     return (
         curve.crossJoin(F.broadcast(plateau))
-        .where(F.col("nf_est_q") * 100 >= F.col("_plat") * q_pct)
+        .where(F.expr(
+            f"nf_est_q >= (_plat DIV 100) * {q_pct} "
+            f"+ ((_plat % 100) * {q_pct} + 99) DIV 100"
+        ))
         .agg(
             F.min("hop").cast("int").alias("eff_hops"),
             F.max("_plat").alias("plateau_nf_q"),

@@ -1020,6 +1020,16 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_call_lead_with",
+    # leading CALL { } + leading WITH (r7 ADVICE fix): the WITH
+    # projects over the subquery frame, then anchors a fresh MATCH
+    "CALL { MATCH (c:Customer) RETURN max(c.acctbal) AS m } "
+    "WITH round(m / 2, 2) AS half "
+    "MATCH (c:Customer) WHERE c.acctbal > half "
+    "RETURN count(*) AS rich, min(half) AS cutoff",
+)
+
+_cypher_query(
     "cypher_size_labels",
     # label-count histogram: customers carry [Customer, <segment>]
     "MATCH (n) RETURN size(labels(n)) AS n_labels, count(*) AS members "
@@ -1059,6 +1069,71 @@ def cypher_foreach_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return api.cypher(
         "MATCH (n:Nation) RETURN n.ID AS id, n.acctbal AS bal",
         graph="cfor",
+    ).result(300)
+
+
+_FOREACH_ELEMENT_SQL = """
+    SELECT CAST(c_custkey AS BIGINT) AS id, 42.0 AS tag
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    UNION ALL
+    SELECT CAST(n_nationkey + 2000000 AS BIGINT) AS id, 42.0 AS tag
+    FROM nation WHERE n_name = 'NATION_3'
+"""
+
+
+@query("cypher_foreach_element_roundtrip", oracle=_FOREACH_ELEMENT_SQL)
+def cypher_foreach_element_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREACH SET on the LOOP ELEMENTS (r8): ``FOREACH (x IN [c, n] |
+    SET x.tag = …)`` updates every listed bound node — the canonical
+    Neo4j-docs FOREACH shape (iterate a node list, mutate the
+    elements). Reference: free via Neo4j
+    (TransactionApiJob.java:41-220)."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    api.catalog.register("cfel", nodes, rels, overwrite=True)
+    api.cypher(
+        "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+        "WHERE n.name = 'NATION_3' "
+        "FOREACH (x IN [c, n] | SET x.tag = 42.0)",
+        graph="cfel",
+    ).result(300)
+    return api.cypher(
+        "MATCH (m) WHERE m.tag = 42.0 RETURN m.ID AS id, m.tag AS tag",
+        graph="cfel",
+    ).result(300)
+
+
+_FOREACH_FOLD_SQL = """
+    SELECT CAST(c_custkey AS BIGINT) AS id,
+           round(c_acctbal + 6.5, 2) AS bal
+    FROM customer WHERE c_custkey <= 20
+"""
+
+
+@query("cypher_foreach_fold_roundtrip", oracle=_FOREACH_FOLD_SQL)
+def cypher_foreach_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREACH with a SELF-REFERENCING SET (r8): openCypher applies the
+    SET once per element IN ORDER, so ``SET c.acctbal = c.acctbal + x``
+    over [1.0, 2.0, 3.5] accumulates the full 6.5 — compiled to the
+    aggregate() fold (the r7 last-element splice silently produced
+    +3.5; the fix is oracle-pinned here)."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    api.catalog.register("cffold", nodes, rels, overwrite=True)
+    api.cypher(
+        "MATCH (c:Customer) WHERE c.ID <= 20 "
+        "FOREACH (x IN [1.0, 2.0, 3.5] | SET c.acctbal = c.acctbal + x)",
+        graph="cffold",
+    ).result(300)
+    return api.cypher(
+        "MATCH (c:Customer) WHERE c.ID <= 20 "
+        "RETURN c.ID AS id, round(c.acctbal, 2) AS bal",
+        graph="cffold",
     ).result(300)
 
 
@@ -3819,7 +3894,7 @@ def anf_curve3(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(min(hop) AS INT) AS eff_hops,
            CAST(max(_plat) AS BIGINT) AS plateau_nf_q
     FROM curve, plat
-    WHERE nf_est_q * 100 >= _plat * 90
+    WHERE nf_est_q >= (_plat // 100) * 90 + ((_plat % 100) * 90 + 99) // 100
     """,
 )
 def anf_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:

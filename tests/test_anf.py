@@ -164,3 +164,27 @@ def test_singleton_pair_graph(spark):
         for r in per_hop[h].collect():
             est = r["est_q"] / anf.SCALE
             assert 1.0 <= est <= 3.5  # LC on tiny sets is near-exact
+
+
+def test_effective_diameter_no_bigint_overflow(spark):
+    """r8 ADVICE: the plateau of a connected graph is ~|V|^2 * 1e6
+    q-units, so the old `_plat * 90` comparison wrapped 2^63 past
+    |V| ~ 3e5. The division-split comparison must stay exact at
+    near-2^63 plateaus."""
+    from neo4j_arrow_spark.operators.anf import effective_diameter_hops
+
+    p = 4_000_000_000_000_000_000  # 4e18: p*90 would wrap BIGINT
+    curve = spark.createDataFrame(
+        [(0, int(p * 0.85)), (1, int(p * 0.92)), (2, p)],
+        "hop int, nf_est_q long",
+    )
+    row = effective_diameter_hops(curve, q_pct=90).collect()[0]
+    assert row.eff_hops == 1
+    assert row.plateau_nf_q == p
+    # boundary exactness: nf exactly at ceil(90% of plateau) qualifies
+    p2 = 101  # plat%100 = 1 -> ceil path exercised
+    need = (p2 // 100) * 90 + ((p2 % 100) * 90 + 99) // 100  # 91
+    curve2 = spark.createDataFrame(
+        [(0, need - 1), (1, need), (2, p2)], "hop int, nf_est_q long"
+    )
+    assert effective_diameter_hops(curve2, 90).collect()[0].eff_hops == 1

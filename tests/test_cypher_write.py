@@ -460,3 +460,42 @@ def test_foreach_iteration_var_in_value(wapi):
         "MATCH (n:Q) RETURN n.bal AS bal", graph="wt"
     ).result(120).collect()
     assert [r["bal"] for r in got] == [300.0]
+
+
+# -- r8: FOREACH on loop elements + sequential self-referencing SET ----------
+
+
+def test_foreach_element_set(wapi):
+    """FOREACH (x IN [a, b] | SET x.prop = v) updates every listed node."""
+    wapi.cypher(
+        "MATCH (a:P)-[r:KNOWS]->(b) WHERE a.name = 'alice' "
+        "FOREACH (x IN [a, b] | SET x.tag = 7.0)",
+        graph="wt",
+    ).result(120)
+    g = wapi.catalog.get("wt")
+    tagged = sorted(r.name for r in g.nodes.filter("tag = 7.0").collect())
+    assert tagged == ["alice", "bob"]
+
+
+def test_foreach_self_referencing_fold(wapi):
+    """openCypher applies SET per element: += over [1,2,3] adds 6."""
+    wapi.cypher(
+        "MATCH (n:P) WHERE n.name = 'bob' "
+        "FOREACH (x IN [1.0, 2.0, 3.0] | SET n.bal = n.bal + x)",
+        graph="wt",
+    ).result(120)
+    g = wapi.catalog.get("wt")
+    bals = {r.name: r.bal for r in g.nodes.collect()}
+    assert bals["bob"] == 26.0 and bals["alice"] == 10.0
+
+
+def test_foreach_loopvar_nonliteral_rejected(wapi):
+    """SET on the loop variable over a non-node list is a clean
+    CypherUnsupported, not a mis-execution."""
+    from neo4j_arrow_spark.cypher import CypherUnsupported
+
+    with pytest.raises(CypherUnsupported, match="literal list"):
+        wapi.cypher(
+            "MATCH (n:P) FOREACH (x IN [1, 2] | SET x.bal = 1.0)",
+            graph="wt",
+        ).result(120)
