@@ -223,6 +223,26 @@ def _sweep(spark, sf_dir, runs, only, probe, stream_blob) -> None:
             }
     except (OSError, ValueError):
         pass
+    # Monotone per-query record (r7 verdict #4): BENCH_FULL.json is
+    # rewritten by every local sweep during a round, so a regression
+    # that lands in an EARLY sweep becomes the next sweep's baseline
+    # and ships unclassified (khop3_in_nation's +38% in r7). The
+    # record file keeps the best-ever per (sf, query) and only ever
+    # DROPS — except when a drift is fresh-JVM-confirmed "real", which
+    # resets that query's record to the new reality so a deliberate
+    # plan change is flagged exactly once, not every round forever.
+    record_path = os.path.join(here, "BENCH_RECORD.json")
+    sf_key = str(_sf(sf_dir))
+    try:
+        with open(record_path) as fh:
+            _rec_all = json.load(fh)
+    except (OSError, ValueError):
+        _rec_all = {}
+    records: dict[str, float] = {
+        k: float(v) for k, v in _rec_all.get(sf_key, {}).items()
+    }
+    for k, v in prev_best.items():
+        records[k] = min(records.get(k, v), v)
 
     def _barrier() -> None:
         # UNTIMED GC barrier before every rep: localCheckpoint blocks
@@ -267,7 +287,7 @@ def _sweep(spark, sf_dir, runs, only, probe, stream_blob) -> None:
             improving = last < best * 0.8
             best = min(best, last)
             times.append(last)
-        prev = prev_best.get(name)
+        prev = records.get(name, prev_best.get(name))
         # floor of 1.0s on the prior best: sub-second queries are
         # dominated by fixed per-query overheads that jitter 1.5-2x
         # across fresh sessions (measured on gds_node_scan), while
@@ -353,6 +373,23 @@ def _sweep(spark, sf_dir, runs, only, probe, stream_blob) -> None:
             if f < timings[n]:
                 timings[n] = round(f, 3)
                 reps_all[n] = reps_all[n] + [round(f, 3)]
+
+    # persist the monotone record: drop to this sweep's best where
+    # lower; a fresh-JVM-confirmed "real" drift RESETS to the new
+    # reality (flagged this round, baseline next round)
+    if not probe:
+        for name, best in timings.items():
+            d = drift.get(name)
+            if d is not None and d["verdict"] == "real":
+                records[name] = float(best)
+            else:
+                records[name] = min(records.get(name, float(best)), float(best))
+        _rec_all[sf_key] = {k: round(v, 3) for k, v in sorted(records.items())}
+        try:
+            with open(record_path, "w") as fh:
+                json.dump(_rec_all, fh, indent=1)
+        except OSError:
+            pass
 
     # second-best/best repeatability spread per query (1.0 = perfectly
     # repeatable); queries with a single rep report null
@@ -459,6 +496,19 @@ def _sweep(spark, sf_dir, runs, only, probe, stream_blob) -> None:
         # "real": repeatable regression — inspect the plan), plus the
         # median and p90 of the per-query second-best/best spread.
         "drift": drift_counts,
+        # per-query verdicts for EVERY adjudicated drift (r7 verdict
+        # #4: the tail must never carry an unclassified >band delta) —
+        # placed in the base so adjudication outranks query-list length
+        # under the byte budget; drifts are judged against the monotone
+        # BENCH_RECORD.json best-ever, so a regression that lands in an
+        # early local sweep cannot become its own baseline
+        "tail_drift": {
+            n: d["verdict"] for n, d in sorted(drift.items())
+        },
+        # r7's two real-adjudicated drifts on untouched code were
+        # plan-diffed against the r6 checkout: plans IDENTICAL (env
+        # shift, not engine change) — evidence in tools/plan_audit/
+        "plan_audit": "neardup_clusters+gnn_sample: plans == r6 (tools/plan_audit)",
         "noise_med": (
             noise_vals[len(noise_vals) // 2] if noise_vals else None
         ),

@@ -20,8 +20,10 @@ Also supported: undirected patterns (natural+reverse union view),
 ``OPTIONAL MATCH`` (left-join chains, with per-clause WHERE folded
 into the join so it stays null-preserving — Cypher's semantics),
 relationship-property maps ``-[r:T {key: lit}]->``, bounded variable-length
-relationships ``-[:T*a..b]->`` (UNION ALL over fixed-length chains; see
-:func:`_varlength_sql` for the documented edge-uniqueness divergence),
+relationships ``-[:T*a..b]->`` (UNION ALL over fixed-length chains with
+per-path relationship uniqueness enforced pairwise — r8; identity is the
+physical row content, triple + all props, so only EXACT-duplicate twins
+conflate within one path — see :func:`_path_edge_identity_conds`),
 type alternation ``:A|B``, ``WITH`` pipeline chains (aggregate →
 filter → re-project/re-aggregate, any depth; Cypher scope rules:
 pattern variables die at the first WITH boundary), MATCH after
@@ -3397,6 +3399,7 @@ class _Parser:
             "limit": limit,
             "dialect": self.dialect,
             "rel_id": self.rel_id,
+            "rel_props": self.rel_props,
         }
 
 
@@ -3561,6 +3564,50 @@ def _token_text(toks: list) -> str:
             out.append(" ")
         out.append(raw)
     return "".join(out)
+
+
+def _path_edge_identity_conds(
+    slots: list[tuple[str, bool, list[str], int, bool]],
+    dialect: str,
+    props: list[str],
+) -> list[str]:
+    """Per-path relationship uniqueness for varlength-expanded hops
+    (r8): openCypher forbids reusing an edge within one path. Identity
+    here is the physical row — (START, END, TYPE) plus EVERY rel
+    property, compared null-safely — NOT the surrogate REL_ID: minting
+    would put every bounded-varlength query on the eid view's
+    full-edge shuffle. Same-triple parallel edges with any differing
+    property stay distinct; only EXACT-duplicate twins are conflated
+    (documented, test-pinned divergence). Pairs wholly between fixed
+    slots of varlength-free chains are excluded — those carry the
+    REL_ID-mode conds from _rel_uniqueness_conds."""
+    eq = "<=>" if dialect == "spark" else "IS NOT DISTINCT FROM"
+    out: list[str] = []
+    for x in range(len(slots)):
+        rv1, u1, t1, g1, v1 = slots[x]
+        for y in range(x + 1, len(slots)):
+            rv2, u2, t2, g2, v2 = slots[y]
+            if g1 != g2 or not (v1 or v2):
+                continue
+            if t1 and t2 and not (set(t1) & set(t2)):
+                continue
+            s1, e1 = (
+                (f"{rv1}._OS", f"{rv1}._OE")
+                if u1
+                else (f"{rv1}.START_ID", f"{rv1}.END_ID")
+            )
+            s2, e2 = (
+                (f"{rv2}._OS", f"{rv2}._OE")
+                if u2
+                else (f"{rv2}.START_ID", f"{rv2}.END_ID")
+            )
+            terms = [
+                f"{s1} = {s2}",
+                f"{e1} = {e2}",
+                f"{rv1}.TYPE = {rv2}.TYPE",
+            ] + [f"{rv1}.{p} {eq} {rv2}.{p}" for p in props]
+            out.append("NOT (" + " AND ".join(terms) + ")")
+    return out
 
 
 def _rel_uniqueness_conds(
@@ -4084,6 +4131,8 @@ def _single_query_sql_inner(
                         nxt["distinct"],
                         pending_where,
                         depth,
+                        ast["dialect"],
+                        ast.get("rel_props"),
                     )
                     sql = _stage_tail(sql, nxt, depth)
                     pending_where = nxt["where"]
@@ -4099,6 +4148,8 @@ def _single_query_sql_inner(
                         ast["distinct"],
                         pending_where,
                         depth,
+                        ast["dialect"],
+                        ast.get("rel_props"),
                     )
                     sql = _order_limit_tail(sql, ast)
                     return _subst_views(sql, nodes_view, rels_view)
@@ -4127,6 +4178,8 @@ def _match_stage_sql(
     distinct: bool,
     stage_where: str | None,
     depth: int,
+    dialect: str = "spark",
+    rel_props: list[str] | None = None,
 ) -> str:
     """MATCH after WITH: join the pipeline stage back to the graph,
     anchored on the carried alias (``JOIN nodes ON nodes.ID = alias``),
@@ -4139,7 +4192,7 @@ def _match_stage_sql(
     if any(r.is_varlength for r in prels):
         return _match_stage_varlength_sql(
             pm, base_sql, nodes_view, rels_view, items, distinct,
-            stage_where, depth,
+            stage_where, depth, dialect, rel_props,
         )
     stage = f"_scope{depth}"
     anchor = pnodes[0].var
@@ -4258,6 +4311,8 @@ def _match_stage_varlength_sql(
     distinct: bool,
     stage_where: str | None,
     depth: int,
+    dialect: str = "spark",
+    rel_props: list[str] | None = None,
 ) -> str:
     """MATCH after WITH with BOUNDED variable-length segments (r6):
     each length combination becomes one branch — the stage subquery
@@ -4290,10 +4345,12 @@ def _match_stage_varlength_sql(
                 refs.add((var, prop))
     ref_list = sorted(refs)
 
+    id_props = sorted(rel_props or [])
     branches: list[str] = []
     for bi, lengths in enumerate(combos):
         bnodes = [pnodes[0]]
         brels: list[_RelPat] = []
+        b_is_hop: list[bool] = []
         for i, (r, L) in enumerate(zip(prels, lengths)):
             for k in range(L):
                 is_last = k == L - 1
@@ -4302,20 +4359,27 @@ def _match_stage_varlength_sql(
                     if is_last
                     else _NodePat(f"_s{depth}_{bi}_{i}_{k}")
                 )
+                extra = list(r.extra_props)
+                if r.direction == "-":
+                    # the per-path identity conds below compare every
+                    # rel property — the union view must carry them
+                    extra = sorted(set(extra) | set(id_props))
                 brels.append(
                     _RelPat(
                         r.var if not r.is_varlength else "",
                         r.rtypes,
                         r.direction,
                         props=list(r.props),
-                        extra_props=list(r.extra_props),
+                        extra_props=extra,
                     )
                 )
+                b_is_hop.append(r.is_varlength)
                 bnodes.append(target)
         joins = [
             f"JOIN {nodes_view} AS {anchor} ON {anchor}.ID = {stage}.{anchor}"
         ]
         conds: list[str] = []
+        uniq_slots: list[tuple[str, bool, list[str], int, bool]] = []
         if stage_where:
             conds.append(stage_where)
         for i, r in enumerate(brels):
@@ -4327,6 +4391,14 @@ def _match_stage_varlength_sql(
             if cond := _type_cond(r, rv):
                 conds.append(cond)
             conds.extend(_prop_conds(r, rv))
+            uniq_slots.append(
+                (rv, r.direction == "-", list(r.rtypes), 0, b_is_hop[i])
+            )
+        # per-path relationship uniqueness across the expanded hops
+        # (r8 — see _path_edge_identity_conds)
+        conds.extend(
+            _path_edge_identity_conds(uniq_slots, dialect, id_props)
+        )
         for n in bnodes[1:]:
             for lbl in n.labels:
                 conds.append(_label_cond(f"{n.var}.", lbl))
@@ -4723,24 +4795,35 @@ def _opt_varlength_recursive_derived(
     )
 
 
-def _opt_varlength_derived(seg: _RelPat, rels_view: str) -> str:
+def _opt_varlength_derived(
+    seg: _RelPat,
+    rels_view: str,
+    dialect: str = "spark",
+    rel_props: list[str] | None = None,
+) -> str:
     """Derived table for a bounded varlength segment inside OPTIONAL
     MATCH: ``(anchor_id AS _oa, target_id AS _ob)`` — a UNION ALL over
     lengths ∈ [minlen, maxlen], each a fixed chain of rel joins (one
-    row per walk, Cypher's path-row multiplicity). LEFT-JOINing this on
+    row per path, Cypher's path-row multiplicity). LEFT-JOINing this on
     the anchor preserves anchor rows with no expansion (null-extended),
     which a chain of per-hop LEFT JOINs could not express for length
-    mixes. Same documented walk-vs-path divergence as the bounded
-    MATCH expansion."""
-    if seg.direction == "-":
+    mixes. Per-path edge uniqueness is enforced pairwise across the
+    hops (r8 — same identity choice as _path_edge_identity_conds)."""
+    props = sorted(rel_props or [])
+    und = seg.direction == "-"
+    if und:
         # undirected: each hop reads the natural+reverse union closure
         # (the same projection trick as _rel_source), so a physical
-        # edge is traversable in both orientations
+        # edge is traversable in both orientations; _OS/_OE keep the
+        # physical orientation (and all props ride along) for the
+        # per-path identity conds
+        extra = "".join(f", {p}" for p in props)
         hop_view = (
-            f"(SELECT START_ID, END_ID, TYPE FROM {rels_view}"
+            f"(SELECT START_ID, END_ID, TYPE{extra},"
+            f" START_ID AS _OS, END_ID AS _OE FROM {rels_view}"
             f" UNION ALL"
-            f" SELECT END_ID AS START_ID, START_ID AS END_ID, TYPE"
-            f" FROM {rels_view})"
+            f" SELECT END_ID AS START_ID, START_ID AS END_ID, TYPE{extra},"
+            f" START_ID AS _OS, END_ID AS _OE FROM {rels_view})"
         )
         src, dst = "START_ID", "END_ID"
     else:
@@ -4763,6 +4846,16 @@ def _opt_varlength_derived(seg: _RelPat, rels_view: str) -> str:
             if tc := _type_cond(seg, f"_h{i}"):
                 conds.append(tc)
             conds.extend(_prop_conds(seg, f"_h{i}"))
+        conds.extend(
+            _path_edge_identity_conds(
+                [
+                    (f"_h{i}", und, list(seg.rtypes), 0, True)
+                    for i in range(1, L + 1)
+                ],
+                dialect,
+                props,
+            )
+        )
         b_sql = (
             f"SELECT _h1.{src} AS _oa, _h{L}.{dst} AS _ob FROM {from_sql}"
         )
@@ -4949,7 +5042,10 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
                     seg, rels_view, oi, ast.get("max_hops")
                 )
             else:
-                derived = _opt_varlength_derived(seg, rels_view)
+                derived = _opt_varlength_derived(
+                    seg, rels_view, ast["dialect"],
+                    ast.get("rel_props"),
+                )
             tconds = [
                 _label_cond(f"{b}.", lbl) for lbl in tgt.labels
             ] + [f"{b}.{k} = {lit}" for k, lit in tgt.props]
@@ -5442,9 +5538,14 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         length_it = iter(lengths)
         branch_chains: list[tuple[list[_NodePat], list[_RelPat]]] = []
         hop_rvs: list[str] = []  # the bound segment's per-hop aliases
+        # (alias, undirected, types, clause_group, in_vl_chain) — for
+        # the per-path edge-uniqueness conds appended after the chain
+        # emission (r8 exactness, see below)
+        uniq_slots: list[tuple[str, bool, list[str], int, bool]] = []
         for ci, (cn, cr) in enumerate(chains):
             bn = [cn[0]]
             br: list[_RelPat] = []
+            vl_chain = any(r.is_varlength for r in cr)
             for i, r in enumerate(cr):
                 L = next(length_it)
                 for k in range(L):
@@ -5454,14 +5555,37 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
                         if is_last
                         else _NodePat(f"_v{bi}_{ci}_{i}_{k}")
                     )
-                    rv = r.var if not r.is_varlength else ""
+                    # every slot gets an explicit alias so the
+                    # uniqueness conds can reference it (fixed rels
+                    # keep their user name)
+                    if r.is_varlength:
+                        rv = f"_vh{bi}_{ci}_{i}_{k}"
+                    else:
+                        rv = r.var or f"_vf{bi}_{ci}_{i}"
                     extra = list(r.extra_props)
+                    if r.direction == "-":
+                        # undirected slots (any chain of a varlength
+                        # pattern can pair with a hop in the identity
+                        # conds below): the union view must carry every
+                        # rel property — the conds compare them all
+                        extra = sorted(
+                            set(extra) | set(ast.get("rel_props") or [])
+                        )
                     if rup and r.is_varlength:
                         # UNWIND r AS e: name every hop slot so the
                         # per-hop copies below can project its props
                         rv = f"_bvr{bi}_{len(hop_rvs)}"
                         hop_rvs.append(rv)
                         extra = sorted(set(extra) | set(rup))
+                    uniq_slots.append(
+                        (
+                            rv,
+                            r.direction == "-",
+                            list(r.rtypes),
+                            groups_in[ci],
+                            vl_chain,
+                        )
+                    )
                     br.append(
                         _RelPat(
                             rv,
@@ -5480,10 +5604,10 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
             branch_chains.append((bn, br))
         bnodes = branch_chains[0][0]  # vlp_path/shortest are single-chain
         # comma patterns / consecutive MATCH clauses compose through the
-        # shared-variable join emission; a varlength-expanded chain's
-        # hop slots get NO pairwise uniqueness (group None — the
-        # documented bounded-varlength walk divergence), fixed chains
-        # keep their clause groups
+        # shared-variable join emission; varlength-containing chains
+        # pass group None to _multi_chain (their uniqueness is emitted
+        # below in triple mode), fixed chains keep their clause groups
+        # (REL_ID mode when available — exact on duplicate twins)
         from_sql, joins, conds = _multi_chain(
             branch_chains,
             nodes_view,
@@ -5493,6 +5617,14 @@ def _varlength_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
                 None if any(r.is_varlength for r in cr) else groups_in[ci]
                 for ci, (_, cr) in enumerate(chains)
             ],
+        )
+        # Per-path relationship uniqueness over the expanded hops (r8):
+        # the old documented bounded-walk divergence, closed — see
+        # _path_edge_identity_conds for the identity choice
+        conds.extend(
+            _path_edge_identity_conds(
+                uniq_slots, ast["dialect"], sorted(ast.get("rel_props") or [])
+            )
         )
         pathnodes_sql = "concat_ws(',', " + ", ".join(
             f"{n.var}.ID" for n in bnodes

@@ -71,10 +71,12 @@ def _cypher_query(
     sql = cypher_to_sql(
         cypher_text, "gnodes", "grels", dialect="spark",
         node_props=node_props, rel_id=True, rels_eid_view="grels_eid",
+        rel_props=["weight"],
     )
     duck_sql = cypher_to_sql(
         cypher_text, "gnodes", "grels", dialect="duckdb",
         node_props=node_props, rel_id=True, rels_eid_view="grels_eid",
+        rel_props=["weight"],
     )
     if params:
         for k in sorted(params, key=len, reverse=True):
@@ -186,11 +188,11 @@ def _cypher_order_query(name: str, cypher_text: str):
 
     sql = cypher_to_sql(
         cypher_text, "ognodes", "ogrels", dialect="spark", rel_id=True,
-        rels_eid_view="ogrels_eid",
+        rels_eid_view="ogrels_eid", rel_props=["weight"],
     )
     duck_sql = cypher_to_sql(
         cypher_text, "ognodes", "ogrels", dialect="duckdb", rel_id=True,
-        rels_eid_view="ogrels_eid",
+        rels_eid_view="ogrels_eid", rel_props=["weight"],
     )
     oracle = (
         f"WITH ognodes AS ({ORDER_NODES_SQL}),\n"
@@ -294,11 +296,11 @@ def _cypher_dup_query(name: str, cypher_text: str):
 
     sql = cypher_to_sql(
         cypher_text, "dgnodes", "dgrels", dialect="spark", rel_id=True,
-        rels_eid_view="dgrels_eid",
+        rels_eid_view="dgrels_eid", rel_props=[],
     )
     duck_sql = cypher_to_sql(
         cypher_text, "dgnodes", "dgrels", dialect="duckdb", rel_id=True,
-        rels_eid_view="dgrels_eid",
+        rels_eid_view="dgrels_eid", rel_props=[],
     )
     oracle = (
         f"WITH dgnodes AS ({DUP_NODES_SQL}),\n"

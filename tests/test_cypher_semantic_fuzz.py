@@ -582,28 +582,36 @@ vl_query_spec = st.tuples(
 
 
 def _vl_walks(rtype, direction, a_ok, b_ok):
-    """All (a, b) endpoint pairs of 1- and 2-hop walks (engine
-    semantics: no intra-segment edge uniqueness)."""
+    """All (a, b) endpoint pairs of 1- and 2-hop edge-unique PATHS
+    (r8 engine semantics: per-path relationship uniqueness, identity =
+    the physical row CONTENT — triple + every property — so
+    exact-duplicate twins conflate within one path; the documented
+    residual divergence from openCypher's row identity, pinned here:
+    the fixture's duplicated (2,3,K,2.0) pair can contribute only one
+    hop per path)."""
     def steps(frm=None):
         for e in EDGES:
-            s, t, ty, _w = e
+            s, t, ty, w = e
+            key = (s, t, ty, w)
             if rtype and ty != rtype:
                 continue
             if direction in ("->", "-") and (frm is None or s == frm):
-                yield s, t
+                yield s, t, key
             if direction in ("<-", "-"):
                 # <- flips the traversal; '-' walks both ways
                 if direction == "<-":
                     if frm is None or t == frm:
-                        yield t, s
+                        yield t, s, key
                 elif frm is None or t == frm:
-                    yield t, s
+                    yield t, s, key
 
     out = []
-    for a, m in steps():
+    for a, m, k1 in steps():
         if a_ok(a) and b_ok(m):
             out.append((a, m))
-        for m2, b in steps(frm=m):
+        for m2, b, k2 in steps(frm=m):
+            if k2 == k1:
+                continue  # per-path edge uniqueness (content identity)
             if a_ok(a) and b_ok(b):
                 out.append((a, b))
     return out
@@ -666,7 +674,9 @@ def test_bounded_varlength_reference_semantics(fixture_views, spec):
             (a, b) for a, b in pairs if where_fn({"a": a, "b": b}) is True
         ]
 
-    sql = cypher_to_sql(q, "sfznodes", "sfzrels", rel_id=True)
+    # rel_props=["w"] matches api.cypher's wiring: per-path edge
+    # identity compares the full row content (triple + props)
+    sql = cypher_to_sql(q, "sfznodes", "sfzrels", rel_id=True, rel_props=["w"])
     got = [tuple(r) for r in spark.sql(sql).collect()]
     if mode == 0:
         from collections import Counter
