@@ -83,3 +83,58 @@ def full_oracle_background(request):
                 proc.wait(timeout=30)
             except subprocess.TimeoutExpired:
                 proc.kill()
+
+
+# -- parallel suite shard, started at collection time ------------------------
+#
+# The default suite is WAIT-bound, not CPU-bound (measured: 21m30s wall,
+# 8m32s user on 32 cores) — Spark job latency dominates, one session at
+# a time. The three heaviest SELF-CONTAINED suites (the golden corpus +
+# the two fuzzers: ~11 min combined, own fixtures, no cross-file state)
+# run in a parallel pytest subprocess with its own SparkSession; the
+# main session deselects them and `test_zshard_join.py` (collected
+# last) joins the subprocess and fails loudly with its tail if ANY
+# shard test failed — zero coverage loss, wall time becomes
+# max(shard, rest) instead of the sum. A direct run of a shard file
+# (`pytest tests/test_cypher_golden.py`) is NOT sharded (the guard
+# requires a broad selection), and SPARK_GRAFT_NO_SHARD=1 forces the
+# old sequential behavior.
+
+_SHARD_FILES = (
+    "test_cypher_golden.py",
+    "test_cypher_semantic_fuzz.py",
+    "test_cypher_dialect_fuzz.py",
+)
+_SHARD = {"proc": None, "files": _SHARD_FILES}
+
+
+def pytest_collection_modifyitems(config, items):
+    if (
+        os.environ.get("SPARK_GRAFT_SHARD") == "1"
+        or os.environ.get("SPARK_GRAFT_NO_SHARD") == "1"
+    ):
+        return
+    shard = [
+        i for i in items if any(f in i.nodeid for f in _SHARD_FILES)
+    ]
+    rest = [
+        i for i in items if not any(f in i.nodeid for f in _SHARD_FILES)
+    ]
+    # only shard a BROAD run (the full suite); running a shard file
+    # directly keeps it in-process
+    if not shard or len(rest) < 50:
+        return
+    env = dict(os.environ, SPARK_GRAFT_SHARD="1")
+    _SHARD["proc"] = subprocess.Popen(
+        [
+            sys.executable, "-m", "pytest", "-q",
+            *[os.path.join(_REPO, "tests", f) for f in _SHARD_FILES],
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        env=env,
+        cwd=_REPO,
+    )
+    config.hook.pytest_deselected(items=shard)
+    items[:] = rest

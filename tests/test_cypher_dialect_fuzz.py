@@ -218,7 +218,32 @@ agg_query = st.tuples(
     )
 )
 
-query = st.one_of(plain_query, agg_query)
+def _vl_text(t):
+    rtype, direction, bounds = t
+    rel = f"[:{rtype}{bounds}]" if rtype else f"[{bounds}]"
+    if direction == "->":
+        arrow = f"-{rel}->"
+    elif direction == "<-":
+        arrow = f"<-{rel}-"
+    else:
+        arrow = f"-{rel}-"
+    return (
+        f"MATCH (a){arrow}(b) "
+        "RETURN a.ID AS s, b.ID AS t, count(*) AS n ORDER BY s, t"
+    )
+
+
+# bounded varlength: the r8 per-path edge-identity conds are the one
+# dialect-SPLIT emission in the expansion (`<=>` vs IS NOT DISTINCT
+# FROM for null-safe property comparison) — both engines must agree on
+# path multiplicities incl. NULL-prop edges
+vl_query = st.tuples(
+    st.sampled_from(("K", "T", None)),
+    st.sampled_from(("->", "<-", "-")),
+    st.sampled_from(("*1..2", "*2..2", "*1..3", "*2..3")),
+).map(_vl_text)
+
+query = st.one_of(plain_query, agg_query, vl_query)
 
 
 @pytest.fixture(scope="module")
@@ -282,9 +307,12 @@ def _cells_equal(a, b) -> bool:
 @given(q=query)
 def test_dialect_emissions_agree(engines, q):
     spark, con = engines
-    spark_sql = cypher_to_sql(q, "fznodes", "fzrels", rel_id=True)
+    spark_sql = cypher_to_sql(
+        q, "fznodes", "fzrels", rel_id=True, rel_props=["w"]
+    )
     duck_sql = cypher_to_sql(
-        q, "fznodes", "fzrels", dialect="duckdb", rel_id=True
+        q, "fznodes", "fzrels", dialect="duckdb", rel_id=True,
+        rel_props=["w"],
     )
     got_spark = [tuple(r) for r in spark.sql(spark_sql).collect()]
     got_duck = con.execute(duck_sql).fetchall()
