@@ -283,6 +283,14 @@ class _Parser:
         #: later prop refs are allowed and the stage emission re-joins
         #: the node table on the carried id
         self.carried_nodes: set[str] = set()
+        #: directed fixed-length rel var -> (start node var, end node
+        #: var) of its pattern slot — startNode(r).prop resolves to the
+        #: endpoint variable's column with ZERO extra joins (anonymous
+        #: endpoints carry generated aliases, already in the FROM)
+        self.rel_endpoints: dict[str, tuple[str, str]] = {}
+        #: WITH aliases whose defining expression is a map literal
+        #: (struct-typed column): dot access stays legal after WITH
+        self.struct_aliases: set[str] = set()
 
     @classmethod
     def _from_tokens(
@@ -305,6 +313,8 @@ class _Parser:
         sub.node_props = node_props
         sub.rel_props = None
         sub.carried_nodes = set()
+        sub.rel_endpoints = {}
+        sub.struct_aliases = set()
         return sub
 
     # -- token helpers -----------------------------------------------------
@@ -534,8 +544,14 @@ class _Parser:
         nodes = [self.node(anon_ok=True)]
         rels: list[_RelPat] = []
         while self.peek()[1] in ("-", "<-"):
-            rels.append(self.rel())
+            r = self.rel()
+            rels.append(r)
             nodes.append(self.node(anon_ok=True))
+            if r.var and not r.is_varlength and r.direction in ("->", "<-"):
+                a, b = nodes[-2].var, nodes[-1].var
+                if r.direction == "<-":
+                    a, b = b, a
+                self.rel_endpoints[r.var] = (a, b)
         return nodes, rels
 
     def pattern(self) -> tuple[list[_NodePat], list[_RelPat]]:
@@ -662,6 +678,43 @@ class _Parser:
                     else "list_extract"
                 )
                 left = f"{fn}({left}, {pos})"
+                continue
+            # literal list slice xs[a..b] / xs[..b] / xs[a..] —
+            # Cypher: 0-based, end-EXCLUSIVE; Spark slice() is
+            # (1-based start, length), DuckDB list_slice() is 1-based
+            # INCLUSIVE-end. Non-negative literal bounds only.
+            lo: int | None = None
+            if (
+                kind == "num"
+                and "." not in tok
+                and int(tok) >= 0
+                and self.toks[self.pos + 1][1] == "."
+                and self.toks[self.pos + 2][1] == "."
+            ):
+                lo = int(self.next()[1])
+                self.next()
+                self.next()
+            elif tok == "." and self.toks[self.pos + 1][1] == ".":
+                lo = 0
+                self.next()
+                self.next()
+            if lo is not None:
+                hi: int | None = None
+                hk, ht = self.peek()
+                if hk == "num" and "." not in ht and int(ht) >= 0:
+                    hi = int(self.next()[1])
+                self.expect("]")
+                if self.dialect == "spark":
+                    if hi is not None:
+                        left = f"slice({left}, {lo + 1}, {max(hi - lo, 0)})"
+                    else:
+                        left = (
+                            f"slice({left}, {lo + 1}, "
+                            f"greatest(size({left}) - {lo}, 0))"
+                        )
+                else:
+                    end = str(hi) if hi is not None else f"len({left})"
+                    left = f"list_slice({left}, {lo + 1}, {end})"
                 continue
             self.pos = save
             break
@@ -975,15 +1028,74 @@ class _Parser:
                 inner = self.value()
                 self.expect(")")
                 return f"{'UPPER' if fn == 'TOUPPER' else 'LOWER'}({inner})"
+            if fn == "LOG":
+                # Cypher log() is the NATURAL log — Spark's log(x) is
+                # ln but DuckDB's log(x) is log10, so emit the shared
+                # ln() spelling on both sides
+                self.next()
+                self.expect("(")
+                inner = self.value()
+                self.expect(")")
+                return f"ln({inner})"
+            if fn == "E" and self.toks[self.pos + 1][1] == "(":
+                # e() — DuckDB has no e(); exp(1.0) is shared
+                self.next()
+                self.expect("(")
+                self.expect(")")
+                return "exp(1.0)"
+            if fn == "HAVERSIN":
+                # haversin(x) = sin(x/2)^2 — no native twin in either
+                # engine; the identity is dialect-neutral
+                self.next()
+                self.expect("(")
+                inner = self.value()
+                self.expect(")")
+                return f"power(sin(({inner}) / 2), 2)"
+            if fn == "ISEMPTY":
+                # isEmpty(list) — list arguments only (Spark's size()
+                # is array/map-typed; Cypher's string case is length()=0
+                # which the caller can spell directly)
+                self.next()
+                self.expect("(")
+                inner = self.value()
+                self.expect(")")
+                if self.dialect == "spark":
+                    return f"(size({inner}) = 0)"
+                return f"(len({inner}) = 0)"
+            if fn == "TIMESTAMP" and self.toks[self.pos + 1][1] == "(":
+                # NONDETERMINISTIC (like rand()): ms since epoch — keep
+                # out of oracle-compared queries
+                self.next()
+                self.expect("(")
+                self.expect(")")
+                if self.dialect == "spark":
+                    return "unix_millis(current_timestamp())"
+                return "epoch_ms(now())"
             if fn in ("STARTNODE", "ENDNODE"):
                 # startNode(r)/endNode(r) -> the endpoint's node id
                 # (the engine's scalar node convention, same as
-                # `RETURN n` = n.ID); composes under id(...) below
+                # `RETURN n` = n.ID); composes under id(...) below.
+                # With a trailing `.prop` the endpoint NODE VARIABLE of
+                # r's pattern slot resolves the access directly — zero
+                # extra joins, anonymous endpoints included (they carry
+                # generated aliases already present in the FROM).
                 self.next()
                 self.expect("(")
                 rvar = self.expect_name()
                 self.expect(")")
                 col = "START_ID" if fn == "STARTNODE" else "END_ID"
+                if self.peek()[1] == ".":
+                    self.next()
+                    prop = self._ident(self.expect_name(kw_ok=True))
+                    ep = self.rel_endpoints.get(rvar)
+                    if ep is None:
+                        raise CypherUnsupported(
+                            f"{tok}({rvar}).{prop} needs {rvar} bound to "
+                            "a directed fixed-length relationship slot "
+                            "in the current MATCH"
+                        )
+                    nvar = ep[0] if fn == "STARTNODE" else ep[1]
+                    return self._temporal_accessor(f"{nvar}.{prop}")
                 return f"{rvar}.{col}"
             if (
                 fn == "ID"
@@ -1286,6 +1398,15 @@ class _Parser:
                             "lists (use a varlength binding, "
                             "collect(), or size(labels(n)))"
                         )
+                    if (
+                        self.peek()[0] == "str"
+                        and self.toks[self.pos + 1][1] == ")"
+                    ):
+                        # size('literal') — string length (Spark's
+                        # size() is array/map-only; LENGTH is shared)
+                        lit, _n = self._string_literal_with_len()
+                        self.expect(")")
+                        return f"LENGTH({lit})"
                     v = self.value()
                     self.expect(")")
                     return (
@@ -1541,6 +1662,12 @@ class _Parser:
         if kind == "name":
             var = self.expect_name()
             if var in self.unwind_aliases:
+                if var in self.struct_aliases and self.peek()[1] == ".":
+                    # a leading-WITH map literal carried into MATCH
+                    # scope: struct field access
+                    self.next()
+                    prop = self._ident(self.expect_name(kw_ok=True))
+                    return f"{var}.{prop}"
                 # an UNWIND-bound scalar, not a node (may carry a
                 # temporal component accessor if the list held dates)
                 return self._temporal_accessor(var)
@@ -1561,6 +1688,10 @@ class _Parser:
                         # carried-bare node vars: the consuming stage
                         # re-joins the node table on the carried id
                         return self._temporal_accessor(f"{var}.{prop}")
+                    if var in self.struct_aliases:
+                        # a WITH alias holding a map literal: struct
+                        # field access (both engines share `col.field`)
+                        return f"{var}.{prop}"
                     raise CypherUnsupported(
                         f"{var}.{prop}: pattern variables are out of scope "
                         "after WITH — carry values through as WITH aliases"
@@ -2737,14 +2868,36 @@ class _Parser:
                     "aggregates in a leading WITH are not supported"
                 )
             self.aliases = {a for _, a, _ in lead_with}
-            if self.peek()[1] not in ("UNWIND", "RETURN", "MATCH"):
+            self.struct_aliases = {
+                a
+                for e, a, _ in lead_with
+                if e.startswith(("named_struct(", "struct_pack("))
+            }
+            if self.peek()[1] not in ("UNWIND", "RETURN", "MATCH", "OPTIONAL"):
                 raise CypherUnsupported(
-                    "a leading WITH must be followed by MATCH, UNWIND "
-                    "or RETURN (it is a constant projection)"
+                    "a leading WITH must be followed by MATCH, OPTIONAL "
+                    "MATCH, UNWIND or RETURN (it is a constant projection)"
                 )
         lead_unwinds: list[tuple[str, str]] = []
         while self.accept("UNWIND"):
             lead_unwinds.append(self._unwind_source(set()))
+        lead_optional = False
+        if (
+            self.peek()[1] == "OPTIONAL"
+            and self.toks[self.pos + 1][1] == "MATCH"
+        ):
+            # leading OPTIONAL MATCH — no bound anchor: the pattern
+            # parses as a plain MATCH and emission LEFT-JOINs its whole
+            # join tree to a 1-row anchor (the lead WITH/CALL frame when
+            # present), so a failed match still yields one all-NULL row
+            # (openCypher: OPTIONAL MATCH at query start)
+            if lead_unwinds:
+                raise CypherUnsupported(
+                    "UNWIND before a leading OPTIONAL MATCH is not "
+                    "supported — put the OPTIONAL MATCH first"
+                )
+            lead_optional = True
+            self.next()
         if lead_with and self.peek()[1] == "MATCH":
             # constants from the leading WITH join the pattern scope as
             # scalar aliases (the `WITH 3 AS k MATCH … WHERE x < k`
@@ -2774,6 +2927,11 @@ class _Parser:
             self.expect("MATCH")
             sp = self._shortest_prefix()
             if sp is not None:
+                if lead_optional:
+                    raise CypherUnsupported(
+                        "shortestPath under a leading OPTIONAL MATCH "
+                        "is not supported"
+                    )
                 all_paths, path_var, nodes, rels = sp
                 shortest = True
                 chains = [(nodes, rels)]
@@ -2795,6 +2953,11 @@ class _Parser:
                 grp = 0
                 while not getattr(self, "_plain_path", None):
                     if self.peek()[1] == "MATCH":
+                        if lead_optional:
+                            raise CypherUnsupported(
+                                "MATCH after a leading OPTIONAL MATCH "
+                                "is not supported — put the MATCH first"
+                            )
                         self.next()
                         grp += 1
                         more = self.patterns()
@@ -2839,6 +3002,14 @@ class _Parser:
                             continue
                     break
                 nodes, rels = _flatten_chains(chains)
+        if lead_optional and (
+            any(r.is_varlength for r in rels)
+            or getattr(self, "_plain_path", None)
+        ):
+            raise CypherUnsupported(
+                "variable-length / path patterns under a leading "
+                "OPTIONAL MATCH are not supported"
+            )
         path_subs: dict[str, str] = {}
         plain_path = getattr(self, "_plain_path", None)
         vlp_path = False
@@ -3139,6 +3310,12 @@ class _Parser:
                 # stage below has already aggregated. UNWIND iteration
                 # variables die at the boundary too (re-projecting one
                 # in the WITH items carries it on as a plain alias).
+                self.struct_aliases = {
+                    a
+                    for e, a, _ in witems
+                    if e.startswith(("named_struct(", "struct_pack("))
+                    or (e == a and a in self.struct_aliases)
+                }
                 self.aliases = {a for _, a, _ in witems}
                 self.post_vars = frozenset()
                 self.unwind_aliases = set()
@@ -3384,6 +3561,7 @@ class _Parser:
             "chain_groups": chain_groups,
             "lead_with": lead_with,
             "lead_call": lead_call,
+            "lead_optional": lead_optional,
             "nodes": nodes,
             "rels": rels,
             "optionals": optionals,
@@ -4979,26 +5157,46 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
         from_sql, joins, conds = _multi_chain(
             chains, nodes_view, rels_view, groups, bool(ast.get("rel_id"))
         )
+        lead_from = None
         if lc is not None and ast.get("lead_with"):
             # MATCH after CALL { } + WITH: the WITH projects over the
             # subquery's frame (its items may reference the CALL's
             # aliases, so the projection must wrap the frame, not sit
             # beside it as a sibling join item)
             proj = ", ".join(f"{e} AS {a}" for e, a, _ in ast["lead_with"])
-            from_sql = (
-                f"(SELECT {proj} FROM ({lc_sql}) AS _lc1) AS _w0 "
-                f"CROSS JOIN {from_sql}"
-            )
+            lead_from = f"(SELECT {proj} FROM ({lc_sql}) AS _lc1) AS _w0"
         elif ast.get("lead_with"):
             # MATCH after a leading WITH: the 1-row constant projection
             # CROSS JOINs in front of the pattern (Catalyst broadcasts
             # the single row; every lead alias is then a plain column)
             proj = ", ".join(f"{e} AS {a}" for e, a, _ in ast["lead_with"])
-            from_sql = f"(SELECT {proj}) AS _w0 CROSS JOIN {from_sql}"
+            lead_from = f"(SELECT {proj}) AS _w0"
         elif lc is not None:
             # MATCH after a leading CALL: execute-once result frame
             # cross-joined in front of the pattern
-            from_sql = f"({lc_sql}) AS _lc0 CROSS JOIN {from_sql}"
+            lead_from = f"({lc_sql}) AS _lc0"
+        if ast.get("lead_optional"):
+            # leading OPTIONAL MATCH: the whole pattern join tree LEFT
+            # JOINs a 1-row anchor (the lead frame when present) with
+            # every pattern/filter condition in the ON clause — zero
+            # matches still yield one all-NULL row (openCypher). The
+            # clause's WHERE belongs to the optional (null-preserving),
+            # so it folds into the ON, not a post-join filter.
+            # DuckDB rejects a PARENTHESIZED single table reference, so
+            # only a multi-table join tree gets the grouping parens
+            inner = (
+                f"({from_sql} {' '.join(joins)})" if joins else from_sql
+            )
+            on_parts = list(conds)
+            if ast.get("where"):
+                on_parts.append(ast["where"])
+                ast["where"] = None
+            anchor = lead_from or "(SELECT TRUE AS _lopt_anchor) AS _lopt0"
+            on = " AND ".join(on_parts) if on_parts else "TRUE"
+            from_sql = f"{anchor} LEFT JOIN {inner} ON {on}"
+            joins, conds = [], []
+        elif lead_from is not None:
+            from_sql = f"{lead_from} CROSS JOIN {from_sql}"
 
     for oi, (onodes, orels, owhere) in enumerate(ast["optionals"]):
         # LEFT-JOIN chain: pattern conditions live in the ON clause

@@ -1386,6 +1386,69 @@ _cypher_query(
     "count(*) AS n",
 )
 
+_cypher_query(
+    "cypher_leading_optional_empty",
+    # r8: OPTIONAL MATCH at query start (no bound anchor) with ZERO
+    # matches still yields one all-NULL row — count(n) skips it (0),
+    # count(*) sees it (1). Emission LEFT-JOINs the pattern tree to a
+    # 1-row anchor; the label test lives in the ON clause.
+    "OPTIONAL MATCH (n:NoSuchLabel) "
+    "RETURN count(n) AS matched, count(*) AS rows",
+)
+
+_cypher_query(
+    "cypher_leading_optional_rel",
+    # leading OPTIONAL MATCH over a relationship pattern that DOES
+    # match: behaves as a plain MATCH (the WHERE folds into the ON,
+    # null-preserving by construction)
+    "OPTIONAL MATCH (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "WHERE n.name ENDS WITH '1' "
+    "RETURN n.name AS nation, count(r) AS members ORDER BY nation",
+)
+
+_cypher_query(
+    "cypher_endpoint_accessor_props",
+    # r8: startNode(r).prop / endNode(r).prop resolve STATICALLY to
+    # the pattern slot's endpoint variables (anonymous endpoints carry
+    # generated aliases) — zero extra joins
+    "MATCH ()-[r:IN_NATION]->() "
+    "WHERE endNode(r).name ENDS WITH '2' "
+    "RETURN endNode(r).name AS nation, "
+    "count(startNode(r).name) AS members ORDER BY nation",
+)
+
+_cypher_query(
+    "cypher_list_slice",
+    # r8: Cypher list slices (0-based, end-exclusive) — Spark slice()
+    # is (start, LENGTH), DuckDB list_slice() is inclusive-end; the
+    # emission reconciles the three conventions
+    "MATCH (n:Nation) WITH collect(n.name) AS names "
+    "RETURN size(names[2..5]) AS mid, names[..1][0] AS first, "
+    "names[23..][0] AS tail",
+)
+
+_cypher_query(
+    "cypher_map_literal_alias",
+    # r8: a WITH alias holding a map literal keeps dot access (struct
+    # column) through a MATCH scope
+    "WITH {prefix: 'NATION_1', floor: 0.0} AS cfg "
+    "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+    "WHERE n.name STARTS WITH cfg.prefix AND c.acctbal > cfg.floor "
+    "RETURN n.name AS nation, count(*) AS members ORDER BY nation",
+)
+
+_cypher_query(
+    "cypher_r8_scalar_functions",
+    # r8 function-surface widening: log() = NATURAL log (ln on both
+    # engines; DuckDB's log() is log10), e() = exp(1.0), haversin via
+    # sin^2(x/2), size('str') = LENGTH — rounded where float ulps
+    # could differ across engines
+    "MATCH (n:Nation) "
+    "RETURN round(log(exp(2.0)), 6) AS ln2, round(e(), 4) AS euler, "
+    "round(haversin(0.5), 6) AS hs, size('nation') AS len6, "
+    "count(*) AS nations",
+)
+
 
 def _sql_query(name: str, sql: str, tables: tuple[str, ...]):
     """Register a query whose Spark plan IS the oracle SQL — one ANSI
