@@ -291,6 +291,9 @@ class _Parser:
         #: WITH aliases whose defining expression is a map literal
         #: (struct-typed column): dot access stays legal after WITH
         self.struct_aliases: set[str] = set()
+        #: WITH aliases statically known to hold LISTS (collect(),
+        #: list literals, slices …) — drives list-concatenating ``+``
+        self.list_aliases: set[str] = set()
 
     @classmethod
     def _from_tokens(
@@ -315,6 +318,7 @@ class _Parser:
         sub.carried_nodes = set()
         sub.rel_endpoints = {}
         sub.struct_aliases = set()
+        sub.list_aliases = set()
         return sub
 
     # -- token helpers -----------------------------------------------------
@@ -631,19 +635,59 @@ class _Parser:
         "DEGREES", "RADIANS", "PI", "CBRT", "NULLIF", "ISNAN",
     )
 
+    #: emission prefixes that statically mark a LIST-typed expression
+    #: (per dialect) — drives Cypher's list-concatenating ``+``
+    _LIST_PREFIXES = {
+        "spark": (
+            "array(", "slice(", "split(", "sequence(", "sort_array(",
+            "filter(", "transform(", "flatten(", "array_distinct(",
+        ),
+        "duckdb": (
+            "[", "list_value(", "list_slice(", "string_split(",
+            "list_sort(", "list_filter(", "list_transform(", "range(",
+            "generate_series(", "list_concat(", "list_append(",
+            "list_prepend(", "flatten(",
+        ),
+    }
+
+    def _is_list_expr(self, expr: str) -> bool:
+        """Statically list-typed: a list-producing emission prefix or
+        a WITH alias that was bound to one (``self.list_aliases``)."""
+        if expr.startswith(self._LIST_PREFIXES[self.dialect]):
+            return True
+        return expr in getattr(self, "list_aliases", ())
+
     def value(self) -> str:
         """Arithmetic expression: term (('+'|'-') term)*. Cypher's
-        ``+`` also CONCATENATES strings; SQL's does not — when either
-        side is a string literal (the statically-knowable case) the
-        emission switches to concat(), which both engines share. A
-        string-typed property + property stays arithmetic ``+`` (type
-        unknown at parse time; use concat() explicitly there)."""
+        ``+`` also CONCATENATES strings and lists; SQL's does not —
+        when either side is a string literal or a statically-knowable
+        LIST expression the emission switches to concat()/list_concat()
+        (scalar sides wrap/append per dialect). A string-typed property
+        + property stays arithmetic ``+`` (type unknown at parse time;
+        use concat() explicitly there)."""
         left = self.term()
+        left_list = self._is_list_expr(left)
         while True:
             kind, tok = self.peek()
             if tok in ("+", "-"):
                 self.next()
                 right = self.term()
+                right_list = self._is_list_expr(right)
+                if tok == "+" and (left_list or right_list):
+                    # Cypher list concatenation / element append-prepend
+                    if self.dialect == "spark":
+                        l = left if left_list else f"array({left})"
+                        r = right if right_list else f"array({right})"
+                        left = f"concat({l}, {r})"
+                    elif left_list and right_list:
+                        left = f"list_concat({left}, {right})"
+                    elif left_list:
+                        left = f"list_append({left}, {right})"
+                    else:
+                        left = f"list_prepend({left}, {right})"
+                    left_list = True
+                    continue
+                left_list = False
                 if tok == "+" and (
                     _is_string_literal(left) or _is_string_literal(right)
                     or left.startswith("concat(")
@@ -655,11 +699,18 @@ class _Parser:
                 # '2-1' tokenizes the minus into the number; re-split
                 self.next()
                 left = f"({left} - {tok[1:]})"
+                left_list = False
             else:
                 return left
 
     def term(self) -> str:
-        left = self._pow_factor()
+        left = self._postfix_index(self._pow_factor())
+        while self.peek()[1] in ("*", "/", "%"):
+            op = self.next()[1]
+            left = f"({left} {op} {self._pow_factor()})"
+        return left
+
+    def _postfix_index(self, left: str) -> str:
         # postfix element access with a literal integer index:
         # Cypher is 0-based (negative = from the end); both engines'
         # accessors are 1-based with negative-from-end, and both
@@ -718,9 +769,6 @@ class _Parser:
                 continue
             self.pos = save
             break
-        while self.peek()[1] in ("*", "/", "%"):
-            op = self.next()[1]
-            left = f"({left} {op} {self._pow_factor()})"
         return left
 
     def _pow_factor(self) -> str:
@@ -1311,9 +1359,26 @@ class _Parser:
                         f"list_sort(list({d}{inner}) "
                         f"FILTER (({inner}) IS NOT NULL))"
                     )
+                self.expect(")")
+                if self.peek()[1] == "[":
+                    # collect(...)[i] / collect(...)[a..b]: the postfix
+                    # accessor needs the ARRAY form — skip the final-
+                    # boundary string rendering (term() applies the
+                    # index/slice next)
+                    if self.dialect == "spark":
+                        agg = (
+                            f"collect_set({inner})"
+                            if distinct
+                            else f"collect_list({inner})"
+                        )
+                        return f"sort_array({agg})"
+                    d = "DISTINCT " if distinct else ""
+                    return (
+                        f"list_sort(list({d}{inner}) "
+                        f"FILTER (({inner}) IS NOT NULL))"
+                    )
                 if distinct:
                     inner = f"DISTINCT {inner}"
-                self.expect(")")
                 if self.dialect == "spark":
                     return f"array_join(sort_array(collect_list({inner})), ',')"
                 return f"array_to_string(list_sort(list({inner})), ',')"
@@ -1332,8 +1397,14 @@ class _Parser:
                     out = self._pattern_comprehension(mode="count")
                     self.expect(")")
                     return out
-                if self.peek()[1] == "[":
+                if (
+                    self.peek()[1] == "["
+                    and self.toks[self.pos + 1][0] == "name"
+                    and self.toks[self.pos + 2][1].upper() == "IN"
+                ):
                     # size([x IN list ...]) — list-comprehension length
+                    # (a plain list literal falls through to the
+                    # generic value branch below)
                     lc = self._list_comprehension()
                     self.expect(")")
                     return (
@@ -1360,6 +1431,28 @@ class _Parser:
                     distinct = "DISTINCT " if self.accept("DISTINCT") else ""
                     inner = self.value()
                     self.expect(")")
+                    if self.peek()[1] == "[":
+                        # size(collect(...)[a..b]): a postfix accessor
+                        # needs the real array — no COUNT shortcut
+                        if self.dialect == "spark":
+                            agg = (
+                                f"collect_set({inner})"
+                                if distinct
+                                else f"collect_list({inner})"
+                            )
+                            arr = f"sort_array({agg})"
+                        else:
+                            arr = (
+                                f"list_sort(list({distinct}{inner}) "
+                                f"FILTER (({inner}) IS NOT NULL))"
+                            )
+                        arr = self._postfix_index(arr)
+                        self.expect(")")
+                        return (
+                            f"size({arr})"
+                            if self.dialect == "spark"
+                            else f"len({arr})"
+                        )
                     self.expect(")")
                     return f"COUNT({distinct}{inner})"
                 if not (
@@ -1664,10 +1757,15 @@ class _Parser:
             if var in self.unwind_aliases:
                 if var in self.struct_aliases and self.peek()[1] == ".":
                     # a leading-WITH map literal carried into MATCH
-                    # scope: struct field access
-                    self.next()
-                    prop = self._ident(self.expect_name(kw_ok=True))
-                    return f"{var}.{prop}"
+                    # scope: struct field access (chained for nested
+                    # maps: m.a.b)
+                    path = var
+                    while self.peek()[1] == ".":
+                        self.next()
+                        path += "." + self._ident(
+                            self.expect_name(kw_ok=True)
+                        )
+                    return path
                 # an UNWIND-bound scalar, not a node (may carry a
                 # temporal component accessor if the list held dates)
                 return self._temporal_accessor(var)
@@ -1690,8 +1788,15 @@ class _Parser:
                         return self._temporal_accessor(f"{var}.{prop}")
                     if var in self.struct_aliases:
                         # a WITH alias holding a map literal: struct
-                        # field access (both engines share `col.field`)
-                        return f"{var}.{prop}"
+                        # field access (both engines share `col.field`;
+                        # chained for nested maps)
+                        path = f"{var}.{prop}"
+                        while self.peek()[1] == ".":
+                            self.next()
+                            path += "." + self._ident(
+                                self.expect_name(kw_ok=True)
+                            )
+                        return path
                     raise CypherUnsupported(
                         f"{var}.{prop}: pattern variables are out of scope "
                         "after WITH — carry values through as WITH aliases"
@@ -2086,10 +2191,59 @@ class _Parser:
             # bare pattern predicate: WHERE (a)-[:T]->() — sugar for
             # EXISTS (openCypher pattern-expression-as-boolean)
             return self._exists_pattern()
-        if self.accept("("):
-            inner = self.expr()
-            self.expect(")")
-            return f"({inner})"
+        if self.peek()[1] == "(":
+            # boolean group `(a OR b)` vs arithmetic subexpression
+            # `(x + y)[0] * 2`: scan the paren span for boolean/
+            # comparison tokens — only a boolean group parses here
+            # (value() cannot express OR/AND/comparisons); arithmetic
+            # parens fall through to value(), which keeps postfix
+            # accessors and operator continuation working
+            depth = 0
+            bdepth = 0  # [ ] nesting (list literals / comprehensions)
+            mdepth = 0  # { } nesting (map literals)
+            boolish = False
+            for t in self.toks[self.pos :]:
+                tx = t[1]
+                if tx == "(":
+                    depth += 1
+                elif tx == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif tx == "[":
+                    bdepth += 1
+                elif tx == "]":
+                    bdepth -= 1
+                elif tx == "{":
+                    mdepth += 1
+                elif tx == "}":
+                    mdepth -= 1
+                elif (
+                    t[0] == "cmp"
+                    or tx in ("AND", "OR", "NOT", "IS")
+                    or (t[0] == "name" and tx.upper() == "XOR")
+                    or (
+                        bdepth == 0
+                        and mdepth == 0
+                        and (
+                            tx == "IN"
+                            # parenthesized label predicate `(n:P)` —
+                            # map-literal colons sit inside { }
+                            or tx == ":"
+                            or (
+                                t[0] == "name"
+                                and tx.upper()
+                                in ("STARTS", "ENDS", "CONTAINS")
+                            )
+                        )
+                    )
+                ):
+                    boolish = True
+            if boolish:
+                self.next()
+                inner = self.expr()
+                self.expect(")")
+                return f"({inner})"
         if (
             kind0 == "name"
             and self.toks[self.pos + 1][1] == ":"
@@ -2598,10 +2752,29 @@ class _Parser:
         if tok == "[":
             self.next()
             items: list[str] = []
+
+            def _elem() -> str:
+                # a literal, or ONE level of nested list literal
+                # (UNWIND [[1,2],[3,4]] AS pair — the pair rows then
+                # take index access)
+                if self.peek()[1] == "[":
+                    self.next()
+                    sub = [self.literal()]
+                    while self.accept(","):
+                        sub.append(self.literal())
+                    self.expect("]")
+                    body = ", ".join(sub)
+                    return (
+                        f"array({body})"
+                        if self.dialect == "spark"
+                        else f"[{body}]"
+                    )
+                return self.literal()
+
             if self.peek()[1] != "]":
-                items.append(self.literal())
+                items.append(_elem())
                 while self.accept(","):
-                    items.append(self.literal())
+                    items.append(_elem())
             self.expect("]")
             if not items:
                 raise CypherUnsupported("UNWIND of an empty list literal")
@@ -2872,6 +3045,9 @@ class _Parser:
                 a
                 for e, a, _ in lead_with
                 if e.startswith(("named_struct(", "struct_pack("))
+            }
+            self.list_aliases = {
+                a for e, a, _ in lead_with if self._is_list_expr(e)
             }
             if self.peek()[1] not in ("UNWIND", "RETURN", "MATCH", "OPTIONAL"):
                 raise CypherUnsupported(
@@ -3315,6 +3491,12 @@ class _Parser:
                     for e, a, _ in witems
                     if e.startswith(("named_struct(", "struct_pack("))
                     or (e == a and a in self.struct_aliases)
+                }
+                self.list_aliases = {
+                    a
+                    for e, a, _ in witems
+                    if self._is_list_expr(e)
+                    or (e == a and a in self.list_aliases)
                 }
                 self.aliases = {a for _, a, _ in witems}
                 self.post_vars = frozenset()

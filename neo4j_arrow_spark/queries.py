@@ -1438,6 +1438,25 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_list_concat_plus",
+    # r8: Cypher + concatenates lists and appends scalars (emission
+    # switches to concat()/list_concat()/list_append() when either
+    # side is statically list-typed)
+    "MATCH (n:Nation) WITH collect(n.name) AS names "
+    "RETURN size(names + ['EXTRA']) AS padded, "
+    "size([1,2] + [3,4] + 5) AS five, (names + ['ZZZ'])[25] AS sentinel",
+)
+
+_cypher_query(
+    "cypher_collect_indexed",
+    # r8: collect(...)[i] / collect(...)[a..b] keep the ARRAY form
+    # (the string rendering applies only to an unindexed final RETURN)
+    "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+    "RETURN n.name AS nation, collect(c.name)[0] AS first_member, "
+    "size(collect(DISTINCT c.name)[1..4]) AS window ORDER BY nation",
+)
+
+_cypher_query(
     "cypher_r8_scalar_functions",
     # r8 function-surface widening: log() = NATURAL log (ln on both
     # engines; DuckDB's log() is log10), e() = exp(1.0), haversin via
