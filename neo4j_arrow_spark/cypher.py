@@ -2431,6 +2431,14 @@ class _Parser:
             # its own name as the alias, openCypher-style — so a later
             # `MATCH (n)-…` re-anchors on `n`, not on a synthetic n_ID
             default_alias = consumed[0][1]
+        if (
+            len(consumed) == 1
+            and consumed == [("name", "_pathobj")]
+            and getattr(self, "_path_var_name", None)
+        ):
+            # bare `RETURN p` (the whole-path struct): alias by the
+            # source path variable name, not the spliced marker
+            default_alias = self._path_var_name
         if self.accept("AS"):
             alias = self.expect_name()
         else:
@@ -2645,7 +2653,124 @@ class _Parser:
         reads it as a positional ordinal; ``nodes(p)`` is the
         comma-joined node-id string (``concat_ws`` — identical in both
         dialects; same documented string-not-list divergence as
-        ``collect()``). Any other use of the path variable raises."""
+        ``collect()``).
+
+        r8 widening — the hop slots of a PLAIN path are statically
+        known, so path values unroll with zero extra joins:
+
+        - ``[x IN nodes(p) | body]`` / ``[x IN relationships(p) |
+          body]`` → an array literal with the body compiled once per
+          hop slot (the iteration variable substituted by the slot's
+          node/rel alias);
+        - bare ``relationships(p)`` → an array of rel-object structs
+          (same shape as ``RETURN r``);
+        - bare ``p`` as a whole item → a path struct
+          ``{nodes: [ids…], length: n}`` (documented divergence:
+          Neo4j renders a full path object).
+
+        Any other use of the path variable raises."""
+        self._path_var_name = path_var
+        subs: dict[str, str] = {}
+        markers: set[str] = set()
+
+        def _arr(elems: list[str]) -> str:
+            body = ", ".join(elems)
+            return (
+                f"array({body})"
+                if self.dialect == "spark"
+                else f"[{body}]"
+            )
+
+        def _body_per_slot(
+            body: list, iter_var: str, slot_vars: list[str]
+        ) -> list[str]:
+            out = []
+            for sv in slot_vars:
+                toks = [
+                    ("name", sv) if (k == "name" and t == iter_var) else (k, t)
+                    for k, t in ((tt[0], tt[1]) for tt in body)
+                ]
+                sub = _Parser._from_tokens(toks, self.dialect, self.node_props)
+                sub.rel_props = self.rel_props
+                expr = sub.expr()
+                if sub.peek()[1] != "":
+                    raise CypherUnsupported(
+                        f"unsupported expression in a path "
+                        f"comprehension body over {path_var!r}"
+                    )
+                out.append(expr)
+            return out
+
+        # pattern: [ x IN nodes(p) | body ] / [ x IN relationships(p) | body ]
+        i = self.pos
+        comp_n = 0
+        while i < len(self.toks) - 8:
+            t = self.toks
+            if (
+                t[i][1] == "["
+                and t[i + 1][0] == "name"
+                and t[i + 2][1] == "IN"
+                and t[i + 3][0] == "name"
+                and t[i + 3][1].lower() in ("nodes", "relationships")
+                and t[i + 4][1] == "("
+                and (t[i + 5][0], t[i + 5][1]) == ("name", path_var)
+                and t[i + 6][1] == ")"
+                and t[i + 7][1] == "|"
+            ):
+                # find the matching close bracket
+                depth, j = 1, i + 8
+                while j < len(t) and depth:
+                    if t[j][1] == "[":
+                        depth += 1
+                    elif t[j][1] == "]":
+                        depth -= 1
+                    j += 1
+                if depth:
+                    raise CypherSyntaxError(
+                        "unclosed path comprehension bracket"
+                    )
+                iter_var = t[i + 1][1]
+                over_rels = t[i + 3][1].lower() == "relationships"
+                body = list(t[i + 8 : j - 1])
+                if over_rels:
+                    for ri, r in enumerate(rels):
+                        if not r.var:
+                            r.var = f"_pr{ri}"
+                    slot_vars = [r.var for r in rels]
+                else:
+                    slot_vars = [n.var for n in nodes]
+                marker = f"_pathcomp{comp_n}"
+                comp_n += 1
+                subs[marker] = _arr(
+                    _body_per_slot(body, iter_var, slot_vars)
+                )
+                markers.add(marker)
+                self.toks[i:j] = [("name", marker)]
+            i += 1
+        # pattern: bare relationships(p) → array of rel-object structs
+        i = self.pos
+        while i < len(self.toks) - 3:
+            t = self.toks
+            if (
+                t[i][0] == "name"
+                and t[i][1].lower() == "relationships"
+                and t[i + 1][1] == "("
+                and (t[i + 2][0], t[i + 2][1]) == ("name", path_var)
+                and t[i + 3][1] == ")"
+            ):
+                for ri, r in enumerate(rels):
+                    if not r.var:
+                        r.var = f"_pr{ri}"
+                subs["_pathrels"] = _arr(
+                    [
+                        self._rel_object(r.var, r.direction != "-")
+                        for r in rels
+                    ]
+                )
+                markers.add("_pathrels")
+                self.toks[i : i + 4] = [("name", "_pathrels")]
+            i += 1
+        # pattern: length(p) / nodes(p)
         i = self.pos
         while i < len(self.toks) - 3:
             if (
@@ -2662,18 +2787,44 @@ class _Parser:
                 )
                 self.toks[i : i + 4] = [("name", marker)]
             i += 1
-        for k, t in ((tt[0], tt[1]) for tt in self.toks[self.pos :]):
-            if (k, t) == ("name", path_var):
-                raise CypherUnsupported(
-                    f"path variable {path_var!r} supports only "
-                    f"length({path_var}) and nodes({path_var})"
-                )
-        self.unwind_aliases.update({"_pathconst", "_pathnodes"})
-        id_list = ", ".join(f"{n.var}.ID" for n in nodes)
-        return {
-            "_pathconst": f"(0 + {len(rels)})",
-            "_pathnodes": f"concat_ws(',', {id_list})",
+        # pattern: bare `p` as a whole item → the path struct
+        i = self.pos
+        _BOUND = {
+            "", ",", "AS", "ORDER", "LIMIT", "SKIP", "RETURN", "WITH",
         }
+        while i < len(self.toks):
+            if (self.toks[i][0], self.toks[i][1]) == ("name", path_var):
+                nxt = (
+                    self.toks[i + 1][1]
+                    if i + 1 < len(self.toks)
+                    else ""
+                )
+                if nxt not in _BOUND:
+                    raise CypherUnsupported(
+                        f"path variable {path_var!r} supports "
+                        f"length()/nodes()/relationships() accessors, "
+                        f"comprehensions over them, and whole-item "
+                        f"projection — not this use"
+                    )
+                id_arr = _arr([f"{n.var}.ID" for n in nodes])
+                if self.dialect == "spark":
+                    subs["_pathobj"] = (
+                        f"named_struct('nodes', {id_arr}, "
+                        f"'length', {len(rels)})"
+                    )
+                else:
+                    subs["_pathobj"] = (
+                        f"struct_pack(nodes := {id_arr}, "
+                        f"length := {len(rels)})"
+                    )
+                markers.add("_pathobj")
+                self.toks[i] = ("name", "_pathobj")
+            i += 1
+        self.unwind_aliases.update({"_pathconst", "_pathnodes"} | markers)
+        id_list = ", ".join(f"{n.var}.ID" for n in nodes)
+        subs["_pathconst"] = f"(0 + {len(rels)})"
+        subs["_pathnodes"] = f"concat_ws(',', {id_list})"
+        return subs
 
     def _shortest_prefix(self):
         """``[p =] shortestPath( pattern )`` after MATCH; returns

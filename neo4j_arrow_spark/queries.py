@@ -1457,6 +1457,20 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_path_comprehension",
+    # r8: [x IN nodes(p) | body] over a PLAIN path unrolls per hop
+    # slot (static, zero extra joins); relationship comprehension
+    # likewise — arrays compare exactly across engines
+    "MATCH p = (c:Customer)-[r:IN_NATION]->(n:Nation) "
+    "WHERE n.name ENDS WITH '3' "
+    "RETURN [x IN nodes(p) | x.name][0] AS first, "
+    "[x IN nodes(p) | x.name][1] AS nation, "
+    "size([x IN nodes(p) | x.name]) AS nnodes, "
+    "[x IN relationships(p) | x.weight][0] AS w "
+    "ORDER BY first LIMIT 20",
+)
+
+_cypher_query(
     "cypher_r8_scalar_functions",
     # r8 function-surface widening: log() = NATURAL log (ln on both
     # engines; DuckDB's log() is log10), e() = exp(1.0), haversin via

@@ -698,8 +698,15 @@ def test_path_var_rejections():
     cypher_to_sql(
         "MATCH p = (a)-[r:T*1..2]->(b) RETURN length(p) AS h", "n", "e"
     )  # rel + path var both bound, rel unreferenced: legal since r6
-    with pytest.raises(CypherUnsupported, match="supports only"):
-        cypher_to_sql("MATCH p = (a)-[r:T]->(b) RETURN p", "n", "e")
+    # r8: bare `RETURN p` compiles to the path struct {nodes, length},
+    # aliased by the path variable's own name
+    sql_p = cypher_to_sql("MATCH p = (a)-[r:T]->(b) RETURN p", "n", "e")
+    assert "named_struct" in sql_p and " AS p" in sql_p
+    # non-item uses of the path variable still reject
+    with pytest.raises(CypherUnsupported, match="path variable"):
+        cypher_to_sql(
+            "MATCH p = (a)-[r:T]->(b) RETURN p.weird AS x", "n", "e"
+        )
     # r8: unaliased path-function items auto-alias like any computed
     # item (the name reflects the spliced emission, not the source
     # text — write AS for a pretty column name)
