@@ -177,7 +177,11 @@ class Neo4jArrowSpark:
             )
         # parse-as-validation at submit (CypherMessage.java:36-52
         # parity): syntax errors raise here, not inside the job thread
-        _WriteParser(query).parse_write()
+        # (the trailing RETURN, if any, validates in the job — it
+        # compiles through the read transpiler against the write's op)
+        from neo4j_arrow_spark.cypher_write import split_trailing_return
+
+        _WriteParser(split_trailing_return(query)[0]).parse_write()
         graph = self._resolve_graph(db, graph)
         g = self.catalog.get(graph, db, self.username)
 
@@ -186,7 +190,7 @@ class Neo4jArrowSpark:
             # multi-rel-slot read part keeps true openCypher edge
             # identity; the result (pre-minted) re-registers without a
             # second minting pass
-            new_nodes, new_rels, summary = execute_cypher_write(
+            new_nodes, new_rels, summary, result = execute_cypher_write(
                 self.spark,
                 g.nodes,
                 g.rels_eid if g.rels_eid is not None else g.rels,
@@ -210,6 +214,13 @@ class Neo4jArrowSpark:
                 username=self.username,
                 overwrite=True,
             )
+            # a write with a trailing RETURN streams the projection
+            # over the affected entities (Neo4j semantics); a bare
+            # write streams the one-row counters summary
+            if result is not None:
+                # materialize before the summary's views get replaced
+                # by later writes (the projection reads temp views)
+                return result.localCheckpoint()
             return summary
 
         return self.registry.submit("cypher.write", run)

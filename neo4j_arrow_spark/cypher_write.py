@@ -44,6 +44,33 @@ __all__ = ["is_cypher_write", "execute_cypher_write"]
 _WRITE_WORDS = {"SET", "DELETE", "DETACH", "CREATE", "MERGE", "REMOVE"}
 
 
+def split_trailing_return(query: str) -> tuple[str, str | None]:
+    """Split a write statement's trailing ``RETURN items [ORDER BY/
+    SKIP/LIMIT]`` clause off the raw text (Neo4j writes may project
+    their affected entities). The write subset has no other top-level
+    RETURN (no CALL { } / EXISTS { } in write clauses), so the FIRST
+    depth-0 RETURN token starts the clause. Returns ``(write_text,
+    return_text | None)`` — return_text includes the RETURN keyword."""
+    toks = _tokenize(query)
+    depth = 0
+    for kind, text in ((tt[0], tt[1]) for tt in toks):
+        if text in ("(", "[", "{"):
+            depth += 1
+        elif text in (")", "]", "}"):
+            depth -= 1
+        elif depth == 0 and kind == "kw" and text.upper() == "RETURN":
+            for m in re.finditer(r"(?i)\bRETURN\b", query):
+                prefix = query[: m.start()]
+                # skip matches inside string literals: count unescaped
+                # quotes before the match — odd parity = inside
+                if len(re.findall(r"(?<!\\)'", prefix)) % 2 == 0:
+                    return prefix.rstrip(), query[m.start():]
+            raise CypherSyntaxError(
+                "trailing RETURN present in tokens but not locatable"
+            )
+    return query, None
+
+
 def is_cypher_write(query: str) -> bool:
     """Cheap dispatch for the write subset: a leading CREATE/MERGE, or
     a MATCH statement containing a top-level SET / [DETACH] DELETE
@@ -652,10 +679,128 @@ def execute_cypher_write(
     query: str,
     nodes_view: str,
     rels_view: str,
-) -> tuple[DataFrame, DataFrame | None, DataFrame]:
+) -> tuple[DataFrame, DataFrame | None, DataFrame, DataFrame | None]:
     """Apply one write statement; returns ``(new_nodes, new_rels,
-    summary)`` where summary is the Neo4j-style one-row counters frame
-    ``(op, nodes_created, props_set, nodes_deleted, rels_deleted)``."""
+    summary, result)`` where summary is the Neo4j-style one-row
+    counters frame and result is the trailing ``RETURN`` projection
+    over the affected entities (None when the statement has no
+    RETURN). Supported RETURN forms (r8): after MATCH…SET / SET-label /
+    REMOVE-label (the matched nodes, post-update values), after a
+    single-pattern CREATE / MERGE (the created-or-matched node) —
+    items may reference that one node variable, with aggregates /
+    ORDER BY / LIMIT as in any read."""
+    write_text, return_text = split_trailing_return(query)
+    new_nodes, new_rels, summ = _execute_write(
+        spark, nodes, rels, write_text, nodes_view, rels_view
+    )
+    result = None
+    if return_text is not None:
+        result = _trailing_return_result(
+            spark, nodes, new_nodes, write_text, return_text,
+            nodes_view, rels_view,
+        )
+    return new_nodes, new_rels, summ, result
+
+
+def _trailing_return_result(
+    spark: SparkSession,
+    pre_nodes: DataFrame,
+    post_nodes: DataFrame,
+    write_text: str,
+    return_text: str,
+    nodes_view: str,
+    rels_view: str,
+) -> DataFrame:
+    """Evaluate the trailing RETURN against the POST-write node frame,
+    restricted to the affected ids. Matched ids come from re-running
+    the write's own MATCH on the PRE-write views (openCypher: the
+    pattern matches the pre-SET snapshot); created ids are the
+    post-minus-pre frame difference. The RETURN items compile through
+    the read transpiler over a one-node pattern, so aggregates /
+    ORDER BY / SKIP / LIMIT all work; referencing more than the single
+    affected variable raises."""
+    from neo4j_arrow_spark.cypher import cypher_to_sql
+
+    parser = _WriteParser(write_text)
+    ast = parser.parse_write()
+    op = ast["op"]
+    if op == "set":
+        var = ast["sets"][0][0]
+    elif op == "label":
+        var = ast["var"]
+    elif op in ("create", "merge"):
+        pats = ast["patterns"]
+        if len(pats) != 1 or ast.get("chain_rels"):
+            raise CypherUnsupported(
+                "RETURN after CREATE/MERGE supports a single node "
+                "pattern (v1)"
+            )
+        var = pats[0].var
+        if not var:
+            raise CypherUnsupported(
+                "RETURN after CREATE/MERGE needs a named node variable"
+            )
+    else:
+        raise CypherUnsupported(
+            f"RETURN after a {op!r} write is not supported (v1)"
+        )
+    if op in ("set", "label"):
+        items = [(f"{var}.ID", "__sid", False)]
+        sql = _plain_sql(
+            _read_ast(
+                ast["nodes"], ast["rels"], ast["where"], items,
+                ast["chains"],
+            ),
+            nodes_view,
+            rels_view,
+        )
+        ids = spark.sql(sql).select(F.col("__sid").alias("__rid"))
+    elif op == "merge":
+        p = ast["patterns"][0]
+        cond = F.lit(True)
+        for lb in p.labels:
+            cond = cond & F.array_contains(F.col(NodeField.LABELS), lb)
+        match_df = pre_nodes.filter(cond & _props_cond(p))
+        if match_df.limit(1).count() > 0:
+            ids = match_df.select(
+                F.col(NodeField.ID).alias("__rid")
+            )
+        else:  # created branch — same as CREATE
+            ids = post_nodes.select(NodeField.ID).subtract(
+                pre_nodes.select(NodeField.ID)
+            ).select(F.col(NodeField.ID).alias("__rid"))
+    else:  # create
+        ids = post_nodes.select(NodeField.ID).subtract(
+            pre_nodes.select(NodeField.ID)
+        ).select(F.col(NodeField.ID).alias("__rid"))
+    post_nodes.createOrReplaceTempView("__wret_nodes")
+    ids.createOrReplaceTempView("__wret_ids")
+    ret_sql = cypher_to_sql(
+        f"MATCH ({var}) {return_text}", "__wret_nodes", rels_view
+    )
+    anchor = f"__wret_nodes AS {var}"
+    if anchor not in ret_sql:
+        raise CypherUnsupported(
+            "trailing RETURN items must reference only the affected "
+            f"node variable {var!r}"
+        )
+    ret_sql = ret_sql.replace(
+        anchor,
+        f"__wret_nodes AS {var} JOIN __wret_ids "
+        f"ON {var}.ID = __wret_ids.__rid",
+        1,
+    )
+    return spark.sql(ret_sql)
+
+
+def _execute_write(
+    spark: SparkSession,
+    nodes: DataFrame,
+    rels: DataFrame | None,
+    query: str,
+    nodes_view: str,
+    rels_view: str,
+) -> tuple[DataFrame, DataFrame | None, DataFrame]:
     parser = _WriteParser(query)
     ast = parser.parse_write()
     _rid = rels is not None and "REL_ID" in rels.columns

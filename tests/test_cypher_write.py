@@ -499,3 +499,68 @@ def test_foreach_loopvar_nonliteral_rejected(wapi):
             "MATCH (n:P) FOREACH (x IN [1, 2] | SET x.bal = 1.0)",
             graph="wt",
         ).result(120)
+
+
+# -- r8: trailing RETURN after write clauses ---------------------------------
+
+def test_write_set_return_post_values(wapi):
+    # RETURN after SET streams the matched nodes' POST-update values
+    # (Neo4j semantics) — even when the SET rewrites a WHERE-referenced
+    # property (the match is the pre-SET snapshot)
+    job = wapi.cypher(
+        "MATCH (n:P) WHERE n.bal < 15.0 SET n.bal = 99.0 "
+        "RETURN n.name AS name, n.bal AS bal",
+        graph="wt",
+    )
+    rows = job.result(60).collect()
+    assert [(r.name, r.bal) for r in rows] == [("alice", 99.0)]
+
+
+def test_write_create_return(wapi):
+    job = wapi.cypher(
+        "CREATE (x:R {ID: 200, name: 'zed', bal: 1.5}) "
+        "RETURN x.name AS name, x.bal AS bal",
+        graph="wt",
+    )
+    rows = job.result(60).collect()
+    assert [(r.name, r.bal) for r in rows] == [("zed", 1.5)]
+
+
+def test_write_merge_return_both_branches(wapi):
+    # matched branch: alice exists -> returns her current bal
+    rows = wapi.cypher(
+        "MERGE (n:P {name: 'alice'}) RETURN n.bal AS bal", graph="wt"
+    ).result(60).collect()
+    assert [r.bal for r in rows] == [10.0]
+    # created branch: no such node -> created then returned
+    rows = wapi.cypher(
+        "MERGE (n:P {name: 'newbie'}) RETURN n.name AS name", graph="wt"
+    ).result(60).collect()
+    assert [r.name for r in rows] == ["newbie"]
+
+
+def test_write_label_set_return(wapi):
+    rows = wapi.cypher(
+        "MATCH (n:Q) SET n:Vip RETURN n.name AS name", graph="wt"
+    ).result(60).collect()
+    assert [r.name for r in rows] == ["carol"]
+
+
+def test_write_return_aggregate_and_order(wapi):
+    rows = wapi.cypher(
+        "MATCH (n:P) SET n.bal = n.bal * 2 "
+        "RETURN count(n) AS touched",
+        graph="wt",
+    ).result(60).collect()
+    assert [r.touched for r in rows] == [2]
+
+
+def test_write_delete_return_rejected(wapi):
+    # the write itself validates at submit; the trailing RETURN
+    # validates in the job (it needs the op) — the job surfaces the
+    # CypherUnsupported as its failure
+    with pytest.raises(RuntimeError, match="RETURN after a 'delete'"):
+        wapi.cypher(
+            "MATCH (n:Q) DETACH DELETE n RETURN n.name AS name",
+            graph="wt",
+        ).result(60)
