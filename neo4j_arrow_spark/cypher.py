@@ -767,8 +767,23 @@ class _Parser:
                     end = str(hi) if hi is not None else f"len({left})"
                     left = f"list_slice({left}, {lo + 1}, {end})"
                 continue
-            self.pos = save
-            break
+            # dynamic index expression: xs[i] / xs[i + 1] — Cypher is
+            # 0-based with negative-from-end; both engines' accessors
+            # are 1-based with negative-from-end, so shift only the
+            # non-negative side at runtime
+            try:
+                e = self.value()
+                self.expect("]")
+            except CypherSyntaxError:
+                self.pos = save
+                break
+            fn = (
+                "try_element_at"
+                if self.dialect == "spark"
+                else "list_extract"
+            )
+            shift = f"CASE WHEN ({e}) >= 0 THEN ({e}) + 1 ELSE ({e}) END"
+            left = f"{fn}({left}, {shift})"
         return left
 
     def _pow_factor(self) -> str:
@@ -1021,25 +1036,37 @@ class _Parser:
                     f"list_reduce(list_prepend({init}, {src}), "
                     f"({acc}, {var}) -> {body})"
                 )
-            if fn in ("TOINTEGER", "TOFLOAT", "TOSTRING", "TOBOOLEAN"):
+            if fn in (
+                "TOINTEGER", "TOFLOAT", "TOSTRING", "TOBOOLEAN",
+                "TOINTEGERORNULL", "TOFLOATORNULL", "TOSTRINGORNULL",
+                "TOBOOLEANORNULL",
+            ):
                 # Cypher cast functions; toString's target type name is
-                # the one dialect split (STRING vs VARCHAR)
+                # the one dialect split (STRING vs VARCHAR). TRY_CAST on
+                # both sides: openCypher returns NULL for unconvertible
+                # input (toInteger('abc')) — the *OrNull spellings are
+                # then the same functions (Neo4j 5 aliases).
                 self.next()
                 self.expect("(")
                 inner = self.value()
                 self.expect(")")
+                fn = fn.removesuffix("ORNULL")
                 if fn == "TOINTEGER" and self.dialect != "spark":
                     # Cypher toInteger TRUNCATES toward zero (Spark's
                     # CAST does); DuckDB's float->int CAST ROUNDS
-                    # half-away (12.9 -> 13) — trunc() first
-                    return f"CAST(trunc({inner}) AS BIGINT)"
+                    # half-away (12.9 -> 13) — via DOUBLE + trunc()
+                    # (TRY_CAST keeps the NULL-for-garbage contract)
+                    return (
+                        f"TRY_CAST(trunc(TRY_CAST({inner} AS DOUBLE)) "
+                        f"AS BIGINT)"
+                    )
                 ty = {
                     "TOINTEGER": "BIGINT",
                     "TOFLOAT": "DOUBLE",
                     "TOSTRING": "STRING" if self.dialect == "spark" else "VARCHAR",
                     "TOBOOLEAN": "BOOLEAN",
                 }[fn]
-                return f"CAST({inner} AS {ty})"
+                return f"TRY_CAST({inner} AS {ty})"
             if fn == "RANGE":
                 self.next()
                 return self._range_call()
@@ -1085,6 +1112,27 @@ class _Parser:
                 inner = self.value()
                 self.expect(")")
                 return f"ln({inner})"
+            if fn == "REVERSE":
+                # Spark's reverse() is polymorphic (string | array);
+                # DuckDB splits into reverse() / list_reverse() — pick
+                # by the statically-known list-ness of the argument
+                self.next()
+                self.expect("(")
+                inner = self.value()
+                self.expect(")")
+                if self.dialect != "spark" and self._is_list_expr(inner):
+                    return f"list_reverse({inner})"
+                return f"REVERSE({inner})"
+            if fn == "ELEMENTID" and self.toks[self.pos + 2][0] == "name":
+                # Neo4j 5 elementId(n) — a STRING node identity; the
+                # honest columnar analogue is the stringified id
+                if self.toks[self.pos + 3][1] == ")":
+                    self.next()
+                    self.expect("(")
+                    var = self.expect_name()
+                    self.expect(")")
+                    ty = "STRING" if self.dialect == "spark" else "VARCHAR"
+                    return f"CAST({var}.ID AS {ty})"
             if fn == "E" and self.toks[self.pos + 1][1] == "(":
                 # e() — DuckDB has no e(); exp(1.0) is shared
                 self.next()
@@ -2559,6 +2607,10 @@ class _Parser:
                         if self.accept(".")
                         else name
                     )
+                    if self.peek()[1] == "[":
+                        # ORDER BY xs[0] / xs[a..b] — postfix index or
+                        # slice over a projected list alias
+                        e = self._postfix_index(e)
                 direction = "DESC" if self.accept("DESC") else ("ASC" if self.accept("ASC") else "ASC")
                 order.append((e, direction))
                 if not self.accept(","):
