@@ -60,6 +60,12 @@ HEAVY = [
     "cypher_varlength_deep",
     "cypher_optional_unbounded",
     "anf_effective_diameter",
+    # round-8: the leading-OPTIONAL LEFT-join shape, per-hop-unrolled
+    # path values, collect-postfix grouping, endpoint accessors
+    "cypher_leading_optional_rel",
+    "cypher_path_comprehension",
+    "cypher_collect_indexed",
+    "cypher_endpoint_accessor_props",
 ]
 
 
