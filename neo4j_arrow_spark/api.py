@@ -172,9 +172,15 @@ class Neo4jArrowSpark:
         )
 
         if params:
-            raise CypherUnsupported(
-                "parameters in write clauses are not supported (v1)"
-            )
+            # write clauses bind $params by literal inlining (reads
+            # bind through Spark's named-parameter channel, but the
+            # write path builds frames, not one SQL statement). Values
+            # render through the same literal rules as the oracle
+            # inliner; longest names substitute first so $n never
+            # clobbers $name.
+            from neo4j_arrow_spark.cypher_write import render_write_params
+
+            query = render_write_params(query, params)
         # parse-as-validation at submit (CypherMessage.java:36-52
         # parity): syntax errors raise here, not inside the job thread
         # (the trailing RETURN, if any, validates in the job — it

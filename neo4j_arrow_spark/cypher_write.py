@@ -44,6 +44,42 @@ __all__ = ["is_cypher_write", "execute_cypher_write"]
 _WRITE_WORDS = {"SET", "DELETE", "DETACH", "CREATE", "MERGE", "REMOVE"}
 
 
+def render_write_params(query: str, params: dict) -> str:
+    """Bind ``$name`` parameters in a WRITE statement by inlining
+    SQL-safe literals (ints, floats, bools, strings, flat lists).
+    Reads bind through Spark's named-parameter channel; the write path
+    compiles to frame operations where no binding channel exists, so
+    inlining is the honest equivalent. Longest names substitute first
+    (``$n`` must not clobber ``$name``); unbound markers left after
+    substitution raise."""
+
+    def lit(v) -> str:
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, str):
+            # CYPHER-source escaping (backslash, per the tokenizer) —
+            # _normalize_str_literal re-emits the dialect-neutral form
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, (list, tuple)):
+            return "[" + ", ".join(lit(x) for x in v) + "]"
+        raise CypherUnsupported(
+            f"unsupported write-parameter type {type(v).__name__}"
+        )
+
+    for k in sorted(params, key=len, reverse=True):
+        query = query.replace(f"${k}", lit(params[k]))
+    # token-level leftover check ($ inside a string literal is data,
+    # not a marker — the tokenizer knows the difference)
+    for kind, text in ((t[0], t[1]) for t in _tokenize(query)):
+        if kind == "param":
+            raise CypherUnsupported(
+                f"write statement references unbound parameter {text!r}"
+            )
+    return query
+
+
 def split_trailing_return(query: str) -> tuple[str, str | None]:
     """Split a write statement's trailing ``RETURN items [ORDER BY/
     SKIP/LIMIT]`` clause off the raw text (Neo4j writes may project

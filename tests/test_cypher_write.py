@@ -139,11 +139,15 @@ def test_delete_without_edges_ok(wapi):
     assert row.nodes_deleted == 1 and 300 not in _ids(wapi)
 
 
-def test_write_rejects_params(wapi):
-    with pytest.raises(CypherUnsupported, match="parameters"):
-        wapi.cypher(
-            "CREATE (x:P {ID: 400})", graph="wt", params={"a": 1}
-        )
+def test_write_extra_params_ignored(wapi):
+    # r8: $params inline as literals in writes; extra bindings are
+    # harmless (reads behave the same way), unbound markers raise
+    # (test_write_unbound_param_rejected)
+    s = wapi.cypher(
+        "CREATE (x:P {ID: 400, name: $nm})", graph="wt",
+        params={"nm": "quux", "a": 1},
+    ).result(60).collect()[0]
+    assert s.nodes_created == 1
 
 
 def test_write_rejects_rel_create(wapi):
@@ -564,3 +568,29 @@ def test_write_delete_return_rejected(wapi):
             "MATCH (n:Q) DETACH DELETE n RETURN n.name AS name",
             graph="wt",
         ).result(60)
+
+
+def test_write_params_inlined(wapi):
+    # $params in writes bind by SQL-safe literal inlining (reads use
+    # Spark's named-parameter channel; the write path builds frames)
+    rows = wapi.cypher(
+        "CREATE (x:R {ID: 300, name: $nm, bal: $b}) "
+        "RETURN x.name AS name, x.bal AS bal",
+        graph="wt",
+        params={"nm": "o'brien", "b": 2.5},
+    ).result(60).collect()
+    assert [(r.name, r.bal) for r in rows] == [("o'brien", 2.5)]
+    rows = wapi.cypher(
+        "MATCH (n:P) WHERE n.name = $who SET n.bal = $v "
+        "RETURN n.bal AS bal",
+        graph="wt",
+        params={"who": "alice", "v": 77.0},
+    ).result(60).collect()
+    assert [r.bal for r in rows] == [77.0]
+
+
+def test_write_unbound_param_rejected(wapi):
+    with pytest.raises(CypherUnsupported, match="unbound parameter"):
+        wapi.cypher(
+            "MATCH (n:P) SET n.bal = $missing", graph="wt", params={"x": 1}
+        )
