@@ -2611,6 +2611,21 @@ class _Parser:
                         # ORDER BY xs[0] / xs[a..b] — postfix index or
                         # slice over a projected list alias
                         e = self._postfix_index(e)
+                    if self.peek()[1] in ("+", "-", "*", "/", "%", "^"):
+                        # arithmetic continuation (ORDER BY n.age % 2):
+                        # fold the parsed head into a full expression —
+                        # the unprojected-expression path emits it at
+                        # projection level like the name( branch
+                        saw = self._saw_agg
+                        while self.peek()[1] in ("+", "-", "*", "/", "%", "^"):
+                            op = self.next()[1]
+                            rhs = self._pow_factor()
+                            e = (
+                                f"power({e}, {rhs})"
+                                if op == "^"
+                                else f"({e} {op} {rhs})"
+                            )
+                        self._saw_agg = saw
                 direction = "DESC" if self.accept("DESC") else ("ASC" if self.accept("ASC") else "ASC")
                 order.append((e, direction))
                 if not self.accept(","):
