@@ -3740,13 +3740,33 @@ class _Parser:
                 continue
             if (
                 pipeline
-                and pipeline[-1]["kind"] in ("with", "call")
+                and pipeline[-1]["kind"] in ("with", "call", "unwind")
                 and self.peek()[1] == "MATCH"
             ):
                 # MATCH after WITH: re-anchor the pipeline on a carried
                 # alias. The first pattern node must BE an alias
                 # (anchored by id); the rest are fresh variables with
                 # full property access again.
+                if pipeline[-1]["kind"] == "unwind":
+                    # MATCH directly after UNWIND (the batch-rematch
+                    # idiom `UNWIND ids AS i MATCH (m) WHERE m.ID = i`):
+                    # synthesize the implicit WITH * stage the emission
+                    # pairs the unwind element with, carrying every
+                    # in-scope alias (incl. the iteration variable)
+                    witems = [(a, a, False) for a in sorted(self.aliases)]
+                    st = {
+                        "kind": "with",
+                        "items": witems,
+                        "distinct": False,
+                        "where": None,
+                        "order": [],
+                        "skip": None,
+                        "limit": None,
+                        "carried": [],
+                        "implicit": True,
+                    }
+                    withs.append(st)
+                    pipeline.append(st)
                 self.next()
                 pnodes, prels = self.pattern()
                 anchor = pnodes[0]

@@ -1471,6 +1471,16 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_unwind_rematch",
+    # r8: the batch-rematch idiom — UNWIND a collected id list and
+    # re-MATCH each element (implicit WITH * pairs the explode with
+    # the graph re-join)
+    "MATCH (n:Nation) WITH collect(n.ID) AS ids UNWIND ids AS i "
+    "MATCH (m) WHERE m.ID = i "
+    "RETURN count(*) AS nations, min(m.name) AS first",
+)
+
+_cypher_query(
     "cypher_r8_scalar_functions",
     # r8 function-surface widening: log() = NATURAL log (ln on both
     # engines; DuckDB's log() is log10), e() = exp(1.0), haversin via
