@@ -651,9 +651,14 @@ class _Parser:
     }
 
     def _is_list_expr(self, expr: str) -> bool:
-        """Statically list-typed: a list-producing emission prefix or
-        a WITH alias that was bound to one (``self.list_aliases``)."""
+        """Statically list-typed: a list-producing emission prefix, a
+        WITH alias that was bound to one (``self.list_aliases``), or a
+        recorded list-``+`` emission (Spark's list concat emits plain
+        ``concat(`` — ambiguous with string concat, so value() records
+        the exact emitted string instead of the prefix)."""
         if expr.startswith(self._LIST_PREFIXES[self.dialect]):
+            return True
+        if expr in getattr(self, "_list_emissions", ()):
             return True
         return expr in getattr(self, "list_aliases", ())
 
@@ -679,6 +684,9 @@ class _Parser:
                         l = left if left_list else f"array({left})"
                         r = right if right_list else f"array({right})"
                         left = f"concat({l}, {r})"
+                        if not hasattr(self, "_list_emissions"):
+                            self._list_emissions = set()
+                        self._list_emissions.add(left)
                     elif left_list and right_list:
                         left = f"list_concat({left}, {right})"
                     elif left_list:
@@ -2612,19 +2620,23 @@ class _Parser:
                         # slice over a projected list alias
                         e = self._postfix_index(e)
                     if self.peek()[1] in ("+", "-", "*", "/", "%", "^"):
-                        # arithmetic continuation (ORDER BY n.age % 2):
-                        # fold the parsed head into a full expression —
-                        # the unprojected-expression path emits it at
-                        # projection level like the name( branch
+                        # arithmetic continuation (ORDER BY n.age % 2,
+                        # ORDER BY i + 2 * 3): fold the parsed head
+                        # back through the expression grammar's
+                        # precedence levels — ^ (right-assoc) > * / %
+                        # > + - — so mixed operators sort by the same
+                        # value the projection would compute (a flat
+                        # left fold would emit ((i + 2) * 3))
                         saw = self._saw_agg
-                        while self.peek()[1] in ("+", "-", "*", "/", "%", "^"):
+                        if self.peek()[1] == "^":
+                            self.next()
+                            e = f"power({e}, {self._pow_factor()})"
+                        while self.peek()[1] in ("*", "/", "%"):
                             op = self.next()[1]
-                            rhs = self._pow_factor()
-                            e = (
-                                f"power({e}, {rhs})"
-                                if op == "^"
-                                else f"({e} {op} {rhs})"
-                            )
+                            e = f"({e} {op} {self._pow_factor()})"
+                        while self.peek()[1] in ("+", "-"):
+                            op = self.next()[1]
+                            e = f"({e} {op} {self.term()})"
                         self._saw_agg = saw
                 direction = "DESC" if self.accept("DESC") else ("ASC" if self.accept("ASC") else "ASC")
                 order.append((e, direction))
@@ -6390,7 +6402,9 @@ def is_cypher(query: str) -> bool:
     name AS`` starts the leading-WITH constant projection (the
     MANIFESTO benchmark shape) — SQL's WITH is always ``WITH name AS
     (``, so the paren distinguishes the two."""
-    if re.match(r"\s*(MATCH|UNWIND|RETURN|CALL)\b", query, re.IGNORECASE):
+    if re.match(
+        r"\s*(MATCH|OPTIONAL|UNWIND|RETURN|CALL)\b", query, re.IGNORECASE
+    ):
         return True
     m = re.match(r"\s*WITH\b(?!\s+RECURSIVE\b)", query, re.IGNORECASE)
     if not m:

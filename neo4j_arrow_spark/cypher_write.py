@@ -36,6 +36,7 @@ from neo4j_arrow_spark.cypher import (
     _plain_sql,
     _RelPat,
     _tokenize,
+    _TOKEN_RE,
 )
 from neo4j_arrow_spark.graph import NodeField, RelField
 
@@ -49,9 +50,11 @@ def render_write_params(query: str, params: dict) -> str:
     SQL-safe literals (ints, floats, bools, strings, flat lists).
     Reads bind through Spark's named-parameter channel; the write path
     compiles to frame operations where no binding channel exists, so
-    inlining is the honest equivalent. Longest names substitute first
-    (``$n`` must not clobber ``$name``); unbound markers left after
-    substitution raise."""
+    inlining is the honest equivalent. Substitution is TOKEN-level: the
+    query is re-scanned with the Cypher tokenizer's regex so a ``$``
+    sequence inside a string literal is data (never substituted), a
+    bound ``$n`` cannot clobber the prefix of a distinct ``$nx``
+    marker, and any param token with no binding raises."""
 
     def lit(v) -> str:
         if isinstance(v, bool):
@@ -68,16 +71,25 @@ def render_write_params(query: str, params: dict) -> str:
             f"unsupported write-parameter type {type(v).__name__}"
         )
 
-    for k in sorted(params, key=len, reverse=True):
-        query = query.replace(f"${k}", lit(params[k]))
-    # token-level leftover check ($ inside a string literal is data,
-    # not a marker — the tokenizer knows the difference)
-    for kind, text in ((t[0], t[1]) for t in _tokenize(query)):
-        if kind == "param":
-            raise CypherUnsupported(
-                f"write statement references unbound parameter {text!r}"
+    out, i = [], 0
+    while i < len(query):
+        m = _TOKEN_RE.match(query, i)
+        if not m:
+            raise CypherSyntaxError(
+                f"cannot tokenize at: {query[i:i+20]!r}"
             )
-    return query
+        if m.lastgroup == "param":
+            name = m.group()[1:]
+            if name not in params:
+                raise CypherUnsupported(
+                    "write statement references unbound parameter "
+                    f"'${name}'"
+                )
+            out.append(lit(params[name]))
+        else:
+            out.append(m.group())
+        i = m.end()
+    return "".join(out)
 
 
 def split_trailing_return(query: str) -> tuple[str, str | None]:
@@ -87,23 +99,32 @@ def split_trailing_return(query: str) -> tuple[str, str | None]:
     RETURN (no CALL { } / EXISTS { } in write clauses), so the FIRST
     depth-0 RETURN token starts the clause. Returns ``(write_text,
     return_text | None)`` — return_text includes the RETURN keyword."""
-    toks = _tokenize(query)
-    depth = 0
-    for kind, text in ((tt[0], tt[1]) for tt in toks):
-        if text in ("(", "[", "{"):
-            depth += 1
-        elif text in (")", "]", "}"):
-            depth -= 1
-        elif depth == 0 and kind == "kw" and text.upper() == "RETURN":
-            for m in re.finditer(r"(?i)\bRETURN\b", query):
-                prefix = query[: m.start()]
-                # skip matches inside string literals: count unescaped
-                # quotes before the match — odd parity = inside
-                if len(re.findall(r"(?<!\\)'", prefix)) % 2 == 0:
-                    return prefix.rstrip(), query[m.start():]
+    depth, i, prev = 0, 0, ""
+    while i < len(query):
+        m = _TOKEN_RE.match(query, i)
+        if not m:
             raise CypherSyntaxError(
-                "trailing RETURN present in tokens but not locatable"
+                f"cannot tokenize at: {query[i:i+20]!r}"
             )
+        text = m.group()
+        if m.lastgroup != "ws":
+            if text in ("(", "[", "{"):
+                depth += 1
+            elif text in (")", "]", "}"):
+                depth -= 1
+            elif (
+                depth == 0
+                and m.lastgroup == "kw"
+                and text.upper() == "RETURN"
+                # a RETURN directly after '.' is a property name
+                # (``SET n.return = 1``), not the clause keyword —
+                # the tokenizer deliberately allows keyword-looking
+                # identifiers in property position
+                and prev != "."
+            ):
+                return query[: m.start()].rstrip(), query[m.start():]
+            prev = text
+        i = m.end()
     return query, None
 
 
