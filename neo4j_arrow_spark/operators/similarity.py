@@ -212,6 +212,75 @@ def ivf_assign(
     )
 
 
+def ivf_assign_2level(
+    items: DataFrame,
+    centroids: DataFrame,
+    coarse: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Two-level IVF assignment — same output contract as
+    :func:`ivf_assign`, but the nearest-centroid search routes through
+    a COARSE quantizer: the fine centroids are pre-assigned to their
+    nearest coarse cell, every item picks its nearest coarse cell
+    first, and then compares only against the fine centroids of that
+    cell. Flat assignment is |N|·nlist work — with nlist ∝ |N|
+    (constant bucket size, the linear-search configuration) that is a
+    quadratic (the r8 bench's 10.6x sf1 ratio on knn_graph_ivf); two
+    levels cut it to |N|·(ncoarse + nlist/ncoarse), minimized at
+    ncoarse ≈ √nlist. Both centroid sets stay broadcast-size; the
+    shuffles are the two per-item argmax windows, linear in |N|.
+
+    Every argmax uses the shared (round(cos, 6) desc, id asc) order,
+    so the membership is deterministic and the DuckDB oracle restates
+    it exactly. A coarse cell can never be empty of fine centroids as
+    long as the coarse set is a SUBSET of the fine set (each coarse
+    vector assigns to itself at cos = 1).
+
+    Output: (item_id, bucket, ccos) — ccos is the fine-centroid
+    cosine, as in :func:`ivf_assign`."""
+    fine_cells = ivf_assign(centroids, coarse, id_col, vec_col).select(
+        F.col("item_id").alias("bucket"), F.col("bucket").alias("cell")
+    )
+    fine = centroids.select(
+        F.col(id_col).alias("bucket"), F.col(vec_col).alias("cv")
+    ).join(F.broadcast(fine_cells), "bucket")
+
+    co = coarse.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("xv")
+    )
+    it = items.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("iv")
+    )
+    s1 = it.join(F.broadcast(co), how="cross").select(
+        "item_id",
+        "iv",
+        "cell",
+        F.round(cosine(F.col("iv"), F.col("xv")), 6).alias("ccos"),
+    )
+    w1 = Window.partitionBy("item_id").orderBy(
+        F.col("ccos").desc(), F.col("cell").asc()
+    )
+    cells = (
+        s1.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") == 1)
+        .select("item_id", "iv", "cell")
+    )
+    s2 = cells.join(F.broadcast(fine), "cell").select(
+        "item_id",
+        "bucket",
+        F.round(cosine(F.col("iv"), F.col("cv")), 6).alias("ccos"),
+    )
+    w2 = Window.partitionBy("item_id").orderBy(
+        F.col("ccos").desc(), F.col("bucket").asc()
+    )
+    return (
+        s2.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .select("item_id", "bucket", "ccos")
+    )
+
+
 def ivf_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -220,15 +289,29 @@ def ivf_topk(
     vec_col: str,
     k: int = 3,
     nprobe: int = 1,
+    coarse: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the ``nprobe`` nearest centroid buckets
     of each query and rank exactly within them.
 
     The item·query pairing is an equi-join on bucket — at scale this is
     the difference between |Q|·|N| and |Q|·|N|/n_buckets·nprobe.
+
+    ``coarse`` (optional) switches BOTH the item assignment and the
+    query probe selection to the two-level path of
+    :func:`ivf_assign_2level` — required whenever nlist itself scales
+    with |N| (constant-bucket configurations), where flat assignment
+    is quadratic. With ``coarse``, probes are the top-``nprobe`` fine
+    centroids WITHIN the query's nearest coarse cell (slightly lower
+    recall than the flat global top-``nprobe``; identical at
+    nprobe=1, where both pick the two-level assignment bucket).
+
     Output: (query_id, neighbor_id, rank, cos)."""
-    c = centroids.select(F.col(id_col).alias("bucket"), F.col(vec_col).alias("cv"))
-    assigned = ivf_assign(items, centroids, id_col, vec_col).join(
+    if coarse is not None:
+        assign = ivf_assign_2level(items, centroids, coarse, id_col, vec_col)
+    else:
+        assign = ivf_assign(items, centroids, id_col, vec_col)
+    assigned = assign.join(
         items.select(
             F.col(id_col).alias("item_id"),
             F.col(vec_col).alias("nv"),
@@ -242,13 +325,51 @@ def ivf_topk(
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("qn"),
     )
-    q_scored = q.join(F.broadcast(c), how="cross").select(
-        "query_id",
-        "qv",
-        "qn",
-        "bucket",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("qcos"),
-    )
+    if coarse is not None:
+        # two-level probe: nearest coarse cell, then top-nprobe fine
+        # centroids of that cell — |Q|·(ncoarse + nlist/ncoarse) work
+        co = coarse.select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("xv")
+        )
+        fine_cells = ivf_assign(
+            centroids, coarse, id_col, vec_col
+        ).select(F.col("item_id").alias("bucket"), F.col("bucket").alias("cell"))
+        fine = centroids.select(
+            F.col(id_col).alias("bucket"), F.col(vec_col).alias("cv")
+        ).join(F.broadcast(fine_cells), "bucket")
+        qc = q.join(F.broadcast(co), how="cross").select(
+            "query_id",
+            "qv",
+            "qn",
+            "cell",
+            F.round(cosine(F.col("qv"), F.col("xv")), 6).alias("qcos"),
+        )
+        wc = Window.partitionBy("query_id").orderBy(
+            F.col("qcos").desc(), F.col("cell").asc()
+        )
+        qcells = (
+            qc.withColumn("_rn", F.row_number().over(wc))
+            .filter(F.col("_rn") == 1)
+            .select("query_id", "qv", "qn", "cell")
+        )
+        q_scored = qcells.join(F.broadcast(fine), "cell").select(
+            "query_id",
+            "qv",
+            "qn",
+            "bucket",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("qcos"),
+        )
+    else:
+        c = centroids.select(
+            F.col(id_col).alias("bucket"), F.col(vec_col).alias("cv")
+        )
+        q_scored = q.join(F.broadcast(c), how="cross").select(
+            "query_id",
+            "qv",
+            "qn",
+            "bucket",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("qcos"),
+        )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("qcos").desc(), F.col("bucket").asc()
     )

@@ -1795,25 +1795,52 @@ def _knn_graph_sql(k: int) -> str:
     probes exactly its own assigned bucket, so the searched set is the
     per-bucket all-pairs — the oracle states that identity directly.
     nlist scales with the corpus (max(8, N div 256)) so bucket size —
-    and with it the per-bucket all-pairs cost — stays CONSTANT as data
-    grows; a fixed nlist made the sf1 scale proof go quadratic
-    (83x wall at 10x data, vs ~5x with the scaled form)."""
+    and with it the per-bucket all-pairs SEARCH cost — stays CONSTANT
+    as data grows; a fixed nlist made the sf1 scale proof go quadratic
+    (83x wall at 10x data). Assignment is TWO-LEVEL (r9): flat
+    assignment against a ∝N centroid set is itself N²/256 (the r8
+    10.6x sf1 ratio) — routing through ncoarse = ceil(√nlist) coarse
+    cells makes it N·2√nlist. ceil(sqrt(x)) on a correctly-rounded
+    IEEE double is exact for these magnitudes, so both engines compute
+    the identical ncoarse."""
     return f"""
-    WITH nl AS (SELECT greatest(8, count(*) // 256) AS nlist
+    WITH nl AS (SELECT greatest(8, count(*) // 256) AS nlist,
+                       greatest(4, CAST(ceil(sqrt(CAST(greatest(8,
+                           count(*) // 256) AS DOUBLE))) AS BIGINT))
+                       AS ncoarse
                 FROM embeddings),
-    centroids AS (SELECT vec_id AS bucket, embedding AS cv
-                  FROM embeddings CROSS JOIN nl WHERE vec_id < nlist),
-    iscore AS (
-        SELECT i.vec_id AS item_id, c.bucket,
-               {_duck_cos("i.embedding", "c.cv")} AS ccos
-        FROM embeddings i, centroids c
+    coarse AS (SELECT vec_id AS cell, embedding AS xv
+               FROM embeddings CROSS JOIN nl WHERE vec_id < ncoarse),
+    fine AS (SELECT vec_id AS bucket, embedding AS cv
+             FROM embeddings CROSS JOIN nl WHERE vec_id < nlist),
+    fine_cell AS (
+        SELECT bucket, cell FROM (
+            SELECT f.bucket, c.cell,
+                   row_number() OVER (PARTITION BY f.bucket
+                                      ORDER BY {_duck_cos("f.cv", "c.xv")}
+                                      DESC, c.cell ASC) AS rn
+            FROM fine f, coarse c
+        ) WHERE rn = 1
+    ),
+    icell AS (
+        SELECT item_id, cell FROM (
+            SELECT i.vec_id AS item_id, c.cell,
+                   row_number() OVER (PARTITION BY i.vec_id
+                                      ORDER BY {_duck_cos("i.embedding", "c.xv")}
+                                      DESC, c.cell ASC) AS rn
+            FROM embeddings i, coarse c
+        ) WHERE rn = 1
     ),
     assigned AS (
         SELECT item_id, bucket FROM (
-            SELECT item_id, bucket,
-                   row_number() OVER (PARTITION BY item_id
-                                      ORDER BY ccos DESC, bucket ASC) AS rn
-            FROM iscore
+            SELECT ic.item_id, fc.bucket,
+                   row_number() OVER (PARTITION BY ic.item_id
+                                      ORDER BY {_duck_cos("e.embedding", "f.cv")}
+                                      DESC, fc.bucket ASC) AS rn
+            FROM icell ic
+            JOIN embeddings e ON e.vec_id = ic.item_id
+            JOIN fine_cell fc ON fc.cell = ic.cell
+            JOIN fine f ON f.bucket = fc.bucket
         ) WHERE rn = 1
     ),
     searched AS (
@@ -1840,13 +1867,20 @@ def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard GNN/embedding-dedup preprocessing step): every vector
     becomes a node with directed edges to its top-3 cosine neighbors
     inside its IVF bucket. Same operator as ann_ivf_topk with the full
-    table as the query set — |N|²/n_buckets work instead of |N|², the
-    100 TB path for building similarity graphs."""
+    table as the query set — per-bucket all-pairs search is linear
+    (bucket size stays ~256 as nlist scales with N), and assignment
+    routes through a two-level coarse quantizer (ncoarse ≈ √nlist) so
+    it is N·2√nlist instead of the flat N·nlist = N²/256 (the r8
+    10.6x sf1 ratio). The 100 TB path for building similarity graphs."""
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
     nlist = max(8, emb.count() // 256)  # scalar; bucket size stays ~256
+    ncoarse = max(4, math.ceil(math.sqrt(float(nlist))))
     out = similarity.ivf_topk(
         emb, emb, emb.filter(F.col("vec_id") < nlist),
         "vec_id", "embedding", k=3, nprobe=1,
+        coarse=emb.filter(F.col("vec_id") < ncoarse),
     )
     return out.select(
         F.col("query_id").alias("u"),

@@ -46,6 +46,48 @@ def test_ivf_assign_buckets(emb):
     assert got[1] == 0 and got[5] == 4 and got[9] == 8
 
 
+def test_ivf_assign_2level_matches_flat_when_coarse_is_fine(emb):
+    """coarse == fine degenerates to flat assignment: the nearest
+    coarse cell is the nearest centroid, and the cell holds exactly
+    that centroid (each coarse vector assigns to itself at cos=1)."""
+    centroids = emb.filter(F.col("vec_id").isin(0, 4, 8))
+    flat = {(r.item_id, r.bucket) for r in
+            similarity.ivf_assign(emb, centroids, "vec_id", "embedding").collect()}
+    two = {(r.item_id, r.bucket) for r in
+           similarity.ivf_assign_2level(
+               emb, centroids, centroids, "vec_id", "embedding"
+           ).collect()}
+    assert two == flat
+
+
+def test_ivf_assign_2level_bucket_in_cell(emb):
+    """Every item's fine bucket must live in the item's coarse cell —
+    the membership invariant the two-level router guarantees."""
+    fine = emb.filter(F.col("vec_id").isin(0, 1, 4, 5, 8, 9))
+    coarse = emb.filter(F.col("vec_id").isin(0, 4, 8))
+    fine_cell = {r.item_id: r.bucket for r in
+                 similarity.ivf_assign(fine, coarse, "vec_id", "embedding").collect()}
+    item_cell = {r.item_id: r.bucket for r in
+                 similarity.ivf_assign(emb, coarse, "vec_id", "embedding").collect()}
+    out = similarity.ivf_assign_2level(
+        emb, fine, coarse, "vec_id", "embedding"
+    ).collect()
+    assert len(out) == emb.count()
+    for r in out:
+        assert fine_cell[r.bucket] == item_cell[r.item_id]
+
+
+def test_ivf_topk_2level_routes_to_right_cluster(emb):
+    centroids = emb.filter(F.col("vec_id").isin(0, 4, 8))
+    coarse = emb.filter(F.col("vec_id").isin(0, 4))
+    queries = emb.filter(F.col("vec_id") == 1)
+    out = similarity.ivf_topk(
+        emb, queries, centroids, "vec_id", "embedding", k=3,
+        coarse=coarse,
+    ).collect()
+    assert {r.neighbor_id for r in out} <= {0, 2, 3}
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.createDataFrame(
