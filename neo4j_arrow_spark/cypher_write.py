@@ -633,12 +633,20 @@ def _union_rels(rels: DataFrame, new: DataFrame) -> DataFrame:
     group index), so minting new rows separately would collide with an
     existing identical edge — re-minting the union gives every
     duplicate-group member a distinct index. A plain union for
-    schema-less (triple-identity) frames."""
+    schema-less (triple-identity) frames. allowMissingColumns: a
+    schema-widening CREATE adds new rel property columns, pre-existing
+    edges backfill NULL (note the re-mint then hashes the widened
+    column set, so REL_IDs change — documented: identity is a content
+    hash per registration, not stable across schema changes)."""
     if "REL_ID" not in rels.columns:
-        return rels.unionByName(new)
+        return rels.unionByName(new, allowMissingColumns=True)
     from neo4j_arrow_spark.catalog import mint_rel_ids
 
-    return mint_rel_ids(rels.drop("REL_ID", "REL_ID2").unionByName(new))
+    return mint_rel_ids(
+        rels.drop("REL_ID", "REL_ID2").unionByName(
+            new, allowMissingColumns=True
+        )
+    )
 
 
 def _props_cond(p) -> "F.Column":
@@ -679,9 +687,12 @@ def _literal_rows(
 ) -> DataFrame:
     """One literal SELECT per created node, conformed to the node
     frame's schema (missing properties NULL, values cast to the
-    column's type). Unknown properties are rejected — CREATE cannot
-    silently widen the graph schema. Returns ``(rows_df, id_sqls)``:
-    the per-pattern id expressions let a CREATE chain wire its
+    column's type). Properties not yet in the schema WIDEN it (Neo4j
+    is schema-free — ``CREATE (n {newprop: 1})`` is bread-and-butter
+    Cypher): the created rows carry the new columns and the caller's
+    ``unionByName(allowMissingColumns=True)`` backfills NULL onto
+    every pre-existing node. Returns ``(rows_df, id_sqls)``: the
+    per-pattern id expressions let a CREATE chain wire its
     relationship endpoints to the assigned node ids."""
     fields = {f.name: f.dataType.simpleString() for f in nodes.schema.fields}
     prop_cols = [
@@ -689,6 +700,9 @@ def _literal_rows(
         for f in nodes.schema.fields
         if f.name not in (NodeField.ID, NodeField.LABELS)
     ]
+    new_props = sorted(
+        {k for p in patterns for k in dict(p.props)} - set(fields)
+    )
     needs_auto = [p for p in patterns if "ID" not in dict(p.props)]
     base_id = 0
     if needs_auto:
@@ -704,12 +718,6 @@ def _literal_rows(
     id_sqls: list[str] = []
     for p in patterns:
         props = dict(p.props)
-        unknown = set(props) - set(fields)
-        if unknown:
-            raise CypherUnsupported(
-                f"CREATE property {sorted(unknown)} not in node schema "
-                f"{sorted(fields)} — writes cannot widen the schema (v1)"
-            )
         if "ID" in props:
             id_sql = f"CAST({props['ID']} AS BIGINT)"
         else:
@@ -724,6 +732,11 @@ def _literal_rows(
         for c in prop_cols:
             v = props.get(c, "NULL")
             cols.append(f"CAST({v} AS {fields[c]}) AS {c}")
+        for c in new_props:
+            # untyped NULL for the patterns that don't set this new
+            # property — Spark's UNION ALL coercion resolves the
+            # column type from the setting pattern's literal
+            cols.append(f"{props.get(c, 'NULL')} AS {c}")
         selects.append("SELECT " + ", ".join(cols))
         id_sqls.append(id_sql)
     return spark.sql("\nUNION ALL\n".join(selects)), id_sqls
@@ -902,15 +915,20 @@ def _execute_write(
                 # in the same clause stop matching (Neo4j applies all).
                 out = nodes.withColumn("__m", cond & _props_cond(p))
                 for prop, lit in sets:
-                    if prop not in fields:
-                        raise CypherUnsupported(
-                            f"ON MATCH SET {prop!r} not in node schema — "
-                            "writes cannot widen the schema"
+                    if prop in fields:
+                        val = F.expr(lit).cast(fields[prop])
+                        out = out.withColumn(
+                            prop,
+                            F.when(F.col("__m"), val).otherwise(F.col(prop)),
                         )
-                    val = F.expr(lit).cast(fields[prop])
-                    out = out.withColumn(
-                        prop, F.when(F.col("__m"), val).otherwise(F.col(prop))
-                    )
+                    else:
+                        # schema-widening SET (Neo4j is schema-free):
+                        # the new column takes the literal's type on
+                        # matched rows and NULL everywhere else — the
+                        # same rule as MATCH…SET on a new property
+                        out = out.withColumn(
+                            prop, F.when(F.col("__m"), F.expr(lit))
+                        )
                 return out.drop("__m"), rels, summary(
                     "merge", created=0, props=n_matched * len(sets)
                 )
@@ -929,7 +947,9 @@ def _execute_write(
         ).limit(1).count()
         if clash:
             raise ValueError("CREATE: node id already exists in the graph")
-        new_nodes = nodes.unionByName(rows)
+        # allowMissingColumns: a schema-widening CREATE adds new
+        # property columns — pre-existing nodes backfill NULL
+        new_nodes = nodes.unionByName(rows, allowMissingColumns=True)
         chain = ast.get("chain_rels") or []
         if not chain:
             return new_nodes, rels, summary(op, created=len(pats))
@@ -946,15 +966,11 @@ def _execute_write(
             if f.name not in RelField.RESERVED
         ]
         rselects = []
+        rnew_props = sorted(
+            {k for _, _, r in chain for k in dict(r.props)} - set(rfields)
+        )
         for si, ti, r in chain:
             props = dict(r.props)
-            unknown = set(props) - set(rfields)
-            if unknown:
-                raise CypherUnsupported(
-                    f"CREATE relationship property {sorted(unknown)} not "
-                    f"in rel schema {sorted(rfields)} — writes cannot "
-                    "widen the schema (v1)"
-                )
             ty = r.rtypes[0].replace("'", "''")
             cols = [
                 f"{id_sqls[si]} AS {RelField.START_ID}",
@@ -964,6 +980,9 @@ def _execute_write(
             for c in rprop_cols:
                 v = props.get(c, "NULL")
                 cols.append(f"CAST({v} AS {rfields[c]}) AS {c}")
+            for c in rnew_props:
+                # schema-widening rel property — see _literal_rows
+                cols.append(f"{props.get(c, 'NULL')} AS {c}")
             rselects.append("SELECT " + ", ".join(cols))
         rrows = spark.sql("\nUNION ALL\n".join(rselects))
         return (
@@ -990,12 +1009,7 @@ def _execute_write(
         pairs = spark.sql(sql)  # DISTINCT endpoint pairs (docstring above)
         rfields = {f.name: f.dataType.simpleString() for f in rels.schema.fields}
         props = dict(ast["rprops"])
-        unknown = set(props) - set(rfields)
-        if unknown:
-            raise CypherUnsupported(
-                f"CREATE relationship property {sorted(unknown)} not in rel "
-                f"schema {sorted(rfields)} — writes cannot widen the schema"
-            )
+        unknown = sorted(set(props) - set(rfields))
         cols = [
             F.col("__src").cast("long").alias(RelField.START_ID),
             F.col("__dst").cast("long").alias(RelField.END_ID),
@@ -1005,6 +1019,9 @@ def _execute_write(
             if c in RelField.RESERVED:
                 continue
             cols.append(F.expr(f"CAST({props.get(c, 'NULL')} AS {rfields[c]})").alias(c))
+        for c in unknown:
+            # schema-widening rel property — see _literal_rows
+            cols.append(F.expr(props[c]).alias(c))
         new = pairs.select(*cols)
         if op == "merge_rel":
             # MERGE identity is the full pattern: endpoints, type, AND the
@@ -1015,7 +1032,13 @@ def _execute_write(
             keys = [RelField.START_ID, RelField.END_ID, RelField.TYPE] + sorted(
                 props
             )
-            new = new.join(rels.select(*keys), keys, "left_anti")
+            if unknown:
+                # a merge keyed on a property the schema doesn't have
+                # yet can never match an existing edge (every edge
+                # lacks it) — skip the anti-join, create all pairs
+                pass
+            else:
+                new = new.join(rels.select(*keys), keys, "left_anti")
         new = new.localCheckpoint()  # consumed by count + union
         n_new = new.count()
         return nodes, _union_rels(rels, new), summary(op, rcre=n_new)

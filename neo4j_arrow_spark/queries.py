@@ -1188,6 +1188,51 @@ def cypher_create_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).result(300)
 
 
+_WIDEN_ROUNDTRIP_SQL = """
+    SELECT CAST(n_nationkey + 2000000 AS BIGINT) AS id,
+           CASE WHEN n_nationkey = 0 THEN 1 END AS hits,
+           CASE WHEN n_nationkey <= 4 THEN 'top' END AS tier,
+           CAST(NULL AS BOOLEAN) AS flag
+    FROM nation
+    UNION ALL
+    SELECT CAST(9000001 AS BIGINT) AS id, CAST(NULL AS INTEGER) AS hits,
+           CAST(NULL AS VARCHAR) AS tier, TRUE AS flag
+"""
+
+
+@query("cypher_widen_roundtrip", oracle=_WIDEN_ROUNDTRIP_SQL)
+def cypher_widen_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-WIDENING writes live in the gate (r9 — Neo4j is
+    schema-free, so setting a previously-unseen property is
+    bread-and-butter Cypher the v1 rule rejected, inconsistently with
+    the FOREACH element-SET path that already widened): MERGE…ON MATCH
+    SET a brand-new property, MATCH…SET another onto a subset, CREATE a
+    node carrying a third — every pre-existing node backfills NULL for
+    each — then read all three columns back through the transpiler."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    api.catalog.register("cwide", nodes, rels, overwrite=True)
+    api.cypher(
+        "MERGE (n:Nation {ID: 2000000}) ON MATCH SET n.hits = 1",
+        graph="cwide",
+    ).result(300)
+    api.cypher(
+        "MATCH (n:Nation) WHERE n.ID <= 2000004 SET n.tier = 'top'",
+        graph="cwide",
+    ).result(300)
+    api.cypher(
+        "CREATE (x:Probe {ID: 9000001, name: 'probe_w', flag: true})",
+        graph="cwide",
+    ).result(300)
+    return api.cypher(
+        "MATCH (m) WHERE m.ID >= 2000000 RETURN m.ID AS id, "
+        "m.hits AS hits, m.tier AS tier, m.flag AS flag",
+        graph="cwide",
+    ).result(300)
+
+
 _MERGE_REL_SQL = f"""
     WITH rels AS ({RELS_SQL})
     SELECT TYPE AS rel_type, CAST(count(*) AS BIGINT) AS edges
