@@ -171,13 +171,32 @@ class Neo4jArrowSpark:
             execute_cypher_write,
         )
 
+        # UNWIND $batch AS row CREATE … — the bulk-write idiom expands
+        # to ONE multi-pattern CREATE (a single literal-rows frame and
+        # union, not |batch| statements); an empty batch is a no-op
+        from neo4j_arrow_spark.cypher_write import expand_unwind_batch
+
+        query, batch_handled = expand_unwind_batch(query, params)
+        if query is None:
+            return self.registry.submit(
+                "cypher.write",
+                lambda: self.spark.createDataFrame(
+                    [("create", 0, 0, 0, 0, 0)],
+                    "op string, nodes_created long, props_set long, "
+                    "nodes_deleted long, rels_deleted long, "
+                    "rels_created long",
+                ),
+            )
+        # (after a batch expansion the consumed $batch marker is gone
+        # from the text; render_write_params only acts on markers that
+        # remain, so leftover params are harmless)
         if params:
             # write clauses bind $params by literal inlining (reads
             # bind through Spark's named-parameter channel, but the
             # write path builds frames, not one SQL statement). Values
             # render through the same literal rules as the oracle
-            # inliner; longest names substitute first so $n never
-            # clobbers $name.
+            # inliner; token-level so $n never clobbers $name and
+            # string-literal '$…' text survives.
             from neo4j_arrow_spark.cypher_write import render_write_params
 
             query = render_write_params(query, params)

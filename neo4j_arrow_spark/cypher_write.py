@@ -45,6 +45,27 @@ __all__ = ["is_cypher_write", "execute_cypher_write"]
 _WRITE_WORDS = {"SET", "DELETE", "DETACH", "CREATE", "MERGE", "REMOVE"}
 
 
+def _render_literal(v) -> str:
+    """A Python parameter value as CYPHER-source literal text (the
+    write path inlines; reads bind). Backslash escaping per the
+    tokenizer — ``_normalize_str_literal`` re-emits the
+    dialect-neutral form. ``None`` renders as NULL (a batch row may
+    omit a key another row sets)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_render_literal(x) for x in v) + "]"
+    raise CypherUnsupported(
+        f"unsupported write-parameter type {type(v).__name__}"
+    )
+
+
 def render_write_params(query: str, params: dict) -> str:
     """Bind ``$name`` parameters in a WRITE statement by inlining
     SQL-safe literals (ints, floats, bools, strings, flat lists).
@@ -55,22 +76,7 @@ def render_write_params(query: str, params: dict) -> str:
     sequence inside a string literal is data (never substituted), a
     bound ``$n`` cannot clobber the prefix of a distinct ``$nx``
     marker, and any param token with no binding raises."""
-
-    def lit(v) -> str:
-        if isinstance(v, bool):
-            return "TRUE" if v else "FALSE"
-        if isinstance(v, (int, float)):
-            return repr(v)
-        if isinstance(v, str):
-            # CYPHER-source escaping (backslash, per the tokenizer) —
-            # _normalize_str_literal re-emits the dialect-neutral form
-            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-        if isinstance(v, (list, tuple)):
-            return "[" + ", ".join(lit(x) for x in v) + "]"
-        raise CypherUnsupported(
-            f"unsupported write-parameter type {type(v).__name__}"
-        )
-
+    lit = _render_literal
     out, i = [], 0
     while i < len(query):
         m = _TOKEN_RE.match(query, i)
@@ -90,6 +96,133 @@ def render_write_params(query: str, params: dict) -> str:
             out.append(m.group())
         i = m.end()
     return "".join(out)
+
+
+def expand_unwind_batch(
+    query: str, params: dict | None
+) -> tuple[str | None, bool]:
+    """``UNWIND $batch AS row CREATE (n:L {k: row.k, …})`` — the
+    standard Neo4j client BULK-write idiom — expanded into ONE
+    multi-pattern CREATE statement: per batch element the pattern
+    group is instantiated with ``row.key`` references replaced by the
+    element's literal values and every pattern variable uniquified
+    (``n`` → ``n_u3``), all groups comma-joined under a single CREATE.
+    Downstream this builds one literal-rows frame and one union — a
+    single write job regardless of batch size, not |batch| statements.
+    (For genuinely large loads use the K3 bulk-import path; literal
+    SQL text grows linearly with the batch.)
+
+    Returns ``(expanded_query, handled)``: ``handled`` False means the
+    statement is not this shape (caller proceeds unchanged); an empty
+    batch returns ``(None, True)`` — a no-op write. Node-rel chains
+    per row are supported (edge batches); MERGE per row is not (each
+    MERGE is its own existence probe — batch it client-side or use
+    CREATE + dedup)."""
+    m = re.match(
+        r"\s*UNWIND\s+\$([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+"
+        r"([A-Za-z_][A-Za-z0-9_]*)\b",
+        query,
+        re.IGNORECASE,
+    )
+    if not m:
+        return query, False
+    pname, alias = m.group(1), m.group(2)
+    rest = query[m.end():]
+    if params is None or pname not in params:
+        raise CypherUnsupported(
+            f"UNWIND batch write references unbound parameter '${pname}'"
+        )
+    batch = params[pname]
+    if not isinstance(batch, (list, tuple)):
+        raise CypherUnsupported(
+            f"UNWIND ${pname} AS {alias}: the parameter must be a list"
+        )
+    # tokenize the remainder once, keeping offsets and raw spellings
+    toks: list[tuple[str, str, int, int]] = []
+    i = 0
+    while i < len(rest):
+        tm = _TOKEN_RE.match(rest, i)
+        if not tm:
+            raise CypherSyntaxError(f"cannot tokenize at: {rest[i:i+20]!r}")
+        toks.append((tm.lastgroup, tm.group(), tm.start(), tm.end()))
+        i = tm.end()
+    sig = [t for t in toks if t[0] != "ws"]
+    if not sig or sig[0][1].upper() != "CREATE":
+        verb = sig[0][1].upper() if sig else "<empty>"
+        raise CypherUnsupported(
+            f"UNWIND ${pname} AS {alias} {verb} …: only the CREATE "
+            "batch form is supported (per-row MERGE is an existence "
+            "probe each — dedup client-side or CREATE + dedup after)"
+        )
+    # pattern variables: a name right after '(' or '[' that is followed
+    # by ':' / '{' / the closing bracket — uniquified per instance
+    pat_vars: set[str] = set()
+    for j in range(1, len(sig) - 1):
+        if (
+            sig[j][0] in ("name", "kw")
+            and sig[j - 1][1] in ("(", "[")
+            and sig[j + 1][1] in (":", "{", ")", "]")
+        ):
+            pat_vars.add(sig[j][1])
+    if alias in pat_vars:
+        raise CypherUnsupported(
+            f"UNWIND alias {alias!r} is also a CREATE pattern variable"
+        )
+
+    def instance(elem, n: int, strip_create: bool) -> str:
+        out: list[str] = []
+        j = 0
+        while j < len(toks):
+            kind, text, _s, _e = toks[j]
+            if strip_create and kind != "ws":
+                # drop this group's leading CREATE keyword (groups
+                # after the first join the head CREATE's pattern list)
+                strip_create = False
+                if text.upper() == "CREATE":
+                    j += 1
+                    continue
+            if kind in ("name", "kw") and text == alias:
+                # alias.key → the element's value; bare alias → the
+                # element itself (scalar batches)
+                k = j + 1
+                while k < len(toks) and toks[k][0] == "ws":
+                    k += 1
+                if (
+                    k + 1 < len(toks)
+                    and toks[k][1] == "."
+                    and toks[k + 1][0] in ("name", "kw")
+                ):
+                    key = toks[k + 1][1]
+                    if not isinstance(elem, dict):
+                        raise CypherUnsupported(
+                            f"{alias}.{key}: batch element {n} is not "
+                            "a map"
+                        )
+                    out.append(_render_literal(elem.get(key)))
+                    j = k + 2
+                    continue
+                if isinstance(elem, dict):
+                    raise CypherUnsupported(
+                        f"bare {alias!r} over a map batch — reference "
+                        f"{alias}.<key>"
+                    )
+                out.append(_render_literal(elem))
+                j += 1
+                continue
+            if kind in ("name", "kw") and text in pat_vars:
+                out.append(f"{text}_u{n}")
+                j += 1
+                continue
+            out.append(text)
+            j += 1
+        return "".join(out)
+
+    if len(batch) == 0:
+        return None, True
+    pieces = [instance(batch[0], 0, strip_create=False)]
+    for n, elem in enumerate(batch[1:], start=1):
+        pieces.append(instance(elem, n, strip_create=True).strip())
+    return ", ".join([pieces[0].rstrip()] + pieces[1:]), True
 
 
 def split_trailing_return(query: str) -> tuple[str, str | None]:
@@ -142,6 +275,19 @@ def is_cypher_write(query: str) -> bool:
     first = toks[0][1].upper()
     if first in ("CREATE", "MERGE"):
         return True
+    if first == "UNWIND":
+        # UNWIND $batch AS row CREATE … — the bulk-write idiom; read
+        # UNWINDs never contain a top-level CREATE/MERGE token
+        prev_text = ""
+        for kind, text in ((tt[0], tt[1]) for tt in toks):
+            if (
+                kind == "name"
+                and prev_text != "."
+                and text.upper() in ("CREATE", "MERGE")
+            ):
+                return True
+            prev_text = text
+        return False
     if first != "MATCH":
         return False
     prev_text = ""
@@ -177,12 +323,15 @@ class _WriteParser(_Parser):
             self.next()
             pats = [self.node()]
             chain_rels: list[tuple[int, int, _RelPat]] = []
-            if t == "CREATE" and self.peek()[1] in ("-", "<-"):
-                # CREATE (a:X)-[:T]->(b:Y)-… — a literal node-rel chain;
-                # a repeated variable reuses the first occurrence's node
-                var_ix = {pats[0].var: 0}
-                cur = 0
-                while self.peek()[1] in ("-", "<-"):
+            # CREATE (a:X)-[:T]->(b:Y)-…[, (c:Z)-[:U]->(a)…] — literal
+            # node-rel chains, comma-separable (r9: the UNWIND-batch
+            # expansion joins one chain per batch row under a single
+            # CREATE); a repeated variable in ANY group reuses the
+            # first occurrence's node
+            var_ix = {pats[0].var: 0}
+            cur = 0
+            while True:
+                while t == "CREATE" and self.peek()[1] in ("-", "<-"):
                     r = self.rel()
                     n = self.node()
                     if r.is_varlength:
@@ -213,13 +362,19 @@ class _WriteParser(_Parser):
                         si, ti = ti, si
                     chain_rels.append((si, ti, r))
                     cur = var_ix[n.var]
-            while self.accept(","):
-                pats.append(self.node())
-            if self.peek()[1] in ("-", "<-"):
-                raise CypherUnsupported(
-                    "a CREATE chain must be the statement's only pattern "
-                    "(comma patterns are plain nodes)"
-                )
+                if not self.accept(","):
+                    break
+                n = self.node()
+                if n.var in var_ix:
+                    if n.labels or n.props:
+                        raise CypherUnsupported(
+                            f"repeated CREATE variable {n.var!r} cannot "
+                            "redeclare labels/properties"
+                        )
+                else:
+                    var_ix[n.var] = len(pats)
+                    pats.append(n)
+                cur = var_ix[n.var]
             if t == "MERGE" and len(pats) != 1:
                 raise CypherUnsupported("MERGE takes exactly one node pattern")
             on_create: list[tuple[str, str]] = []
@@ -739,7 +894,10 @@ def _literal_rows(
             cols.append(f"{props.get(c, 'NULL')} AS {c}")
         selects.append("SELECT " + ", ".join(cols))
         id_sqls.append(id_sql)
-    return spark.sql("\nUNION ALL\n".join(selects)), id_sqls
+    return (
+        _decimals_to_double(spark.sql("\nUNION ALL\n".join(selects))),
+        id_sqls,
+    )
 
 
 def execute_cypher_write(
@@ -984,7 +1142,7 @@ def _execute_write(
                 # schema-widening rel property — see _literal_rows
                 cols.append(f"{props.get(c, 'NULL')} AS {c}")
             rselects.append("SELECT " + ", ".join(cols))
-        rrows = spark.sql("\nUNION ALL\n".join(rselects))
+        rrows = _decimals_to_double(spark.sql("\nUNION ALL\n".join(rselects)))
         return (
             new_nodes,
             _union_rels(rels, rrows),
@@ -1022,7 +1180,7 @@ def _execute_write(
         for c in unknown:
             # schema-widening rel property — see _literal_rows
             cols.append(F.expr(props[c]).alias(c))
-        new = pairs.select(*cols)
+        new = _decimals_to_double(pairs.select(*cols))
         if op == "merge_rel":
             # MERGE identity is the full pattern: endpoints, type, AND the
             # pattern's relationship properties. An existing T edge with a

@@ -1266,6 +1266,44 @@ def cypher_widen_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).result(300)
 
 
+_UNWIND_BATCH_SQL = """
+    SELECT CAST(n_nationkey + 2000000 AS BIGINT) AS id, NULL AS grp
+    FROM nation
+    UNION ALL SELECT CAST(9100001 AS BIGINT), 'a'
+    UNION ALL SELECT CAST(9100002 AS BIGINT), 'b'
+    UNION ALL SELECT CAST(9100003 AS BIGINT), NULL
+"""
+
+
+@query("cypher_unwind_batch_roundtrip", oracle=_UNWIND_BATCH_SQL)
+def cypher_unwind_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: ``UNWIND $batch AS row CREATE …`` — the standard Neo4j
+    client bulk-write idiom — expands to ONE multi-pattern CREATE
+    (single literal-rows frame + union, not |batch| statements); a row
+    missing a key writes NULL, and the new ``grp`` property widens the
+    schema. Read back alongside the untouched Nation nodes."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    api.catalog.register("cbatch", nodes, rels, overwrite=True)
+    api.cypher(
+        "UNWIND $batch AS row CREATE (n:Probe {ID: row.id, grp: row.grp})",
+        graph="cbatch",
+        params={
+            "batch": [
+                {"id": 9100001, "grp": "a"},
+                {"id": 9100002, "grp": "b"},
+                {"id": 9100003},
+            ]
+        },
+    ).result(300)
+    return api.cypher(
+        "MATCH (m) WHERE m.ID >= 2000000 RETURN m.ID AS id, m.grp AS grp",
+        graph="cbatch",
+    ).result(300)
+
+
 _MERGE_REL_SQL = f"""
     WITH rels AS ({RELS_SQL})
     SELECT TYPE AS rel_type, CAST(count(*) AS BIGINT) AS edges

@@ -104,6 +104,10 @@ _SHARD_FILES = (
     "test_cypher_golden.py",
     "test_cypher_semantic_fuzz.py",
     "test_cypher_dialect_fuzz.py",
+    # r9 (VERDICT r8 #7): the write suite is self-contained (own api +
+    # per-test graphs, no cross-file state) and ~2.5 min — moving it
+    # here rebalances main vs shard below the 15:00 quiet-box target
+    "test_cypher_write.py",
 )
 _SHARD = {"proc": None, "files": _SHARD_FILES}
 

@@ -624,3 +624,71 @@ def test_write_unbound_param_rejected(wapi):
         wapi.cypher(
             "MATCH (n:P) SET n.bal = $missing", graph="wt", params={"x": 1}
         )
+
+
+# -- UNWIND $batch bulk writes (r9) -------------------------------------------
+
+def test_unwind_batch_create_nodes(wapi):
+    s = wapi.cypher(
+        "UNWIND $batch AS row CREATE (n:P {ID: row.id, name: row.name})",
+        graph="wt",
+        params={"batch": [{"id": 60, "name": "u"}, {"id": 61}]},
+    ).result(60).collect()[0]
+    assert s.nodes_created == 2
+    rows = wapi.cypher(
+        "MATCH (n:P) WHERE n.ID >= 60 RETURN n.ID AS id, n.name AS name "
+        "ORDER BY id",
+        graph="wt",
+    ).result(60).collect()
+    assert [(r.id, r.name) for r in rows] == [(60, "u"), (61, None)]
+
+
+def test_unwind_batch_create_edge_chains(wapi):
+    s = wapi.cypher(
+        "UNWIND $rows AS r CREATE (a:S {ID: r.s})-[:T]->(b:D {ID: r.d})",
+        graph="wt",
+        params={"rows": [{"s": 70, "d": 71}, {"s": 72, "d": 73}]},
+    ).result(60).collect()[0]
+    assert s.nodes_created == 4 and s.rels_created == 2
+    rows = wapi.cypher(
+        "MATCH (a:S)-[x:T]->(b:D) RETURN a.ID AS s, b.ID AS d ORDER BY s",
+        graph="wt",
+    ).result(60).collect()
+    assert [(r.s, r.d) for r in rows] == [(70, 71), (72, 73)]
+
+
+def test_unwind_batch_scalar_elements(wapi):
+    wapi.cypher(
+        "UNWIND $ids AS i CREATE (n:K {ID: i, name: 'k'})",
+        graph="wt",
+        params={"ids": [80, 81]},
+    ).result(60)
+    assert wapi.cypher(
+        "MATCH (n:K) RETURN count(*) AS c", graph="wt"
+    ).result(60).collect()[0].c == 2
+
+
+def test_unwind_batch_empty_is_noop(wapi):
+    before = len(_ids(wapi))
+    s = wapi.cypher(
+        "UNWIND $batch AS row CREATE (n:P {ID: row.id})",
+        graph="wt",
+        params={"batch": []},
+    ).result(60).collect()[0]
+    assert s.nodes_created == 0
+    assert len(_ids(wapi)) == before
+
+
+def test_unwind_batch_rejects_merge_and_unbound(wapi):
+    with pytest.raises(CypherUnsupported, match="only the CREATE"):
+        wapi.cypher(
+            "UNWIND $batch AS row MERGE (n:P {ID: row.id})",
+            graph="wt",
+            params={"batch": [{"id": 1}]},
+        )
+    with pytest.raises(CypherUnsupported, match="unbound parameter"):
+        wapi.cypher(
+            "UNWIND $nope AS row CREATE (n:P {ID: row.id})",
+            graph="wt",
+            params={"other": []},
+        )
