@@ -45,6 +45,18 @@ __all__ = ["is_cypher_write", "execute_cypher_write"]
 _WRITE_WORDS = {"SET", "DELETE", "DETACH", "CREATE", "MERGE", "REMOVE"}
 
 
+def _check_rel_set_props(sets) -> None:
+    """Parse-as-validation for SET on a relationship variable: the
+    endpoint/type/identity columns are immutable."""
+    reserved = set(RelField.RESERVED) | {"REL_ID", "REL_ID2"}
+    for v, prop, _rhs in sets:
+        if prop in reserved:
+            raise CypherUnsupported(
+                f"SET {v}.{prop}: relationship endpoint/type/identity "
+                "columns are immutable"
+            )
+
+
 def _render_literal(v) -> str:
     """A Python parameter value as CYPHER-source literal text (the
     write path inlines; reads bind). Backslash escaping per the
@@ -469,7 +481,12 @@ class _WriteParser(_Parser):
                     f"REMOVE targets one variable per statement "
                     f"(got {sorted(tvars)})"
                 )
-            if next(iter(tvars)) not in {n.var for n in nodes}:
+            tv = next(iter(tvars))
+            if tv in {r.var for r in rels if r.var}:
+                # r9: REMOVE r.prop — a rel-frame SET to NULL
+                _check_rel_set_props(sets)
+                return {**base, "op": "set_rel", "sets": sets}
+            if tv not in {n.var for n in nodes}:
                 raise CypherSyntaxError(f"REMOVE target {tvars} is not bound")
             return {**base, "op": "set", "sets": sets}
         if t in ("CREATE", "MERGE"):
@@ -711,6 +728,10 @@ class _WriteParser(_Parser):
                     raise CypherSyntaxError(
                         f"unexpected trailing input: {self.peek()[1]!r}"
                     )
+                if var in {r.var for r in rels if r.var}:
+                    # r9: SET r += {map} on a relationship variable
+                    _check_rel_set_props(sets)
+                    return {**base, "op": "set_rel", "sets": sets}
                 if var not in {n.var for n in nodes}:
                     raise CypherSyntaxError(
                         f"SET target {var!r} is not bound"
@@ -734,8 +755,13 @@ class _WriteParser(_Parser):
                 raise CypherUnsupported(
                     f"SET targets one variable per statement (got {sorted(tvars)})"
                 )
-            bound = {n.var for n in nodes}
-            if next(iter(tvars)) not in bound:
+            tv = next(iter(tvars))
+            if tv in {r.var for r in rels if r.var}:
+                # r9: SET r.prop = … on a relationship variable —
+                # routes to the rel-frame update (op set_rel)
+                _check_rel_set_props(sets)
+                return {**base, "op": "set_rel", "sets": sets}
+            if tv not in {n.var for n in nodes}:
                 raise CypherSyntaxError(f"SET target {tvars} is not bound")
             return {**base, "op": "set", "sets": sets}
         detach = False
@@ -1259,6 +1285,77 @@ def _execute_write(
         )
         r_del = rels.count() - kept.count()
         return nodes, kept, summary("delete", rdel=r_del)
+
+    if op == "set_rel":
+        # r9: SET r.prop = … / SET r += {map} / REMOVE r.prop on a
+        # relationship variable. The match projects the edge identity
+        # plus the new values through the read transpiler; the update
+        # is one left join + conditional projection over the rel
+        # frame — the exact shape node SET uses. With the surrogate
+        # (REL_ID, REL_ID2) identity each physical edge updates
+        # individually; triple-identity frames key on
+        # (START_ID, END_ID, TYPE), so exact-duplicate parallel edges
+        # update together (the documented triple-mode conflation).
+        if rels is None:
+            raise ValueError("graph has no relationship frame")
+        rv = ast["sets"][0][0]
+        reserved = set(RelField.RESERVED) | {"REL_ID", "REL_ID2"}
+        for _, prop, _rhs in ast["sets"]:
+            if prop in reserved:
+                raise CypherUnsupported(
+                    f"SET {rv}.{prop}: relationship endpoint/type/"
+                    "identity columns are immutable"
+                )
+        if "REL_ID" in rels.columns:
+            keys = ["REL_ID", "REL_ID2"]
+        else:
+            keys = [RelField.START_ID, RelField.END_ID, RelField.TYPE]
+        kcols = [f"__k{i}" for i in range(len(keys))]
+        items = [
+            (f"{rv}.{k}", kc, False) for k, kc in zip(keys, kcols)
+        ] + [
+            (rhs, f"__v{i}", False)
+            for i, (_, _, rhs) in enumerate(ast["sets"])
+        ]
+        sql = _plain_sql(
+            _read_ast(
+                ast["nodes"], ast["rels"], ast["where"], items,
+                ast["chains"], rel_id=_rid,
+            ),
+            nodes_view,
+            rels_view,
+        )
+        upd = _decimals_to_double(spark.sql(sql)).localCheckpoint()
+        if upd.groupBy(*kcols).count().filter("count > 1").limit(1).count():
+            raise ValueError(
+                "SET is ambiguous: a matched relationship receives more "
+                "than one distinct value — make the pattern/expression "
+                "functional per relationship"
+            )
+        n_set = upd.count()
+        matched = F.col(kcols[0]).isNotNull()
+        rfields = {
+            f.name: f.dataType.simpleString() for f in rels.schema.fields
+        }
+        out = rels.join(
+            upd,
+            [rels[k] == upd[kc] for k, kc in zip(keys, kcols)],
+            "left",
+        )
+        for i, (_, prop, _rhs) in enumerate(ast["sets"]):
+            val = F.col(f"__v{i}")
+            if prop in rfields:
+                val = val.cast(rfields[prop])
+                out = out.withColumn(
+                    prop, F.when(matched, val).otherwise(F.col(prop))
+                )
+            else:
+                # schema-widening rel property (NULL on unmatched edges)
+                out = out.withColumn(prop, F.when(matched, val))
+        out = out.drop(
+            *kcols, *[f"__v{i}" for i in range(len(ast["sets"]))]
+        )
+        return nodes, out, summary("set", props=n_set * len(ast["sets"]))
 
     if op == "set_multi":
         # FOREACH (x IN [p, q] | SET x.prop = …) — the parser expanded

@@ -1266,6 +1266,49 @@ def cypher_widen_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).result(300)
 
 
+_REL_SET_SQL = """
+    SELECT CAST(n_nationkey + 2000000 AS BIGINT) AS nid,
+           round(sum(CASE WHEN n_nationkey = 0 THEN 10.0 ELSE 1.0 END), 2)
+               AS tw,
+           CAST(count(*) AS BIGINT) AS edges
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1
+"""
+
+
+@query("cypher_rel_set_roundtrip", oracle=_REL_SET_SQL)
+def cypher_rel_set_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: SET on a RELATIONSHIP variable — the matched edges project
+    their surrogate (REL_ID, REL_ID2) identity plus the new value
+    through the read transpiler, and the update is one left join +
+    conditional projection over the rel frame (exactly node SET's
+    shape). Nation 0's supplier edges get weight×10; the per-nation
+    weight sums read back through the same rel variable."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    # the write localCheckpoints the updated REL frame — register only
+    # the supplier→nation subgraph so the roundtrip doesn't pay a
+    # full BUYS_FROM materialization for a 100-edge update
+    rels = rels.filter(
+        (F.col("TYPE") == "IN_NATION") & (F.col("START_ID") >= 1_000_000)
+    )
+    api.catalog.register("crset", nodes, rels, overwrite=True)
+    api.cypher(
+        "MATCH (s:Supplier)-[r:IN_NATION]->(n:Nation) WHERE n.ID = 2000000 "
+        "SET r.weight = r.weight * 10",
+        graph="crset",
+    ).result(300)
+    return api.cypher(
+        "MATCH (s:Supplier)-[r:IN_NATION]->(n:Nation) "
+        "RETURN n.ID AS nid, round(sum(r.weight), 2) AS tw, "
+        "count(*) AS edges",
+        graph="crset",
+    ).result(300)
+
+
 _UNWIND_BATCH_SQL = """
     SELECT CAST(n_nationkey + 2000000 AS BIGINT) AS id, NULL AS grp
     FROM nation

@@ -692,3 +692,70 @@ def test_unwind_batch_rejects_merge_and_unbound(wapi):
             graph="wt",
             params={"other": []},
         )
+
+
+# -- relationship property SET (r9) -------------------------------------------
+
+def test_set_rel_property(wapi):
+    s = wapi.cypher(
+        "MATCH (a:P)-[r:KNOWS]->(b:Q) SET r.since = 2020", graph="wt"
+    ).result(60).collect()[0]
+    assert s.props_set == 1
+    rows = wapi.cypher(
+        "MATCH (a)-[r:KNOWS]->(b) RETURN a.ID AS s, r.since AS since "
+        "ORDER BY s",
+        graph="wt",
+    ).result(60).collect()
+    assert [(r.s, r.since) for r in rows] == [(1, None), (2, 2020)]
+
+
+def test_set_rel_plus_equals_and_remove(wapi):
+    wapi.cypher(
+        "MATCH (a)-[r:KNOWS]->(b) WHERE a.ID = 1 "
+        "SET r += {since: 1999, note: 'old'}",
+        graph="wt",
+    ).result(60)
+    rows = wapi.cypher(
+        "MATCH (a)-[r:KNOWS]->(b) RETURN a.ID AS s, r.since AS since, "
+        "r.note AS note ORDER BY s",
+        graph="wt",
+    ).result(60).collect()
+    assert [(r.s, r.since, r.note) for r in rows] == [
+        (1, 1999, "old"), (2, None, None),
+    ]
+    wapi.cypher("MATCH (a)-[r:KNOWS]->(b) REMOVE r.note", graph="wt").result(60)
+    assert wapi.cypher(
+        "MATCH (a)-[r:KNOWS]->(b) WHERE r.note IS NOT NULL "
+        "RETURN count(*) AS c",
+        graph="wt",
+    ).result(60).collect()[0].c == 0
+
+
+def test_set_rel_parallel_edges_individual(spark):
+    """With surrogate identity, each parallel duplicate updates
+    individually (props_set counts physical edges)."""
+    api = Neo4jArrowSpark(spark)
+    nodes = spark.createDataFrame(
+        [(1, ["P"], "a"), (2, ["P"], "b")],
+        "ID long, LABELS array<string>, name string",
+    )
+    rels = spark.createDataFrame(
+        [(1, 2, "K", 1.0), (1, 2, "K", 1.0)],
+        "START_ID long, END_ID long, TYPE string, w double",
+    )
+    api.catalog.register("rsp", nodes, rels, overwrite=True)
+    s = api.cypher(
+        "MATCH (a:P)-[r:K]->(b:P) SET r.w = 7.0", graph="rsp"
+    ).result(60).collect()[0]
+    assert s.props_set == 2
+    rows = api.cypher(
+        "MATCH (a)-[r:K]->(b) RETURN r.w AS w", graph="rsp"
+    ).result(60).collect()
+    assert [r.w for r in rows] == [7.0, 7.0]
+
+
+def test_set_rel_reserved_columns_rejected(wapi):
+    with pytest.raises(CypherUnsupported, match="immutable"):
+        wapi.cypher(
+            "MATCH (a)-[r:KNOWS]->(b) SET r.TYPE = 'X'", graph="wt"
+        )
