@@ -951,7 +951,7 @@ def execute_cypher_write(
     if return_text is not None:
         result = _trailing_return_result(
             spark, nodes, new_nodes, write_text, return_text,
-            nodes_view, rels_view,
+            nodes_view, rels_view, pre_rels=rels, post_rels=new_rels,
         )
     return new_nodes, new_rels, summ, result
 
@@ -964,6 +964,8 @@ def _trailing_return_result(
     return_text: str,
     nodes_view: str,
     rels_view: str,
+    pre_rels: DataFrame | None = None,
+    post_rels: DataFrame | None = None,
 ) -> DataFrame:
     """Evaluate the trailing RETURN against the POST-write node frame,
     restricted to the affected ids. Matched ids come from re-running
@@ -994,6 +996,52 @@ def _trailing_return_result(
             raise CypherUnsupported(
                 "RETURN after CREATE/MERGE needs a named node variable"
             )
+    elif op == "set_rel":
+        # r9: RETURN after a relationship SET — the POST-write rel
+        # frame restricted to the matched edge identities, projected
+        # through the read transpiler over an anonymous-endpoint
+        # pattern (so aggregates/ORDER BY/LIMIT all work)
+        var = ast["sets"][0][0]
+        has_eid = pre_rels is not None and "REL_ID" in pre_rels.columns
+        keys = (
+            ["REL_ID", "REL_ID2"]
+            if has_eid
+            else [RelField.START_ID, RelField.END_ID, RelField.TYPE]
+        )
+        kcols = [f"__k{i}" for i in range(len(keys))]
+        items = [(f"{var}.{k}", kc, False) for k, kc in zip(keys, kcols)]
+        sql = _plain_sql(
+            _read_ast(
+                ast["nodes"], ast["rels"], ast["where"], items,
+                ast["chains"], rel_id=has_eid,
+            ),
+            nodes_view,
+            rels_view,
+        )
+        spark.sql(sql).createOrReplaceTempView("__wret_rkeys")
+        assert post_rels is not None
+        post_rels.createOrReplaceTempView("__wret_rels")
+        ret_sql = cypher_to_sql(
+            f"MATCH (__wa)-[{var}]->(__wb) {return_text}",
+            nodes_view,
+            "__wret_rels",
+            rel_id=has_eid,
+        )
+        anchor = f"JOIN __wret_rels AS {var} ON"
+        if anchor not in ret_sql:
+            raise CypherUnsupported(
+                "trailing RETURN items after a relationship SET must "
+                f"reference only the affected rel variable {var!r}"
+            )
+        on = " AND ".join(
+            f"__x.{k} = __wret_rkeys.{kc}" for k, kc in zip(keys, kcols)
+        )
+        ret_sql = ret_sql.replace(
+            anchor,
+            f"JOIN (SELECT __x.* FROM __wret_rels __x JOIN __wret_rkeys "
+            f"ON {on}) AS {var} ON",
+        )
+        return spark.sql(ret_sql)
     else:
         raise CypherUnsupported(
             f"RETURN after a {op!r} write is not supported (v1)"

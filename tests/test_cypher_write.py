@@ -759,3 +759,18 @@ def test_set_rel_reserved_columns_rejected(wapi):
         wapi.cypher(
             "MATCH (a)-[r:KNOWS]->(b) SET r.TYPE = 'X'", graph="wt"
         )
+
+
+def test_set_rel_trailing_return(wapi):
+    rows = wapi.cypher(
+        "MATCH (a)-[r:KNOWS]->(b) SET r.score = 1.5 "
+        "RETURN r.score AS score ORDER BY score",
+        graph="wt",
+    ).result(60).collect()
+    assert [r.score for r in rows] == [1.5, 1.5]
+    row = wapi.cypher(
+        "MATCH (a)-[r:KNOWS]->(b) WHERE a.ID = 1 SET r.score = 9.0 "
+        "RETURN count(*) AS n, round(sum(r.score), 1) AS total",
+        graph="wt",
+    ).result(60).collect()[0]
+    assert (row.n, row.total) == (1, 9.0)
