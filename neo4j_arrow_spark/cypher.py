@@ -982,6 +982,50 @@ class _Parser:
                 f"duration component .{comp} is not supported "
                 "(.days/.months/.years — exact for date pairs)"
             )
+        if (
+            kind == "name"
+            and tok.upper() in ("DATE", "DATETIME", "LOCALDATETIME")
+            and self.toks[self.pos + 1][1] == "."
+        ):
+            # date.truncate('month', x) / datetime.truncate('day', x)
+            # — openCypher temporal truncation; both engines share
+            # date_trunc(unit, x) (Spark returns TIMESTAMP, so the
+            # date form re-CASTs; DuckDB's returns the input family).
+            # The result takes the usual component postfix
+            # (date.truncate('month', d).month).
+            ttype = "DATE" if tok.upper() == "DATE" else "TIMESTAMP"
+            self.next()
+            self.expect(".")
+            sub = self.expect_name()
+            if sub != "truncate":
+                raise CypherUnsupported(
+                    f"{tok}.{sub} is not supported (only .truncate)"
+                )
+            self.expect("(")
+            if self.peek()[0] != "str":
+                raise CypherUnsupported(
+                    f"{tok}.truncate needs a literal unit string"
+                )
+            unit = _normalize_str_literal(self.next()[1])[1:-1].lower()
+            if unit not in (
+                "year", "quarter", "month", "week", "day", "hour",
+                "minute", "second",
+            ):
+                raise CypherUnsupported(
+                    f"{tok}.truncate unit {unit!r} is not supported"
+                )
+            if ttype == "DATE" and unit in (
+                "hour", "minute", "second",
+            ):
+                raise CypherUnsupported(
+                    f"date.truncate({unit!r}): sub-day units need "
+                    "datetime.truncate"
+                )
+            self.expect(",")
+            inner = self.value()
+            self.expect(")")
+            out = f"CAST(date_trunc('{unit}', {inner}) AS {ttype})"
+            return self._temporal_accessor(out)
         if kind == "name" and self.toks[self.pos + 1][1] == "(":
             fn = tok.upper()
             if fn in ("ALL", "ANY", "NONE", "SINGLE"):

@@ -249,6 +249,18 @@ _cypher_order_query(
 )
 
 _cypher_order_query(
+    "cypher_truncate_month_rollup",
+    # r9: date.truncate('month', d) — the standard time-bucketing
+    # rollup shape (date_trunc on both engines)
+    # toString(): raw DATE columns land as different pandas dtypes per
+    # engine (object vs datetime64) — the registry's determinism rules
+    # render them as ISO strings
+    "MATCH (o:Order) WHERE o.orderdate >= date('1998-01-01') "
+    "RETURN toString(date.truncate('month', o.orderdate)) AS mon, "
+    "count(*) AS n, round(sum(o.totalprice), 2) AS total ORDER BY mon",
+)
+
+_cypher_order_query(
     "cypher_duration_month_components",
     # r9: duration.between(a, b).months/.years — Neo4j's whole-month
     # count under clamped month addition (and years = months div 12,
