@@ -3155,10 +3155,22 @@ class _Parser:
             # a list-valued alias from a leading WITH
             self.next()
             arr = tok
+        elif (
+            kind == "name"
+            and tok in bound
+            and self.toks[self.pos + 1][1] == "."
+        ):
+            # r9: UNWIND var.prop — a node's ARRAY property (the
+            # array-column explode, e.g. UNWIND n.tags AS tag)
+            self.next()
+            self.expect(".")
+            prop = self._ident(self.expect_name(kw_ok=True))
+            arr = f"{tok}.{prop}"
         else:
             raise CypherUnsupported(
-                "UNWIND supports labels(var), range(a, b), a list "
-                "literal, a $param, or a leading-WITH alias"
+                "UNWIND supports labels(var), var.listProp, "
+                "range(a, b), a list literal, a $param, or a "
+                "leading-WITH alias"
             )
         self.expect("AS")
         alias = self.expect_name()

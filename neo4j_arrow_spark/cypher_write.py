@@ -436,11 +436,23 @@ class _WriteParser(_Parser):
 
         self.expect("MATCH")
         chains = self.patterns()
-        nodes, rels = _flatten_chains(chains)
         where = None
-        if self.accept("WHERE"):
-            self._bound = {n.var for n in nodes}
-            where = self.expr()
+        # r9: consecutive MATCH clauses before the write verb compose
+        # exactly like comma patterns (shared-variable joins /
+        # cartesian products — the read transpiler's chain machinery);
+        # a WHERE may trail any MATCH and the conjuncts AND together
+        while True:
+            if self.accept("WHERE"):
+                self._bound = {
+                    n.var for ch in chains for n in ch[0]
+                }
+                w = self.expr()
+                where = f"({where}) AND ({w})" if where else w
+            if self.peek()[1] != "MATCH":
+                break
+            self.next()
+            chains += self.patterns()
+        nodes, rels = _flatten_chains(chains)
         kind, tok = self.next()
         t = tok.upper() if kind == "name" else tok
         base = {"nodes": nodes, "rels": rels, "chains": chains, "where": where}
@@ -1042,6 +1054,10 @@ def _trailing_return_result(
             f"ON {on}) AS {var} ON",
         )
         return spark.sql(ret_sql)
+    elif op == "delete":
+        # r9: RETURN after [DETACH] DELETE — openCypher evaluates the
+        # items against the PRE-delete values of the deleted nodes
+        var = ast["var"]
     else:
         raise CypherUnsupported(
             f"RETURN after a {op!r} write is not supported (v1)"
@@ -1071,11 +1087,19 @@ def _trailing_return_result(
             ids = post_nodes.select(NodeField.ID).subtract(
                 pre_nodes.select(NodeField.ID)
             ).select(F.col(NodeField.ID).alias("__rid"))
+    elif op == "delete":
+        ids = pre_nodes.select(NodeField.ID).subtract(
+            post_nodes.select(NodeField.ID)
+        ).select(F.col(NodeField.ID).alias("__rid"))
     else:  # create
         ids = post_nodes.select(NodeField.ID).subtract(
             pre_nodes.select(NodeField.ID)
         ).select(F.col(NodeField.ID).alias("__rid"))
-    post_nodes.createOrReplaceTempView("__wret_nodes")
+    # DELETE reads back the PRE-delete snapshot (the entities are gone
+    # from the post frame); every other op reads the post-write values
+    (pre_nodes if op == "delete" else post_nodes).createOrReplaceTempView(
+        "__wret_nodes"
+    )
     ids.createOrReplaceTempView("__wret_ids")
     ret_sql = cypher_to_sql(
         f"MATCH ({var}) {return_text}", "__wret_nodes", rels_view

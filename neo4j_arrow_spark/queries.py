@@ -738,6 +738,14 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_unwind_node_property",
+    # r9: UNWIND var.prop — array-property explode (LABELS exercises
+    # the generic property path cross-dialect: explode vs unnest)
+    "MATCH (s:Supplier) UNWIND s.LABELS AS l "
+    "RETURN l, count(*) AS c ORDER BY l",
+)
+
+_cypher_query(
     "cypher_varlength_min2_trail",
     # r9: DISTINCT + minlen >= 2 + unbounded routes to TRAIL mode —
     # the recursion carries per-path REL_ID sets so an edge is never

@@ -125,8 +125,13 @@ def pytest_collection_modifyitems(config, items):
         i for i in items if not any(f in i.nodeid for f in _SHARD_FILES)
     ]
     # only shard a BROAD run (the full suite); running a shard file
-    # directly keeps it in-process
-    if not shard or len(rest) < 50:
+    # directly keeps it in-process. The JOINER must be selected too —
+    # without test_zshard_join in the run nothing would check the
+    # subprocess's result, silently dropping the shard's coverage
+    # (r9: `pytest tests/test_cypher_write.py tests/test_cypher.py`
+    # used to orphan the write suite this way)
+    joiner_selected = any("test_zshard_join" in i.nodeid for i in items)
+    if not shard or len(rest) < 50 or not joiner_selected:
         return
     env = dict(os.environ, SPARK_GRAFT_SHARD="1")
     _SHARD["proc"] = subprocess.Popen(

@@ -589,15 +589,14 @@ def test_write_return_aggregate_and_order(wapi):
     assert [r.touched for r in rows] == [2]
 
 
-def test_write_delete_return_rejected(wapi):
-    # the write itself validates at submit; the trailing RETURN
-    # validates in the job (it needs the op) — the job surfaces the
-    # CypherUnsupported as its failure
-    with pytest.raises(RuntimeError, match="RETURN after a 'delete'"):
-        wapi.cypher(
-            "MATCH (n:Q) DETACH DELETE n RETURN n.name AS name",
-            graph="wt",
-        ).result(60)
+def test_write_delete_return_pre_snapshot(wapi):
+    # r9: RETURN after DELETE is supported — items evaluate against
+    # the PRE-delete values of the deleted nodes (openCypher)
+    row = wapi.cypher(
+        "MATCH (n:Q) DETACH DELETE n RETURN n.name AS name",
+        graph="wt",
+    ).result(60).collect()[0]
+    assert row.name == "carol"
 
 
 def test_write_params_inlined(wapi):
@@ -774,3 +773,42 @@ def test_set_rel_trailing_return(wapi):
         graph="wt",
     ).result(60).collect()[0]
     assert (row.n, row.total) == (1, 9.0)
+
+
+# -- r9: consecutive MATCH before writes; RETURN after DELETE -----------------
+
+def test_consecutive_match_create_rel(wapi):
+    s = wapi.cypher(
+        "MATCH (a:P {name: 'alice'}) MATCH (b:Q) CREATE (a)-[:SEES]->(b)",
+        graph="wt",
+    ).result(60).collect()[0]
+    assert s.rels_created == 1
+    rows = wapi.cypher(
+        "MATCH (x)-[r:SEES]->(y) RETURN x.name AS a, y.name AS b",
+        graph="wt",
+    ).result(60).collect()
+    assert [(r.a, r.b) for r in rows] == [("alice", "carol")]
+
+
+def test_consecutive_match_set_cross_pattern(wapi):
+    wapi.cypher(
+        "MATCH (a:P) WHERE a.name = 'alice' MATCH (b:Q) SET b.bal = a.bal",
+        graph="wt",
+    ).result(60)
+    assert wapi.cypher(
+        "MATCH (n:Q) RETURN n.bal AS bal", graph="wt"
+    ).result(60).collect()[0].bal == 10.0
+
+
+def test_delete_trailing_return_pre_values(wapi):
+    row = wapi.cypher(
+        "MATCH (n:P {name: 'bob'}) DETACH DELETE n "
+        "RETURN n.name AS name, n.bal AS bal",
+        graph="wt",
+    ).result(60).collect()[0]
+    assert (row.name, row.bal) == ("bob", 20.0)
+    assert 2 not in _ids(wapi)
+    row = wapi.cypher(
+        "MATCH (n:Q) DELETE n RETURN count(*) AS c", graph="wt"
+    ).result(60).collect()[0]
+    assert row.c == 1
