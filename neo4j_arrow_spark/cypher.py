@@ -709,7 +709,12 @@ class _Parser:
                 left_list = False
                 if tok == "+" and (
                     _is_string_literal(left) or _is_string_literal(right)
-                    or left.startswith("concat(")
+                    # statically string-typed emissions (function
+                    # results like UPPER(...) + LOWER(...)) concat too;
+                    # a string-typed PROPERTY + property stays
+                    # arithmetic (type unknown at parse time)
+                    or left.lower().startswith(self._STRING_PREFIXES)
+                    or right.lower().startswith(self._STRING_PREFIXES)
                 ):
                     left = f"concat({left}, {right})"
                 else:
@@ -1115,7 +1120,12 @@ class _Parser:
                     raise CypherSyntaxError(
                         f"expected IN in reduce(...), got {t!r}"
                     )
-                src = self.value()
+                prev_ca = getattr(self, "_collect_array", False)
+                self._collect_array = True  # collect() src stays ARRAY
+                try:
+                    src = self.value()
+                finally:
+                    self._collect_array = prev_ca
                 self.expect("|")
                 shadow = {
                     v for v in (acc, var) if v in self.unwind_aliases
@@ -1862,7 +1872,12 @@ class _Parser:
                 else f"[{', '.join(elems)}]"
             )
         else:
-            src = self.value()
+            prev_ca = getattr(self, "_collect_array", False)
+            self._collect_array = True  # collect() src stays ARRAY
+            try:
+                src = self.value()
+            finally:
+                self._collect_array = prev_ca
         shadowed = var in self.unwind_aliases
         self.unwind_aliases.add(var)  # scope the iteration variable
         try:
@@ -4767,6 +4782,35 @@ def _single_query_sql_inner(
         # plans like any SQL pipeline.
         pipeline = ast["pipeline"]
         first = pipeline[0]
+        # r9: `WITH n ORDER BY n.age LIMIT k` — the stage projects only
+        # the carried node's ID, so an ORDER BY on one of its
+        # PROPERTIES has nothing to bind to after the projection.
+        # Inject the order keys as helper items (`n.age AS __ord0`)
+        # while the node table is still joined, point the ORDER BY at
+        # them, and prune the helpers right after the pagination.
+        ord_extra: list[tuple[str, str, bool]] = []
+        if (
+            first.get("order")
+            and not first["distinct"]
+            and not any(agg for _, _, agg in first["items"])
+        ):
+            carried_first = set(first.get("carried") or [])
+            order = list(first["order"])
+            for k, (e, d) in enumerate(order):
+                m = re.match(r"(\w+)\.(\w+)$", e)
+                if (
+                    m
+                    and m.group(1) in carried_first
+                    and not any(e == ie for ie, _a, _g in first["items"])
+                ):
+                    ord_extra.append((e, f"__ord{k}", False))
+                    order[k] = (f"__ord{k}", d)
+            if ord_extra:
+                first = {
+                    **first,
+                    "items": list(first["items"]) + ord_extra,
+                    "order": order,
+                }
         inner_ast = {
             **ast,
             "items": first["items"],
@@ -4782,6 +4826,12 @@ def _single_query_sql_inner(
             else _plain_sql(inner_ast, nodes_view, rels_view)
         )
         sql = _stage_tail(sql, first, 0)
+        if ord_extra:
+            keep = ", ".join(
+                a for _e, a, _g in first["items"]
+                if not a.startswith("__ord")
+            )
+            sql = f"SELECT {keep} FROM (\n{sql}\n) AS _ordprune0"
         pending_where = first["where"]
         carried = first.get("carried") or []
         els = pipeline[1:]

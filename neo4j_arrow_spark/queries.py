@@ -746,6 +746,35 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_with_node_topk_collect",
+    # r9: WITH <node> ORDER BY <node property> LIMIT k — the stage
+    # projects only the carried id, so the order keys ride as injected
+    # helper columns and prune after pagination
+    "MATCH (c:Customer) WITH c ORDER BY c.acctbal DESC, c.ID ASC "
+    "LIMIT 5 RETURN collect(c.ID) AS ids",
+)
+
+_cypher_query(
+    "cypher_reduce_over_collect",
+    # r9: collect() keeps its ARRAY form inside reduce()/list
+    # comprehensions (the comma-joined string rendering is a final-
+    # RETURN boundary concern only)
+    "MATCH (n:Nation) RETURN "
+    "reduce(s = 0, x IN collect(n.ID) | s + x) AS total, "
+    "size([x IN collect(n.ID) WHERE x % 2 = 0 | x * 2]) AS evens",
+)
+
+_cypher_query(
+    "cypher_string_concat_functions",
+    # r9: `+` over statically string-typed FUNCTION results
+    # concatenates (UPPER(...) + LOWER(...)); property+property stays
+    # arithmetic by documented contract
+    "MATCH (n:Nation) RETURN "
+    "toUpper(left(n.name, 1)) + toLower(right(n.name, 2)) AS tag "
+    "ORDER BY tag",
+)
+
+_cypher_query(
     "cypher_varlength_min2_trail",
     # r9: DISTINCT + minlen >= 2 + unbounded routes to TRAIL mode —
     # the recursion carries per-path REL_ID sets so an edge is never
