@@ -2143,18 +2143,18 @@ class _Parser:
         # r.prop … }) resolves against it
         ev = r.var or f"_ex{self._exists_n}"
         inner_where = None
+        inner_refs: set[str] = set()
         if self.accept("WHERE"):
             inner_where = self.expr()
+            # r9: an inner WHERE may reference the subquery's OWN
+            # unbound nodes (EXISTS { MATCH (n)-[:K]->(m) WHERE
+            # m.age > 30 }) — those node tables JOIN inside the
+            # subquery (the same shape pattern comprehensions emit)
             for v in (src.var, dst.var):
                 if v not in bound and re.search(
                     rf"\b{re.escape(v)}\.", inner_where
                 ):
-                    raise CypherUnsupported(
-                        f"the subquery WHERE references node {v!r}, which "
-                        "is not joined inside the EXISTS/COUNT subquery — "
-                        "filter with an inline property map instead "
-                        "({key: value})"
-                    )
+                    inner_refs.add(v)
 
         def node_sub(n: _NodePat) -> str | None:
             conds = [_label_cond("", lb) for lb in n.labels]
@@ -2166,10 +2166,24 @@ class _Parser:
         def leg(flipped: bool) -> str:
             # flipped: src binds the edge's END_ID (reversed orientation)
             scol, ecol = ("END_ID", "START_ID") if flipped else ("START_ID", "END_ID")
+            from_sql = f"__RELS__ AS {ev}"
             conds = []
             for pat, col in ((src, scol), (dst, ecol)):
                 if pat.var in bound:
                     conds.append(f"{ev}.{col} = {pat.var}.ID")
+                elif pat.var in inner_refs:
+                    # the inner WHERE reads this node's properties —
+                    # join its table inside the subquery
+                    from_sql += (
+                        f" JOIN __NODES__ AS {pat.var} "
+                        f"ON {pat.var}.ID = {ev}.{col}"
+                    )
+                    conds += [
+                        _label_cond(f"{pat.var}.", lb) for lb in pat.labels
+                    ]
+                    conds += [
+                        f"{pat.var}.{k} = {lit}" for k, lit in pat.props
+                    ]
                 elif sub := node_sub(pat):
                     conds.append(f"{ev}.{col} IN ({sub})")
             if tc := _type_cond(r, ev):
@@ -2179,8 +2193,8 @@ class _Parser:
                 conds.append(f"({inner_where})")
             where = " AND ".join(conds)
             if mode == "exists":
-                return f"EXISTS (SELECT 1 FROM __RELS__ AS {ev} WHERE {where})"
-            return f"(SELECT count(*) FROM __RELS__ AS {ev} WHERE {where})"
+                return f"EXISTS (SELECT 1 FROM {from_sql} WHERE {where})"
+            return f"(SELECT count(*) FROM {from_sql} WHERE {where})"
 
         if r.direction == "->":
             legs = [leg(False)]

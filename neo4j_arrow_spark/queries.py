@@ -746,6 +746,17 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_exists_inner_node_where",
+    # r9: the EXISTS/COUNT subquery WHERE may reference the
+    # subquery's own unbound node — its table joins inside the
+    # subquery (previously a targeted rejection pushing users to
+    # equality-only property maps)
+    "MATCH (c:Customer) WHERE EXISTS { MATCH (c)-[:BUYS_FROM]->(s) "
+    "WHERE s.acctbal > 9900.0 } "
+    "RETURN count(*) AS rich_suppliers_customers",
+)
+
+_cypher_query(
     "cypher_with_node_topk_collect",
     # r9: WITH <node> ORDER BY <node property> LIMIT k — the stage
     # projects only the carried id, so the order keys ride as injected
