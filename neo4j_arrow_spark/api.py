@@ -85,7 +85,33 @@ class Neo4jArrowSpark:
         are routed to :mod:`neo4j_arrow_spark.cypher_write` — a
         capability the reference declares but never implemented
         (CypherActionHandler.java:154-155); the job's result is the
-        Neo4j-style counters summary frame."""
+        Neo4j-style counters summary frame.
+
+        Known openCypher divergences (the exhaustive, golden-asserted
+        list — everything else either matches Neo4j semantics or
+        raises a targeted error):
+
+        - unbounded/deep variable-length with ``minlen >= 2`` is
+          EXACT for directed patterns on identity-carrying graphs
+          (r9 trail mode), but an UNDIRECTED ``-[*2..]-`` and graphs
+          registered without relationship identity keep the linear
+          distinct-frontier's walk-reachability at hops >= 2 (extra
+          endpoint pairs possible on cycles); undirected closure can
+          also report a node reachable from itself via a single-edge
+          backtrack (golden g17);
+        - unbounded traversal is bounded by ``max_hops`` (default
+          10) — true unbounded recursion needs a bound on a
+          distributed engine;
+        - multiplicity-SENSITIVE unbounded shapes (``count(*)`` over
+          ``*``-paths) enumerate walks, exact on DAGs; on cyclic
+          graphs hop-referencing results are guard-bounded;
+        - whitelisted scalar functions keep SQL semantics where they
+          differ from Cypher (notably 1-based ``substring``/string
+          indexing);
+        - ``collect()``/``labels()`` in a final RETURN render as the
+          SORTED comma-joined string (cross-engine determinism);
+          postfix indexing / reduce / comprehensions see the true
+          ARRAY form."""
         from neo4j_arrow_spark.cypher import cypher_to_sql, is_cypher
         from neo4j_arrow_spark.cypher_write import is_cypher_write
 

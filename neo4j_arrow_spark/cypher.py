@@ -1561,11 +1561,21 @@ class _Parser:
                         f"list_sort(list({d}{inner}) "
                         f"FILTER (({inner}) IS NOT NULL))"
                     )
-                if distinct:
-                    inner = f"DISTINCT {inner}"
                 if self.dialect == "spark":
-                    return f"array_join(sort_array(collect_list({inner})), ',')"
-                return f"array_to_string(list_sort(list({inner})), ',')"
+                    di = f"DISTINCT {inner}" if distinct else inner
+                    return f"array_join(sort_array(collect_list({di})), ',')"
+                # openCypher (and Spark's collect_list) SKIP NULLs and
+                # render an empty collect as '' via array_join; DuckDB
+                # keeps NULL elements in list(), returns NULL (not [])
+                # for an all-filtered aggregate, and array_to_string of
+                # an empty list is NULL — FILTER + COALESCE pin the
+                # Spark semantics (found by the dialect fuzzer on an
+                # all-NULL group)
+                d = "DISTINCT " if distinct else ""
+                return (
+                    f"COALESCE(array_to_string(list_sort(list({d}{inner}) "
+                    f"FILTER (({inner}) IS NOT NULL)), ','), '')"
+                )
             if fn == "SIZE":
                 # size(labels(var)) — the label-count idiom. labels()
                 # alone emits the sorted comma-joined STRING (the

@@ -721,6 +721,38 @@ class _WriteParser(_Parser):
                     raise CypherSyntaxError(f"SET target {var!r} is not bound")
                 return {**base, "op": "label", "add": True, "var": var,
                         "labels": labels}
+            if (
+                self.peek()[1] == "="
+                and self.toks[self.pos + 1][1] == "{"
+            ):
+                # r9: SET n = {map} — openCypher REPLACE semantics:
+                # the listed keys set, every OTHER property of the
+                # matched entity nulls out
+                self.next()
+                self.expect("{")
+                sets = []
+                while True:
+                    prop = self.expect_name(kw_ok=True)
+                    self.expect(":")
+                    sets.append((var, prop, self.value()))
+                    if not self.accept(","):
+                        break
+                self.expect("}")
+                if self.peek()[0] != "eof":
+                    raise CypherSyntaxError(
+                        f"unexpected trailing input: {self.peek()[1]!r}"
+                    )
+                if var in {r.var for r in rels if r.var}:
+                    _check_rel_set_props(sets)
+                    return {
+                        **base, "op": "set_rel", "sets": sets,
+                        "replace": True,
+                    }
+                if var not in {n.var for n in nodes}:
+                    raise CypherSyntaxError(
+                        f"SET target {var!r} is not bound"
+                    )
+                return {**base, "op": "set", "sets": sets, "replace": True}
             if self.peek()[1] == "+":
                 # SET n += {k: v, …} — openCypher map-merge: each key
                 # updates/creates that property, keys absent from the
@@ -1424,6 +1456,15 @@ def _execute_write(
             else:
                 # schema-widening rel property (NULL on unmatched edges)
                 out = out.withColumn(prop, F.when(matched, val))
+        if ast.get("replace"):
+            # SET r = {map}: unlisted rel properties null on matched
+            listed = {p for _, p, _ in ast["sets"]}
+            for c in rels.columns:
+                if c in reserved or c in listed:
+                    continue
+                out = out.withColumn(
+                    c, F.when(matched, F.lit(None)).otherwise(F.col(c))
+                )
         out = out.drop(
             *kcols, *[f"__v{i}" for i in range(len(ast["sets"]))]
         )
@@ -1522,6 +1563,16 @@ def _execute_write(
                 out = out.withColumn(prop, F.when(matched, val).otherwise(F.col(prop)))
             else:
                 out = out.withColumn(prop, F.when(matched, val))
+        if ast.get("replace"):
+            # SET n = {map}: every property NOT in the map nulls out
+            # on the matched rows (openCypher replace semantics)
+            listed = {p for _, p, _ in ast["sets"]}
+            for c in nodes.columns:
+                if c in (NodeField.ID, NodeField.LABELS) or c in listed:
+                    continue
+                out = out.withColumn(
+                    c, F.when(matched, F.lit(None)).otherwise(F.col(c))
+                )
         out = out.drop("__sid", *[f"__v{i}" for i in range(len(ast["sets"]))])
         return out, rels, summary("set", props=n_set * len(ast["sets"]))
 

@@ -1326,6 +1326,45 @@ def cypher_widen_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).result(300)
 
 
+_SET_REPLACE_SQL = """
+    SELECT CAST(n_nationkey + 2000000 AS BIGINT) AS id,
+           CASE WHEN n_nationkey = 0 THEN 'ZERO' ELSE lower(n_name) END
+               AS name,
+           CASE WHEN n_nationkey = 0 THEN 7 END AS tier
+    FROM nation
+"""
+
+
+@query("cypher_set_replace_roundtrip", oracle=_SET_REPLACE_SQL)
+def cypher_set_replace_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: ``SET n = {map}`` — openCypher REPLACE semantics: the listed
+    keys set (widening included), every OTHER property of the matched
+    node nulls out; unmatched nodes keep everything."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    # writes checkpoint the frames — keep the rel side to the small
+    # supplier→nation subgraph so the roundtrip isn't a BUYS_FROM
+    # materialization benchmark (same trick as cypher_rel_set_roundtrip)
+    rels = rels.filter(
+        (F.col("TYPE") == "IN_NATION") & (F.col("START_ID") >= 1_000_000)
+    )
+    api.catalog.register("cswap", nodes, rels, overwrite=True)
+    api.cypher(
+        "MATCH (n:Nation) SET n.name = lower(n.name)", graph="cswap"
+    ).result(300)
+    api.cypher(
+        "MATCH (n:Nation {ID: 2000000}) SET n = {name: 'ZERO', tier: 7}",
+        graph="cswap",
+    ).result(300)
+    return api.cypher(
+        "MATCH (n:Nation) RETURN n.ID AS id, n.name AS name, "
+        "n.tier AS tier",
+        graph="cswap",
+    ).result(300)
+
+
 _REL_SET_SQL = """
     SELECT CAST(n_nationkey + 2000000 AS BIGINT) AS nid,
            round(sum(CASE WHEN n_nationkey = 0 THEN 10.0 ELSE 1.0 END), 2)

@@ -73,6 +73,11 @@ def full_oracle_background(request):
         stdout=subprocess.PIPE,
         stderr=subprocess.PIPE,
         text=True,
+        # r9: the suite runs up to 5 concurrent local-mode JVMs; a
+        # local[32] each multiplies scheduler/GC churn for tiny tasks.
+        # 16 threads keep the sf0.01 oracle queries parallel enough.
+        env=dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get(
+            "SPARK_GRAFT_CPUS", "16")),
     )
     try:
         yield proc
@@ -100,16 +105,30 @@ def full_oracle_background(request):
 # requires a broad selection), and SPARK_GRAFT_NO_SHARD=1 forces the
 # old sequential behavior.
 
-_SHARD_FILES = (
-    "test_cypher_golden.py",
-    "test_cypher_semantic_fuzz.py",
-    "test_cypher_dialect_fuzz.py",
-    # r9 (VERDICT r8 #7): the write suite is self-contained (own api +
-    # per-test graphs, no cross-file state) and ~2.5 min — moving it
-    # here rebalances main vs shard below the 15:00 quiet-box target
-    "test_cypher_write.py",
+_SHARD_GROUPS = (
+    # r9 (VERDICT r8 #7): three balanced groups. Measured solo walls:
+    # main side 6m57s (455 tests), golden corpus ~6m, fuzzers+write
+    # ~5.5m, advice/khop-skew/round4 ~3.5m, oracle subprocess ~6.5m —
+    # the suite is WAIT-bound, not CPU-bound (17m23s wall / 8m30s user
+    # across everything in the two-group layout), so the wall is
+    # max(group) plus contention stretch, and more, smaller groups
+    # shrink the pole. All grouped suites are self-contained (own
+    # fixtures/graph names, no cross-file state).
+    ("test_cypher_golden.py",),
+    (
+        "test_cypher_semantic_fuzz.py",
+        "test_cypher_dialect_fuzz.py",
+        "test_cypher_write.py",
+    ),
+    (
+        "test_advice_r5.py",
+        "test_advice_r4.py",
+        "test_khop_skew.py",
+        "test_round4_ops.py",
+    ),
 )
-_SHARD = {"proc": None, "files": _SHARD_FILES}
+_SHARD_FILES = tuple(f for g in _SHARD_GROUPS for f in g)
+_SHARD = {"procs": [], "files": _SHARD_FILES}
 
 
 def pytest_collection_modifyitems(config, items):
@@ -127,23 +146,35 @@ def pytest_collection_modifyitems(config, items):
     # only shard a BROAD run (the full suite); running a shard file
     # directly keeps it in-process. The JOINER must be selected too —
     # without test_zshard_join in the run nothing would check the
-    # subprocess's result, silently dropping the shard's coverage
+    # subprocesses' results, silently dropping the shard's coverage
     # (r9: `pytest tests/test_cypher_write.py tests/test_cypher.py`
     # used to orphan the write suite this way)
     joiner_selected = any("test_zshard_join" in i.nodeid for i in items)
     if not shard or len(rest) < 50 or not joiner_selected:
         return
-    env = dict(os.environ, SPARK_GRAFT_SHARD="1")
-    _SHARD["proc"] = subprocess.Popen(
-        [
-            sys.executable, "-m", "pytest", "-q",
-            *[os.path.join(_REPO, "tests", f) for f in _SHARD_FILES],
-        ],
-        stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT,
-        text=True,
-        env=env,
-        cwd=_REPO,
+    # shard sessions run 7-row-fixture, latency-bound suites — 8 local
+    # threads each is plenty and 5 concurrent local[32] JVMs would
+    # serialize on scheduler/GC churn instead (r9 measurement: the
+    # 3-group local[32] layout was SLOWER than 2 groups, 18m34 vs 17m23)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SHARD="1",
+        SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_SHARD_CPUS", "8"),
     )
+    for group in _SHARD_GROUPS:
+        sel = [f for f in group if any(f in i.nodeid for i in shard)]
+        if not sel:
+            continue
+        _SHARD["procs"].append((sel, subprocess.Popen(
+            [
+                sys.executable, "-m", "pytest", "-q",
+                *[os.path.join(_REPO, "tests", f) for f in sel],
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+            cwd=_REPO,
+        )))
     config.hook.pytest_deselected(items=shard)
     items[:] = rest

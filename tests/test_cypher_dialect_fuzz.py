@@ -323,3 +323,21 @@ def test_dialect_emissions_agree(engines, q):
         assert len(rs) == len(rd) and all(
             _cells_equal(a, b) for a, b in zip(rs, rd)
         ), f"row {rs} vs {rd} for\n{q}\n-- spark:\n{spark_sql}\n-- duck:\n{duck_sql}"
+
+
+def test_collect_all_null_group_renders_empty(engines):
+    """r9 fuzz find, pinned deterministically: collect() over an
+    all-NULL group is the EMPTY list — Spark renders '' via
+    array_join; DuckDB needed FILTER (null-skipping) + COALESCE
+    (empty aggregate → NULL, and array_to_string([]) → NULL)."""
+    spark, con = engines
+    q = "MATCH (n:Q) RETURN n.name AS g, collect(n.d.year) AS x ORDER BY g"
+    s = cypher_to_sql(q, "fznodes", "fzrels", rel_id=True, rel_props=["w"])
+    d = cypher_to_sql(
+        q, "fznodes", "fzrels", dialect="duckdb", rel_id=True,
+        rel_props=["w"],
+    )
+    got_s = [tuple(r) for r in spark.sql(s).collect()]
+    got_d = con.execute(d).fetchall()
+    assert got_s == got_d
+    assert ("erin", "") in got_s

@@ -812,3 +812,35 @@ def test_delete_trailing_return_pre_values(wapi):
         "MATCH (n:Q) DELETE n RETURN count(*) AS c", graph="wt"
     ).result(60).collect()[0]
     assert row.c == 1
+
+
+def test_set_replace_map_nodes(wapi):
+    """r9: SET n = {map} — openCypher REPLACE: listed keys set,
+    every other property of the matched node nulls out."""
+    wapi.cypher(
+        "MATCH (n:P {name: 'alice'}) SET n = {name: 'ALICE', lvl: 3}",
+        graph="wt",
+    ).result(60)
+    rows = {
+        r.id: (r.name, r.bal, r.lvl)
+        for r in wapi.cypher(
+            "MATCH (n:P) RETURN n.ID AS id, n.name AS name, "
+            "n.bal AS bal, n.lvl AS lvl",
+            graph="wt",
+        ).result(60).collect()
+    }
+    assert rows[1] == ("ALICE", None, 3)      # replaced
+    assert rows[2] == ("bob", 20.0, None)     # untouched
+
+
+def test_set_replace_map_rels(wapi):
+    wapi.cypher(
+        "MATCH (a)-[r:KNOWS]->(b) WHERE a.ID = 1 SET r = {cost: 2.5}",
+        graph="wt",
+    ).result(60)
+    rows = wapi.cypher(
+        "MATCH (a)-[r:KNOWS]->(b) RETURN a.ID AS s, r.cost AS cost "
+        "ORDER BY s",
+        graph="wt",
+    ).result(60).collect()
+    assert [(r.s, r.cost) for r in rows] == [(1, 2.5), (2, None)]

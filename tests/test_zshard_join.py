@@ -1,7 +1,8 @@
-"""Joiner for the parallel suite shard (see conftest
+"""Joiner for the parallel suite shards (see conftest
 pytest_collection_modifyitems): collected LAST (the z name), waits for
-the shard subprocess running the golden corpus + fuzz suites, and
-fails with the shard's output tail if any of its tests failed."""
+every shard subprocess (the golden corpus + fuzzers in group A, the
+write/advice/khop-skew/round4 suites in group B) and fails with the
+failing shard's output tail if any of its tests failed."""
 
 from __future__ import annotations
 
@@ -11,13 +12,21 @@ from conftest import _SHARD
 
 
 def test_shard_suites_green():
-    proc = _SHARD["proc"]
-    if proc is None:
+    procs = _SHARD["procs"]
+    if not procs:
         pytest.skip("no parallel shard for this selection")
-    out, _ = proc.communicate(timeout=1800)
-    assert proc.returncode == 0, (
-        f"parallel shard ({', '.join(_SHARD['files'])}) failed:\n"
-        + "\n".join(out.splitlines()[-40:])
-    )
-    tail = [ln for ln in out.splitlines() if " passed" in ln]
-    print(f"shard: {tail[-1].strip() if tail else 'no summary'}")
+    failures = []
+    summaries = []
+    for files, proc in procs:
+        out, _ = proc.communicate(timeout=1800)
+        tail = [ln for ln in out.splitlines() if " passed" in ln]
+        summaries.append(
+            f"{files[0]}…: {tail[-1].strip() if tail else 'no summary'}"
+        )
+        if proc.returncode != 0:
+            failures.append(
+                f"parallel shard ({', '.join(files)}) failed:\n"
+                + "\n".join(out.splitlines()[-40:])
+            )
+    print("; ".join(summaries))
+    assert not failures, "\n\n".join(failures)
