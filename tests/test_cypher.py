@@ -388,7 +388,12 @@ def test_unwind_collect_dialect_fork():
     assert "LATERAL VIEW explode(n.LABELS) _u0 AS lbl" in spark_sql
     assert "array_join(sort_array(collect_list(n.name)), ',')" in spark_sql
     assert "CROSS JOIN unnest(n.LABELS) AS _u0(lbl)" in duck_sql
-    assert "array_to_string(list_sort(list(n.name)), ',')" in duck_sql
+    # r9: the duck emission FILTERs NULLs and COALESCEs the empty
+    # aggregate to '' (Spark collect_list / openCypher null-skipping)
+    assert (
+        "COALESCE(array_to_string(list_sort(list(n.name) "
+        "FILTER ((n.name) IS NOT NULL)), ','), '')" in duck_sql
+    )
     # everything else must be dialect-neutral: strip the two forked
     # fragments and the queries agree
     assert spark_sql.count("GROUP BY lbl") == duck_sql.count("GROUP BY lbl") == 1
