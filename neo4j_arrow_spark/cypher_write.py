@@ -414,7 +414,13 @@ class _WriteParser(_Parser):
                     self.expect(".")
                     prop = self.expect_name(kw_ok=True)
                     self.expect("=")
-                    target.append((prop, self.literal()))
+                    # r9: full expressions (ON MATCH SET n.hits =
+                    # coalesce(n.hits, 0) + 1 — the counter idiom);
+                    # the executor strips the merge-var prefix so the
+                    # expression evaluates over the node frame's own
+                    # columns. ON CREATE self-references are rejected
+                    # at execution (the node doesn't exist yet).
+                    target.append((prop, self.value()))
                     if not self.accept(","):
                         break
             if self.peek()[0] != "eof":
@@ -513,6 +519,43 @@ class _WriteParser(_Parser):
             self.expect("(")
             b = self.expect_name()
             self.expect(")")
+            # r9: MERGE …-[r:T]->… ON CREATE SET r.p = v / ON MATCH
+            # SET r.p = v — the rel twin of node-MERGE's sub-clauses
+            r_on_create: list[tuple[str, str]] = []
+            r_on_match: list[tuple[str, str]] = []
+            while self.peek()[1].upper() == "ON":
+                if t != "MERGE":
+                    raise CypherUnsupported("ON CREATE/ON MATCH is MERGE-only")
+                self.next()
+                _k2, which = self.next()
+                which = which.upper()
+                if which not in ("CREATE", "MATCH"):
+                    raise CypherSyntaxError(
+                        f"expected CREATE or MATCH after ON, got {which!r}"
+                    )
+                self.expect("SET")
+                tgt = r_on_create if which == "CREATE" else r_on_match
+                if not r.var:
+                    raise CypherUnsupported(
+                        "name the merged relationship to use ON "
+                        "CREATE/ON MATCH SET (MERGE (a)-[r:T]->(b) …)"
+                    )
+                while True:
+                    var = self.expect_name()
+                    if var != r.var:
+                        raise CypherUnsupported(
+                            f"ON {which} SET targets the merged "
+                            f"relationship variable {r.var!r}, got {var!r}"
+                        )
+                    self.expect(".")
+                    prop = self.expect_name(kw_ok=True)
+                    self.expect("=")
+                    tgt.append((prop, self.value()))
+                    if not self.accept(","):
+                        break
+                _check_rel_set_props(
+                    [(r.var, p, e) for p, e in r_on_create + r_on_match]
+                )
             if self.peek()[0] != "eof":
                 raise CypherSyntaxError(
                     f"unexpected trailing input: {self.peek()[1]!r}"
@@ -541,6 +584,9 @@ class _WriteParser(_Parser):
                 "b": b,
                 "rtype": r.rtypes[0],
                 "rprops": r.props,
+                "rvar": r.var,
+                "on_create": r_on_create,
+                "on_match": r_on_match,
             }
         if t == "FOREACH":
             # FOREACH (x IN <list> | SET target.prop = <expr>). Two
@@ -1203,6 +1249,17 @@ def _execute_write(
                 # in the same clause stop matching (Neo4j applies all).
                 out = nodes.withColumn("__m", cond & _props_cond(p))
                 for prop, lit in sets:
+                    # expressions reference the merge var (n.hits):
+                    # existing columns lose the prefix; a property the
+                    # frame doesn't have yet reads NULL (openCypher —
+                    # the coalesce(n.hits, 0) + 1 counter idiom)
+                    lit = re.sub(
+                        rf"(?<![\w.]){re.escape(p.var)}\.(\w+)",
+                        lambda m: m.group(1)
+                        if m.group(1) in fields
+                        else "NULL",
+                        lit,
+                    )
                     if prop in fields:
                         val = F.expr(lit).cast(fields[prop])
                         out = out.withColumn(
@@ -1221,8 +1278,16 @@ def _execute_write(
                     "merge", created=0, props=n_matched * len(sets)
                 )
             if ast.get("on_create"):
-                # fold ON CREATE SET literals into the pattern's props
-                # (pattern keys win — they define the merge identity)
+                # fold ON CREATE SET values into the pattern's props
+                # (pattern keys win — they define the merge identity);
+                # a value referencing the node being created has
+                # nothing to read from — reject
+                for k, v in ast["on_create"]:
+                    if re.search(rf"(?<![\w.]){re.escape(p.var)}\.", v):
+                        raise CypherUnsupported(
+                            f"ON CREATE SET {p.var}.{k}: the value "
+                            "cannot reference the node being created"
+                        )
                 have = {k for k, _ in p.props}
                 p.props = list(p.props) + [
                     (k, v) for k, v in ast["on_create"] if k not in have
@@ -1320,6 +1385,7 @@ def _execute_write(
             keys = [RelField.START_ID, RelField.END_ID, RelField.TYPE] + sorted(
                 props
             )
+            allpairs = new
             if unknown:
                 # a merge keyed on a property the schema doesn't have
                 # yet can never match an existing edge (every edge
@@ -1327,9 +1393,56 @@ def _execute_write(
                 pass
             else:
                 new = new.join(rels.select(*keys), keys, "left_anti")
+        rvar = ast.get("rvar") or "r"
+        rcols = set(rels.schema.fieldNames())
+
+        def _self_stripped(ex: str) -> str:
+            # r.prop → prop when the rel frame has it, NULL otherwise
+            # (openCypher: a missing property reads NULL)
+            return re.sub(
+                rf"(?<![\w.]){re.escape(rvar)}\.(\w+)",
+                lambda m: m.group(1) if m.group(1) in rcols else "NULL",
+                ex,
+            )
+
+        n_props = 0
+        for prop, ex in ast.get("on_create") or []:
+            # r9: ON CREATE SET over the to-create rows — the value
+            # may reference the merged rel's own (pattern) properties
+            new = new.withColumn(prop, F.expr(_self_stripped(ex)))
+        if op == "merge_rel" and (ast.get("on_match") or []) and not unknown:
+            # r9: ON MATCH SET over the edges the merge key matched —
+            # one conditional projection over the rel frame
+            marker = (
+                allpairs.select(*keys)
+                .dropDuplicates()
+                .withColumn("__m", F.lit(True))
+            )
+            rels2 = rels.join(marker, keys, "left")
+            rfields2 = {
+                f.name: f.dataType.simpleString()
+                for f in rels.schema.fields
+            }
+            n_matched = rels.join(marker, keys, "left_semi").count()
+            for prop, ex in ast["on_match"]:
+                val = F.expr(_self_stripped(ex))
+                if prop in rfields2:
+                    val = val.cast(rfields2[prop])
+                    rels2 = rels2.withColumn(
+                        prop, F.when(F.col("__m"), val).otherwise(F.col(prop))
+                    )
+                else:
+                    rels2 = rels2.withColumn(prop, F.when(F.col("__m"), val))
+            rels = rels2.drop("__m")
+            n_props += n_matched * len(ast["on_match"])
+        new = _decimals_to_double(new)
         new = new.localCheckpoint()  # consumed by count + union
         n_new = new.count()
-        return nodes, _union_rels(rels, new), summary(op, rcre=n_new)
+        return nodes, _union_rels(rels, new), summary(
+            op, rcre=n_new, props=n_props + n_new * len(
+                ast.get("on_create") or []
+            )
+        )
 
     if op == "label":
         # label add/remove over the matched ids: conditional projection

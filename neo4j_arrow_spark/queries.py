@@ -1326,6 +1326,47 @@ def cypher_widen_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).result(300)
 
 
+_MERGE_REL_ONSET_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n, round(sum(tag), 1) AS tags
+    FROM (
+        SELECT CASE WHEN s_nationkey = 0 THEN 9.0 ELSE 1.0 END AS tag
+        FROM supplier
+    )
+"""
+
+
+@query("cypher_merge_rel_onset_roundtrip", oracle=_MERGE_REL_ONSET_SQL)
+def cypher_merge_rel_onset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: MERGE …-[r]->… ON CREATE SET / ON MATCH SET — the rel twin
+    of node-MERGE's sub-clauses. Every supplier→nation pair re-merges
+    its IN_NATION edge: all match (none create), and nation 0's edges
+    take tag 9.0 via ON MATCH while the rest keep the 1.0 the first
+    bulk SET wrote."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    rels = rels.filter(
+        (F.col("TYPE") == "IN_NATION") & (F.col("START_ID") >= 1_000_000)
+    )
+    api.catalog.register("cmros", nodes, rels, overwrite=True)
+    api.cypher(
+        "MATCH (s:Supplier)-[r:IN_NATION]->(n:Nation) SET r.tag = 1.0",
+        graph="cmros",
+    ).result(300)
+    api.cypher(
+        "MATCH (s:Supplier)-[x:IN_NATION]->(n:Nation {ID: 2000000}) "
+        "MERGE (s)-[r:IN_NATION]->(n) "
+        "ON MATCH SET r.tag = 9.0 ON CREATE SET r.tag = -1.0",
+        graph="cmros",
+    ).result(300)
+    return api.cypher(
+        "MATCH (s:Supplier)-[r:IN_NATION]->(n:Nation) "
+        "RETURN count(*) AS n, round(sum(r.tag), 1) AS tags",
+        graph="cmros",
+    ).result(300)
+
+
 _SET_REPLACE_SQL = """
     SELECT CAST(n_nationkey + 2000000 AS BIGINT) AS id,
            CASE WHEN n_nationkey = 0 THEN 'ZERO' ELSE lower(n_name) END

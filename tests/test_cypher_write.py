@@ -844,3 +844,61 @@ def test_set_replace_map_rels(wapi):
         graph="wt",
     ).result(60).collect()
     assert [(r.s, r.cost) for r in rows] == [(1, 2.5), (2, None)]
+
+
+# -- r9: MERGE-rel ON CREATE/ON MATCH SET; expression ON SET ------------------
+
+def test_merge_rel_on_create_set(wapi):
+    s = wapi.cypher(
+        "MATCH (a:P {name: 'alice'}), (b:Q) "
+        "MERGE (a)-[r:LIKES]->(b) ON CREATE SET r.since = 7",
+        graph="wt",
+    ).result(60).collect()[0]
+    assert (s.rels_created, s.props_set) == (1, 1)
+    assert wapi.cypher(
+        "MATCH ()-[r:LIKES]->() RETURN r.since AS since", graph="wt"
+    ).result(60).collect()[0].since == 7
+
+
+def test_merge_rel_on_match_set(wapi):
+    s = wapi.cypher(
+        "MATCH (a:P), (b) MERGE (a)-[r:KNOWS]->(b) "
+        "ON MATCH SET r.w2 = 5.0 ON CREATE SET r.w2 = -1.0",
+        graph="wt",
+    ).result(60).collect()[0]
+    # existing KNOWS edges (1->2, 2->3) match where the pattern pairs
+    # them; matched ones get 5.0, created pairs get -1.0
+    rows = wapi.cypher(
+        "MATCH (a)-[r:KNOWS]->(b) WHERE a.ID = 1 AND b.ID = 2 "
+        "RETURN r.w2 AS w2",
+        graph="wt",
+    ).result(60).collect()
+    assert [r.w2 for r in rows] == [5.0]
+    assert s.props_set > 0
+
+
+def test_merge_on_match_counter_idiom(wapi):
+    """coalesce(n.hits, 0) + 1 — expression values with a
+    self-reference to a property that doesn't exist yet (reads NULL
+    per openCypher, then the column widens in)."""
+    for _ in range(2):
+        wapi.cypher(
+            "MERGE (n:P {name: 'alice'}) "
+            "ON MATCH SET n.hits = coalesce(n.hits, 0) + 1",
+            graph="wt",
+        ).result(60)
+    got = {
+        r.id: r.hits
+        for r in wapi.cypher(
+            "MATCH (n:P) RETURN n.ID AS id, n.hits AS hits", graph="wt"
+        ).result(60).collect()
+    }
+    assert got[1] == 2 and got[2] is None
+
+
+def test_merge_on_create_self_reference_rejected(wapi):
+    with pytest.raises(RuntimeError, match="cannot reference"):
+        wapi.cypher(
+            "MERGE (z:Z {ID: 77}) ON CREATE SET z.x = z.ID + 1",
+            graph="wt",
+        ).result(60)
