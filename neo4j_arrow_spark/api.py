@@ -148,6 +148,12 @@ class Neo4jArrowSpark:
                 # (START_ID, END_ID, TYPE) triple mode.
                 rel_id=g.rels_eid is not None,
                 rels_eid_view=f"{graph}_rels_eid",
+                # property-column → Spark type map: lets
+                # type-polymorphic emissions (isEmpty) dispatch on the
+                # registered type; a name carried by BOTH frames with
+                # conflicting types stays out (ambiguous → the
+                # transpiler's targeted refusal)
+                prop_types=self._prop_types(g),
             )
             missing = needed - set(params or {})
             if missing:
@@ -166,6 +172,29 @@ class Neo4jArrowSpark:
                 "cypher.read", lambda: self.spark.sql(query, args=params)
             )
         return self.registry.submit("cypher.read", lambda: self.spark.sql(query))
+
+    @staticmethod
+    def _prop_types(g) -> dict[str, str]:
+        """Property-column name → Spark type simpleString over the
+        graph's node AND rel frames (reserved id/label/endpoint columns
+        excluded). A name present on both frames with different types
+        is dropped — the transpiler must not guess."""
+        out: dict[str, str] = {}
+        drop: set[str] = set()
+        frames = [(g.nodes, ("ID", "LABELS"))]
+        if g.rels is not None:
+            frames.append((g.rels, tuple(RelField.RESERVED)))
+        for df, reserved in frames:
+            for f in df.schema.fields:
+                if f.name in reserved or f.name in ("REL_ID", "REL_ID2"):
+                    continue
+                ty = f.dataType.simpleString()
+                if f.name in out and out[f.name] != ty:
+                    drop.add(f.name)
+                out[f.name] = ty
+        for name in drop:
+            out.pop(name, None)
+        return out
 
     def _resolve_graph(self, db: str, graph: str | None) -> str:
         """Default to the only graph registered under (user, db)."""

@@ -278,6 +278,12 @@ class _Parser:
         #: START_ID/END_ID/TYPE/identity columns) — required only by
         #: bare-rel-variable RETURN projection
         self.rel_props: list[str] | None = None
+        #: OPTIONAL column-name → Spark type simpleString map for the
+        #: graph's property columns (node + rel merged; api.cypher
+        #: passes it) — lets type-polymorphic emissions (isEmpty)
+        #: dispatch on the REGISTERED type when the static analysis
+        #: can't tell. None when the caller has no schema at hand.
+        self.prop_types: dict[str, str] | None = None
         #: node variables carried BARE through WITH stages (`WITH p,
         #: count(m) AS n`): openCypher keeps them fully accessible, so
         #: later prop refs are allowed and the stage emission re-joins
@@ -315,6 +321,7 @@ class _Parser:
         sub.params_used = set()
         sub.node_props = node_props
         sub.rel_props = None
+        sub.prop_types = None
         sub.carried_nodes = set()
         sub.rel_endpoints = {}
         sub.struct_aliases = set()
@@ -1285,6 +1292,22 @@ class _Parser:
                     self._STRING_PREFIXES
                 ):
                     return f"(length({inner}) = 0)"
+                # r10 (r9 ADVICE): before refusing, dispatch on the
+                # REGISTERED property type when the argument is a plain
+                # `var.column` access and the caller passed the graph
+                # schema (api.cypher does) — list-typed property
+                # columns keep working without a rewrite
+                pm = re.fullmatch(
+                    r"[A-Za-z_]\w*\.([A-Za-z_]\w*)", inner
+                )
+                if pm and self.prop_types:
+                    ty = self.prop_types.get(pm.group(1))
+                    if ty is not None and ty.startswith("array<"):
+                        if self.dialect == "spark":
+                            return f"(size({inner}) = 0)"
+                        return f"(len({inner}) = 0)"
+                    if ty == "string":
+                        return f"(length({inner}) = 0)"
                 raise CypherUnsupported(
                     f"isEmpty({inner}): argument type is not statically "
                     "known — spell size(x) = 0 for lists or "
@@ -2928,6 +2951,7 @@ class _Parser:
                 ]
                 sub = _Parser._from_tokens(toks, self.dialect, self.node_props)
                 sub.rel_props = self.rel_props
+                sub.prop_types = self.prop_types
                 expr = sub.expr()
                 if sub.peek()[1] != "":
                     raise CypherUnsupported(
@@ -3285,6 +3309,7 @@ class _Parser:
         scalar_imports = [i for i in imports if i not in self.carried_nodes]
         sub = _Parser._from_tokens(body, self.dialect, self.node_props)
         sub.rel_id = self.rel_id
+        sub.prop_types = self.prop_types
         # scalar imports behave as bound scalars inside the body
         sub.unwind_aliases = set(scalar_imports)
         sub_ast = sub.parse()
@@ -4583,6 +4608,7 @@ def cypher_to_sql(
     rel_id: bool = False,
     rels_eid_view: str | None = None,
     rel_props: list[str] | None = None,
+    prop_types: dict[str, str] | None = None,
 ) -> str:
     """Transpile the Cypher subset to one SQL string over the graph
     views. Every construct except ``collect()`` and ``UNWIND`` emits
@@ -4609,11 +4635,13 @@ def cypher_to_sql(
         sql = _cypher_to_sql_once(
             query, nodes_view, rels_eid_view, dialect, scratch,
             max_hops, node_props, rel_id=True, rel_props=rel_props,
+            prop_types=prop_types,
         )
         if re.search(r"\.REL_ID", sql) is None:
             sql = _cypher_to_sql_once(
                 query, nodes_view, rels_view, dialect, scratch,
                 max_hops, node_props, rel_id=False, rel_props=rel_props,
+                prop_types=prop_types,
             )
         if params_out is not None:
             params_out.update(scratch)
@@ -4621,6 +4649,7 @@ def cypher_to_sql(
     return _cypher_to_sql_once(
         query, nodes_view, rels_view, dialect, params_out,
         max_hops, node_props, rel_id, rel_props=rel_props,
+        prop_types=prop_types,
     )
 
 
@@ -4634,6 +4663,7 @@ def _cypher_to_sql_once(
     node_props: list[str] | None = None,
     rel_id: bool = False,
     rel_props: list[str] | None = None,
+    prop_types: dict[str, str] | None = None,
 ) -> str:
     """Single-pass transpile against one rels view (see cypher_to_sql)."""
     if re.match(r"\s*CALL\s+[A-Za-z_]", query, re.IGNORECASE):
@@ -4653,6 +4683,7 @@ def _cypher_to_sql_once(
             arm_parser.node_props = node_props
             arm_parser.rel_props = rel_props
             arm_parser.rel_id = rel_id
+            arm_parser.prop_types = prop_types
             arm_ast = arm_parser.parse()
             arm_ast["max_hops"] = max_hops
             if params_out is not None:
@@ -4675,6 +4706,7 @@ def _cypher_to_sql_once(
     parser.node_props = node_props
     parser.rel_props = rel_props
     parser.rel_id = rel_id
+    parser.prop_types = prop_types
     ast = parser.parse()
     ast["max_hops"] = max_hops
     if params_out is not None:

@@ -23,6 +23,7 @@ eagerly and lineage doesn't stack across writes.
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +68,14 @@ def _render_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and not math.isfinite(v):
+        # repr() would emit 'inf'/'nan' — bare names the tokenizer/SQL
+        # layer chokes on opaquely; Neo4j properties can't hold them
+        # through the driver either
+        raise CypherUnsupported(
+            "non-finite float write parameter (NaN/Infinity) is not "
+            "supported"
+        )
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, str):
@@ -76,6 +85,28 @@ def _render_literal(v) -> str:
     raise CypherUnsupported(
         f"unsupported write-parameter type {type(v).__name__}"
     )
+
+
+def _sub_outside_strings(pattern: str, repl, text: str) -> str:
+    """``re.sub`` that leaves single-quoted string literals untouched:
+    the text splits on the tokenizer's string-literal regex and only
+    the non-literal segments rewrite — ``SET n.note = 'see n.hits'``
+    must keep its literal verbatim (r9 ADVICE: the raw re.sub here
+    silently corrupted values)."""
+    parts = re.split(r"('(?:[^'\\]|\\.)*')", text)
+    for i in range(0, len(parts), 2):
+        parts[i] = re.sub(pattern, repl, parts[i])
+    return "".join(parts)
+
+
+def _search_outside_strings(pattern: str, text: str):
+    """``re.search`` restricted to the non-string-literal segments."""
+    parts = re.split(r"('(?:[^'\\]|\\.)*')", text)
+    for i in range(0, len(parts), 2):
+        m = re.search(pattern, parts[i])
+        if m:
+            return m
+    return None
 
 
 def render_write_params(query: str, params: dict) -> str:
@@ -181,6 +212,30 @@ def expand_unwind_batch(
             f"UNWIND alias {alias!r} is also a CREATE pattern variable"
         )
 
+    # positional context per token (r9 ADVICE: renames/substitutions
+    # must respect POSITION — a property key `{n: row.x}` or a label
+    # `:n` spelled like a pattern variable or the alias is NOT a
+    # reference and must survive verbatim): previous/next significant
+    # token text and the curly-brace (property-map) depth at the token
+    prev_sig_at: list[str] = [""] * len(toks)
+    next_sig_at: list[str] = [""] * len(toks)
+    bdepth_at: list[int] = [0] * len(toks)
+    prev, depth = "", 0
+    for j, (kind, text, _s, _e) in enumerate(toks):
+        bdepth_at[j] = depth
+        prev_sig_at[j] = prev
+        if kind != "ws":
+            prev = text
+            if text == "{":
+                depth += 1
+            elif text == "}":
+                depth = max(0, depth - 1)
+    nxt = ""
+    for j in range(len(toks) - 1, -1, -1):
+        next_sig_at[j] = nxt
+        if toks[j][0] != "ws":
+            nxt = toks[j][1]
+
     def instance(elem, n: int, strip_create: bool) -> str:
         out: list[str] = []
         j = 0
@@ -193,7 +248,14 @@ def expand_unwind_batch(
                 if text.upper() == "CREATE":
                     j += 1
                     continue
-            if kind in ("name", "kw") and text == alias:
+            is_prop_key = next_sig_at[j] == ":" and bdepth_at[j] > 0
+            is_label = prev_sig_at[j] == ":" and bdepth_at[j] == 0
+            if (
+                kind in ("name", "kw")
+                and text == alias
+                and not is_prop_key
+                and not is_label
+            ):
                 # alias.key → the element's value; bare alias → the
                 # element itself (scalar batches)
                 k = j + 1
@@ -221,7 +283,13 @@ def expand_unwind_batch(
                 out.append(_render_literal(elem))
                 j += 1
                 continue
-            if kind in ("name", "kw") and text in pat_vars:
+            if (
+                kind in ("name", "kw")
+                and text in pat_vars
+                and prev_sig_at[j] in ("(", "[")
+            ):
+                # variable position only: directly after an opening
+                # bracket (CREATE patterns bind vars nowhere else)
                 out.append(f"{text}_u{n}")
                 j += 1
                 continue
@@ -288,18 +356,18 @@ def is_cypher_write(query: str) -> bool:
     if first in ("CREATE", "MERGE"):
         return True
     if first == "UNWIND":
-        # UNWIND $batch AS row CREATE … — the bulk-write idiom; read
-        # UNWINDs never contain a top-level CREATE/MERGE token
-        prev_text = ""
-        for kind, text in ((tt[0], tt[1]) for tt in toks):
-            if (
-                kind == "name"
-                and prev_text != "."
-                and text.upper() in ("CREATE", "MERGE")
-            ):
-                return True
-            prev_text = text
-        return False
+        # only the bulk-write HEAD shape routes to the write path —
+        # `UNWIND $param AS alias CREATE/MERGE …`, exactly what
+        # expand_unwind_batch accepts. Scanning the whole stream for a
+        # CREATE/MERGE name misroutes reads whose text merely contains
+        # the word (`UNWIND [1,2] AS x RETURN x AS create`).
+        return (
+            len(toks) >= 5
+            and toks[1][0] == "param"
+            and toks[2][1].upper() == "AS"
+            and toks[3][0] in ("name", "kw")
+            and toks[4][1].upper() in ("CREATE", "MERGE")
+        )
     if first != "MATCH":
         return False
     prev_text = ""
@@ -1252,8 +1320,9 @@ def _execute_write(
                     # expressions reference the merge var (n.hits):
                     # existing columns lose the prefix; a property the
                     # frame doesn't have yet reads NULL (openCypher —
-                    # the coalesce(n.hits, 0) + 1 counter idiom)
-                    lit = re.sub(
+                    # the coalesce(n.hits, 0) + 1 counter idiom).
+                    # String literals in the value stay verbatim.
+                    lit = _sub_outside_strings(
                         rf"(?<![\w.]){re.escape(p.var)}\.(\w+)",
                         lambda m: m.group(1)
                         if m.group(1) in fields
@@ -1283,7 +1352,9 @@ def _execute_write(
                 # a value referencing the node being created has
                 # nothing to read from — reject
                 for k, v in ast["on_create"]:
-                    if re.search(rf"(?<![\w.]){re.escape(p.var)}\.", v):
+                    if _search_outside_strings(
+                        rf"(?<![\w.]){re.escape(p.var)}\.", v
+                    ):
                         raise CypherUnsupported(
                             f"ON CREATE SET {p.var}.{k}: the value "
                             "cannot reference the node being created"
@@ -1398,8 +1469,9 @@ def _execute_write(
 
         def _self_stripped(ex: str) -> str:
             # r.prop → prop when the rel frame has it, NULL otherwise
-            # (openCypher: a missing property reads NULL)
-            return re.sub(
+            # (openCypher: a missing property reads NULL); string
+            # literals in the value stay verbatim
+            return _sub_outside_strings(
                 rf"(?<![\w.]){re.escape(rvar)}\.(\w+)",
                 lambda m: m.group(1) if m.group(1) in rcols else "NULL",
                 ex,
