@@ -256,12 +256,21 @@ class Neo4jArrowSpark:
 
             query = render_write_params(query, params)
         # parse-as-validation at submit (CypherMessage.java:36-52
-        # parity): syntax errors raise here, not inside the job thread
-        # (the trailing RETURN, if any, validates in the job — it
-        # compiles through the read transpiler against the write's op)
-        from neo4j_arrow_spark.cypher_write import split_trailing_return
+        # parity): syntax errors, aggregate-valued writes, and
+        # op-incompatible trailing RETURNs all raise HERE, not inside
+        # the job thread (the RETURN's items still compile in the job
+        # through the read transpiler)
+        from neo4j_arrow_spark.cypher_write import (
+            _reject_aggregates_in_ast,
+            split_trailing_return,
+            validate_trailing_return,
+        )
 
-        _WriteParser(split_trailing_return(query)[0]).parse_write()
+        write_text, return_text = split_trailing_return(query)
+        _w_ast = _WriteParser(write_text).parse_write()
+        _reject_aggregates_in_ast(_w_ast)
+        if return_text is not None:
+            validate_trailing_return(_w_ast)
         graph = self._resolve_graph(db, graph)
         g = self.catalog.get(graph, db, self.username)
 

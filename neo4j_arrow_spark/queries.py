@@ -1367,6 +1367,90 @@ def cypher_merge_rel_onset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     ).result(300)
 
 
+_CREATE_REL_RETURN_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n, round(sum(2.5), 1) AS tw
+    FROM supplier WHERE s_suppkey <= 5
+"""
+
+
+@query("cypher_create_rel_return_roundtrip", oracle=_CREATE_REL_RETURN_SQL)
+def cypher_create_rel_return_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r10 (r9 verdict #1): trailing RETURN after a relationship
+    CREATE — the executor hands the created edge rows (one per
+    DISTINCT endpoint pair) to the read transpiler, so aggregates in
+    the RETURN work. The five lowest-keyed suppliers each get an
+    AUDITS edge to their own nation (every supplier has exactly one
+    IN_NATION edge at any SF, so the count is SF-stable); the RETURN
+    counts them and sums the property set in the pattern."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    rels = rels.filter(
+        (F.col("TYPE") == "IN_NATION") & (F.col("START_ID") >= 1_000_000)
+    )
+    api.catalog.register("crcrr", nodes, rels, overwrite=True)
+    return api.cypher(
+        "MATCH (s:Supplier)-[x:IN_NATION]->(n:Nation) "
+        "WHERE s.ID <= 1000005 "
+        "CREATE (s)-[r:AUDITS {w: 2.5}]->(n) "
+        "RETURN count(*) AS n, round(sum(r.w), 1) AS tw",
+        graph="crcrr",
+    ).result(300)
+
+
+_MERGE_REL_RETURN_SQL = """
+    SELECT 'matched' AS branch, CAST(count(*) AS BIGINT) AS n,
+           round(sum(9.0), 1) AS t
+    FROM supplier WHERE s_suppkey <= 5
+    UNION ALL
+    SELECT 'created' AS branch, CAST(count(*) AS BIGINT) AS n,
+           round(sum(4.0), 1) AS t
+    FROM supplier WHERE s_suppkey <= 5
+"""
+
+
+@query("cypher_merge_rel_return_roundtrip", oracle=_MERGE_REL_RETURN_SQL)
+def cypher_merge_rel_return_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r10 (r9 verdict #1): trailing RETURN after relationship MERGE,
+    BOTH branches, SF-stable via the five lowest-keyed suppliers.
+    Statement 1 re-merges their existing IN_NATION edges (all match;
+    ON MATCH SET tags them 9.0) and RETURNs the post-update aggregate
+    over the matched edges. Statement 2 merges a brand-new AUD2 edge
+    per pair (all create; ON CREATE SET tags 4.0) and RETURNs the
+    aggregate over the created rows."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    rels = rels.filter(
+        (F.col("TYPE") == "IN_NATION") & (F.col("START_ID") >= 1_000_000)
+    )
+    api.catalog.register("crmrr", nodes, rels, overwrite=True)
+    matched = api.cypher(
+        "MATCH (s:Supplier)-[x:IN_NATION]->(n:Nation) "
+        "WHERE s.ID <= 1000005 "
+        "MERGE (s)-[r:IN_NATION]->(n) "
+        "ON MATCH SET r.tag = 9.0 ON CREATE SET r.tag = -1.0 "
+        "RETURN 'matched' AS branch, count(*) AS n, "
+        "round(sum(r.tag), 1) AS t",
+        graph="crmrr",
+    ).result(300)
+    created = api.cypher(
+        "MATCH (s:Supplier)-[x:IN_NATION]->(n:Nation) "
+        "WHERE s.ID <= 1000005 "
+        "MERGE (s)-[r:AUD2]->(n) ON CREATE SET r.tag = 4.0 "
+        "RETURN 'created' AS branch, count(*) AS n, "
+        "round(sum(r.tag), 1) AS t",
+        graph="crmrr",
+    ).result(300)
+    return matched.unionByName(created)
+
+
 _SET_REPLACE_SQL = """
     SELECT CAST(n_nationkey + 2000000 AS BIGINT) AS id,
            CASE WHEN n_nationkey = 0 THEN 'ZERO' ELSE lower(n_name) END
