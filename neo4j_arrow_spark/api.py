@@ -226,6 +226,37 @@ class Neo4jArrowSpark:
             execute_cypher_write,
         )
 
+        # UNWIND $batch AS row MERGE … — the bulk UPSERT idiom (r10):
+        # one set-based pass (window-dedup + anti-join + conditional
+        # projection), no per-row existence probes
+        from neo4j_arrow_spark.cypher_write import (
+            execute_unwind_merge,
+            parse_unwind_merge,
+        )
+
+        um_spec = parse_unwind_merge(query, params)
+        if um_spec is not None:
+            graph = self._resolve_graph(db, graph)
+            g = self.catalog.get(graph, db, self.username)
+
+            def run_um() -> DataFrame:
+                new_nodes, summary = execute_unwind_merge(
+                    self.spark, g.nodes, um_spec
+                )
+                if new_nodes is not g.nodes:
+                    new_nodes = new_nodes.localCheckpoint()
+                    self.catalog.register(
+                        graph,
+                        new_nodes,
+                        g.rels,
+                        database=db,
+                        username=self.username,
+                        overwrite=True,
+                    )
+                return summary
+
+            return self.registry.submit("cypher.write", run_um)
+
         # UNWIND $batch AS row CREATE … — the bulk-write idiom expands
         # to ONE multi-pattern CREATE (a single literal-rows frame and
         # union, not |batch| statements); an empty batch is a no-op

@@ -306,6 +306,415 @@ def expand_unwind_batch(
     return ", ".join([pieces[0].rstrip()] + pieces[1:]), True
 
 
+def parse_unwind_merge(query: str, params: dict | None):
+    """``UNWIND $batch AS row MERGE (n:L {key: row.k, …}) [ON CREATE
+    SET n.p = expr] [ON MATCH SET n.q = expr]`` — THE canonical Neo4j
+    bulk-upsert idiom (r9 verdict #2). Returns a spec dict for
+    :func:`execute_unwind_merge`, or ``None`` when the statement is
+    not this shape (a CREATE batch, or not an UNWIND write at all).
+
+    SET-BASED SEMANTICS (documented divergence from row-at-a-time
+    Cypher, equal to it in every non-self-referential case): per
+    distinct merge key, the FIRST batch row whose key is absent from
+    the graph CREATEs the node (pattern props + its ON CREATE SET
+    values); every LATER row for that key, and every row for a
+    pre-existing key, applies ON MATCH SET — with the LAST applicable
+    row's values winning, which is exactly what sequential processing
+    produces when the ON MATCH values don't read the node's own
+    properties. Self-referential ON MATCH values (a per-key fold,
+    e.g. ``n.hits = coalesce(n.hits, 0) + 1``) are refused with a
+    targeted error. NULL merge-key values are refused (Neo4j parity:
+    'cannot merge using null property value')."""
+    m = re.match(
+        r"\s*UNWIND\s+\$([A-Za-z_]\w*)\s+AS\s+([A-Za-z_]\w*)\s+MERGE\b",
+        query,
+        re.IGNORECASE,
+    )
+    if not m:
+        return None
+    pname, alias = m.group(1), m.group(2)
+    if params is None or pname not in params:
+        raise CypherUnsupported(
+            f"UNWIND batch write references unbound parameter '${pname}'"
+        )
+    batch = params[pname]
+    if not isinstance(batch, (list, tuple)):
+        raise CypherUnsupported(
+            f"UNWIND ${pname} AS {alias}: the parameter must be a list"
+        )
+    toks = _tokenize(query[m.end():])
+    pos = 0
+
+    def peek():
+        return toks[pos]
+
+    def nxt():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def expect(text):
+        t = nxt()
+        if t[1] != text:
+            raise CypherSyntaxError(
+                f"batch MERGE: expected {text!r}, got {t[1]!r}"
+            )
+
+    def expr_tokens(stop_at_comma: bool) -> list:
+        """Raw token run up to a depth-0 ',' (when asked), a depth-0
+        closer, an ON keyword, or eof."""
+        nonlocal pos
+        out, depth = [], 0
+        while True:
+            kind, text = toks[pos][0], toks[pos][1]
+            if kind == "eof":
+                break
+            if text in ("(", "[", "{"):
+                depth += 1
+            elif text in (")", "]", "}"):
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and (
+                (stop_at_comma and text == ",")
+                or (kind == "name" and text.upper() == "ON")
+                or (kind == "kw" and text == "RETURN")
+            ):
+                break
+            out.append(toks[pos])
+            pos += 1
+        if not out:
+            raise CypherSyntaxError("batch MERGE: empty value expression")
+        return out
+
+    expect("(")
+    var = None
+    if peek()[0] == "name" and toks[pos + 1][1] in (":", "{"):
+        var = nxt()[1]
+    labels: list[str] = []
+    while peek()[1] == ":":
+        nxt()
+        k, t = nxt()[0], toks[pos - 1]
+        if k not in ("name", "kw"):
+            raise CypherSyntaxError("batch MERGE: expected label name")
+        labels.append(t[2] if len(t) > 2 else t[1])
+    if not labels:
+        raise CypherUnsupported("batch MERGE node needs at least one label")
+    key_props: list[tuple[str, list]] = []
+    if peek()[1] == "{":
+        nxt()
+        while True:
+            kt = nxt()
+            if kt[0] not in ("name", "kw"):
+                raise CypherSyntaxError("batch MERGE: expected property name")
+            prop = kt[2] if len(kt) > 2 else kt[1]
+            expect(":")
+            key_props.append((prop, expr_tokens(stop_at_comma=True)))
+            if peek()[1] == ",":
+                nxt()
+                continue
+            break
+        expect("}")
+    expect(")")
+    if not key_props:
+        raise CypherUnsupported(
+            "batch MERGE needs at least one merge-key property "
+            "(MERGE (n:L {key: row.k}))"
+        )
+    if peek()[1] in ("-", "<-"):
+        raise CypherUnsupported(
+            "batch relationship MERGE is not supported (v1) — merge the "
+            "nodes in one batch, then CREATE/MERGE the edges per pair"
+        )
+    on_create: list[tuple[str, list]] = []
+    on_match: list[tuple[str, list]] = []
+    while peek()[0] == "name" and peek()[1].upper() == "ON":
+        nxt()
+        which = nxt()[1].upper()
+        if which not in ("CREATE", "MATCH"):
+            raise CypherSyntaxError(
+                f"expected CREATE or MATCH after ON, got {which!r}"
+            )
+        expect("SET")
+        tgt = on_create if which == "CREATE" else on_match
+        while True:
+            v = nxt()
+            if v[0] != "name" or (var is not None and v[1] != var):
+                raise CypherUnsupported(
+                    f"ON {which} SET targets the merge variable "
+                    f"{var!r}, got {v[1]!r}"
+                )
+            if var is None:
+                raise CypherUnsupported(
+                    "name the merged node to use ON CREATE/ON MATCH SET"
+                )
+            expect(".")
+            pt = nxt()
+            if pt[0] not in ("name", "kw"):
+                raise CypherSyntaxError("expected property name after '.'")
+            prop = pt[2] if len(pt) > 2 else pt[1]
+            expect("=")
+            tgt.append((prop, expr_tokens(stop_at_comma=True)))
+            if peek()[1] == ",":
+                nxt()
+                continue
+            break
+    if peek()[0] == "kw" and peek()[1] == "RETURN":
+        raise CypherUnsupported(
+            "RETURN after a batch MERGE is not supported (v1) — read the "
+            "merged nodes back with a MATCH on the merge keys"
+        )
+    if peek()[0] != "eof":
+        raise CypherSyntaxError(
+            f"batch MERGE: unexpected trailing input: {peek()[1]!r}"
+        )
+
+    # rewrite alias.key → __b_<key> across every expression, collecting
+    # the referenced batch keys; bare alias / self-references checked
+    keys_used: set[str] = set()
+
+    def rewrite(run: list, ctx: str, allow_self: bool) -> str:
+        out, i = [], 0
+        while i < len(run):
+            kind, text = run[i][0], run[i][1]
+            if kind == "name" and text == alias:
+                if i + 1 < len(run) and run[i + 1][1] == ".":
+                    if i + 2 >= len(run):
+                        raise CypherSyntaxError(
+                            f"batch MERGE: dangling {alias}."
+                        )
+                    kt = run[i + 2]
+                    key = kt[2] if len(kt) > 2 else kt[1]
+                    keys_used.add(key)
+                    out.append(("name", f"__b_{key}"))
+                    i += 3
+                    continue
+                raise CypherUnsupported(
+                    f"bare {alias!r} in a batch MERGE — reference "
+                    f"{alias}.<key> (map batches only)"
+                )
+            if kind == "name" and var is not None and text == var:
+                if not allow_self:
+                    raise CypherUnsupported(
+                        f"{ctx}: the value cannot reference the merge "
+                        f"variable {var!r} — ON MATCH folds "
+                        "(n.hits = coalesce(n.hits, 0) + 1) are not "
+                        "supported in the batch form (v1); run a "
+                        "MATCH…SET after the batch instead"
+                    )
+            out.append(run[i])
+            i += 1
+        sub = _Parser._from_tokens(out, "spark", None)
+        sub.unwind_aliases = {f"__b_{k}" for k in keys_used}
+        sql = sub.value()
+        if sub.peek()[1] != "":
+            raise CypherSyntaxError(
+                f"{ctx}: unsupported value expression"
+            )
+        _reject_aggregates(sql, ctx)
+        return sql
+
+    key_sqls = [
+        (p, rewrite(run, f"merge key {p}", allow_self=False))
+        for p, run in key_props
+    ]
+    oc_sqls = [
+        (p, rewrite(run, f"ON CREATE SET {var}.{p}", allow_self=False))
+        for p, run in on_create
+    ]
+    om_sqls = [
+        (p, rewrite(run, f"ON MATCH SET {var}.{p}", allow_self=False))
+        for p, run in on_match
+    ]
+    # pattern keys win over ON CREATE values of the same property
+    # (they define the merge identity — single-MERGE parity)
+    key_names = {p for p, _ in key_sqls}
+    oc_sqls = [(p, s) for p, s in oc_sqls if p not in key_names]
+
+    # literal batch frame: one SELECT per element over the referenced
+    # keys (missing key → NULL, same rule as the CREATE batch form)
+    for i, elem in enumerate(batch):
+        if not isinstance(elem, dict):
+            raise CypherUnsupported(
+                f"batch MERGE element {i} is not a map"
+            )
+    selects = []
+    for i, elem in enumerate(batch):
+        cols = [f"CAST({i} AS BIGINT) AS __ix"] + [
+            f"{_render_literal(elem.get(k))} AS __b_{k}"
+            for k in sorted(keys_used)
+        ]
+        selects.append("SELECT " + ", ".join(cols))
+    return {
+        "labels": labels,
+        "var": var,
+        "keys": key_sqls,
+        "on_create": oc_sqls,
+        "on_match": om_sqls,
+        "b_sql": "\nUNION ALL\n".join(selects) if batch else None,
+        "n_rows": len(batch),
+    }
+
+
+def execute_unwind_merge(
+    spark: SparkSession, nodes: DataFrame, spec: dict
+) -> tuple[DataFrame, DataFrame]:
+    """Set-based batch MERGE (see :func:`parse_unwind_merge` for the
+    documented semantics): ONE window pass picks the first row per
+    merge key, one anti-join against the label-filtered graph finds
+    the keys to create, and ON MATCH applies as one left join +
+    conditional projection with last-row-wins values — no per-row
+    existence probes, O(batch) work regardless of graph size on the
+    probe side (the key semi-join is the only graph-wide touch)."""
+    from pyspark.sql.window import Window
+
+    def summary(created=0, props=0):
+        return spark.createDataFrame(
+            [("merge", created, props, 0, 0, 0)],
+            "op string, nodes_created long, props_set long, "
+            "nodes_deleted long, rels_deleted long, rels_created long",
+        )
+
+    if spec["n_rows"] == 0:
+        return nodes, summary()
+    fields = {f.name: f.dataType.simpleString() for f in nodes.schema.fields}
+    kprops = spec["keys"]
+    kcols = [f"__k{i}" for i in range(len(kprops))]
+    B = spark.sql(spec["b_sql"])
+    Bk = B.select(
+        "__ix",
+        *[
+            F.expr(sql).cast(fields[p]).alias(kc)
+            if p in fields
+            else F.expr(sql).alias(kc)
+            for (p, sql), kc in zip(kprops, kcols)
+        ],
+        *[c for c in B.columns if c != "__ix"],
+    )
+    Bk = _decimals_to_double(Bk).localCheckpoint()
+    null_keys = Bk.filter(
+        " OR ".join(f"{kc} IS NULL" for kc in kcols)
+    ).limit(1).count()
+    if null_keys:
+        raise ValueError(
+            "batch MERGE: cannot merge using a NULL merge-key value"
+        )
+    lcond = F.lit(True)
+    for lb in spec["labels"]:
+        lcond = lcond & F.array_contains(F.col(NodeField.LABELS), lb)
+    missing_prop = any(p not in fields for p, _ in kprops)
+    # first batch row per key decides CREATE
+    w = Window.partitionBy(*kcols).orderBy("__ix")
+    firsts = (
+        Bk.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+    if missing_prop:
+        # a merge key the schema doesn't have can never match — every
+        # distinct key creates (single-MERGE parity)
+        creates = firsts
+    else:
+        existing = (
+            nodes.filter(lcond)
+            .select(
+                *[
+                    F.col(p).alias(kc)
+                    for (p, _), kc in zip(kprops, kcols)
+                ]
+            )
+            .dropDuplicates()
+        )
+        creates = firsts.join(existing, kcols, "left_anti")
+    creates = creates.localCheckpoint()
+    n_created = creates.count()
+    # created rows conformed to the node schema (auto ids above max,
+    # deterministic by batch order; widening key/ON-CREATE props add
+    # columns, pre-existing nodes backfill NULL via unionByName)
+    oc = dict(spec["on_create"])
+    kmap = {p: kc for (p, _), kc in zip(kprops, kcols)}
+    if n_created:
+        base_id = (nodes.agg(F.max(NodeField.ID)).collect()[0][0] or 0) + 1
+        wid = Window.orderBy("__ix")
+        rows = creates.withColumn(
+            NodeField.ID,
+            (F.row_number().over(wid) - 1 + F.lit(base_id)).cast("long"),
+        ).withColumn(
+            NodeField.LABELS,
+            F.array(*[F.lit(lb) for lb in spec["labels"]]),
+        )
+        out_cols = [F.col(NodeField.ID), F.col(NodeField.LABELS)]
+        for c in nodes.columns:
+            if c in (NodeField.ID, NodeField.LABELS):
+                continue
+            if c in kmap:
+                out_cols.append(F.col(kmap[c]).cast(fields[c]).alias(c))
+            elif c in oc:
+                out_cols.append(F.expr(oc[c]).cast(fields[c]).alias(c))
+            else:
+                out_cols.append(F.lit(None).cast(fields[c]).alias(c))
+        for p, kc in kmap.items():  # widening merge keys
+            if p not in fields:
+                out_cols.append(F.col(kc).alias(p))
+        for p, sql in oc.items():  # widening ON CREATE props
+            if p not in fields and p not in kmap:
+                out_cols.append(F.expr(sql).alias(p))
+        rows = _decimals_to_double(rows.select(*out_cols))
+        new_nodes = nodes.unionByName(rows, allowMissingColumns=True)
+    else:
+        new_nodes = nodes
+    n_props = n_created * len(oc)
+    om = spec["on_match"]
+    if om:
+        # applications: every batch row EXCEPT the creating firsts;
+        # last row per key wins (sequential parity for non-self-
+        # referential values)
+        apps = Bk.join(creates.select("__ix"), "__ix", "left_anti")
+        w2 = Window.partitionBy(*kcols).orderBy(F.col("__ix").desc())
+        upd = (
+            apps.withColumn("__rn", F.row_number().over(w2))
+            .filter("__rn = 1")
+            .select(
+                *kcols,
+                *[
+                    F.expr(sql).alias(f"__v{i}")
+                    for i, (_p, sql) in enumerate(om)
+                ],
+            )
+        )
+        upd = _decimals_to_double(upd).localCheckpoint()
+        n_upd = upd.count()
+        if n_upd:
+            nfields = {
+                f.name: f.dataType.simpleString()
+                for f in new_nodes.schema.fields
+            }
+            tagged = new_nodes.withColumn("__lbl", lcond)
+            cond = tagged["__lbl"]
+            for (p, _), kc in zip(kprops, kcols):
+                if p in nfields:
+                    cond = cond & (tagged[p] == upd[kc])
+                else:
+                    cond = F.lit(False)
+            joined = tagged.join(upd, cond, "left")
+            matched = F.col(kcols[0]).isNotNull()
+            for i, (p, _sql) in enumerate(om):
+                val = F.col(f"__v{i}")
+                if p in nfields:
+                    val = val.cast(nfields[p])
+                    joined = joined.withColumn(
+                        p, F.when(matched, val).otherwise(F.col(p))
+                    )
+                else:  # widening ON MATCH prop
+                    joined = joined.withColumn(p, F.when(matched, val))
+            new_nodes = joined.drop(
+                "__lbl", *kcols, *[f"__v{i}" for i in range(len(om))]
+            )
+            n_props += n_upd * len(om)
+    return new_nodes, summary(created=n_created, props=n_props)
+
+
 #: aggregate-function heads that must not appear in write VALUES (SET /
 #: ON SET / property maps): there is no group to aggregate over in a
 #: write clause, and letting them through surfaces Spark's raw

@@ -1367,6 +1367,58 @@ def cypher_merge_rel_onset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     ).result(300)
 
 
+_UNWIND_BATCH_MERGE_SQL = """
+    SELECT n_name AS name, CAST(NULL AS DOUBLE) AS flag,
+           CASE WHEN n_name = 'NATION_1' THEN 8.0
+                WHEN n_name = 'NATION_2' THEN 6.0 END AS tier
+    FROM nation
+    UNION ALL
+    SELECT 'ZORK', 5.0, 14.0
+"""
+
+
+@query("cypher_unwind_batch_merge_roundtrip", oracle=_UNWIND_BATCH_MERGE_SQL)
+def cypher_unwind_batch_merge_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r10 (r9 verdict #2): ``UNWIND $batch AS row MERGE …`` — the
+    canonical Neo4j bulk-upsert idiom, set-based: one window pass
+    picks the first row per merge key, one anti-join finds the keys to
+    create, ON MATCH applies last-row-wins. The batch exercises BOTH
+    branches and duplicate keys: NATION_1 matches twice (last v wins),
+    NATION_2 matches once, ZORK is created by its first row (ON CREATE
+    flag) then updated by its duplicate (ON MATCH tier) — documented
+    sequential-equivalent semantics. The nation table is the constant
+    25-row TPC-H set, so the oracle is SF-stable."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    rels = rels.filter(
+        (F.col("TYPE") == "IN_NATION") & (F.col("START_ID") >= 1_000_000)
+    )
+    api.catalog.register("cubm", nodes, rels, overwrite=True)
+    api.cypher(
+        "UNWIND $batch AS row MERGE (n:Nation {name: row.name}) "
+        "ON CREATE SET n.flag = row.v ON MATCH SET n.tier = row.v * 2",
+        graph="cubm",
+        params={
+            "batch": [
+                {"name": "NATION_1", "v": 1.0},
+                {"name": "ZORK", "v": 5.0},
+                {"name": "ZORK", "v": 7.0},
+                {"name": "NATION_2", "v": 3.0},
+                {"name": "NATION_1", "v": 4.0},
+            ]
+        },
+    ).result(300)
+    return api.cypher(
+        "MATCH (n:Nation) RETURN n.name AS name, n.flag AS flag, "
+        "n.tier AS tier ORDER BY name",
+        graph="cubm",
+    ).result(300)
+
+
 _CREATE_REL_RETURN_SQL = """
     SELECT CAST(count(*) AS BIGINT) AS n, round(sum(2.5), 1) AS tw
     FROM supplier WHERE s_suppkey <= 5

@@ -1,0 +1,167 @@
+"""``UNWIND $batch AS row MERGE …`` — the canonical Neo4j bulk-upsert
+idiom, set-based (r9 verdict #2). Documented sequential-equivalent
+semantics: per distinct merge key the first row with an absent key
+CREATEs (pattern props + its ON CREATE SET values); every later row
+for the key, and every row for a pre-existing key, applies ON MATCH
+SET with last-row-wins values. Self-referential ON MATCH values and
+NULL merge keys are refused with targeted errors.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from neo4j_arrow_spark.api import Neo4jArrowSpark
+from neo4j_arrow_spark.cypher import CypherUnsupported
+
+
+@pytest.fixture()
+def mapi(spark):
+    api = Neo4jArrowSpark(spark)
+    nodes = spark.createDataFrame(
+        [(1, ["P"], "k1", 100.0)],
+        "ID long, LABELS array<string>, sku string, price double",
+    )
+    api.catalog.register("um", nodes, None, overwrite=True)
+    return api
+
+
+def _state(api):
+    return [
+        (r.sku, r.price)
+        for r in api.cypher(
+            "MATCH (n:P) RETURN n.sku AS sku, n.price AS price "
+            "ORDER BY sku",
+            graph="um",
+        )
+        .result(120)
+        .collect()
+    ]
+
+
+def test_batch_merge_both_branches_and_duplicates(mapi):
+    batch = [
+        {"sku": "k1", "p": 1.0},   # pre-existing → ON MATCH
+        {"sku": "k2", "p": 2.0},   # new → ON CREATE
+        {"sku": "k2", "p": 22.0},  # duplicate → ON MATCH on created
+        {"sku": "k3", "p": 3.0},   # new → ON CREATE
+        {"sku": "k1", "p": 11.0},  # duplicate match → last wins
+    ]
+    s = (
+        mapi.cypher(
+            "UNWIND $batch AS row MERGE (n:P {sku: row.sku}) "
+            "ON CREATE SET n.price = row.p "
+            "ON MATCH SET n.price = row.p * 10",
+            graph="um",
+            params={"batch": batch},
+        )
+        .result(120)
+        .collect()[0]
+    )
+    assert s.op == "merge"
+    assert s.nodes_created == 2
+    # 2 ON CREATE props + 2 updated keys × 1 ON MATCH prop
+    assert s.props_set == 4
+    assert _state(mapi) == [("k1", 110.0), ("k2", 220.0), ("k3", 3.0)]
+
+
+def test_batch_merge_create_only_no_on_clauses(mapi):
+    s = (
+        mapi.cypher(
+            "UNWIND $b AS row MERGE (n:P {sku: row.sku})",
+            graph="um",
+            params={"b": [{"sku": "k9"}, {"sku": "k9"}, {"sku": "k1"}]},
+        )
+        .result(120)
+        .collect()[0]
+    )
+    assert s.nodes_created == 1  # k9 once; k1 existed
+    assert ("k9", None) in _state(mapi)
+
+
+def test_batch_merge_empty_batch_noop(mapi):
+    s = (
+        mapi.cypher(
+            "UNWIND $b AS row MERGE (n:P {sku: row.sku})",
+            graph="um",
+            params={"b": []},
+        )
+        .result(120)
+        .collect()[0]
+    )
+    assert (s.nodes_created, s.props_set) == (0, 0)
+
+
+def test_batch_merge_widening_key(mapi):
+    """A merge key the schema doesn't have yet: every distinct key
+    creates (nothing can match), the column widens, duplicates apply
+    ON MATCH through the widened column."""
+    s = (
+        mapi.cypher(
+            "UNWIND $b AS row MERGE (n:P {extid: row.e}) "
+            "ON CREATE SET n.price = 1.0 ON MATCH SET n.price = 9.0",
+            graph="um",
+            params={"b": [{"e": "x1"}, {"e": "x1"}]},
+        )
+        .result(120)
+        .collect()[0]
+    )
+    assert s.nodes_created == 1
+    rows = (
+        mapi.cypher(
+            "MATCH (n:P) WHERE n.extid = 'x1' RETURN n.price AS p",
+            graph="um",
+        )
+        .result(120)
+        .collect()
+    )
+    assert [r.p for r in rows] == [9.0]
+
+
+def test_batch_merge_self_referential_on_match_refused(mapi):
+    with pytest.raises(CypherUnsupported, match="cannot reference"):
+        mapi.cypher(
+            "UNWIND $b AS row MERGE (n:P {sku: row.sku}) "
+            "ON MATCH SET n.price = coalesce(n.price, 0) + 1",
+            graph="um",
+            params={"b": [{"sku": "k1"}]},
+        )
+
+
+def test_batch_merge_null_key_refused(mapi):
+    with pytest.raises(RuntimeError, match="NULL merge-key"):
+        mapi.cypher(
+            "UNWIND $b AS row MERGE (n:P {sku: row.sku})",
+            graph="um",
+            params={"b": [{"sku": None}]},
+        ).result(120)
+
+
+def test_batch_merge_return_refused(mapi):
+    with pytest.raises(CypherUnsupported, match="RETURN after a batch"):
+        mapi.cypher(
+            "UNWIND $b AS row MERGE (n:P {sku: row.sku}) RETURN n.sku AS s",
+            graph="um",
+            params={"b": [{"sku": "k1"}]},
+        )
+
+
+def test_batch_merge_rel_shape_refused(mapi):
+    with pytest.raises(CypherUnsupported, match="relationship MERGE"):
+        mapi.cypher(
+            "UNWIND $b AS row MERGE (a:P {sku: row.s})-[r:X]->(b:P)",
+            graph="um",
+            params={"b": [{"s": "k1"}]},
+        )
+
+
+def test_batch_merge_key_wins_over_on_create_same_prop(mapi):
+    """Single-MERGE parity: pattern keys define identity; an ON CREATE
+    SET of the same property is dropped."""
+    mapi.cypher(
+        "UNWIND $b AS row MERGE (n:P {sku: row.sku}) "
+        "ON CREATE SET n.sku = 'clobber'",
+        graph="um",
+        params={"b": [{"sku": "k7"}]},
+    ).result(120)
+    assert ("k7", None) in _state(mapi)
