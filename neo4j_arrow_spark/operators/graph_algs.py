@@ -680,6 +680,88 @@ def closeness_centrality(
     )
 
 
+def landmark_closeness(
+    edges: DataFrame,
+    k: int = 8,
+    max_hops: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Landmark (pivot) closeness — the scale path between the exact
+    all-origins expansion and a random source sample (r9 verdict #5):
+    BFS from only the ``k`` highest-degree nodes (ties broken by id,
+    deterministic), so the distance state is ``k x |V|`` — LINEAR in
+    |V| for fixed k, never the |V|^2-tending all-pairs frame.
+
+    Output per node:
+
+    - the k landmarks get their EXACT hop-bounded closeness (the BFS
+      from a landmark reaches everything within ``max_hops``);
+    - every other node u gets a triangle-inequality UPPER bound on its
+      distance sum through its best landmark:
+      ``est_total(u) = min_l (reached_l * d(l,u) + S_l)`` where
+      ``S_l = sum_v d(l,v)`` — so ``closeness_q`` is a LOWER-bound
+      estimate. All-integer arithmetic keeps it order-independent and
+      oracle-exact.
+
+    Returns ``(node long, is_landmark boolean, reached long,
+    total_hops_q long, closeness_q long)``; nodes no landmark reaches
+    are omitted. ``reached`` is exact for landmarks and the max over
+    reaching landmarks otherwise (component-size proxy).
+
+    100-TB shape: k BFS waves (frontier rows <= k·|V|), one broadcast-
+    sized stats frame (k rows), one groupBy over k·|V| — every piece
+    linear in |V|. This is the non-sampled option the exact
+    closeness/harmonic family was missing at 100x."""
+    und = _undirected(edges)
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("_deg")
+    )
+    lm = (
+        deg.orderBy(F.col("_deg").desc(), F.col("node").asc())
+        .limit(k)
+        .select("node")
+        .localCheckpoint()  # consumed by BFS origins + anti-join
+    )
+    dist = _bounded_distances(edges, lm, max_hops)  # (origin=l, node, hop)
+    stats = (
+        dist.groupBy("origin")
+        .agg(
+            F.count("*").alias("_reached"),
+            F.sum("hop").alias("_s"),
+        )
+        .localCheckpoint()  # k rows, consumed twice
+    )
+    exact = stats.select(
+        F.col("origin").alias("node"),
+        F.lit(True).alias("is_landmark"),
+        F.col("_reached").cast("long").alias("reached"),
+        F.col("_s").cast("long").alias("total_hops_q"),
+        F.expr(f"(_reached * {scale}) div _s").cast("long").alias(
+            "closeness_q"
+        ),
+    )
+    est = (
+        dist.join(F.broadcast(stats), "origin")
+        .withColumn("_bound", F.col("_reached") * F.col("hop") + F.col("_s"))
+        .groupBy("node")
+        .agg(
+            F.min("_bound").alias("total_hops_q"),
+            F.max("_reached").alias("reached"),
+        )
+        .join(lm, "node", "left_anti")
+        .select(
+            F.col("node"),
+            F.lit(False).alias("is_landmark"),
+            F.col("reached").cast("long").alias("reached"),
+            F.col("total_hops_q").cast("long").alias("total_hops_q"),
+            F.expr(f"(reached * {scale}) div total_hops_q")
+            .cast("long")
+            .alias("closeness_q"),
+        )
+    )
+    return exact.unionByName(est)
+
+
 def degree_centrality(
     edges: DataFrame,
     orientation: str = "NATURAL",

@@ -4290,6 +4290,66 @@ def closeness_centrality3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closeness_centrality(edges, max_hops=3)
 
 
+@query(
+    "closeness_landmark",
+    oracle=f"""
+    WITH RECURSIVE rels AS ({RELS_SQL}),
+    e AS (
+        SELECT DISTINCT START_ID AS u, END_ID AS v
+        FROM rels WHERE TYPE = 'IN_NATION'
+    ),
+    und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    deg AS (SELECT u AS node, count(*) AS dg FROM und GROUP BY 1),
+    lm AS (SELECT node FROM deg ORDER BY dg DESC, node ASC LIMIT 8),
+    b(origin, node, hop) AS (
+        SELECT node, node, 0 FROM lm
+        UNION
+        SELECT b.origin, und.v, b.hop + 1
+        FROM b JOIN und ON b.node = und.u
+        WHERE b.hop < 10
+    ),
+    d AS (
+        SELECT origin, node, min(hop) AS dist FROM b GROUP BY 1, 2
+    ),
+    dd AS (SELECT * FROM d WHERE dist >= 1),
+    stats AS (
+        SELECT origin, count(*) AS reached, sum(dist) AS s
+        FROM dd GROUP BY 1
+    ),
+    est0 AS (
+        SELECT dd.node,
+               min(st.reached * dd.dist + st.s) AS tot,
+               max(st.reached) AS reached
+        FROM dd JOIN stats st ON dd.origin = st.origin
+        WHERE dd.node NOT IN (SELECT node FROM lm)
+        GROUP BY dd.node
+    )
+    SELECT origin AS node, TRUE AS is_landmark,
+           CAST(reached AS BIGINT) AS reached,
+           CAST(s AS BIGINT) AS total_hops_q,
+           CAST((reached * 1000000) // s AS BIGINT) AS closeness_q
+    FROM stats
+    UNION ALL
+    SELECT node, FALSE, CAST(reached AS BIGINT), CAST(tot AS BIGINT),
+           CAST((reached * 1000000) // tot AS BIGINT)
+    FROM est0
+    """,
+)
+def closeness_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark closeness over the undirected IN_NATION graph (r9
+    verdict #5): BFS from the 8 highest-degree pivots only — exact
+    closeness FOR the landmarks, a triangle-inequality lower-bound
+    estimate for everyone else, all k·|V| state. The non-sampled scale
+    path next to the exact closeness_centrality3 twin."""
+    from neo4j_arrow_spark.operators.graph_algs import landmark_closeness
+
+    _, rels = _graph(spark, sf_dir)
+    edges = rels.filter(F.col("TYPE") == "IN_NATION").select(
+        F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
+    )
+    return landmark_closeness(edges, k=8, max_hops=10)
+
+
 _SAMPLED_DIST_CTES = f"""
     WITH RECURSIVE rels AS ({RELS_SQL}),
     e AS (

@@ -345,3 +345,41 @@ def test_scale_properties_constant_column(spark):
     df = spark.createDataFrame([(1, 7.0), (2, 7.0)], "id long, x double")
     rows = scale_properties(df, "id", ["x"], methods=("minmax", "stdscore")).collect()
     assert all(r.x_minmax == 0.0 and r.x_stdscore == 0.0 for r in rows)
+
+
+def test_landmark_closeness_exact_for_landmarks_bound_for_rest(spark):
+    """r10: path graph 1-2-3-4-5, k=2 landmarks = the highest-degree
+    nodes (deg 2: nodes 2,3,4 → tiebreak by id picks 2 and 3). Their
+    rows are EXACT closeness; every other node's total_hops_q is a
+    triangle-inequality upper bound (>= the true sum) computed through
+    its best landmark."""
+    from neo4j_arrow_spark.operators.graph_algs import (
+        closeness_centrality,
+        landmark_closeness,
+    )
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {r.node: r for r in landmark_closeness(e, k=2, max_hops=10).collect()}
+    exact = {r.node: r for r in closeness_centrality(e, max_hops=10).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    lms = {n for n, r in got.items() if r.is_landmark}
+    assert lms == {2, 3}
+    for n in lms:
+        assert got[n].total_hops_q == exact[n].total_hops
+        assert got[n].closeness_q == exact[n].closeness_q
+        assert got[n].reached == exact[n].reached
+    for n in set(got) - lms:
+        # upper bound on the distance sum → lower bound on closeness
+        assert got[n].total_hops_q >= exact[n].total_hops
+        assert got[n].closeness_q <= exact[n].closeness_q
+        assert got[n].reached == 4
+
+
+def test_landmark_closeness_unreached_nodes_omitted(spark):
+    from neo4j_arrow_spark.operators.graph_algs import landmark_closeness
+
+    # two components; landmarks (k=1) land in the triangle component
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (8, 9)])
+    got = {r.node: r for r in landmark_closeness(e, k=1, max_hops=10).collect()}
+    assert set(got) <= {1, 2, 3}
+    assert any(r.is_landmark for r in got.values())

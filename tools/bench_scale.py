@@ -66,6 +66,9 @@ HEAVY = [
     "cypher_path_comprehension",
     "cypher_collect_indexed",
     "cypher_endpoint_accessor_props",
+    # round-10: the landmark (pivot) scale path for the exact
+    # closeness/harmonic family — k BFS waves, k·|V| state
+    "closeness_landmark",
 ]
 
 

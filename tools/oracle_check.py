@@ -63,10 +63,23 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare(name: str, spark_df, duck_df: pd.DataFrame) -> list[str]:
+def compare(
+    name: str, spark_df, duck_df: pd.DataFrame, record: dict | None = None
+) -> list[str]:
+    """Compare; when ``record`` is given, fill it with the driver's
+    CORRECTNESS fields (rows/schema/hash match + row counts)."""
     problems: list[str] = []
     sp = normalize(spark_df.toPandas())
     du = normalize(duck_df)
+    if record is not None:
+        record.update(
+            spark_rows=len(sp),
+            oracle_rows=len(du),
+            rows_match=len(sp) == len(du),
+            schema_match=list(sp.columns) == list(du.columns),
+            hash_match=False,  # set below when values prove equal
+            err=None,
+        )
     if list(sp.columns) != list(du.columns):
         problems.append(f"columns differ: spark={list(sp.columns)} duck={list(du.columns)}")
         return problems
@@ -95,7 +108,27 @@ def compare(name: str, spark_df, duck_df: pd.DataFrame) -> list[str]:
                 i = diff[diff].index[0]
                 sample = f" first diff @{i}: spark={a[i]!r} duck={b[i]!r}"
             problems.append(f"column {col}: {n_bad} mismatches.{sample}")
+    if record is not None and not problems:
+        record["hash_match"] = True
     return problems
+
+
+def _round_number() -> int:
+    """The driver's round counter: BENCH_r{N}.json exists for every
+    COMPLETED round, so the round in progress is max(N)+1 (env
+    override: SPARK_GRAFT_ROUND)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    import glob
+    import re as _re
+
+    ns = []
+    for f in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(f))
+        if m:
+            ns.append(int(m.group(1)))
+    return (max(ns) + 1) if ns else 1
 
 
 def main() -> int:
@@ -113,6 +146,7 @@ def main() -> int:
 
     failed = []
     walls: dict[str, float] = {}
+    records: dict[str, dict] = {}
     t_start = time.perf_counter()
     for name, fn in sorted(qs.items()):
         if only and name not in only:
@@ -121,11 +155,18 @@ def main() -> int:
         if name not in oracles:
             n = fn(spark, sf_dir).count()
             walls[name] = time.perf_counter() - t0
+            records[name] = {
+                "rows_only": True,
+                "spark_rows": n,
+                "err": None,
+            }
             print(f"[rows-only] {name}: {n} rows ({walls[name]:.1f}s)")
             continue
         spark_df = fn(spark, sf_dir)
         duck_df = con.execute(oracles[name]).fetchdf()
-        problems = compare(name, spark_df, duck_df)
+        rec: dict = {}
+        problems = compare(name, spark_df, duck_df, record=rec)
+        records[name] = rec
         walls[name] = time.perf_counter() - t0
         if problems:
             failed.append(name)
@@ -145,6 +186,20 @@ def main() -> int:
     print(f"\nslowest 10 of {len(walls)} (total {total:.0f}s):")
     for n, w in slowest:
         print(f"  {w:6.1f}s  {n}")
+    if not only:
+        # r10 (r9 verdict #3): persist the FULL per-query result next
+        # to the driver's 50-query sample, so every query's latest
+        # recorded hard signal is current-round (the driver's sample
+        # left degree_histogram/media_features showing a stale r01
+        # FAIL for 8 rounds after they were fixed)
+        import json
+
+        out = os.path.join(
+            REPO, f"CORRECTNESS_full_r{_round_number():02d}.json"
+        )
+        with open(out, "w") as fh:
+            json.dump(records, fh, indent=1, sort_keys=True)
+        print(f"wrote {out} ({len(records)} queries)")
     print(f"{len(failed)} failures" if failed else "all oracle checks passed")
     return 1 if failed else 0
 
