@@ -14,6 +14,7 @@ Arrow hop to Python is Spark's native Arrow path (``toPandas`` /
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -226,22 +227,41 @@ class Neo4jArrowSpark:
             execute_cypher_write,
         )
 
+        from neo4j_arrow_spark.cypher_write import (
+            _reject_aggregates_in_ast,
+            execute_unwind_merge,
+            expand_unwind_batch,
+            parse_unwind_merge,
+            project_batch_return,
+            render_write_params,
+            split_trailing_return,
+            validate_trailing_return,
+        )
+
+        # split a trailing RETURN off FIRST: the batch expansions must
+        # never instantiate the RETURN clause per element, and the
+        # batch paths project it over the written nodes afterwards
+        head_text, return_text = split_trailing_return(query)
+
         # UNWIND $batch AS row MERGE … — the bulk UPSERT idiom (r10):
         # one set-based pass (window-dedup + anti-join + conditional
         # projection), no per-row existence probes
-        from neo4j_arrow_spark.cypher_write import (
-            execute_unwind_merge,
-            parse_unwind_merge,
-        )
-
-        um_spec = parse_unwind_merge(query, params)
+        um_spec = parse_unwind_merge(head_text, params)
         if um_spec is not None:
+            if return_text is not None and not um_spec["var"]:
+                raise CypherUnsupported(
+                    "RETURN after a batch MERGE needs a named node "
+                    "variable"
+                )
             graph = self._resolve_graph(db, graph)
             g = self.catalog.get(graph, db, self.username)
 
             def run_um() -> DataFrame:
+                ret_out: dict | None = (
+                    {} if return_text is not None else None
+                )
                 new_nodes, summary = execute_unwind_merge(
-                    self.spark, g.nodes, um_spec
+                    self.spark, g.nodes, um_spec, ret_out=ret_out
                 )
                 if new_nodes is not g.nodes:
                     new_nodes = new_nodes.localCheckpoint()
@@ -253,6 +273,20 @@ class Neo4jArrowSpark:
                         username=self.username,
                         overwrite=True,
                     )
+                if return_text is not None and um_spec["n_rows"] > 0:
+                    return project_batch_return(
+                        self.spark, new_nodes, ret_out["ids"],
+                        um_spec["var"], return_text,
+                    ).localCheckpoint()
+                if return_text is not None:
+                    # empty batch: zero merges, zero RETURN rows
+                    return project_batch_return(
+                        self.spark,
+                        g.nodes,
+                        self.spark.createDataFrame([], "__rid long"),
+                        um_spec["var"],
+                        return_text,
+                    )
                 return summary
 
             return self.registry.submit("cypher.write", run_um)
@@ -260,10 +294,36 @@ class Neo4jArrowSpark:
         # UNWIND $batch AS row CREATE … — the bulk-write idiom expands
         # to ONE multi-pattern CREATE (a single literal-rows frame and
         # union, not |batch| statements); an empty batch is a no-op
-        from neo4j_arrow_spark.cypher_write import expand_unwind_batch
-
-        query, batch_handled = expand_unwind_batch(query, params)
-        if query is None:
+        batch_var: str | None = None
+        expanded, batch_handled = expand_unwind_batch(head_text, params)
+        if batch_handled:
+            # the RETURN (if any) references the PRE-uniquify pattern
+            # variable — capture it before the expansion renames
+            m_bv = re.search(
+                r"CREATE\s*\(\s*([A-Za-z_]\w*)\s*[:{]", head_text,
+                re.IGNORECASE,
+            )
+            batch_var = m_bv.group(1) if m_bv else None
+            if return_text is not None and batch_var is None:
+                raise CypherUnsupported(
+                    "RETURN after a batch CREATE needs a named node "
+                    "variable"
+                )
+        if batch_handled and expanded is None:
+            # empty batch
+            if return_text is not None:
+                graph = self._resolve_graph(db, graph)
+                g = self.catalog.get(graph, db, self.username)
+                return self.registry.submit(
+                    "cypher.write",
+                    lambda: project_batch_return(
+                        self.spark,
+                        g.nodes,
+                        self.spark.createDataFrame([], "__rid long"),
+                        batch_var,
+                        return_text,
+                    ),
+                )
             return self.registry.submit(
                 "cypher.write",
                 lambda: self.spark.createDataFrame(
@@ -273,6 +333,7 @@ class Neo4jArrowSpark:
                     "rels_created long",
                 ),
             )
+        query = expanded
         # (after a batch expansion the consumed $batch marker is gone
         # from the text; render_write_params only acts on markers that
         # remain, so leftover params are harmless)
@@ -283,25 +344,18 @@ class Neo4jArrowSpark:
             # render through the same literal rules as the oracle
             # inliner; token-level so $n never clobbers $name and
             # string-literal '$…' text survives.
-            from neo4j_arrow_spark.cypher_write import render_write_params
-
             query = render_write_params(query, params)
+            if return_text is not None:
+                return_text = render_write_params(return_text, params)
         # parse-as-validation at submit (CypherMessage.java:36-52
         # parity): syntax errors, aggregate-valued writes, and
         # op-incompatible trailing RETURNs all raise HERE, not inside
         # the job thread (the RETURN's items still compile in the job
         # through the read transpiler)
-        from neo4j_arrow_spark.cypher_write import (
-            _reject_aggregates_in_ast,
-            split_trailing_return,
-            validate_trailing_return,
-        )
-
-        write_text, return_text = split_trailing_return(query)
-        _w_ast = _WriteParser(write_text).parse_write()
+        _w_ast = _WriteParser(query).parse_write()
         _reject_aggregates_in_ast(_w_ast)
         if return_text is not None:
-            validate_trailing_return(_w_ast)
+            validate_trailing_return(_w_ast, batch_var=batch_var)
         graph = self._resolve_graph(db, graph)
         g = self.catalog.get(graph, db, self.username)
 
@@ -317,6 +371,8 @@ class Neo4jArrowSpark:
                 query,
                 f"{graph}_nodes",
                 f"{graph}_rels_eid" if g.rels_eid is not None else f"{graph}_rels",
+                return_text=return_text,
+                batch_var=batch_var,
             )
             if new_nodes is not g.nodes:
                 new_nodes = new_nodes.localCheckpoint()

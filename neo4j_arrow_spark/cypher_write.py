@@ -557,8 +557,44 @@ def parse_unwind_merge(query: str, params: dict | None):
     }
 
 
+def project_batch_return(
+    spark: SparkSession,
+    post_nodes: DataFrame,
+    ids: DataFrame,
+    var: str,
+    return_text: str,
+) -> DataFrame:
+    """Project a batch write's trailing RETURN over the post-write
+    node frame restricted to ``ids`` (column ``__rid``; duplicates
+    preserved — openCypher returns ONE ROW PER BATCH ELEMENT, so a
+    key merged by three rows projects three times). Values are the
+    POST-STATEMENT state (documented set-based semantics: sequential
+    Cypher would show mid-statement states on self-updated
+    properties, which the batch form refuses anyway)."""
+    from neo4j_arrow_spark.cypher import cypher_to_sql
+
+    post_nodes.createOrReplaceTempView("__wret_nodes")
+    ids.select("__rid").createOrReplaceTempView("__wret_ids")
+    ret_sql = cypher_to_sql(
+        f"MATCH ({var}) {return_text}", "__wret_nodes", "__wret_nodes"
+    )
+    anchor = f"__wret_nodes AS {var}"
+    if anchor not in ret_sql:
+        raise CypherUnsupported(
+            "trailing RETURN items after a batch write must reference "
+            f"only the written node variable {var!r}"
+        )
+    ret_sql = ret_sql.replace(
+        anchor,
+        f"__wret_nodes AS {var} JOIN __wret_ids "
+        f"ON {var}.ID = __wret_ids.__rid",
+        1,
+    )
+    return spark.sql(ret_sql)
+
+
 def execute_unwind_merge(
-    spark: SparkSession, nodes: DataFrame, spec: dict
+    spark: SparkSession, nodes: DataFrame, spec: dict, ret_out: dict | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Set-based batch MERGE (see :func:`parse_unwind_merge` for the
     documented semantics): ONE window pass picks the first row per
@@ -664,6 +700,20 @@ def execute_unwind_merge(
         new_nodes = nodes.unionByName(rows, allowMissingColumns=True)
     else:
         new_nodes = nodes
+    if ret_out is not None:
+        # per-batch-row merged-node id, resolved on the post-CREATE
+        # frame: ids are stable, so a later ON MATCH update of a merge
+        # key property cannot break the resolution; duplicates per
+        # batch row are INTENDED (one RETURN row per batch element)
+        tagged = new_nodes.withColumn("__lbl", lcond)
+        jcond = tagged["__lbl"]
+        for (p, _), kc in zip(kprops, kcols):
+            jcond = jcond & (tagged[p] == Bk[kc])
+        ret_out["ids"] = (
+            Bk.join(tagged, jcond, "inner")
+            .select(tagged[NodeField.ID].alias("__rid"), Bk["__ix"])
+            .localCheckpoint()
+        )
     n_props = n_created * len(oc)
     om = spec["on_match"]
     if om:
@@ -759,13 +809,23 @@ def _reject_aggregates_in_ast(ast: dict) -> None:
         _reject_aggregates(rhs, f"relationship property {k}")
 
 
-def validate_trailing_return(ast: dict) -> None:
+def validate_trailing_return(ast: dict, batch_var: str | None = None) -> None:
     """Submit-time compatibility check between a write op and its
     trailing RETURN — raises the same targeted errors the executor
     would, but BEFORE the job thread starts (CypherMessage parity:
-    statement validation belongs at submit)."""
+    statement validation belongs at submit). ``batch_var`` marks a
+    batch-expanded multi-pattern CREATE whose RETURN projects the
+    original (pre-uniquify) variable over ALL created nodes — the
+    single-pattern rule is waived for it."""
     op = ast["op"]
     if op in ("create", "merge"):
+        if batch_var is not None and op == "create":
+            if ast.get("chain_rels"):
+                raise CypherUnsupported(
+                    "RETURN after a batch CREATE with relationship "
+                    "chains is not supported (v1)"
+                )
+            return
         if len(ast["patterns"]) != 1 or ast.get("chain_rels"):
             raise CypherUnsupported(
                 "RETURN after CREATE/MERGE supports a single node "
@@ -1575,6 +1635,9 @@ def _literal_rows(
     )
 
 
+_UNSET = object()
+
+
 def execute_cypher_write(
     spark: SparkSession,
     nodes: DataFrame,
@@ -1582,6 +1645,8 @@ def execute_cypher_write(
     query: str,
     nodes_view: str,
     rels_view: str,
+    return_text=_UNSET,
+    batch_var: str | None = None,
 ) -> tuple[DataFrame, DataFrame | None, DataFrame, DataFrame | None]:
     """Apply one write statement; returns ``(new_nodes, new_rels,
     summary, result)`` where summary is the Neo4j-style one-row
@@ -1594,7 +1659,12 @@ def execute_cypher_write(
     ORDER BY / LIMIT as in any read."""
     from pyspark.errors import AnalysisException
 
-    write_text, return_text = split_trailing_return(query)
+    if return_text is _UNSET:
+        write_text, return_text = split_trailing_return(query)
+    else:
+        # caller pre-split (the API does, so batch expansion never
+        # instantiates the RETURN clause per element)
+        write_text = query
     aff_out: dict = {}
     try:
         new_nodes, new_rels, summ = _execute_write(
@@ -1606,7 +1676,7 @@ def execute_cypher_write(
             result = _trailing_return_result(
                 spark, nodes, new_nodes, write_text, return_text,
                 nodes_view, rels_view, pre_rels=rels, post_rels=new_rels,
-                affected_rels=aff_out.get("rels"),
+                affected_rels=aff_out.get("rels"), batch_var=batch_var,
             )
     except AnalysisException as e:
         # an invalid value expression that slipped past parse-time
@@ -1632,6 +1702,7 @@ def _trailing_return_result(
     pre_rels: DataFrame | None = None,
     post_rels: DataFrame | None = None,
     affected_rels: DataFrame | None = None,
+    batch_var: str | None = None,
 ) -> DataFrame:
     """Evaluate the trailing RETURN against the POST-write node frame,
     restricted to the affected ids. Matched ids come from re-running
@@ -1645,7 +1716,7 @@ def _trailing_return_result(
 
     parser = _WriteParser(write_text)
     ast = parser.parse_write()
-    validate_trailing_return(ast)
+    validate_trailing_return(ast, batch_var=batch_var)
     op = ast["op"]
     if op == "set":
         var = ast["sets"][0][0]
@@ -1653,16 +1724,14 @@ def _trailing_return_result(
         var = ast["var"]
     elif op in ("create", "merge"):
         pats = ast["patterns"]
-        if len(pats) != 1 or ast.get("chain_rels"):
-            raise CypherUnsupported(
-                "RETURN after CREATE/MERGE supports a single node "
-                "pattern (v1)"
-            )
-        var = pats[0].var
-        if not var:
-            raise CypherUnsupported(
-                "RETURN after CREATE/MERGE needs a named node variable"
-            )
+        if batch_var is not None and op == "create":
+            # batch-expanded CREATE: one pattern per batch element,
+            # all uniquified from ONE source variable — the RETURN
+            # projects that variable over every created node (one row
+            # per batch element, openCypher parity)
+            var = batch_var
+        else:
+            var = pats[0].var
     elif op == "set_rel":
         # r9: RETURN after a relationship SET — the POST-write rel
         # frame restricted to the matched edge identities, projected

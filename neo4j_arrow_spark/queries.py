@@ -1419,6 +1419,89 @@ def cypher_unwind_batch_merge_roundtrip(
     ).result(300)
 
 
+_UNWIND_MERGE_RETURN_SQL = """
+    SELECT 'NATION_1' AS name, 8.0 AS tier
+    UNION ALL SELECT 'ZORK', 14.0
+    UNION ALL SELECT 'ZORK', 14.0
+    UNION ALL SELECT 'NATION_2', 6.0
+    UNION ALL SELECT 'NATION_1', 8.0
+"""
+
+
+@query(
+    "cypher_unwind_batch_merge_return_roundtrip",
+    oracle=_UNWIND_MERGE_RETURN_SQL,
+)
+def cypher_unwind_batch_merge_return_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r10: trailing RETURN on the batch MERGE — ONE ROW PER BATCH
+    ELEMENT (openCypher multiplicity), values from the post-statement
+    state: NATION_1's two rows both see tier 8 (last ON MATCH v=4.0
+    wins), ZORK's two rows see the post-duplicate ON MATCH tier."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    rels = rels.filter(
+        (F.col("TYPE") == "IN_NATION") & (F.col("START_ID") >= 1_000_000)
+    )
+    api.catalog.register("cubmr", nodes, rels, overwrite=True)
+    return api.cypher(
+        "UNWIND $batch AS row MERGE (n:Nation {name: row.name}) "
+        "ON CREATE SET n.flag = row.v ON MATCH SET n.tier = row.v * 2 "
+        "RETURN n.name AS name, n.tier AS tier",
+        graph="cubmr",
+        params={
+            "batch": [
+                {"name": "NATION_1", "v": 1.0},
+                {"name": "ZORK", "v": 5.0},
+                {"name": "ZORK", "v": 7.0},
+                {"name": "NATION_2", "v": 3.0},
+                {"name": "NATION_1", "v": 4.0},
+            ]
+        },
+    ).result(300)
+
+
+_UNWIND_CREATE_RETURN_SQL = """
+    SELECT 'alpha' AS nm, CAST(9101001 AS BIGINT) AS id
+    UNION ALL SELECT 'beta', CAST(9101002 AS BIGINT)
+"""
+
+
+@query(
+    "cypher_unwind_batch_create_return_roundtrip",
+    oracle=_UNWIND_CREATE_RETURN_SQL,
+)
+def cypher_unwind_batch_create_return_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r10: trailing RETURN on the batch CREATE — the expansion
+    uniquifies the pattern variable per element, and the RETURN
+    projects the ORIGINAL variable over every created node (one row
+    per batch element)."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    rels = rels.filter(
+        (F.col("TYPE") == "IN_NATION") & (F.col("START_ID") >= 1_000_000)
+    )
+    api.catalog.register("cubcr", nodes, rels, overwrite=True)
+    return api.cypher(
+        "UNWIND $b AS row CREATE (p:Probe {ID: row.i, name: row.nm}) "
+        "RETURN p.name AS nm, p.ID AS id",
+        graph="cubcr",
+        params={
+            "b": [
+                {"i": 9101001, "nm": "alpha"},
+                {"i": 9101002, "nm": "beta"},
+            ]
+        },
+    ).result(300)
+
+
 _CREATE_REL_RETURN_SQL = """
     SELECT CAST(count(*) AS BIGINT) AS n, round(sum(2.5), 1) AS tw
     FROM supplier WHERE s_suppkey <= 5

@@ -678,13 +678,15 @@ def test_unwind_batch_empty_is_noop(wapi):
     assert len(_ids(wapi)) == before
 
 
-def test_unwind_batch_rejects_merge_and_unbound(wapi):
-    with pytest.raises(CypherUnsupported, match="only the CREATE"):
-        wapi.cypher(
-            "UNWIND $batch AS row MERGE (n:P {ID: row.id})",
-            graph="wt",
-            params={"batch": [{"id": 1}]},
-        )
+def test_unwind_batch_merge_supported_and_unbound_rejected(wapi):
+    # r10: the MERGE batch form is a supported upsert (set-based) —
+    # merging an existing ID is a no-create no-op
+    s = wapi.cypher(
+        "UNWIND $batch AS row MERGE (n:P {ID: row.id})",
+        graph="wt",
+        params={"batch": [{"id": 1}]},
+    ).result(60).collect()[0]
+    assert (s.op, s.nodes_created) == ("merge", 0)
     with pytest.raises(CypherUnsupported, match="unbound parameter"):
         wapi.cypher(
             "UNWIND $nope AS row CREATE (n:P {ID: row.id})",

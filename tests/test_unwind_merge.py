@@ -137,13 +137,22 @@ def test_batch_merge_null_key_refused(mapi):
         ).result(120)
 
 
-def test_batch_merge_return_refused(mapi):
-    with pytest.raises(CypherUnsupported, match="RETURN after a batch"):
+def test_batch_merge_return_works_through_api(mapi):
+    """RETURN on the batch MERGE is supported through the API (the
+    dispatch layer splits it off before the batch executor; the
+    executor-level refusal remains only for direct callers that pass
+    an unsplit statement)."""
+    rows = (
         mapi.cypher(
-            "UNWIND $b AS row MERGE (n:P {sku: row.sku}) RETURN n.sku AS s",
+            "UNWIND $b AS row MERGE (n:P {sku: row.sku}) "
+            "RETURN n.sku AS s",
             graph="um",
             params={"b": [{"sku": "k1"}]},
         )
+        .result(120)
+        .collect()
+    )
+    assert [r.s for r in rows] == ["k1"]
 
 
 def test_batch_merge_rel_shape_refused(mapi):
@@ -165,3 +174,83 @@ def test_batch_merge_key_wins_over_on_create_same_prop(mapi):
         params={"b": [{"sku": "k7"}]},
     ).result(120)
     assert ("k7", None) in _state(mapi)
+
+
+# -- trailing RETURN on the batch forms (r10) --------------------------------
+
+
+def test_batch_merge_return_one_row_per_element(mapi):
+    batch = [
+        {"sku": "k1", "p": 1.0},
+        {"sku": "k2", "p": 2.0},
+        {"sku": "k2", "p": 22.0},
+    ]
+    rows = (
+        mapi.cypher(
+            "UNWIND $batch AS row MERGE (n:P {sku: row.sku}) "
+            "ON CREATE SET n.price = row.p "
+            "ON MATCH SET n.price = row.p * 10 "
+            "RETURN n.sku AS sku, n.price AS price ORDER BY sku",
+            graph="um",
+            params={"batch": batch},
+        )
+        .result(120)
+        .collect()
+    )
+    # one row per batch element, post-statement values (k2 appears
+    # twice, both showing the final 220.0)
+    assert [(r.sku, r.price) for r in rows] == [
+        ("k1", 10.0),
+        ("k2", 220.0),
+        ("k2", 220.0),
+    ]
+
+
+def test_batch_merge_return_aggregate(mapi):
+    rows = (
+        mapi.cypher(
+            "UNWIND $b AS row MERGE (n:P {sku: row.sku}) "
+            "RETURN count(*) AS c",
+            graph="um",
+            params={"b": [{"sku": "k1"}, {"sku": "x1"}, {"sku": "x1"}]},
+        )
+        .result(120)
+        .collect()
+    )
+    assert rows[0].c == 3
+
+
+def test_batch_create_return(mapi):
+    rows = (
+        mapi.cypher(
+            "UNWIND $b AS row CREATE (m:Q {ID: row.i, t: row.t}) "
+            "RETURN m.t AS t ORDER BY t",
+            graph="um",
+            params={"b": [{"i": 50, "t": "a"}, {"i": 51, "t": "b"}]},
+        )
+        .result(120)
+        .collect()
+    )
+    assert [r.t for r in rows] == ["a", "b"]
+
+
+def test_batch_return_empty_batch_zero_rows(mapi):
+    for q in (
+        "UNWIND $b AS row CREATE (m:Q {ID: row.i}) RETURN m.ID AS id",
+        "UNWIND $b AS row MERGE (n:P {sku: row.sku}) RETURN n.sku AS s",
+    ):
+        rows = (
+            mapi.cypher(q, graph="um", params={"b": []})
+            .result(120)
+            .collect()
+        )
+        assert rows == []
+
+
+def test_batch_return_anonymous_var_refused(mapi):
+    with pytest.raises(CypherUnsupported, match="named node variable"):
+        mapi.cypher(
+            "UNWIND $b AS row CREATE (:Q {ID: row.i}) RETURN 1 AS one",
+            graph="um",
+            params={"b": [{"i": 60}]},
+        )
