@@ -355,7 +355,9 @@ class Neo4jArrowSpark:
         _w_ast = _WriteParser(query).parse_write()
         _reject_aggregates_in_ast(_w_ast)
         if return_text is not None:
-            validate_trailing_return(_w_ast, batch_var=batch_var)
+            validate_trailing_return(
+                _w_ast, batch_var=batch_var, return_text=return_text
+            )
         graph = self._resolve_graph(db, graph)
         g = self.catalog.get(graph, db, self.username)
 

@@ -809,7 +809,27 @@ def _reject_aggregates_in_ast(ast: dict) -> None:
         _reject_aggregates(rhs, f"relationship property {k}")
 
 
-def validate_trailing_return(ast: dict, batch_var: str | None = None) -> None:
+def _single_return_var(ast: dict, return_text: str | None) -> str | None:
+    """The ONE created pattern variable a trailing RETURN references
+    (None when zero or several do) — multi-pattern CREATE RETURNs
+    project exactly one created node's values."""
+    if return_text is None:
+        return None
+    pvars = [p.var for p in ast.get("patterns") or [] if p.var]
+    try:
+        toks = _tokenize(return_text)
+    except CypherSyntaxError:
+        return None
+    names = {t[1] for t in toks if t[0] == "name"}
+    hit = [v for v in pvars if v in names]
+    return hit[0] if len(hit) == 1 else None
+
+
+def validate_trailing_return(
+    ast: dict,
+    batch_var: str | None = None,
+    return_text: str | None = None,
+) -> None:
     """Submit-time compatibility check between a write op and its
     trailing RETURN — raises the same targeted errors the executor
     would, but BEFORE the job thread starts (CypherMessage parity:
@@ -826,14 +846,23 @@ def validate_trailing_return(ast: dict, batch_var: str | None = None) -> None:
                     "chains is not supported (v1)"
                 )
             return
-        if len(ast["patterns"]) != 1 or ast.get("chain_rels"):
+        if len(ast["patterns"]) == 1 and not ast.get("chain_rels"):
+            if not ast["patterns"][0].var:
+                raise CypherUnsupported(
+                    "RETURN after CREATE/MERGE needs a named node "
+                    "variable"
+                )
+            return
+        # r10: multi-pattern / chain CREATE — the RETURN may reference
+        # exactly ONE of the created node variables (its assigned id
+        # is known per pattern); merge is single-pattern by grammar
+        if (
+            return_text is not None
+            and _single_return_var(ast, return_text) is None
+        ):
             raise CypherUnsupported(
-                "RETURN after CREATE/MERGE supports a single node "
-                "pattern (v1)"
-            )
-        if not ast["patterns"][0].var:
-            raise CypherUnsupported(
-                "RETURN after CREATE/MERGE needs a named node variable"
+                "trailing RETURN after a multi-pattern CREATE must "
+                "reference exactly one created node variable"
             )
     elif op in ("create_rel", "merge_rel"):
         if not ast.get("rvar"):
@@ -1677,6 +1706,7 @@ def execute_cypher_write(
                 spark, nodes, new_nodes, write_text, return_text,
                 nodes_view, rels_view, pre_rels=rels, post_rels=new_rels,
                 affected_rels=aff_out.get("rels"), batch_var=batch_var,
+                var_ids=aff_out.get("create_var_ids"),
             )
     except AnalysisException as e:
         # an invalid value expression that slipped past parse-time
@@ -1703,6 +1733,7 @@ def _trailing_return_result(
     post_rels: DataFrame | None = None,
     affected_rels: DataFrame | None = None,
     batch_var: str | None = None,
+    var_ids: dict | None = None,
 ) -> DataFrame:
     """Evaluate the trailing RETURN against the POST-write node frame,
     restricted to the affected ids. Matched ids come from re-running
@@ -1716,7 +1747,9 @@ def _trailing_return_result(
 
     parser = _WriteParser(write_text)
     ast = parser.parse_write()
-    validate_trailing_return(ast, batch_var=batch_var)
+    validate_trailing_return(
+        ast, batch_var=batch_var, return_text=return_text
+    )
     op = ast["op"]
     if op == "set":
         var = ast["sets"][0][0]
@@ -1730,8 +1763,13 @@ def _trailing_return_result(
             # projects that variable over every created node (one row
             # per batch element, openCypher parity)
             var = batch_var
-        else:
+        elif len(pats) == 1 and not ast.get("chain_rels"):
             var = pats[0].var
+        else:
+            # r10: multi-pattern / chain CREATE — project the single
+            # referenced variable's created node by its assigned id
+            var = _single_return_var(ast, return_text)
+            assert var is not None  # validate_trailing_return gated
     elif op == "set_rel":
         # r9: RETURN after a relationship SET — the POST-write rel
         # frame restricted to the matched edge identities, projected
@@ -1869,9 +1907,20 @@ def _trailing_return_result(
             post_nodes.select(NodeField.ID)
         ).select(F.col(NodeField.ID).alias("__rid"))
     else:  # create
-        ids = post_nodes.select(NodeField.ID).subtract(
-            pre_nodes.select(NodeField.ID)
-        ).select(F.col(NodeField.ID).alias("__rid"))
+        if (
+            batch_var is None
+            and (len(ast["patterns"]) > 1 or ast.get("chain_rels"))
+            and var_ids
+        ):
+            # multi-pattern/chain: ONLY the referenced variable's node
+            # (the assigned-id expression is a self-contained literal)
+            ids = spark.sql(
+                f"SELECT CAST(({var_ids[var]}) AS BIGINT) AS __rid"
+            )
+        else:
+            ids = post_nodes.select(NodeField.ID).subtract(
+                pre_nodes.select(NodeField.ID)
+            ).select(F.col(NodeField.ID).alias("__rid"))
     # DELETE reads back the PRE-delete snapshot (the entities are gone
     # from the post frame); every other op reads the post-write values
     (pre_nodes if op == "delete" else post_nodes).createOrReplaceTempView(
@@ -2002,6 +2051,13 @@ def _execute_write(
                     (k, v) for k, v in ast["on_create"] if k not in have
                 ]
         rows, id_sqls = _literal_rows(spark, nodes, pats)
+        if aff_out is not None:
+            # per-variable assigned-id expressions (self-contained
+            # literals) — a multi-pattern/chain CREATE's trailing
+            # RETURN projects ONE variable's created node by its id
+            aff_out["create_var_ids"] = {
+                p.var: id_sqls[i] for i, p in enumerate(pats) if p.var
+            }
         # id-collision check mirrors the K1 write contract
         # (operators/ingest.py): creating an existing id is an error
         clash = rows.join(

@@ -185,3 +185,41 @@ def test_merge_rel_probe_plan_filters_type(spark):
     plan = probe._jdf.queryExecution().analyzed().toString()
     assert "KNOWS" in plan and "Filter" in plan
     assert [r.TYPE for r in probe.collect()] == ["KNOWS"]
+
+
+# -- multi-pattern / chain CREATE + RETURN (r10) ------------------------------
+
+
+def test_chain_create_return_one_var(rapi):
+    rows = (
+        rapi.cypher(
+            "CREATE (a:X {ID: 10, name: 'ax'})-[:T {w: 1.0}]->"
+            "(b:Y {ID: 11, name: 'by'}) RETURN a.name AS nm, a.ID AS id",
+            graph="rret",
+        )
+        .result(120)
+        .collect()
+    )
+    assert [(r.nm, r.id) for r in rows] == [("ax", 10)]
+
+
+def test_comma_create_return_one_var(rapi):
+    rows = (
+        rapi.cypher(
+            "CREATE (c:X {ID: 20, name: 'c'}), (d:Y {ID: 21, name: 'd'}) "
+            "RETURN d.name AS nm",
+            graph="rret",
+        )
+        .result(120)
+        .collect()
+    )
+    assert [r.nm for r in rows] == ["d"]
+
+
+def test_multi_pattern_create_return_two_vars_refused(rapi):
+    with pytest.raises(CypherUnsupported, match="exactly one created"):
+        rapi.cypher(
+            "CREATE (e:X {ID: 30}), (f:Y {ID: 31}) "
+            "RETURN e.ID AS a, f.ID AS b",
+            graph="rret",
+        )
