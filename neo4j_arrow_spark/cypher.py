@@ -2438,8 +2438,23 @@ class _Parser:
             bdepth = 0  # [ ] nesting (list literals / comprehensions)
             mdepth = 0  # { } nesting (map literals)
             boolish = False
-            for t in self.toks[self.pos :]:
+            prev_tx = ""
+            for ti in range(self.pos, len(self.toks)):
+                t = self.toks[ti]
                 tx = t[1]
+                if (
+                    t[0] == "name"
+                    and tx.lower() == "exists"
+                    and prev_tx != "."
+                    and ti + 1 < len(self.toks)
+                    and self.toks[ti + 1][1] in ("(", "{")
+                ):
+                    # exists(n.prop) / EXISTS { … } inside the group is
+                    # a BOOLEAN predicate — without this the group
+                    # falls to value() and dies on the function
+                    # whitelist (`WHERE NOT (exists(n.age))`, r10 fuzz)
+                    boolish = True
+                prev_tx = tx
                 if tx == "(":
                     depth += 1
                 elif tx == ")":

@@ -1681,11 +1681,14 @@ def execute_cypher_write(
     summary, result)`` where summary is the Neo4j-style one-row
     counters frame and result is the trailing ``RETURN`` projection
     over the affected entities (None when the statement has no
-    RETURN). Supported RETURN forms (r8): after MATCH…SET / SET-label /
-    REMOVE-label (the matched nodes, post-update values), after a
-    single-pattern CREATE / MERGE (the created-or-matched node) —
-    items may reference that one node variable, with aggregates /
-    ORDER BY / LIMIT as in any read."""
+    RETURN). Supported RETURN forms (r10 — every write op): after
+    MATCH…SET / SET-label / REMOVE-label / SET on a rel variable
+    (post-update values), after CREATE / MERGE of nodes — single
+    pattern, or multi-pattern/chain referencing ONE created variable —
+    after relationship CREATE / MERGE (the affected edges, named rel
+    variable required), and after [DETACH] DELETE (pre-delete values).
+    Items compile through the read transpiler, so aggregates /
+    ORDER BY / LIMIT work everywhere."""
     from pyspark.errors import AnalysisException
 
     if return_text is _UNSET:

@@ -341,3 +341,23 @@ def test_collect_all_null_group_renders_empty(engines):
     got_d = con.execute(d).fetchall()
     assert got_s == got_d
     assert ("erin", "") in got_s
+
+
+def test_parenthesized_exists_predicate(engines):
+    """r10 fuzz find, pinned deterministically: exists(n.prop) wrapped
+    in parens (`WHERE NOT (exists(n.age))`) must route through the
+    boolean-group path to the EXISTS handler, not fall to value()'s
+    function whitelist."""
+    spark, con = engines
+    q = (
+        "MATCH (n:P) WHERE NOT (exists(n.age)) "
+        "RETURN n.ID AS id ORDER BY id"
+    )
+    s = cypher_to_sql(q, "fznodes", "fzrels", rel_id=True, rel_props=["w"])
+    d = cypher_to_sql(
+        q, "fznodes", "fzrels", dialect="duckdb", rel_id=True,
+        rel_props=["w"],
+    )
+    got_s = [tuple(r) for r in spark.sql(s).collect()]
+    got_d = con.execute(d).fetchall()
+    assert got_s == got_d
