@@ -503,6 +503,19 @@ def parse_unwind_merge(query: str, params: dict | None):
                         "supported in the batch form (v1); run a "
                         "MATCH…SET after the batch instead"
                     )
+            if kind == "param":
+                # non-batch $params inline as literals (the write
+                # path's binding rule), token-level like
+                # render_write_params
+                name = text[1:]
+                if name not in params:
+                    raise CypherUnsupported(
+                        "write statement references unbound parameter "
+                        f"'${name}'"
+                    )
+                out.extend(_tokenize(_render_literal(params[name]))[:-1])
+                i += 1
+                continue
             out.append(run[i])
             i += 1
         sub = _Parser._from_tokens(out, "spark", None)

@@ -254,3 +254,22 @@ def test_batch_return_anonymous_var_refused(mapi):
             graph="um",
             params={"b": [{"i": 60}]},
         )
+
+
+def test_batch_merge_extra_params_inline(mapi):
+    """Non-batch $params in ON SET values inline as literals (the
+    write path's binding rule); unbound markers refuse."""
+    mapi.cypher(
+        "UNWIND $b AS row MERGE (n:P {sku: row.sku}) "
+        "ON CREATE SET n.price = $base",
+        graph="um",
+        params={"b": [{"sku": "kp"}], "base": 7.5},
+    ).result(120)
+    assert ("kp", 7.5) in _state(mapi)
+    with pytest.raises(CypherUnsupported, match="unbound parameter"):
+        mapi.cypher(
+            "UNWIND $b AS row MERGE (n:P {sku: row.sku}) "
+            "ON CREATE SET n.price = $nope",
+            graph="um",
+            params={"b": [{"sku": "kq"}]},
+        )
