@@ -883,7 +883,7 @@ def validate_trailing_return(
                 "RETURN after CREATE/MERGE relationship needs a named "
                 "rel variable ((a)-[r:T]->(b) … RETURN r.prop)"
             )
-    elif op not in ("set", "label", "set_rel", "delete"):
+    elif op not in ("set", "label", "set_rel", "delete", "delete_rel"):
         raise CypherUnsupported(
             f"RETURN after a {op!r} write is not supported (v1)"
         )
@@ -1832,17 +1832,18 @@ def _trailing_return_result(
             f"ON {on}) AS {var} ON",
         )
         return spark.sql(ret_sql)
-    elif op in ("create_rel", "merge_rel"):
+    elif op in ("create_rel", "merge_rel", "delete_rel"):
         # r10 (r9 verdict #1): RETURN after a relationship CREATE /
-        # MERGE — the executor hands back the AFFECTED edge rows
-        # (created rows post-ON-CREATE, and for MERGE the matched rows
-        # post-ON-MATCH), so the projection is the rel-SET shape with
-        # the affected frame AS the rel view directly: the read
-        # transpiler over an anonymous-endpoint pattern gives
-        # aggregates / ORDER BY / LIMIT for free. One row per affected
-        # edge (created edges are one per DISTINCT endpoint pair — the
-        # documented create_rel multiplicity).
-        rvar = ast.get("rvar")
+        # MERGE / DELETE — the executor hands back the AFFECTED edge
+        # rows (created rows post-ON-CREATE, matched rows
+        # post-ON-MATCH, deleted rows PRE-delete per openCypher), so
+        # the projection is the rel-SET shape with the affected frame
+        # AS the rel view directly: the read transpiler over an
+        # anonymous-endpoint pattern gives aggregates / ORDER BY /
+        # LIMIT for free. One row per affected edge (created edges are
+        # one per DISTINCT endpoint pair — the documented create_rel
+        # multiplicity).
+        rvar = ast.get("rvar") if op != "delete_rel" else ast["var"]
         if not rvar:
             raise CypherUnsupported(
                 "RETURN after CREATE/MERGE relationship needs a named "
@@ -2296,6 +2297,15 @@ def _execute_write(
             rels_view,
         )
         triples = spark.sql(sql).localCheckpoint()  # count + anti-join
+        if aff_out is not None:
+            # r10: DELETE r RETURN … projects the PRE-delete edge rows
+            aff_out["rels"] = rels.join(
+                triples,
+                (rels[RelField.START_ID] == triples["__ds"])
+                & (rels[RelField.END_ID] == triples["__dd"])
+                & (rels[RelField.TYPE] == triples["__dt"]),
+                "left_semi",
+            )
         kept = rels.join(
             triples,
             (rels[RelField.START_ID] == triples["__ds"])

@@ -49,7 +49,8 @@ NEGATIVES: list[tuple[str, dict | None]] = [
     ("MERGE (a:P), (b:Q)", None),                       # multi-pattern merge
     ("MATCH (n:P), (m:Q) SET n.x = 1, m.y = 2", None),  # multi-var SET
     ("MATCH (a:P)-[r:K]->(b:P) SET r.START_ID = 9", None),  # immutable col
-    ("MATCH (a:P)-[r:K]->(b:P) DELETE r RETURN 1 AS x", None),  # RETURN after delete_rel
+    # RETURN after delete_rel referencing a non-rel variable
+    ("MATCH (a:P)-[r:K]->(b:P) DELETE r RETURN a.name AS x", None),
     (
         "MATCH (a:P), (b:P) WHERE a.ID = 1 AND b.ID = 2 "
         "MERGE (a)-[:ZZ]->(b) RETURN 1 AS one",

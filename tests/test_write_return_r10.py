@@ -223,3 +223,27 @@ def test_multi_pattern_create_return_two_vars_refused(rapi):
             "RETURN e.ID AS a, f.ID AS b",
             graph="rret",
         )
+
+
+def test_delete_rel_return_pre_delete_values(rapi):
+    """r10: DELETE r RETURN … projects the PRE-delete edge rows
+    (openCypher: deleted entities' values are readable in the same
+    statement's RETURN)."""
+    rows = (
+        rapi.cypher(
+            "MATCH (a:P)-[r:KNOWS]->(b:P) WHERE a.ID = 1 "
+            "DELETE r RETURN r.w AS w",
+            graph="rret",
+        )
+        .result(120)
+        .collect()
+    )
+    assert [r.w for r in rows] == [9.0]
+    left = (
+        rapi.cypher(
+            "MATCH ()-[r:KNOWS]->() RETURN count(*) AS c", graph="rret"
+        )
+        .result(120)
+        .collect()
+    )
+    assert left[0].c == 0
