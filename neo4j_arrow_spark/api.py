@@ -291,6 +291,45 @@ class Neo4jArrowSpark:
 
             return self.registry.submit("cypher.write", run_um)
 
+        # UNWIND $batch AS row MATCH …, … CREATE/MERGE (a)-[:T]->(b) —
+        # the bulk EDGE-load idiom (r10): anchors resolve with one
+        # equi-join per side, edges dedupe per endpoint pair, MERGE
+        # anti-joins the TYPE-filtered existing frame
+        from neo4j_arrow_spark.cypher_write import (
+            execute_unwind_rel,
+            parse_unwind_rel,
+        )
+
+        ur_spec = parse_unwind_rel(head_text, params)
+        if ur_spec is not None:
+            if return_text is not None:
+                raise CypherUnsupported(
+                    "RETURN after a batch relationship write is not "
+                    "supported (v1) — read the edges back with a MATCH "
+                    "on the type"
+                )
+            graph = self._resolve_graph(db, graph)
+            g = self.catalog.get(graph, db, self.username)
+
+            def run_ur() -> DataFrame:
+                rels_in = g.rels_eid if g.rels_eid is not None else g.rels
+                new_rels, summary = execute_unwind_rel(
+                    self.spark, g.nodes, rels_in, ur_spec
+                )
+                if new_rels is not rels_in:
+                    new_rels = new_rels.localCheckpoint()
+                    self.catalog.register(
+                        graph,
+                        g.nodes,
+                        new_rels,
+                        database=db,
+                        username=self.username,
+                        overwrite=True,
+                    )
+                return summary
+
+            return self.registry.submit("cypher.write", run_ur)
+
         # UNWIND $batch AS row CREATE … — the bulk-write idiom expands
         # to ONE multi-pattern CREATE (a single literal-rows frame and
         # union, not |batch| statements); an empty batch is a no-op

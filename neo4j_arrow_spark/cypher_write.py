@@ -306,6 +306,69 @@ def expand_unwind_batch(
     return ", ".join([pieces[0].rstrip()] + pieces[1:]), True
 
 
+def _batch_rewriter(
+    alias: str,
+    params: dict,
+    keys_used: set,
+    forbidden: frozenset = frozenset(),
+    forbid_msg: str = "",
+):
+    """Build the batch-form value rewriter: ``alias.key`` tokens become
+    ``__b_<key>`` column references (collected into ``keys_used``),
+    non-batch ``$params`` inline as literals token-wise, names in
+    ``forbidden`` raise with ``forbid_msg``, and the result parses
+    through the read transpiler's expression grammar to SQL."""
+
+    def rewrite(run: list, ctx: str) -> str:
+        out, i = [], 0
+        while i < len(run):
+            kind, text = run[i][0], run[i][1]
+            if kind == "name" and text == alias:
+                if i + 1 < len(run) and run[i + 1][1] == ".":
+                    if i + 2 >= len(run):
+                        raise CypherSyntaxError(
+                            f"batch write: dangling {alias}."
+                        )
+                    kt = run[i + 2]
+                    key = kt[2] if len(kt) > 2 else kt[1]
+                    keys_used.add(key)
+                    out.append(("name", f"__b_{key}"))
+                    i += 3
+                    continue
+                raise CypherUnsupported(
+                    f"bare {alias!r} in a batch write — reference "
+                    f"{alias}.<key> (map batches only)"
+                )
+            if kind == "name" and text in forbidden:
+                raise CypherUnsupported(
+                    f"{ctx}: " + forbid_msg.replace("{var!r}", repr(text))
+                )
+            if kind == "param":
+                # non-batch $params inline as literals (the write
+                # path's binding rule), token-level like
+                # render_write_params
+                name = text[1:]
+                if name not in params:
+                    raise CypherUnsupported(
+                        "write statement references unbound parameter "
+                        f"'${name}'"
+                    )
+                out.extend(_tokenize(_render_literal(params[name]))[:-1])
+                i += 1
+                continue
+            out.append(run[i])
+            i += 1
+        sub = _Parser._from_tokens(out, "spark", None)
+        sub.unwind_aliases = {f"__b_{k}" for k in keys_used}
+        sql = sub.value()
+        if sub.peek()[1] != "":
+            raise CypherSyntaxError(f"{ctx}: unsupported value expression")
+        _reject_aggregates(sql, ctx)
+        return sql
+
+    return rewrite
+
+
 def parse_unwind_merge(query: str, params: dict | None):
     """``UNWIND $batch AS row MERGE (n:L {key: row.k, …}) [ON CREATE
     SET n.p = expr] [ON MATCH SET n.q = expr]`` — THE canonical Neo4j
@@ -473,71 +536,28 @@ def parse_unwind_merge(query: str, params: dict | None):
     # rewrite alias.key → __b_<key> across every expression, collecting
     # the referenced batch keys; bare alias / self-references checked
     keys_used: set[str] = set()
-
-    def rewrite(run: list, ctx: str, allow_self: bool) -> str:
-        out, i = [], 0
-        while i < len(run):
-            kind, text = run[i][0], run[i][1]
-            if kind == "name" and text == alias:
-                if i + 1 < len(run) and run[i + 1][1] == ".":
-                    if i + 2 >= len(run):
-                        raise CypherSyntaxError(
-                            f"batch MERGE: dangling {alias}."
-                        )
-                    kt = run[i + 2]
-                    key = kt[2] if len(kt) > 2 else kt[1]
-                    keys_used.add(key)
-                    out.append(("name", f"__b_{key}"))
-                    i += 3
-                    continue
-                raise CypherUnsupported(
-                    f"bare {alias!r} in a batch MERGE — reference "
-                    f"{alias}.<key> (map batches only)"
-                )
-            if kind == "name" and var is not None and text == var:
-                if not allow_self:
-                    raise CypherUnsupported(
-                        f"{ctx}: the value cannot reference the merge "
-                        f"variable {var!r} — ON MATCH folds "
-                        "(n.hits = coalesce(n.hits, 0) + 1) are not "
-                        "supported in the batch form (v1); run a "
-                        "MATCH…SET after the batch instead"
-                    )
-            if kind == "param":
-                # non-batch $params inline as literals (the write
-                # path's binding rule), token-level like
-                # render_write_params
-                name = text[1:]
-                if name not in params:
-                    raise CypherUnsupported(
-                        "write statement references unbound parameter "
-                        f"'${name}'"
-                    )
-                out.extend(_tokenize(_render_literal(params[name]))[:-1])
-                i += 1
-                continue
-            out.append(run[i])
-            i += 1
-        sub = _Parser._from_tokens(out, "spark", None)
-        sub.unwind_aliases = {f"__b_{k}" for k in keys_used}
-        sql = sub.value()
-        if sub.peek()[1] != "":
-            raise CypherSyntaxError(
-                f"{ctx}: unsupported value expression"
-            )
-        _reject_aggregates(sql, ctx)
-        return sql
+    rewrite = _batch_rewriter(
+        alias,
+        params,
+        keys_used,
+        forbidden=frozenset([var]) if var else frozenset(),
+        forbid_msg=(
+            "the value cannot reference the merge variable {var!r} — "
+            "ON MATCH folds (n.hits = coalesce(n.hits, 0) + 1) are "
+            "not supported in the batch form (v1); run a MATCH…SET "
+            "after the batch instead"
+        ),
+    )
 
     key_sqls = [
-        (p, rewrite(run, f"merge key {p}", allow_self=False))
-        for p, run in key_props
+        (p, rewrite(run, f"merge key {p}")) for p, run in key_props
     ]
     oc_sqls = [
-        (p, rewrite(run, f"ON CREATE SET {var}.{p}", allow_self=False))
+        (p, rewrite(run, f"ON CREATE SET {var}.{p}"))
         for p, run in on_create
     ]
     om_sqls = [
-        (p, rewrite(run, f"ON MATCH SET {var}.{p}", allow_self=False))
+        (p, rewrite(run, f"ON MATCH SET {var}.{p}"))
         for p, run in on_match
     ]
     # pattern keys win over ON CREATE values of the same property
@@ -778,6 +798,358 @@ def execute_unwind_merge(
     return new_nodes, summary(created=n_created, props=n_props)
 
 
+def parse_unwind_rel(query: str, params: dict | None):
+    """``UNWIND $batch AS row MATCH (a:L1 {k: row.x}), (b:L2 {k:
+    row.y}) CREATE/MERGE (a)-[r:T {w: row.w}]->(b)`` — the canonical
+    Neo4j bulk EDGE-load idiom, set-based. Returns a spec for
+    :func:`execute_unwind_rel`, or None when the statement is not this
+    shape.
+
+    Semantics (documented): per batch row, each anchor resolves by
+    label + property equality (a row matching several nodes on a side
+    joins combinatorially, like Cypher MATCH; rows matching nothing
+    drop silently, like Cypher MATCH). Edges land one per DISTINCT
+    endpoint pair (the engine's documented create_rel multiplicity),
+    with the LAST batch row's property values winning per pair; MERGE
+    additionally skips pairs whose (endpoints, type, pattern props)
+    already exist. ON CREATE/ON MATCH SET and trailing RETURN are v1
+    refusals here."""
+    m = re.match(
+        r"\s*UNWIND\s+\$([A-Za-z_]\w*)\s+AS\s+([A-Za-z_]\w*)\s+MATCH\b",
+        query,
+        re.IGNORECASE,
+    )
+    if not m:
+        return None
+    pname, alias = m.group(1), m.group(2)
+    if params is None or pname not in params:
+        raise CypherUnsupported(
+            f"UNWIND batch write references unbound parameter '${pname}'"
+        )
+    batch = params[pname]
+    if not isinstance(batch, (list, tuple)):
+        raise CypherUnsupported(
+            f"UNWIND ${pname} AS {alias}: the parameter must be a list"
+        )
+    toks = _tokenize(query[m.end():])
+    pos = 0
+
+    def peek():
+        return toks[pos]
+
+    def nxt():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def expect(text):
+        t = nxt()
+        if t[1] != text:
+            raise CypherSyntaxError(
+                f"batch rel write: expected {text!r}, got {t[1]!r}"
+            )
+
+    def expr_tokens() -> list:
+        nonlocal pos
+        out, depth = [], 0
+        while True:
+            kind, text = toks[pos][0], toks[pos][1]
+            if kind == "eof":
+                break
+            if text in ("(", "[", "{"):
+                depth += 1
+            elif text in (")", "]", "}"):
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and text == ",":
+                break
+            out.append(toks[pos])
+            pos += 1
+        if not out:
+            raise CypherSyntaxError(
+                "batch rel write: empty value expression"
+            )
+        return out
+
+    def anchor():
+        expect("(")
+        vt = nxt()
+        if vt[0] != "name":
+            raise CypherSyntaxError(
+                "batch rel write: anchor patterns need a variable"
+            )
+        var = vt[1]
+        labels = []
+        while peek()[1] == ":":
+            nxt()
+            lt = nxt()
+            if lt[0] not in ("name", "kw"):
+                raise CypherSyntaxError("expected label name")
+            labels.append(lt[2] if len(lt) > 2 else lt[1])
+        props = []
+        if peek()[1] == "{":
+            nxt()
+            while True:
+                kt = nxt()
+                if kt[0] not in ("name", "kw"):
+                    raise CypherSyntaxError("expected property name")
+                prop = kt[2] if len(kt) > 2 else kt[1]
+                expect(":")
+                props.append((prop, expr_tokens()))
+                if peek()[1] == ",":
+                    nxt()
+                    continue
+                break
+            expect("}")
+        expect(")")
+        if not props:
+            raise CypherUnsupported(
+                f"batch rel write: anchor ({var}…) needs at least one "
+                "key property to resolve against the batch"
+            )
+        return var, labels, props
+
+    a = anchor()
+    expect(",")
+    b = anchor()
+    if peek()[1] == ",":
+        raise CypherUnsupported(
+            "batch rel write supports exactly two anchor patterns (v1)"
+        )
+    vt = nxt()
+    verb = vt[1].upper() if vt[0] in ("name", "kw") else ""
+    if verb not in ("CREATE", "MERGE"):
+        raise CypherSyntaxError(
+            f"batch rel write: expected CREATE or MERGE, got {vt[1]!r}"
+        )
+    expect("(")
+    e1 = nxt()[1]
+    expect(")")
+    d1 = nxt()[1]
+    if d1 not in ("-", "<-"):
+        raise CypherSyntaxError("expected a relationship pattern")
+    expect("[")
+    rvar = None
+    if peek()[0] == "name" and toks[pos + 1][1] == ":":
+        rvar = nxt()[1]
+    expect(":")
+    tt = nxt()
+    if tt[0] not in ("name", "kw"):
+        raise CypherSyntaxError("expected relationship type")
+    rtype = tt[2] if len(tt) > 2 else tt[1]
+    rprops = []
+    if peek()[1] == "{":
+        nxt()
+        while True:
+            kt = nxt()
+            if kt[0] not in ("name", "kw"):
+                raise CypherSyntaxError("expected property name")
+            prop = kt[2] if len(kt) > 2 else kt[1]
+            expect(":")
+            rprops.append((prop, expr_tokens()))
+            if peek()[1] == ",":
+                nxt()
+                continue
+            break
+        expect("}")
+    expect("]")
+    d2 = nxt()[1]
+    expect("(")
+    e2 = nxt()[1]
+    expect(")")
+    if d1 == "-" and d2 == "->":
+        src_var, dst_var = e1, e2
+    elif d1 == "<-" and d2 == "-":
+        src_var, dst_var = e2, e1
+    else:
+        raise CypherUnsupported(
+            "batch rel write: the relationship must be directed "
+            "(-> or <-)"
+        )
+    by_var = {a[0]: a, b[0]: b}
+    if src_var not in by_var or dst_var not in by_var or src_var == dst_var:
+        raise CypherSyntaxError(
+            f"batch rel write: endpoints {e1!r}/{e2!r} must be the two "
+            "MATCH anchor variables"
+        )
+    if peek()[0] == "name" and peek()[1].upper() == "ON":
+        raise CypherUnsupported(
+            "ON CREATE/ON MATCH SET on a batch relationship MERGE is "
+            "not supported (v1) — set the properties in the pattern "
+            "map, or run a MATCH…SET after the batch"
+        )
+    if peek()[0] == "kw" and peek()[1] == "RETURN":
+        raise CypherUnsupported(
+            "RETURN after a batch relationship write is not supported "
+            "(v1) — read the edges back with a MATCH on the type"
+        )
+    if peek()[0] != "eof":
+        raise CypherSyntaxError(
+            f"batch rel write: unexpected trailing input: {peek()[1]!r}"
+        )
+    keys_used: set[str] = set()
+    forbidden = frozenset(
+        v for v in (a[0], b[0], rvar) if v
+    )
+    rewrite = _batch_rewriter(
+        alias,
+        params,
+        keys_used,
+        forbidden=forbidden,
+        forbid_msg=(
+            "the value cannot reference pattern variable {var!r} in "
+            "the batch form"
+        ),
+    )
+    anchors = [
+        (v, labels, [(p, rewrite(run, f"{v}.{p}")) for p, run in props])
+        for v, labels, props in (by_var[src_var], by_var[dst_var])
+    ]
+    rprop_sqls = [
+        (p, rewrite(run, f"relationship property {p}"))
+        for p, run in rprops
+    ]
+    for i, elem in enumerate(batch):
+        if not isinstance(elem, dict):
+            raise CypherUnsupported(
+                f"batch rel write element {i} is not a map"
+            )
+    selects = []
+    for i, elem in enumerate(batch):
+        cols = [f"CAST({i} AS BIGINT) AS __ix"] + [
+            f"{_render_literal(elem.get(k))} AS __b_{k}"
+            for k in sorted(keys_used)
+        ]
+        selects.append("SELECT " + ", ".join(cols))
+    return {
+        "op": "create_rel" if verb == "CREATE" else "merge_rel",
+        "anchors": anchors,  # [src, dst] in edge direction
+        "rtype": rtype,
+        "rprops": rprop_sqls,
+        "b_sql": "\nUNION ALL\n".join(selects) if batch else None,
+        "n_rows": len(batch),
+    }
+
+
+def execute_unwind_rel(
+    spark: SparkSession,
+    nodes: DataFrame,
+    rels: DataFrame | None,
+    spec: dict,
+) -> tuple[DataFrame | None, DataFrame]:
+    """Set-based batch edge load (see :func:`parse_unwind_rel`): the
+    batch expands to one literal frame, each anchor resolves with ONE
+    equi-join against the label-filtered node frame (broadcastable —
+    the batch side is small), edges dedupe per endpoint pair with
+    last-row-wins properties, and MERGE anti-joins the TYPE-filtered
+    existing frame. No per-row probes; the only graph-wide touches are
+    the two anchor joins and the type-filtered existence probe."""
+    from pyspark.sql.window import Window
+
+    def summary(rcre=0):
+        return spark.createDataFrame(
+            [(spec["op"], 0, 0, 0, 0, rcre)],
+            "op string, nodes_created long, props_set long, "
+            "nodes_deleted long, rels_deleted long, rels_created long",
+        )
+
+    if rels is None:
+        raise ValueError("graph has no relationship frame to extend")
+    if spec["n_rows"] == 0:
+        return rels, summary()
+    nfields = {f.name: f.dataType.simpleString() for f in nodes.schema.fields}
+    B = spark.sql(spec["b_sql"])
+    # per-anchor key columns, cast to the node column's type
+    sides = []
+    sel = ["__ix"] + [c for c in B.columns if c != "__ix"]
+    exprs = list(sel)
+    for s, (var, labels, props) in enumerate(spec["anchors"]):
+        kcols = []
+        for i, (p, sql) in enumerate(props):
+            kc = f"__s{s}k{i}"
+            cast = f" AS {nfields[p]}" if p in nfields else ""
+            exprs.append(
+                f"CAST(({sql}){cast}) AS {kc}" if cast else f"({sql}) AS {kc}"
+            )
+            kcols.append(kc)
+        sides.append((var, labels, props, kcols))
+    Bk = _decimals_to_double(B.selectExpr(*exprs)).localCheckpoint()
+    pairs = Bk
+    out_ids = []
+    for s, (var, labels, props, kcols) in enumerate(sides):
+        lcond = F.lit(True)
+        for lb in labels:
+            lcond = lcond & F.array_contains(F.col(NodeField.LABELS), lb)
+        missing = any(p not in nfields for p, _ in props)
+        idc = f"__id{s}"
+        out_ids.append(idc)
+        if missing:
+            # a key property absent from the schema matches nothing —
+            # Cypher MATCH drops every row
+            pairs = pairs.join(
+                spark.createDataFrame([], f"{idc} long"), how="cross"
+            ).limit(0)
+            continue
+        nf = nodes.filter(lcond).select(
+            F.col(NodeField.ID).alias(idc),
+            *[F.col(p).alias(f"__s{s}p{i}") for i, (p, _) in enumerate(props)],
+        )
+        cond = None
+        for i, kc in enumerate(kcols):
+            c = pairs[kc] == nf[f"__s{s}p{i}"]
+            cond = c if cond is None else (cond & c)
+        pairs = pairs.join(nf, cond, "inner")
+    rfields = {f.name: f.dataType.simpleString() for f in rels.schema.fields}
+    rp = spec["rprops"]
+    proj = [F.col(out_ids[0]), F.col(out_ids[1])] + [
+        F.expr(sql).alias(f"__rp{i}") for i, (_p, sql) in enumerate(rp)
+    ]
+    pairs = pairs.select(F.col("__ix"), *proj)
+    # one edge per DISTINCT endpoint pair, LAST batch row's props win
+    w = Window.partitionBy(out_ids[0], out_ids[1]).orderBy(
+        F.col("__ix").desc()
+    )
+    pairs = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn", "__ix")
+    )
+    cols = [
+        F.col(out_ids[0]).cast("long").alias(RelField.START_ID),
+        F.col(out_ids[1]).cast("long").alias(RelField.END_ID),
+        F.lit(spec["rtype"]).alias(RelField.TYPE),
+    ]
+    rp_names = {p for p, _ in rp}
+    rp_ix = {p: i for i, (p, _) in enumerate(rp)}
+    for c in rels.schema.fieldNames():
+        if c in RelField.RESERVED or c in ("REL_ID", "REL_ID2"):
+            continue
+        if c in rp_names:
+            cols.append(F.col(f"__rp{rp_ix[c]}").cast(rfields[c]).alias(c))
+        else:
+            cols.append(F.lit(None).cast(rfields[c]).alias(c))
+    for p in rp_names - set(rfields):  # schema-widening rel property
+        cols.append(F.col(f"__rp{rp_ix[p]}").alias(p))
+    new = _decimals_to_double(pairs.select(*cols))
+    if spec["op"] == "merge_rel":
+        # merge identity = endpoints + type + PATTERN props (the same
+        # rule as single merge_rel); a widening prop can never match
+        keys = [RelField.START_ID, RelField.END_ID, RelField.TYPE] + sorted(
+            rp_names & set(rfields)
+        )
+        if not (rp_names - set(rfields)):
+            new = new.join(
+                _merge_probe_frame(rels, spec["rtype"], keys),
+                keys,
+                "left_anti",
+            )
+    new = new.localCheckpoint()  # consumed by count + union
+    n_new = new.count()
+    return _union_rels(rels, new), summary(rcre=n_new)
+
+
 #: aggregate-function heads that must not appear in write VALUES (SET /
 #: ON SET / property maps): there is no group to aggregate over in a
 #: write clause, and letting them through surfaces Spark's raw
@@ -940,18 +1312,37 @@ def is_cypher_write(query: str) -> bool:
     if first in ("CREATE", "MERGE"):
         return True
     if first == "UNWIND":
-        # only the bulk-write HEAD shape routes to the write path —
-        # `UNWIND $param AS alias CREATE/MERGE …`, exactly what
-        # expand_unwind_batch accepts. Scanning the whole stream for a
-        # CREATE/MERGE name misroutes reads whose text merely contains
-        # the word (`UNWIND [1,2] AS x RETURN x AS create`).
-        return (
+        # only the bulk-write HEAD shapes route to the write path:
+        # `UNWIND $param AS alias CREATE/MERGE …` (node batches) and
+        # `UNWIND $param AS alias MATCH … CREATE/MERGE …` (edge
+        # batches — the CREATE/MERGE clause token must come BEFORE any
+        # top-level RETURN, so reads whose text merely contains the
+        # word (`RETURN x AS create`) never misroute).
+        if not (
             len(toks) >= 5
             and toks[1][0] == "param"
             and toks[2][1].upper() == "AS"
             and toks[3][0] in ("name", "kw")
-            and toks[4][1].upper() in ("CREATE", "MERGE")
-        )
+        ):
+            return False
+        if toks[4][1].upper() in ("CREATE", "MERGE"):
+            return True
+        if toks[4][1].upper() != "MATCH":
+            return False
+        prev_text = ""
+        for kind, text in ((tt[0], tt[1]) for tt in toks[5:]):
+            if kind == "kw" and text == "RETURN":
+                return False
+            if (
+                kind == "name"
+                # not a property access (.create), alias (AS create),
+                # or label/type (:Create) spelled like the verb
+                and prev_text not in (".", "AS", ":")
+                and text.upper() in ("CREATE", "MERGE")
+            ):
+                return True
+            prev_text = text
+        return False
     if first != "MATCH":
         return False
     prev_text = ""

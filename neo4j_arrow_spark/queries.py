@@ -1502,6 +1502,53 @@ def cypher_unwind_batch_create_return_roundtrip(
     ).result(300)
 
 
+_UNWIND_BATCH_REL_SQL = """
+    SELECT CAST(1000001 AS BIGINT) AS sid, CAST(2000003 AS BIGINT) AS nid,
+           9.5 AS w
+    UNION ALL
+    SELECT CAST(1000002 AS BIGINT), CAST(2000004 AS BIGINT), 2.5
+"""
+
+
+@query("cypher_unwind_batch_rel_roundtrip", oracle=_UNWIND_BATCH_REL_SQL)
+def cypher_unwind_batch_rel_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r10: ``UNWIND $batch AS row MATCH (a {k: row.x}), (b {k: row.y})
+    MERGE (a)-[:T {…}]->(b)`` — the canonical bulk EDGE-load, set-based
+    (one equi-join per anchor, per-pair dedup with last-row-wins
+    properties, TYPE-filtered existence probe). The batch carries a
+    duplicate pair (last w wins) and a row whose supplier key matches
+    nothing (drops silently, Cypher MATCH semantics)."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    rels = rels.filter(
+        (F.col("TYPE") == "IN_NATION") & (F.col("START_ID") >= 1_000_000)
+    )
+    api.catalog.register("cubrl", nodes, rels, overwrite=True)
+    api.cypher(
+        "UNWIND $b AS row "
+        "MATCH (s:Supplier {ID: row.s}), (n:Nation {ID: row.n}) "
+        "MERGE (s)-[:AUD3 {w: row.w}]->(n)",
+        graph="cubrl",
+        params={
+            "b": [
+                {"s": 1000001, "n": 2000003, "w": 1.5},
+                {"s": 1000002, "n": 2000004, "w": 2.5},
+                {"s": 1000001, "n": 2000003, "w": 9.5},
+                {"s": 1999999999, "n": 2000000, "w": 5.0},
+            ]
+        },
+    ).result(300)
+    return api.cypher(
+        "MATCH (s:Supplier)-[r:AUD3]->(n:Nation) "
+        "RETURN s.ID AS sid, n.ID AS nid, r.w AS w ORDER BY sid",
+        graph="cubrl",
+    ).result(300)
+
+
 _CREATE_REL_RETURN_SQL = """
     SELECT CAST(count(*) AS BIGINT) AS n, round(sum(2.5), 1) AS tw
     FROM supplier WHERE s_suppkey <= 5

@@ -273,3 +273,133 @@ def test_batch_merge_extra_params_inline(mapi):
             graph="um",
             params={"b": [{"sku": "kq"}]},
         )
+
+
+# -- batch relationship CREATE/MERGE (r10) -----------------------------------
+
+
+@pytest.fixture()
+def eapi(spark):
+    api = Neo4jArrowSpark(spark)
+    nodes = spark.createDataFrame(
+        [
+            (1, ["P"], "u1"),
+            (2, ["P"], "u2"),
+            (3, ["Q"], "g1"),
+            (4, ["Q"], "g2"),
+        ],
+        "ID long, LABELS array<string>, key string",
+    )
+    rels = spark.createDataFrame(
+        [(1, 3, "IN", 0.5)],
+        "START_ID long, END_ID long, TYPE string, w double",
+    )
+    api.catalog.register("ur", nodes, rels, overwrite=True)
+    return api
+
+
+def test_batch_rel_create_by_key(eapi):
+    s = (
+        eapi.cypher(
+            "UNWIND $b AS row MATCH (a:P {key: row.u}), "
+            "(c:Q {key: row.g}) CREATE (a)-[:LIKES {w: row.w}]->(c)",
+            graph="ur",
+            params={
+                "b": [
+                    {"u": "u1", "g": "g1", "w": 1.0},
+                    {"u": "u1", "g": "g2", "w": 2.0},
+                    {"u": "u2", "g": "g1", "w": 3.0},
+                    {"u": "nosuch", "g": "g1", "w": 9.0},  # drops
+                    {"u": "u1", "g": "g1", "w": 7.0},  # dup: last wins
+                ]
+            },
+        )
+        .result(120)
+        .collect()[0]
+    )
+    assert s.rels_created == 3
+    rows = (
+        eapi.cypher(
+            "MATCH (a:P)-[r:LIKES]->(c:Q) RETURN a.key AS u, "
+            "c.key AS g, r.w AS w ORDER BY u, g",
+            graph="ur",
+        )
+        .result(120)
+        .collect()
+    )
+    assert [(r.u, r.g, r.w) for r in rows] == [
+        ("u1", "g1", 7.0),
+        ("u1", "g2", 2.0),
+        ("u2", "g1", 3.0),
+    ]
+
+
+def test_batch_rel_merge_skips_existing(eapi):
+    eapi.cypher(
+        "UNWIND $b AS row MATCH (a:P {key: row.u}), (c:Q {key: row.g}) "
+        "MERGE (a)-[:IN]->(c)",
+        graph="ur",
+        params={"b": [{"u": "u1", "g": "g1"}, {"u": "u2", "g": "g2"}]},
+    ).result(120)
+    rows = (
+        eapi.cypher(
+            "MATCH (:P)-[r:IN]->(:Q) RETURN count(*) AS c", graph="ur"
+        )
+        .result(120)
+        .collect()
+    )
+    # (u1,g1) already existed; only (u2,g2) created
+    assert rows[0].c == 2
+
+
+def test_batch_rel_reversed_direction(eapi):
+    eapi.cypher(
+        "UNWIND $b AS row MATCH (a:P {key: row.u}), (c:Q {key: row.g}) "
+        "CREATE (a)<-[:REV]-(c)",
+        graph="ur",
+        params={"b": [{"u": "u1", "g": "g1"}]},
+    ).result(120)
+    rows = (
+        eapi.cypher(
+            "MATCH (c:Q)-[r:REV]->(a:P) RETURN c.key AS g, a.key AS u",
+            graph="ur",
+        )
+        .result(120)
+        .collect()
+    )
+    assert [(r.g, r.u) for r in rows] == [("g1", "u1")]
+
+
+def test_batch_rel_on_set_and_return_refused(eapi):
+    with pytest.raises(CypherUnsupported, match="ON CREATE/ON MATCH"):
+        eapi.cypher(
+            "UNWIND $b AS row MATCH (a:P {key: row.u}), "
+            "(c:Q {key: row.g}) MERGE (a)-[r:LIKES]->(c) "
+            "ON CREATE SET r.w = 1",
+            graph="ur",
+            params={"b": [{"u": "u1", "g": "g1"}]},
+        )
+    with pytest.raises(
+        CypherUnsupported, match="batch relationship write"
+    ):
+        eapi.cypher(
+            "UNWIND $b AS row MATCH (a:P {key: row.u}), "
+            "(c:Q {key: row.g}) CREATE (a)-[r:LIKES]->(c) "
+            "RETURN r.w AS w",
+            graph="ur",
+            params={"b": [{"u": "u1", "g": "g1"}]},
+        )
+
+
+def test_batch_rel_read_unwind_still_routes_to_read(eapi):
+    rows = (
+        eapi.cypher(
+            "UNWIND $xs AS x MATCH (n:P) WHERE n.ID = x "
+            "RETURN n.key AS k",
+            graph="ur",
+            params={"xs": [1]},
+        )
+        .result(120)
+        .collect()
+    )
+    assert [r.k for r in rows] == ["u1"]
