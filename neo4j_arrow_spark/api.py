@@ -330,6 +330,60 @@ class Neo4jArrowSpark:
 
             return self.registry.submit("cypher.write", run_ur)
 
+        # UNWIND $batch AS row MATCH (n {k: row.k}) SET …/[DETACH]
+        # DELETE n — the batch UPDATE / DELETE-by-key idioms (r10)
+        from neo4j_arrow_spark.cypher_write import (
+            execute_unwind_node_write,
+            parse_unwind_node_write,
+        )
+
+        un_spec = parse_unwind_node_write(head_text, params)
+        if un_spec is not None:
+            graph = self._resolve_graph(db, graph)
+            g = self.catalog.get(graph, db, self.username)
+
+            def run_un() -> DataFrame:
+                ret_out: dict | None = (
+                    {} if return_text is not None else None
+                )
+                rels_in = g.rels_eid if g.rels_eid is not None else g.rels
+                new_nodes, new_rels, summary = execute_unwind_node_write(
+                    self.spark, g.nodes, rels_in, un_spec, ret_out=ret_out
+                )
+                pre_nodes = g.nodes
+                changed = new_nodes is not g.nodes or new_rels is not rels_in
+                if changed:
+                    if new_nodes is not g.nodes:
+                        new_nodes = new_nodes.localCheckpoint()
+                    if new_rels is not None and new_rels is not rels_in:
+                        new_rels = new_rels.localCheckpoint()
+                    self.catalog.register(
+                        graph,
+                        new_nodes,
+                        new_rels,
+                        database=db,
+                        username=self.username,
+                        overwrite=True,
+                    )
+                if return_text is not None:
+                    # SET projects post-update values; DELETE projects
+                    # the PRE-delete snapshot (openCypher)
+                    frame = (
+                        pre_nodes
+                        if un_spec["op"] == "delete"
+                        else new_nodes
+                    )
+                    return project_batch_return(
+                        self.spark,
+                        frame,
+                        ret_out["ids"],
+                        un_spec["var"],
+                        return_text,
+                    ).localCheckpoint()
+                return summary
+
+            return self.registry.submit("cypher.write", run_un)
+
         # UNWIND $batch AS row CREATE … — the bulk-write idiom expands
         # to ONE multi-pattern CREATE (a single literal-rows frame and
         # union, not |batch| statements); an empty batch is a no-op

@@ -822,6 +822,31 @@ def parse_unwind_rel(query: str, params: dict | None):
     if not m:
         return None
     pname, alias = m.group(1), m.group(2)
+    toks = _tokenize(query[m.end():])
+    # cheap shape test BEFORE any param validation: the statement is
+    # ours only if a depth-0 CREATE/MERGE clause token follows the
+    # MATCH (batch SET/DELETE belongs to parse_unwind_node_write)
+    depth, is_rel_shape = 0, False
+    prev_tx = ""
+    for t in toks:
+        tx = t[1]
+        if tx in ("(", "[", "{"):
+            depth += 1
+        elif tx in (")", "]", "}"):
+            depth -= 1
+        elif (
+            depth == 0
+            and t[0] == "name"
+            and prev_tx not in (".", "AS", ":")
+            and tx.upper() in ("CREATE", "MERGE")
+        ):
+            is_rel_shape = True
+            break
+        elif t[0] == "kw" and tx == "RETURN":
+            break
+        prev_tx = tx
+    if not is_rel_shape:
+        return None
     if params is None or pname not in params:
         raise CypherUnsupported(
             f"UNWIND batch write references unbound parameter '${pname}'"
@@ -831,7 +856,6 @@ def parse_unwind_rel(query: str, params: dict | None):
         raise CypherUnsupported(
             f"UNWIND ${pname} AS {alias}: the parameter must be a list"
         )
-    toks = _tokenize(query[m.end():])
     pos = 0
 
     def peek():
@@ -1031,6 +1055,377 @@ def parse_unwind_rel(query: str, params: dict | None):
         "b_sql": "\nUNION ALL\n".join(selects) if batch else None,
         "n_rows": len(batch),
     }
+
+
+def parse_unwind_node_write(query: str, params: dict | None):
+    """``UNWIND $batch AS row MATCH (n:L {k: row.k}) SET n.p = expr[,
+    …]`` and ``… [DETACH] DELETE n`` — the batch UPDATE / DELETE-by-key
+    idioms, set-based. Returns a spec for
+    :func:`execute_unwind_node_write`, or None when the statement is
+    not this shape (notably: a second anchor or a CREATE/MERGE verb —
+    those belong to the batch-rel path).
+
+    Semantics (documented): per batch row the anchor resolves by
+    label + property equality (rows matching nothing drop silently —
+    MATCH semantics); for SET the LAST batch row's values win per key
+    (sequential-equivalent for non-self-referential values —
+    self-references refuse); DELETE removes every matched node, DETACH
+    dropping incident edges first."""
+    m = re.match(
+        r"\s*UNWIND\s+\$([A-Za-z_]\w*)\s+AS\s+([A-Za-z_]\w*)\s+MATCH\b",
+        query,
+        re.IGNORECASE,
+    )
+    if not m:
+        return None
+    pname, alias = m.group(1), m.group(2)
+    toks = _tokenize(query[m.end():])
+    # cheap shape test BEFORE any param validation: a single anchor
+    # followed by SET / [DETACH] DELETE at depth 0 — anything else
+    # (two anchors, CREATE/MERGE) is not ours
+    depth, verb_at = 0, None
+    for i, t in enumerate(toks):
+        tx = t[1]
+        if tx in ("(", "[", "{"):
+            depth += 1
+        elif tx in (")", "]", "}"):
+            depth -= 1
+        elif depth == 0 and t[0] == "name" and tx.upper() in (
+            "SET",
+            "DELETE",
+            "DETACH",
+        ):
+            verb_at = i
+            break
+        elif depth == 0 and (
+            tx == "," or (t[0] == "name" and tx.upper() in ("CREATE", "MERGE"))
+        ):
+            return None
+    if verb_at is None:
+        return None
+    if params is None or pname not in params:
+        raise CypherUnsupported(
+            f"UNWIND batch write references unbound parameter '${pname}'"
+        )
+    batch = params[pname]
+    if not isinstance(batch, (list, tuple)):
+        raise CypherUnsupported(
+            f"UNWIND ${pname} AS {alias}: the parameter must be a list"
+        )
+    pos = 0
+
+    def peek():
+        return toks[pos]
+
+    def nxt():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def expect(text):
+        t = nxt()
+        if t[1] != text:
+            raise CypherSyntaxError(
+                f"batch node write: expected {text!r}, got {t[1]!r}"
+            )
+
+    def expr_tokens() -> list:
+        nonlocal pos
+        out, depth = [], 0
+        while True:
+            kind, text = toks[pos][0], toks[pos][1]
+            if kind == "eof":
+                break
+            if text in ("(", "[", "{"):
+                depth += 1
+            elif text in (")", "]", "}"):
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and (
+                text == "," or (kind == "kw" and text == "RETURN")
+            ):
+                break
+            out.append(toks[pos])
+            pos += 1
+        if not out:
+            raise CypherSyntaxError(
+                "batch node write: empty value expression"
+            )
+        return out
+
+    expect("(")
+    vt = nxt()
+    if vt[0] != "name":
+        raise CypherSyntaxError("batch node write: anchor needs a variable")
+    var = vt[1]
+    labels = []
+    while peek()[1] == ":":
+        nxt()
+        lt = nxt()
+        if lt[0] not in ("name", "kw"):
+            raise CypherSyntaxError("expected label name")
+        labels.append(lt[2] if len(lt) > 2 else lt[1])
+    props = []
+    if peek()[1] == "{":
+        nxt()
+        while True:
+            kt = nxt()
+            if kt[0] not in ("name", "kw"):
+                raise CypherSyntaxError("expected property name")
+            prop = kt[2] if len(kt) > 2 else kt[1]
+            expect(":")
+            props.append((prop, expr_tokens()))
+            if peek()[1] == ",":
+                nxt()
+                continue
+            break
+        expect("}")
+    expect(")")
+    if not props:
+        raise CypherUnsupported(
+            "batch node write: the anchor needs at least one key "
+            "property to resolve against the batch"
+        )
+    vt = nxt()
+    verb = vt[1].upper()
+    detach = False
+    if verb == "DETACH":
+        detach = True
+        verb = nxt()[1].upper()
+    keys_used: set[str] = set()
+    rewrite = _batch_rewriter(
+        alias,
+        params,
+        keys_used,
+        forbidden=frozenset([var]),
+        forbid_msg=(
+            "the value cannot reference the matched variable {var!r} — "
+            "per-key folds are not supported in the batch form (v1); "
+            "run a plain MATCH…SET instead"
+        ),
+    )
+    sets: list[tuple[str, str]] = []
+    return_text = None
+    if verb == "SET":
+        while True:
+            v2 = nxt()
+            if v2[0] != "name" or v2[1] != var:
+                raise CypherUnsupported(
+                    f"batch SET targets the matched variable {var!r}, "
+                    f"got {v2[1]!r}"
+                )
+            expect(".")
+            pt = nxt()
+            if pt[0] not in ("name", "kw"):
+                raise CypherSyntaxError("expected property name after '.'")
+            prop = pt[2] if len(pt) > 2 else pt[1]
+            if prop in ("ID", "LABELS"):
+                raise CypherUnsupported(
+                    f"SET {var}.{prop}: node identity/label columns "
+                    "are immutable"
+                )
+            expect("=")
+            sets.append((prop, rewrite(expr_tokens(), f"SET {var}.{prop}")))
+            if peek()[1] == ",":
+                nxt()
+                continue
+            break
+    elif verb == "DELETE":
+        v2 = nxt()
+        if v2[0] != "name" or v2[1] != var:
+            raise CypherUnsupported(
+                f"batch DELETE targets the matched variable {var!r}, "
+                f"got {v2[1]!r}"
+            )
+    else:
+        raise CypherSyntaxError(
+            f"batch node write: expected SET or DELETE, got {verb!r}"
+        )
+    if peek()[0] == "kw" and peek()[1] == "RETURN":
+        # captured; the API projects it over the affected rows
+        start = peek()
+        # re-render the remaining tokens to text
+        parts = []
+        while peek()[0] != "eof":
+            t = nxt()
+            parts.append(t[2] if len(t) > 2 else t[1])
+        return_text = " ".join(parts)
+        del start
+    if peek()[0] != "eof":
+        raise CypherSyntaxError(
+            f"batch node write: unexpected trailing input: {peek()[1]!r}"
+        )
+    key_sqls = [
+        (p, rewrite(run, f"match key {p}")) for p, run in props
+    ]
+    for i, elem in enumerate(batch):
+        if not isinstance(elem, dict):
+            raise CypherUnsupported(
+                f"batch node write element {i} is not a map"
+            )
+    selects = []
+    for i, elem in enumerate(batch):
+        cols = [f"CAST({i} AS BIGINT) AS __ix"] + [
+            f"{_render_literal(elem.get(k))} AS __b_{k}"
+            for k in sorted(keys_used)
+        ]
+        selects.append("SELECT " + ", ".join(cols))
+    return {
+        "op": verb.lower(),
+        "var": var,
+        "labels": labels,
+        "keys": key_sqls,
+        "sets": sets,
+        "detach": detach,
+        "return_text": return_text,
+        "b_sql": "\nUNION ALL\n".join(selects) if batch else None,
+        "n_rows": len(batch),
+    }
+
+
+def execute_unwind_node_write(
+    spark: SparkSession,
+    nodes: DataFrame,
+    rels: DataFrame | None,
+    spec: dict,
+    ret_out: dict | None = None,
+) -> tuple[DataFrame, DataFrame | None, DataFrame]:
+    """Set-based batch SET / DELETE (see
+    :func:`parse_unwind_node_write`): one window pass collapses the
+    batch to last-row-wins values per key, one join against the
+    label-filtered node frame resolves the targets, and the update is
+    the standard conditional projection (DELETE: the standard
+    anti-joins, with the plain-DELETE incident-edge check). ``ret_out``
+    receives the per-batch-row matched node ids for a trailing
+    RETURN."""
+    from pyspark.sql.window import Window
+
+    def summary(op, props=0, ndel=0, rdel=0):
+        return spark.createDataFrame(
+            [(op, 0, props, ndel, rdel, 0)],
+            "op string, nodes_created long, props_set long, "
+            "nodes_deleted long, rels_deleted long, rels_created long",
+        )
+
+    op = spec["op"]
+    if spec["n_rows"] == 0:
+        if ret_out is not None:
+            ret_out["ids"] = spark.createDataFrame([], "__rid long")
+        return nodes, rels, summary(op)
+    nfields = {f.name: f.dataType.simpleString() for f in nodes.schema.fields}
+    kprops = spec["keys"]
+    kcols = [f"__k{i}" for i in range(len(kprops))]
+    B = spark.sql(spec["b_sql"])
+    Bk = B.select(
+        "__ix",
+        *[
+            F.expr(sql).cast(nfields[p]).alias(kc)
+            if p in nfields
+            else F.expr(sql).alias(kc)
+            for (p, sql), kc in zip(kprops, kcols)
+        ],
+        *[c for c in B.columns if c != "__ix"],
+    )
+    Bk = _decimals_to_double(Bk).localCheckpoint()
+    lcond = F.lit(True)
+    for lb in spec["labels"]:
+        lcond = lcond & F.array_contains(F.col(NodeField.LABELS), lb)
+    missing = any(p not in nfields for p, _ in kprops)
+    if missing:
+        # a key property absent from the schema matches nothing
+        if ret_out is not None:
+            ret_out["ids"] = spark.createDataFrame([], "__rid long")
+        return nodes, rels, summary(op)
+    tagged = nodes.withColumn("__lbl", lcond)
+    jcond = tagged["__lbl"]
+    for (p, _), kc in zip(kprops, kcols):
+        jcond = jcond & (tagged[p] == Bk[kc])
+    if ret_out is not None:
+        ret_out["ids"] = (
+            Bk.join(tagged, jcond, "inner")
+            .select(tagged[NodeField.ID].alias("__rid"), Bk["__ix"])
+            .localCheckpoint()
+        )
+    if op == "set":
+        w = Window.partitionBy(*kcols).orderBy(F.col("__ix").desc())
+        upd = (
+            Bk.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .select(
+                *kcols,
+                *[
+                    F.expr(sql).alias(f"__v{i}")
+                    for i, (_p, sql) in enumerate(spec["sets"])
+                ],
+            )
+        )
+        upd = _decimals_to_double(upd).localCheckpoint()
+        cond2 = tagged["__lbl"]
+        for (p, _), kc in zip(kprops, kcols):
+            cond2 = cond2 & (tagged[p] == upd[kc])
+        joined = tagged.join(upd, cond2, "left")
+        matched = F.col(kcols[0]).isNotNull()
+        n_set = upd.join(
+            nodes.filter(lcond).select(
+                *[F.col(p).alias(kc) for (p, _), kc in zip(kprops, kcols)]
+            ),
+            kcols,
+            "left_semi",
+        ).count()
+        for i, (p, _sql) in enumerate(spec["sets"]):
+            val = F.col(f"__v{i}")
+            if p in nfields:
+                val = val.cast(nfields[p])
+                joined = joined.withColumn(
+                    p, F.when(matched, val).otherwise(F.col(p))
+                )
+            else:  # schema-widening batch SET
+                joined = joined.withColumn(p, F.when(matched, val))
+        out = joined.drop(
+            "__lbl", *kcols, *[f"__v{i}" for i in range(len(spec["sets"]))]
+        )
+        return out, rels, summary("set", props=n_set * len(spec["sets"]))
+    # delete
+    bkeys = Bk.select(*kcols).dropDuplicates()
+    cond3 = tagged["__lbl"]
+    for (p, _), kc in zip(kprops, kcols):
+        cond3 = cond3 & (tagged[p] == bkeys[kc])
+    ids = (
+        tagged.join(bkeys, cond3, "left_semi")
+        .select(F.col(NodeField.ID).alias("__sid"))
+        .localCheckpoint()
+    )
+    n_del = ids.count()
+    new_rels = rels
+    r_del = 0
+    if rels is not None:
+        inc_src = rels.join(
+            ids, rels[RelField.START_ID] == ids["__sid"], "left_semi"
+        )
+        inc_dst = rels.join(
+            ids, rels[RelField.END_ID] == ids["__sid"], "left_semi"
+        )
+        if not spec["detach"]:
+            if inc_src.limit(1).count() or inc_dst.limit(1).count():
+                raise ValueError(
+                    "DELETE: node still has relationships — use DETACH "
+                    "DELETE"
+                )
+        else:
+            kept = rels.join(
+                ids, rels[RelField.START_ID] == ids["__sid"], "left_anti"
+            )
+            kept = kept.join(
+                ids, kept[RelField.END_ID] == ids["__sid"], "left_anti"
+            )
+            new_rels = kept
+            r_del = rels.count() - kept.count()
+    new_nodes = nodes.join(
+        ids, nodes[NodeField.ID] == ids["__sid"], "left_anti"
+    )
+    return new_nodes, new_rels, summary("delete", ndel=n_del, rdel=r_del)
 
 
 def execute_unwind_rel(
@@ -1338,7 +1733,8 @@ def is_cypher_write(query: str) -> bool:
                 # not a property access (.create), alias (AS create),
                 # or label/type (:Create) spelled like the verb
                 and prev_text not in (".", "AS", ":")
-                and text.upper() in ("CREATE", "MERGE")
+                and text.upper()
+                in ("CREATE", "MERGE", "SET", "DELETE", "DETACH")
             ):
                 return True
             prev_text = text

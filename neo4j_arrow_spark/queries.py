@@ -1549,6 +1549,51 @@ def cypher_unwind_batch_rel_roundtrip(
     ).result(300)
 
 
+_UNWIND_BATCH_SET_SQL = """
+    SELECT n_name AS name,
+           CASE WHEN n_name = 'NATION_1' THEN 4.0
+                WHEN n_name = 'NATION_2' THEN 3.0 END AS tier
+    FROM nation
+"""
+
+
+@query("cypher_unwind_batch_set_roundtrip", oracle=_UNWIND_BATCH_SET_SQL)
+def cypher_unwind_batch_set_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r10: ``UNWIND $batch AS row MATCH (n:L {k: row.k}) SET …`` —
+    the batch UPDATE-by-key idiom, set-based (window last-row-wins +
+    one join + conditional projection). NATION_1 appears twice (last
+    v wins), a row keyed to a nonexistent nation drops silently, and
+    ``tier`` widens the schema."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    rels = rels.filter(
+        (F.col("TYPE") == "IN_NATION") & (F.col("START_ID") >= 1_000_000)
+    )
+    api.catalog.register("cubst", nodes, rels, overwrite=True)
+    api.cypher(
+        "UNWIND $batch AS row MATCH (n:Nation {name: row.name}) "
+        "SET n.tier = row.v",
+        graph="cubst",
+        params={
+            "batch": [
+                {"name": "NATION_1", "v": 1.0},
+                {"name": "NATION_2", "v": 3.0},
+                {"name": "NO_SUCH_NATION", "v": 9.0},
+                {"name": "NATION_1", "v": 4.0},
+            ]
+        },
+    ).result(300)
+    return api.cypher(
+        "MATCH (n:Nation) RETURN n.name AS name, n.tier AS tier "
+        "ORDER BY name",
+        graph="cubst",
+    ).result(300)
+
+
 _CREATE_REL_RETURN_SQL = """
     SELECT CAST(count(*) AS BIGINT) AS n, round(sum(2.5), 1) AS tw
     FROM supplier WHERE s_suppkey <= 5

@@ -403,3 +403,124 @@ def test_batch_rel_read_unwind_still_routes_to_read(eapi):
         .collect()
     )
     assert [r.k for r in rows] == ["u1"]
+
+
+# -- batch SET / DELETE by key (r10) ------------------------------------------
+
+
+@pytest.fixture()
+def sapi(spark):
+    api = Neo4jArrowSpark(spark)
+    nodes = spark.createDataFrame(
+        [
+            (1, ["P"], "k1", 1.0),
+            (2, ["P"], "k2", 2.0),
+            (3, ["P"], "k3", 3.0),
+        ],
+        "ID long, LABELS array<string>, sku string, price double",
+    )
+    rels = spark.createDataFrame(
+        [(1, 2, "K", 0.1)],
+        "START_ID long, END_ID long, TYPE string, w double",
+    )
+    api.catalog.register("us", nodes, rels, overwrite=True)
+    return api
+
+
+def test_batch_set_last_wins_silent_drop_widening(sapi):
+    s = (
+        sapi.cypher(
+            "UNWIND $b AS row MATCH (n:P {sku: row.k}) "
+            "SET n.price = row.p, n.tier = row.t",
+            graph="us",
+            params={
+                "b": [
+                    {"k": "k1", "p": 10.0, "t": "a"},
+                    {"k": "k2", "p": 20.0, "t": "b"},
+                    {"k": "k1", "p": 11.0, "t": "c"},  # dup: last wins
+                    {"k": "zz", "p": 99.0, "t": "z"},  # silent drop
+                ]
+            },
+        )
+        .result(120)
+        .collect()[0]
+    )
+    assert (s.op, s.props_set) == ("set", 4)
+    rows = (
+        sapi.cypher(
+            "MATCH (n:P) RETURN n.sku AS k, n.price AS p, n.tier AS t "
+            "ORDER BY k",
+            graph="us",
+        )
+        .result(120)
+        .collect()
+    )
+    assert [(r.k, r.p, r.t) for r in rows] == [
+        ("k1", 11.0, "c"),
+        ("k2", 20.0, "b"),
+        ("k3", 3.0, None),
+    ]
+
+
+def test_batch_set_return_post_values(sapi):
+    rows = (
+        sapi.cypher(
+            "UNWIND $b AS row MATCH (n:P {sku: row.k}) "
+            "SET n.price = row.p RETURN n.sku AS k, n.price AS p "
+            "ORDER BY k",
+            graph="us",
+            params={"b": [{"k": "k2", "p": 200.0}, {"k": "k3", "p": 300.0}]},
+        )
+        .result(120)
+        .collect()
+    )
+    assert [(r.k, r.p) for r in rows] == [("k2", 200.0), ("k3", 300.0)]
+
+
+def test_batch_delete_needs_detach_when_edges_exist(sapi):
+    with pytest.raises(RuntimeError, match="DETACH"):
+        sapi.cypher(
+            "UNWIND $b AS row MATCH (n:P {sku: row.k}) DELETE n",
+            graph="us",
+            params={"b": [{"k": "k1"}]},
+        ).result(120)
+
+
+def test_batch_detach_delete_return_pre_values(sapi):
+    rows = (
+        sapi.cypher(
+            "UNWIND $b AS row MATCH (n:P {sku: row.k}) "
+            "DETACH DELETE n RETURN n.sku AS k",
+            graph="us",
+            params={"b": [{"k": "k1"}]},
+        )
+        .result(120)
+        .collect()
+    )
+    assert [r.k for r in rows] == ["k1"]
+    left = (
+        sapi.cypher(
+            "MATCH (n:P) RETURN count(*) AS c", graph="us"
+        )
+        .result(120)
+        .collect()
+    )
+    assert left[0].c == 2
+    redges = (
+        sapi.cypher(
+            "MATCH ()-[r:K]->() RETURN count(*) AS c", graph="us"
+        )
+        .result(120)
+        .collect()
+    )
+    assert redges[0].c == 0
+
+
+def test_batch_set_self_reference_refused(sapi):
+    with pytest.raises(CypherUnsupported, match="cannot reference"):
+        sapi.cypher(
+            "UNWIND $b AS row MATCH (n:P {sku: row.k}) "
+            "SET n.price = n.price + row.p",
+            graph="us",
+            params={"b": [{"k": "k1", "p": 1.0}]},
+        )
