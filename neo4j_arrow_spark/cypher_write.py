@@ -936,11 +936,21 @@ def parse_unwind_rel(query: str, params: dict | None):
         return var, labels, props
 
     a = anchor()
+    if peek()[0] == "kw" and peek()[1] == "WHERE":
+        raise CypherUnsupported(
+            "WHERE in a batch relationship write is not supported "
+            "(v1) — fold the predicate into the anchors' key maps"
+        )
     expect(",")
     b = anchor()
     if peek()[1] == ",":
         raise CypherUnsupported(
             "batch rel write supports exactly two anchor patterns (v1)"
+        )
+    if peek()[0] == "kw" and peek()[1] == "WHERE":
+        raise CypherUnsupported(
+            "WHERE in a batch relationship write is not supported "
+            "(v1) — fold the predicate into the anchors' key maps"
         )
     vt = nxt()
     verb = vt[1].upper() if vt[0] in ("name", "kw") else ""
@@ -1187,6 +1197,12 @@ def parse_unwind_node_write(query: str, params: dict | None):
         raise CypherUnsupported(
             "batch node write: the anchor needs at least one key "
             "property to resolve against the batch"
+        )
+    if peek()[0] == "kw" and peek()[1] == "WHERE":
+        raise CypherUnsupported(
+            "WHERE in a batch node write is not supported (v1) — fold "
+            "the predicate into the anchor's key map, or run a plain "
+            "MATCH…SET/DELETE"
         )
     vt = nxt()
     verb = vt[1].upper()
