@@ -312,17 +312,39 @@ def _batch_rewriter(
     keys_used: set,
     forbidden: frozenset = frozenset(),
     forbid_msg: str = "",
+    strip_var: str | None = None,
+    mode: str = "value",
 ):
     """Build the batch-form value rewriter: ``alias.key`` tokens become
     ``__b_<key>`` column references (collected into ``keys_used``),
     non-batch ``$params`` inline as literals token-wise, names in
-    ``forbidden`` raise with ``forbid_msg``, and the result parses
-    through the read transpiler's expression grammar to SQL."""
+    ``forbidden`` raise with ``forbid_msg``, ``strip_var.prop`` loses
+    its prefix (the anchor's node columns are unqualified on the
+    joined frame), and the result parses through the read transpiler's
+    grammar to SQL — ``mode='value'`` for arithmetic values,
+    ``mode='expr'`` for boolean predicates (WHERE)."""
+
+    stripped: set[str] = set()
 
     def rewrite(run: list, ctx: str) -> str:
         out, i = [], 0
         while i < len(run):
             kind, text = run[i][0], run[i][1]
+            if kind == "name" and strip_var is not None and text == strip_var:
+                if i + 1 < len(run) and run[i + 1][1] == ".":
+                    if i + 2 >= len(run):
+                        raise CypherSyntaxError(
+                            f"batch write: dangling {strip_var}."
+                        )
+                    pt = run[i + 2]
+                    stripped.add(pt[2] if len(pt) > 2 else pt[1])
+                    out.append(pt)
+                    i += 3
+                    continue
+                raise CypherUnsupported(
+                    f"{ctx}: reference the matched node's properties "
+                    f"({strip_var}.<prop>), not the bare variable"
+                )
             if kind == "name" and text == alias:
                 if i + 1 < len(run) and run[i + 1][1] == ".":
                     if i + 2 >= len(run):
@@ -359,8 +381,11 @@ def _batch_rewriter(
             out.append(run[i])
             i += 1
         sub = _Parser._from_tokens(out, "spark", None)
-        sub.unwind_aliases = {f"__b_{k}" for k in keys_used}
-        sql = sub.value()
+        # both the batch columns AND any stripped node columns are
+        # bound scalars — without this the expression grammar would
+        # treat a bare column name as a node variable (name → name.ID)
+        sub.unwind_aliases = {f"__b_{k}" for k in keys_used} | stripped
+        sql = sub.expr() if mode == "expr" else sub.value()
         if sub.peek()[1] != "":
             raise CypherSyntaxError(f"{ctx}: unsupported value expression")
         _reject_aggregates(sql, ctx)
@@ -1198,12 +1223,29 @@ def parse_unwind_node_write(query: str, params: dict | None):
             "batch node write: the anchor needs at least one key "
             "property to resolve against the batch"
         )
+    where_run = None
     if peek()[0] == "kw" and peek()[1] == "WHERE":
-        raise CypherUnsupported(
-            "WHERE in a batch node write is not supported (v1) — fold "
-            "the predicate into the anchor's key map, or run a plain "
-            "MATCH…SET/DELETE"
-        )
+        # r10: WHERE over the anchor's properties and/or batch values —
+        # evaluated on the joined (batch row × matched node) frame
+        nxt()
+        where_run = []
+        wdepth = 0
+        while True:
+            kind, text = peek()[0], peek()[1]
+            if kind == "eof":
+                break
+            if wdepth == 0 and (
+                (kind == "name" and text.upper() in ("SET", "DELETE", "DETACH"))
+                or (kind == "kw" and text == "RETURN")
+            ):
+                break
+            if text in ("(", "[", "{"):
+                wdepth += 1
+            elif text in (")", "]", "}"):
+                wdepth -= 1
+            where_run.append(nxt())
+        if not where_run:
+            raise CypherSyntaxError("batch node write: empty WHERE")
     vt = nxt()
     verb = vt[1].upper()
     detach = False
@@ -1276,6 +1318,16 @@ def parse_unwind_node_write(query: str, params: dict | None):
     key_sqls = [
         (p, rewrite(run, f"match key {p}")) for p, run in props
     ]
+    where_sql = None
+    if where_run is not None:
+        wrewrite = _batch_rewriter(
+            alias,
+            params,
+            keys_used,
+            strip_var=var,
+            mode="expr",
+        )
+        where_sql = wrewrite(where_run, "batch WHERE")
     for i, elem in enumerate(batch):
         if not isinstance(elem, dict):
             raise CypherUnsupported(
@@ -1294,6 +1346,7 @@ def parse_unwind_node_write(query: str, params: dict | None):
         "labels": labels,
         "keys": key_sqls,
         "sets": sets,
+        "where": where_sql,
         "detach": detach,
         "return_text": return_text,
         "b_sql": "\nUNION ALL\n".join(selects) if batch else None,
@@ -1358,19 +1411,26 @@ def execute_unwind_node_write(
     jcond = tagged["__lbl"]
     for (p, _), kc in zip(kprops, kcols):
         jcond = jcond & (tagged[p] == Bk[kc])
+    # one (batch row × matched node) frame — the WHERE (which may mix
+    # node properties and batch values) filters it, and everything
+    # downstream (ids for RETURN, last-applicable-row-per-node update,
+    # delete targets) derives from it
+    joined0 = Bk.join(tagged, jcond, "inner")
+    if spec.get("where"):
+        joined0 = joined0.filter(F.expr(spec["where"]))
     if ret_out is not None:
-        ret_out["ids"] = (
-            Bk.join(tagged, jcond, "inner")
-            .select(tagged[NodeField.ID].alias("__rid"), Bk["__ix"])
-            .localCheckpoint()
-        )
+        ret_out["ids"] = joined0.select(
+            tagged[NodeField.ID].alias("__rid"), Bk["__ix"]
+        ).localCheckpoint()
     if op == "set":
-        w = Window.partitionBy(*kcols).orderBy(F.col("__ix").desc())
+        w = Window.partitionBy(tagged[NodeField.ID]).orderBy(
+            F.col("__ix").desc()
+        )
         upd = (
-            Bk.withColumn("__rn", F.row_number().over(w))
+            joined0.withColumn("__rn", F.row_number().over(w))
             .filter("__rn = 1")
             .select(
-                *kcols,
+                tagged[NodeField.ID].alias("__sid"),
                 *[
                     F.expr(sql).alias(f"__v{i}")
                     for i, (_p, sql) in enumerate(spec["sets"])
@@ -1378,18 +1438,11 @@ def execute_unwind_node_write(
             )
         )
         upd = _decimals_to_double(upd).localCheckpoint()
-        cond2 = tagged["__lbl"]
-        for (p, _), kc in zip(kprops, kcols):
-            cond2 = cond2 & (tagged[p] == upd[kc])
-        joined = tagged.join(upd, cond2, "left")
-        matched = F.col(kcols[0]).isNotNull()
-        n_set = upd.join(
-            nodes.filter(lcond).select(
-                *[F.col(p).alias(kc) for (p, _), kc in zip(kprops, kcols)]
-            ),
-            kcols,
-            "left_semi",
-        ).count()
+        n_set = upd.count()
+        joined = nodes.join(
+            upd, nodes[NodeField.ID] == upd["__sid"], "left"
+        )
+        matched = F.col("__sid").isNotNull()
         for i, (p, _sql) in enumerate(spec["sets"]):
             val = F.col(f"__v{i}")
             if p in nfields:
@@ -1400,17 +1453,13 @@ def execute_unwind_node_write(
             else:  # schema-widening batch SET
                 joined = joined.withColumn(p, F.when(matched, val))
         out = joined.drop(
-            "__lbl", *kcols, *[f"__v{i}" for i in range(len(spec["sets"]))]
+            "__sid", *[f"__v{i}" for i in range(len(spec["sets"]))]
         )
         return out, rels, summary("set", props=n_set * len(spec["sets"]))
     # delete
-    bkeys = Bk.select(*kcols).dropDuplicates()
-    cond3 = tagged["__lbl"]
-    for (p, _), kc in zip(kprops, kcols):
-        cond3 = cond3 & (tagged[p] == bkeys[kc])
     ids = (
-        tagged.join(bkeys, cond3, "left_semi")
-        .select(F.col(NodeField.ID).alias("__sid"))
+        joined0.select(tagged[NodeField.ID].alias("__sid"))
+        .dropDuplicates()
         .localCheckpoint()
     )
     n_del = ids.count()

@@ -524,3 +524,58 @@ def test_batch_set_self_reference_refused(sapi):
             graph="us",
             params={"b": [{"k": "k1", "p": 1.0}]},
         )
+
+
+def test_batch_set_with_where_mixing_node_and_batch_values(sapi):
+    """r10: WHERE over the anchor's properties AND batch values —
+    evaluated on the joined (batch row × matched node) frame."""
+    s = (
+        sapi.cypher(
+            "UNWIND $b AS row MATCH (n:P {sku: row.k}) "
+            "WHERE n.price < row.cap SET n.tier = row.t",
+            graph="us",
+            params={
+                "b": [
+                    {"k": "k1", "cap": 5.0, "t": "low"},  # 1 < 5 → set
+                    {"k": "k2", "cap": 5.0, "t": "low"},  # 2 < 5 → set
+                    {"k": "k3", "cap": 2.0, "t": "low"},  # 3 < 2 → drop
+                ]
+            },
+        )
+        .result(120)
+        .collect()[0]
+    )
+    assert s.props_set == 2
+    rows = (
+        sapi.cypher(
+            "MATCH (n:P) RETURN n.sku AS k, n.tier AS t ORDER BY k",
+            graph="us",
+        )
+        .result(120)
+        .collect()
+    )
+    assert [(r.k, r.t) for r in rows] == [
+        ("k1", "low"),
+        ("k2", "low"),
+        ("k3", None),
+    ]
+
+
+def test_batch_delete_with_where_and_return(sapi):
+    rows = (
+        sapi.cypher(
+            "UNWIND $b AS row MATCH (n:P {sku: row.k}) "
+            "WHERE n.price > 1.5 DETACH DELETE n RETURN n.sku AS k",
+            graph="us",
+            params={"b": [{"k": "k1"}, {"k": "k2"}, {"k": "k3"}]},
+        )
+        .result(120)
+        .collect()
+    )
+    assert sorted(r.k for r in rows) == ["k2", "k3"]
+    left = (
+        sapi.cypher("MATCH (n:P) RETURN n.sku AS k", graph="us")
+        .result(120)
+        .collect()
+    )
+    assert [r.k for r in left] == ["k1"]
