@@ -62,6 +62,16 @@ NEGATIVES: list[tuple[str, dict | None]] = [
         {"b": [{"k": 1}]},
     ),  # self-referential batch ON MATCH (fold)
     ("UNWIND $b AS row MERGE (n:P)", {"b": [{"k": 1}]}),  # keyless batch merge
+    (
+        "UNWIND $b AS row MATCH (a:P {k: row.x}), (c:P {k: row.y}) "
+        "WHERE a.age > 1 CREATE (a)-[:T]->(c)",
+        {"b": [{"x": 1, "y": 2}]},
+    ),  # WHERE in batch rel write (v1 refusal)
+    (
+        "UNWIND $b AS row MATCH (a:P {k: row.x}), (c:P {k: row.y}), "
+        "(d:P {k: row.z}) CREATE (a)-[:T]->(c)",
+        {"b": [{"x": 1, "y": 2, "z": 3}]},
+    ),  # three anchors (v1 refusal)
     ("CREATE (n:P {ID: 77, age: $v})", {"v": float("nan")}),  # non-finite param
     ("CREATE (n:P {ID: 78, age: $missing})", {"other": 1}),  # unbound param
     # -- write path: job-time (frame-op / analysis validation) --------------
