@@ -2535,9 +2535,12 @@ class _Parser:
                 self.expect("]")
                 return f"({left} IN ({', '.join(items)}))"
             # membership in an array-valued expression (a carried
-            # alias, an array property, a $param list):
-            # array_contains(haystack, needle) — shared surface
-            arr = self.value()
+            # alias, an array property, a $param list, labels(n)):
+            # array_contains(haystack, needle) — shared surface.
+            # _list_arg keeps labels() in ARRAY form here (the bare
+            # accessor scalarizes to the comma-joined render — r10
+            # probe find: `'Q' IN labels(n)` died on the string)
+            arr = self._list_arg()
             return f"array_contains({arr}, {left})"
         if kind == "name" and tok.upper() in ("STARTS", "ENDS") and (
             self.toks[self.pos + 1][1] == "WITH"

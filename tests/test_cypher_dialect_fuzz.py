@@ -361,3 +361,20 @@ def test_parenthesized_exists_predicate(engines):
     got_s = [tuple(r) for r in spark.sql(s).collect()]
     got_d = con.execute(d).fetchall()
     assert got_s == got_d
+
+
+def test_in_labels_membership_array_form(engines):
+    """r10 probe find, pinned: `'x' IN labels(n)` must test membership
+    in the LABEL ARRAY — the bare labels() accessor scalarizes to the
+    sorted comma-joined render, which array_contains dies on."""
+    spark, con = engines
+    q = "MATCH (n) WHERE 'Q' IN labels(n) RETURN n.ID AS id ORDER BY id"
+    s = cypher_to_sql(q, "fznodes", "fzrels", rel_id=True, rel_props=["w"])
+    d = cypher_to_sql(
+        q, "fznodes", "fzrels", dialect="duckdb", rel_id=True,
+        rel_props=["w"],
+    )
+    got_s = [tuple(r) for r in spark.sql(s).collect()]
+    got_d = con.execute(d).fetchall()
+    assert got_s == got_d
+    assert got_s == [(4,), (5,)]
