@@ -162,12 +162,35 @@ class Neo4jArrowSpark:
                     f"Cypher query references unbound parameters: "
                     f"{sorted(missing)}"
                 )
+
+            def _run_read(bound=None):
+                # r11 verdict #6: anything the transpiler let through
+                # that Catalyst then rejects (unresolved references the
+                # schema couldn't prove missing, type-mismatched
+                # comparisons) must surface as a targeted ONE-LINER,
+                # never a raw Java stack — same contract the write
+                # path got in r10 (_reject_aggregates_in_ast).
+                from pyspark.errors import AnalysisException
+
+                from neo4j_arrow_spark.cypher import CypherUnsupported
+
+                try:
+                    if bound is not None:
+                        return self.spark.sql(sql, args=bound)
+                    return self.spark.sql(sql)
+                except AnalysisException as e:
+                    first = str(e).splitlines()[0].strip()
+                    raise CypherUnsupported(
+                        "query does not resolve against the graph "
+                        f"schema: {first[:300]}"
+                    ) from None
+
             if needed:
                 bound = {k: v for k, v in params.items() if k in needed}
                 return self.registry.submit(
-                    "cypher.read", lambda: self.spark.sql(sql, args=bound)
+                    "cypher.read", lambda: _run_read(bound)
                 )
-            return self.registry.submit("cypher.read", lambda: self.spark.sql(sql))
+            return self.registry.submit("cypher.read", lambda: _run_read())
         if params:
             return self.registry.submit(
                 "cypher.read", lambda: self.spark.sql(query, args=params)

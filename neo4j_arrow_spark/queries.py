@@ -738,6 +738,40 @@ _cypher_query(
 )
 
 _cypher_query(
+    "cypher_varlength_open_upper",
+    # r11 verdict #2: open UPPER-bounded form `*..2` — openCypher's
+    # default minimum of 1 applies, so this is exactly the `*1..2`
+    # join-chain expansion (mirrors cypher_varlength_path)
+    "MATCH (c:Customer)-[:BUYS_FROM|IN_NATION*..2]->(x) "
+    "RETURN x.name AS name, count(*) AS paths",
+)
+
+_cypher_query(
+    "cypher_missing_property",
+    # r11 verdict #1: openCypher NULL semantics for properties no
+    # entity has (Neo4j never errors — the reference gets this free by
+    # delegating to the server, TransactionApiJob.java:41-220). The
+    # schema-aware transpiler renders c.nosuch as NULL at compile
+    # time: arithmetic stays NULL, coalesce picks the fallback,
+    # IS NULL is true, and ORDER BY on it is a no-op sort key.
+    "MATCH (c:Customer) WHERE c.acctbal > 9990.0 "
+    "RETURN c.name AS name, c.nosuch + 1 AS plus, "
+    "coalesce(c.nosuch, -1) AS fallback, "
+    "c.nosuch IS NULL AS missing "
+    "ORDER BY c.nosuch, name",
+    node_props=["name", "acctbal"],
+)
+
+_cypher_query(
+    "cypher_missing_prop_map",
+    # r11 verdict #1 (pattern-map leg): an inline map keyed on a
+    # property no node/rel has matches NOTHING ({nosuch: 1} compares
+    # null = 1 → null) instead of failing analysis
+    "MATCH (n:Nation {nosuch: 1}) RETURN count(*) AS c",
+    node_props=["name", "acctbal"],
+)
+
+_cypher_query(
     "cypher_unwind_node_property",
     # r9: UNWIND var.prop — array-property explode (LABELS exercises
     # the generic property path cross-dialect: explode vs unnest)

@@ -41,6 +41,11 @@ NEGATIVES: list[tuple[str, dict | None]] = [
     ("MATCH (n:P) RETURN isEmpty(n.age) AS e", None),   # non-collection type
     ("MATCH (n)-[r*1..2]->(m) RETURN id(r) AS x", None),  # varlength rel in value ctx
     ("MATCH (n:P) RETURN n.age AS a ORDER BY", None),   # dangling ORDER BY
+    # unknown VARIABLE (not property — those read as NULL, r11): the
+    # transpiler can't prove it missing, Catalyst rejects it, and the
+    # r11 read-boundary wrap must surface a targeted one-liner
+    ("MATCH (n:P) RETURN m.name AS x", None),
+    ("MATCH (n:P) RETURN n.name AS x ORDER BY m.age", None),
     # -- write path: parse-time --------------------------------------------
     ("MATCH (n:P) SET n.rank = count(*)", None),        # aggregate in SET (r9 probe)
     ("MERGE (n:P {ID: 1}) ON MATCH SET n.age = sum(n.age)", None),
@@ -123,3 +128,32 @@ def test_negative_is_targeted_error(napi, query, params):
     ), f"job failed with a non-targeted error:\n{err}"
     for marker in LEAK_MARKERS:
         assert marker not in err, f"raw {marker} leak:\n{err}"
+
+
+#: r11 verdict #1: queries over UNKNOWN PROPERTIES are not errors at
+#: all — openCypher reads a property no entity has as NULL. Each entry
+#: must SUCCEED through api.cypher with the asserted rows; a raw
+#: AnalysisException escaping property resolution fails the arm.
+MISSING_PROP_POSITIVES: list[tuple[str, list]] = [
+    ("MATCH (n:P) RETURN n.nosuch + 1 AS v ORDER BY n.name",
+     [(None,), (None,)]),
+    ("MATCH (n:P) RETURN coalesce(n.nosuch, -1) AS v ORDER BY n.name",
+     [(-1,), (-1,)]),
+    ("MATCH (n:P) RETURN n.name AS nm ORDER BY n.nosuch, n.name",
+     [("alice",), ("bob",)]),
+    ("MATCH (n:P) WHERE n.nosuch > 5 RETURN n.name AS nm", []),
+    ("MATCH (n {nosuch: 1}) RETURN n.name AS nm", []),
+    ("MATCH (n:P) WHERE exists(n.nosuch) RETURN n.name AS nm", []),
+    ("MATCH (a)-[r:K {nosuch: 2}]->(b) RETURN a.name AS nm", []),
+    ("MATCH (a:P)-[r:K]->(b) RETURN r.nosuch AS x, a.name AS nm", [(None, "alice")]),
+]
+
+
+@pytest.mark.parametrize(
+    "query,expected",
+    MISSING_PROP_POSITIVES,
+    ids=[q[:48] for q, _ in MISSING_PROP_POSITIVES],
+)
+def test_missing_property_reads_as_null(napi, query, expected):
+    rows = [tuple(r) for r in napi.cypher(query, graph="neg").result(180).collect()]
+    assert rows == expected
