@@ -254,6 +254,7 @@ class Neo4jArrowSpark:
             _reject_aggregates_in_ast,
             execute_unwind_merge,
             expand_unwind_batch,
+            guard_batch_analysis,
             parse_unwind_merge,
             project_batch_return,
             render_write_params,
@@ -312,7 +313,9 @@ class Neo4jArrowSpark:
                     )
                 return summary
 
-            return self.registry.submit("cypher.write", run_um)
+            return self.registry.submit(
+                "cypher.write", guard_batch_analysis(run_um)
+            )
 
         # UNWIND $batch AS row MATCH …, … CREATE/MERGE (a)-[:T]->(b) —
         # the bulk EDGE-load idiom (r10): anchors resolve with one
@@ -351,7 +354,9 @@ class Neo4jArrowSpark:
                     )
                 return summary
 
-            return self.registry.submit("cypher.write", run_ur)
+            return self.registry.submit(
+                "cypher.write", guard_batch_analysis(run_ur)
+            )
 
         # UNWIND $batch AS row MATCH (n {k: row.k}) SET …/[DETACH]
         # DELETE n — the batch UPDATE / DELETE-by-key idioms (r10)
@@ -405,7 +410,9 @@ class Neo4jArrowSpark:
                     ).localCheckpoint()
                 return summary
 
-            return self.registry.submit("cypher.write", run_un)
+            return self.registry.submit(
+                "cypher.write", guard_batch_analysis(run_un)
+            )
 
         # UNWIND $batch AS row CREATE … — the bulk-write idiom expands
         # to ONE multi-pattern CREATE (a single literal-rows frame and

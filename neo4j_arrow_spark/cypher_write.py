@@ -142,6 +142,31 @@ def render_write_params(query: str, params: dict) -> str:
     return "".join(out)
 
 
+def guard_batch_analysis(fn):
+    """Wrap a batch-write job closure with the AnalysisException →
+    ``CypherUnsupported`` one-liner contract `execute_cypher_write`
+    already enforces (r10 ADVICE: a batch WHERE referencing a
+    nonexistent node property must not surface Spark's raw analysis
+    stack from the job thread)."""
+    import functools
+
+    @functools.wraps(fn)
+    def inner(*args, **kwargs):
+        from pyspark.errors import AnalysisException
+
+        try:
+            return fn(*args, **kwargs)
+        except AnalysisException as e:
+            first = (
+                str(e).strip().splitlines()[0] if str(e).strip() else str(e)
+            )
+            raise CypherUnsupported(
+                f"invalid expression in write statement: {first[:300]}"
+            ) from None
+
+    return inner
+
+
 def expand_unwind_batch(
     query: str, params: dict | None
 ) -> tuple[str | None, bool]:
@@ -451,20 +476,23 @@ def parse_unwind_merge(query: str, params: dict | None):
 
     def expr_tokens(stop_at_comma: bool) -> list:
         """Raw token run up to a depth-0 ',' (when asked), a depth-0
-        closer, an ON keyword, or eof."""
+        closer, an ON keyword, or eof. A clause keyword directly after
+        '.' is a PROPERTY ACCESS (``row.on``), never a clause break —
+        same prev-token guard is_cypher_write uses (r10 ADVICE)."""
         nonlocal pos
         out, depth = [], 0
         while True:
             kind, text = toks[pos][0], toks[pos][1]
             if kind == "eof":
                 break
+            prev_dot = bool(out) and out[-1][1] == "."
             if text in ("(", "[", "{"):
                 depth += 1
             elif text in (")", "]", "}"):
                 if depth == 0:
                     break
                 depth -= 1
-            elif depth == 0 and (
+            elif depth == 0 and not prev_dot and (
                 (stop_at_comma and text == ",")
                 or (kind == "name" and text.upper() == "ON")
                 or (kind == "kw" and text == "RETURN")
@@ -679,20 +707,47 @@ def execute_unwind_merge(
     Bk = B.select(
         "__ix",
         *[
-            F.expr(sql).cast(fields[p]).alias(kc)
+            # try_cast, not cast: under ANSI a malformed value would
+            # throw a raw SparkNumberFormatException mid-plan; the
+            # pre/post nullness probe below turns it into a targeted
+            # type-mismatch refusal instead (r10 ADVICE)
+            F.expr(sql).try_cast(fields[p]).alias(kc)
             if p in fields
             else F.expr(sql).alias(kc)
             for (p, sql), kc in zip(kprops, kcols)
         ],
+        # pre-cast nullness per key: distinguishes a genuinely-NULL
+        # merge-key value from one the schema cast NULLED (r10 ADVICE:
+        # a string batch value against a long column must surface as a
+        # type mismatch, not the misleading NULL-merge-key error)
+        *[
+            F.expr(sql).isNull().alias(f"__knull{i}")
+            for i, (_p, sql) in enumerate(kprops)
+        ],
         *[c for c in B.columns if c != "__ix"],
     )
     Bk = _decimals_to_double(Bk).localCheckpoint()
-    null_keys = Bk.filter(
-        " OR ".join(f"{kc} IS NULL" for kc in kcols)
-    ).limit(1).count()
-    if null_keys:
+    bad = Bk.select(
+        F.max(
+            F.when(
+                F.expr(
+                    " OR ".join(f"__knull{i}" for i in range(len(kprops)))
+                ),
+                2,
+            ).when(
+                F.expr(" OR ".join(f"{kc} IS NULL" for kc in kcols)), 1
+            ).otherwise(0)
+        )
+    ).collect()[0][0]
+    if bad == 2:
         raise ValueError(
             "batch MERGE: cannot merge using a NULL merge-key value"
+        )
+    if bad == 1:
+        raise ValueError(
+            "batch MERGE: a merge-key value does not fit the node "
+            "column's type (the cast produced NULL) — align the batch "
+            "value types with the graph schema"
         )
     lcond = F.lit(True)
     for lb in spec["labels"]:
@@ -729,12 +784,41 @@ def execute_unwind_merge(
     oc = dict(spec["on_create"])
     kmap = {p: kc for (p, _), kc in zip(kprops, kcols)}
     if n_created:
-        base_id = (nodes.agg(F.max(NodeField.ID)).collect()[0][0] or 0) + 1
-        wid = Window.orderBy("__ix")
-        rows = creates.withColumn(
-            NodeField.ID,
-            (F.row_number().over(wid) - 1 + F.lit(base_id)).cast("long"),
-        ).withColumn(
+        if NodeField.ID in kmap:
+            # r10 ADVICE (high): an ID-keyed batch MERGE honors the
+            # explicit id — the key IS the node's identity, exactly
+            # like single-statement MERGE via _literal_rows — so
+            # re-running the identical batch is idempotent. A created
+            # id colliding with a node OUTSIDE the label filter is
+            # refused (same contract as CREATE's collision check; one
+            # distributed semi-join).
+            rows = creates.withColumn(
+                NodeField.ID, F.col(kmap[NodeField.ID]).cast("long")
+            )
+            clash = (
+                rows.select(NodeField.ID)
+                .join(nodes.select(NodeField.ID), NodeField.ID, "inner")
+                .limit(1)
+                .count()
+            )
+            if clash:
+                raise ValueError(
+                    "batch MERGE: created node id already exists in "
+                    "the graph (under a label outside the merge "
+                    "pattern's filter)"
+                )
+        else:
+            base_id = (
+                nodes.agg(F.max(NodeField.ID)).collect()[0][0] or 0
+            ) + 1
+            wid = Window.orderBy("__ix")
+            rows = creates.withColumn(
+                NodeField.ID,
+                (F.row_number().over(wid) - 1 + F.lit(base_id)).cast(
+                    "long"
+                ),
+            )
+        rows = rows.withColumn(
             NodeField.LABELS,
             F.array(*[F.lit(lb) for lb in spec["labels"]]),
         )
@@ -1118,24 +1202,26 @@ def parse_unwind_node_write(query: str, params: dict | None):
     # cheap shape test BEFORE any param validation: a single anchor
     # followed by SET / [DETACH] DELETE at depth 0 — anything else
     # (two anchors, CREATE/MERGE) is not ours
-    depth, verb_at = 0, None
+    depth, verb_at, prev_tx = 0, None, ""
     for i, t in enumerate(toks):
         tx = t[1]
         if tx in ("(", "[", "{"):
             depth += 1
         elif tx in (")", "]", "}"):
             depth -= 1
-        elif depth == 0 and t[0] == "name" and tx.upper() in (
-            "SET",
-            "DELETE",
-            "DETACH",
+        elif (
+            depth == 0
+            and prev_tx != "."  # `n.set` is a property, not a verb
+            and t[0] == "name"
+            and tx.upper() in ("SET", "DELETE", "DETACH")
         ):
             verb_at = i
             break
-        elif depth == 0 and (
+        elif depth == 0 and prev_tx != "." and (
             tx == "," or (t[0] == "name" and tx.upper() in ("CREATE", "MERGE"))
         ):
             return None
+        prev_tx = tx
     if verb_at is None:
         return None
     if params is None or pname not in params:
@@ -1172,13 +1258,14 @@ def parse_unwind_node_write(query: str, params: dict | None):
             kind, text = toks[pos][0], toks[pos][1]
             if kind == "eof":
                 break
+            prev_dot = bool(out) and out[-1][1] == "."
             if text in ("(", "[", "{"):
                 depth += 1
             elif text in (")", "]", "}"):
                 if depth == 0:
                     break
                 depth -= 1
-            elif depth == 0 and (
+            elif depth == 0 and not prev_dot and (
                 text == "," or (kind == "kw" and text == "RETURN")
             ):
                 break
@@ -1234,7 +1321,10 @@ def parse_unwind_node_write(query: str, params: dict | None):
             kind, text = peek()[0], peek()[1]
             if kind == "eof":
                 break
-            if wdepth == 0 and (
+            # a clause keyword directly after '.' is a PROPERTY
+            # (``WHERE n.set = 9``), never the verb (r10 ADVICE)
+            prev_dot = bool(where_run) and where_run[-1][1] == "."
+            if wdepth == 0 and not prev_dot and (
                 (kind == "name" and text.upper() in ("SET", "DELETE", "DETACH"))
                 or (kind == "kw" and text == "RETURN")
             ):
@@ -1690,6 +1780,26 @@ def validate_trailing_return(
                     "RETURN after a batch CREATE with relationship "
                     "chains is not supported (v1)"
                 )
+            if return_text is not None:
+                # the projection binds ONLY the returned source
+                # variable — property access on a sibling created
+                # variable or the UNWIND alias must refuse by name at
+                # submit, not die unresolved in the job (r10 ADVICE,
+                # high). prev2 guard: `a.d.year` chains stay legal.
+                prev2, prev = ("", ""), ("", "")
+                for t in _tokenize(return_text):
+                    if (
+                        t[1] == "."
+                        and prev[0] in ("name", "kw")
+                        and prev2[1] != "."
+                        and prev[1] != batch_var
+                    ):
+                        raise CypherUnsupported(
+                            "trailing RETURN after a batch CREATE "
+                            "must reference only the created node "
+                            f"variable {batch_var!r} (got {prev[1]!r})"
+                        )
+                    prev2, prev = prev, (t[0], t[1])
             return
         if len(ast["patterns"]) == 1 and not ast.get("chain_rels"):
             if not ast["patterns"][0].var:
@@ -2776,7 +2886,25 @@ def _trailing_return_result(
             post_nodes.select(NodeField.ID)
         ).select(F.col(NodeField.ID).alias("__rid"))
     else:  # create
-        if (
+        batch_inst_sqls: list[str] = []
+        if batch_var is not None and var_ids:
+            # batch-expanded CREATE: the expansion uniquified the
+            # returned source variable per element (a → a_u0, a_u1 …).
+            # Project ONLY those instances' ids — a multi-pattern
+            # batch element also creates the OTHER variables' nodes,
+            # which must not leak into RETURN a.* (r10 ADVICE, high).
+            pat = re.compile(rf"^{re.escape(batch_var)}_u\d+$")
+            batch_inst_sqls = [
+                s for v, s in var_ids.items() if pat.match(v)
+            ]
+        if batch_inst_sqls:
+            ids = spark.sql(
+                "\nUNION ALL\n".join(
+                    f"SELECT CAST(({s}) AS BIGINT) AS __rid"
+                    for s in batch_inst_sqls
+                )
+            )
+        elif (
             batch_var is None
             and (len(ast["patterns"]) > 1 or ast.get("chain_rels"))
             and var_ids
