@@ -1498,6 +1498,60 @@ def cypher_unwind_batch_merge_return_roundtrip(
     ).result(300)
 
 
+_UNWIND_MERGE_FOLD_SQL = """
+    SELECT n_name AS name,
+           CASE WHEN n_name = 'NATION_1' THEN 13.0 ELSE 10.0 END AS hits
+    FROM nation
+    UNION ALL
+    SELECT 'ZORK', 107.0
+"""
+
+
+@query("cypher_unwind_merge_fold_roundtrip", oracle=_UNWIND_MERGE_FOLD_SQL)
+def cypher_unwind_merge_fold_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r11 (r10 verdict #3): additive self-referencing ON MATCH fold
+    in the batch MERGE — THE canonical counter-upsert (``ON MATCH SET
+    n.hits = n.hits + row.d``). Set-based sequential equivalent: per
+    key the fold applies as base + SUM(expr) over the application
+    rows. The batch exercises both branches WITH duplicate keys:
+    NATION_1 folds twice (10 → 13), ZORK is created by its first row
+    (ON CREATE 100) then folded by its duplicate (+7 → 107). The
+    nation table is the constant 25-row TPC-H set, so the oracle is
+    SF-stable."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    rels = rels.filter(
+        (F.col("TYPE") == "IN_NATION") & (F.col("START_ID") >= 1_000_000)
+    )
+    api.catalog.register("cumf", nodes, rels, overwrite=True)
+    api.cypher(
+        "MATCH (n:Nation) SET n.hits = 10.0", graph="cumf"
+    ).result(300)
+    api.cypher(
+        "UNWIND $batch AS row MERGE (n:Nation {name: row.name}) "
+        "ON CREATE SET n.hits = 100.0 "
+        "ON MATCH SET n.hits = n.hits + row.d",
+        graph="cumf",
+        params={
+            "batch": [
+                {"name": "NATION_1", "d": 1.0},
+                {"name": "ZORK", "d": 5.0},
+                {"name": "ZORK", "d": 7.0},
+                {"name": "NATION_1", "d": 2.0},
+            ]
+        },
+    ).result(300)
+    return api.cypher(
+        "MATCH (n:Nation) RETURN n.name AS name, n.hits AS hits "
+        "ORDER BY name",
+        graph="cumf",
+    ).result(300)
+
+
 _UNWIND_CREATE_RETURN_SQL = """
     SELECT 'alpha' AS nm, CAST(9101001 AS BIGINT) AS id
     UNION ALL SELECT 'beta', CAST(9101002 AS BIGINT)

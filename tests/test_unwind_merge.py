@@ -118,14 +118,16 @@ def test_batch_merge_widening_key(mapi):
     assert [r.p for r in rows] == [9.0]
 
 
-def test_batch_merge_self_referential_on_match_refused(mapi):
-    with pytest.raises(CypherUnsupported, match="cannot reference"):
-        mapi.cypher(
-            "UNWIND $b AS row MERGE (n:P {sku: row.sku}) "
-            "ON MATCH SET n.price = coalesce(n.price, 0) + 1",
-            graph="um",
-            params={"b": [{"sku": "k1"}]},
-        )
+def test_batch_merge_coalesce_fold_now_supported(mapi):
+    # r11: the canonical counter-upsert is an ADDITIVE fold — no
+    # longer refused (r10 verdict #3); non-additive shapes still are
+    mapi.cypher(
+        "UNWIND $b AS row MERGE (n:P {sku: row.sku}) "
+        "ON MATCH SET n.price = coalesce(n.price, 0) + 1",
+        graph="um",
+        params={"b": [{"sku": "k1"}]},
+    ).result(120)
+    assert _state(mapi) == [("k1", 101.0)]
 
 
 def test_batch_merge_null_key_refused(mapi):
@@ -579,3 +581,127 @@ def test_batch_delete_with_where_and_return(sapi):
         .collect()
     )
     assert [r.k for r in left] == ["k1"]
+
+
+# -- additive ON MATCH folds (r10 verdict #3) ------------------------------
+
+
+@pytest.fixture()
+def fapi(spark):
+    api = Neo4jArrowSpark(spark)
+    nodes = spark.createDataFrame(
+        [(1, ["P"], "a", 10.0), (2, ["P"], "b", None)],
+        "ID long, LABELS array<string>, sku string, c double",
+    )
+    api.catalog.register("fold", nodes, None, overwrite=True)
+    return api
+
+
+def _c(api, sku):
+    rows = (
+        api.cypher(
+            f"MATCH (n:P {{sku: '{sku}'}}) RETURN n.c AS c", graph="fold"
+        )
+        .result(120)
+        .collect()
+    )
+    return [r.c for r in rows]
+
+
+def test_fold_counter_upsert_with_duplicates(fapi):
+    # THE canonical idiom: duplicate in-batch keys accumulate
+    # sequentially; a key created mid-batch folds only its later rows
+    fapi.cypher(
+        "UNWIND $b AS row MERGE (n:P {sku: row.sku}) "
+        "ON CREATE SET n.c = 100.0 ON MATCH SET n.c = n.c + row.d",
+        graph="fold",
+        params={
+            "b": [
+                {"sku": "a", "d": 1.0},
+                {"sku": "a", "d": 2.0},
+                {"sku": "new", "d": 5.0},
+                {"sku": "new", "d": 7.0},
+            ]
+        },
+    ).result(120)
+    assert _c(fapi, "a") == [13.0]
+    assert _c(fapi, "new") == [107.0]
+
+
+def test_fold_null_base_stays_null(fapi):
+    # NULL + x = NULL in Cypher — no silent zero-seeding
+    fapi.cypher(
+        "UNWIND $b AS row MERGE (n:P {sku: row.sku}) "
+        "ON MATCH SET n.c = n.c + row.d",
+        graph="fold",
+        params={"b": [{"sku": "b", "d": 3.0}]},
+    ).result(120)
+    assert _c(fapi, "b") == [None]
+
+
+def test_fold_coalesce_init_and_subtraction(fapi):
+    fapi.cypher(
+        "UNWIND $b AS row MERGE (n:P {sku: row.sku}) "
+        "ON MATCH SET n.c = coalesce(n.c, 0) + 1",
+        graph="fold",
+        params={"b": [{"sku": "b"}, {"sku": "b"}, {"sku": "b"}]},
+    ).result(120)
+    assert _c(fapi, "b") == [3.0]
+    fapi.cypher(
+        "UNWIND $b AS row MERGE (n:P {sku: row.sku}) "
+        "ON MATCH SET n.c = n.c - row.d",
+        graph="fold",
+        params={"b": [{"sku": "a", "d": 4.0}]},
+    ).result(120)
+    assert _c(fapi, "a") == [6.0]
+
+
+def test_fold_mixed_with_plain_value_and_return(fapi):
+    rows = (
+        fapi.cypher(
+            "UNWIND $b AS row MERGE (n:P {sku: row.sku}) "
+            "ON MATCH SET n.c = n.c + 1, n.tag = row.t "
+            "RETURN n.sku AS s, n.c AS c, n.tag AS t",
+            graph="fold",
+            params={"b": [{"sku": "a", "t": "x"}, {"sku": "a", "t": "y"}]},
+        )
+        .result(120)
+        .collect()
+    )
+    # fold accumulates (10+2), plain value takes the LAST row
+    assert sorted((r.s, r.c, r.t) for r in rows) == [
+        ("a", 12.0, "y"),
+        ("a", 12.0, "y"),
+    ]
+
+
+def test_fold_null_expr_row_nulls_result(fapi):
+    # a NULL fold expr on any application row → NULL (sequential:
+    # NULL infects every later application)
+    fapi.cypher(
+        "UNWIND $b AS row MERGE (n:P {sku: row.sku}) "
+        "ON MATCH SET n.c = n.c + row.d",
+        graph="fold",
+        params={"b": [{"sku": "a", "d": 1.0}, {"sku": "a"}]},
+    ).result(120)
+    assert _c(fapi, "a") == [None]
+
+
+def test_non_additive_fold_refuses(fapi):
+    with pytest.raises(CypherUnsupported, match="ADDITIVE"):
+        fapi.cypher(
+            "UNWIND $b AS row MERGE (n:P {sku: row.sku}) "
+            "ON MATCH SET n.c = n.c * 2",
+            graph="fold",
+            params={"b": [{"sku": "a"}]},
+        )
+
+
+def test_fold_on_merge_key_refuses(fapi):
+    with pytest.raises(CypherUnsupported, match="MERGE-KEY"):
+        fapi.cypher(
+            "UNWIND $b AS row MERGE (n:P {sku: row.sku}) "
+            "ON MATCH SET n.sku = n.sku + 'x'",
+            graph="fold",
+            params={"b": [{"sku": "a"}]},
+        )
