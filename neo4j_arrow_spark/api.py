@@ -329,18 +329,25 @@ class Neo4jArrowSpark:
         ur_spec = parse_unwind_rel(head_text, params)
         if ur_spec is not None:
             if return_text is not None:
-                raise CypherUnsupported(
-                    "RETURN after a batch relationship write is not "
-                    "supported (v1) — read the edges back with a MATCH "
-                    "on the type"
+                from neo4j_arrow_spark.cypher_write import (
+                    validate_batch_rel_return,
                 )
+
+                validate_batch_rel_return(ur_spec["rvar"], return_text)
             graph = self._resolve_graph(db, graph)
             g = self.catalog.get(graph, db, self.username)
 
             def run_ur() -> DataFrame:
+                from neo4j_arrow_spark.cypher_write import (
+                    project_batch_rel_return,
+                )
+
+                ret_out: dict | None = (
+                    {} if return_text is not None else None
+                )
                 rels_in = g.rels_eid if g.rels_eid is not None else g.rels
                 new_rels, summary = execute_unwind_rel(
-                    self.spark, g.nodes, rels_in, ur_spec
+                    self.spark, g.nodes, rels_in, ur_spec, ret_out=ret_out
                 )
                 if new_rels is not rels_in:
                     new_rels = new_rels.localCheckpoint()
@@ -352,6 +359,14 @@ class Neo4jArrowSpark:
                         username=self.username,
                         overwrite=True,
                     )
+                if return_text is not None:
+                    return project_batch_rel_return(
+                        self.spark,
+                        g.nodes,
+                        ret_out["rels"],
+                        ur_spec["rvar"],
+                        return_text,
+                    ).localCheckpoint()
                 return summary
 
             return self.registry.submit(

@@ -403,6 +403,7 @@ def _batch_rewriter(
     forbid_msg: str = "",
     strip_var: str | None = None,
     mode: str = "value",
+    extra_bound: frozenset = frozenset(),
 ):
     """Build the batch-form value rewriter: ``alias.key`` tokens become
     ``__b_<key>`` column references (collected into ``keys_used``),
@@ -473,7 +474,9 @@ def _batch_rewriter(
         # both the batch columns AND any stripped node columns are
         # bound scalars — without this the expression grammar would
         # treat a bare column name as a node variable (name → name.ID)
-        sub.unwind_aliases = {f"__b_{k}" for k in keys_used} | stripped
+        sub.unwind_aliases = (
+            {f"__b_{k}" for k in keys_used} | stripped | set(extra_bound)
+        )
         sql = sub.expr() if mode == "expr" else sub.value()
         if sub.peek()[1] != "":
             raise CypherSyntaxError(f"{ctx}: unsupported value expression")
@@ -783,6 +786,62 @@ def project_batch_return(
         f"ON {var}.ID = __wret_ids.__rid",
         1,
     )
+    return spark.sql(ret_sql)
+
+
+def validate_batch_rel_return(rvar: str | None, return_text: str) -> None:
+    """Submit-time contract for RETURN after a batch relationship
+    write (r10 verdict #4): a NAMED rel variable, and every property
+    access references it — same rule as the single-statement rel
+    RETURN."""
+    if not rvar:
+        raise CypherUnsupported(
+            "RETURN after a batch relationship write needs a named "
+            "rel variable ((a)-[r:T]->(b) … RETURN r.prop)"
+        )
+    prev = ("", "")
+    for t in _tokenize(return_text):
+        if t[1] == "." and prev[0] in ("name", "kw") and prev[1] != rvar:
+            raise CypherUnsupported(
+                "trailing RETURN items after a batch relationship "
+                f"write must reference only the rel variable {rvar!r} "
+                f"(got {prev[1]!r})"
+            )
+        prev = (t[0], t[1])
+
+
+def project_batch_rel_return(
+    spark: SparkSession,
+    nodes: DataFrame,
+    affected: DataFrame,
+    rvar: str,
+    return_text: str,
+) -> DataFrame:
+    """Project a batch relationship write's trailing RETURN over the
+    per-row affected edges (one row per batch row × anchor match —
+    openCypher multiplicity; values are the POST-STATEMENT edge
+    state). Same projection shape as the single-statement rel
+    RETURN."""
+    from neo4j_arrow_spark.cypher import cypher_to_sql
+
+    nodes.createOrReplaceTempView("__wret_bnodes")
+    affected.createOrReplaceTempView("__wret_brels")
+    ret_sql = cypher_to_sql(
+        f"MATCH (__wa)-[{rvar}]->(__wb) {return_text}",
+        "__wret_bnodes",
+        "__wret_brels",
+        rel_props=[
+            c
+            for c in affected.columns
+            if c not in RelField.RESERVED and c not in ("REL_ID", "REL_ID2")
+        ],
+    )
+    anchor = f"JOIN __wret_brels AS {rvar} ON"
+    if anchor not in ret_sql:
+        raise CypherUnsupported(
+            "trailing RETURN items after a batch relationship write "
+            f"must reference only the rel variable {rvar!r}"
+        )
     return spark.sql(ret_sql)
 
 
@@ -1178,9 +1237,9 @@ def parse_unwind_rel(query: str, params: dict | None):
 
     a = anchor()
     if peek()[0] == "kw" and peek()[1] == "WHERE":
-        raise CypherUnsupported(
-            "WHERE in a batch relationship write is not supported "
-            "(v1) — fold the predicate into the anchors' key maps"
+        raise CypherSyntaxError(
+            "batch rel write: WHERE goes after the LAST anchor "
+            "pattern (MATCH (a {…}), (b {…}) WHERE …)"
         )
     expect(",")
     b = anchor()
@@ -1188,11 +1247,34 @@ def parse_unwind_rel(query: str, params: dict | None):
         raise CypherUnsupported(
             "batch rel write supports exactly two anchor patterns (v1)"
         )
+    where_run: list | None = None
     if peek()[0] == "kw" and peek()[1] == "WHERE":
-        raise CypherUnsupported(
-            "WHERE in a batch relationship write is not supported "
-            "(v1) — fold the predicate into the anchors' key maps"
-        )
+        # r10 verdict #4: WHERE over the anchors' properties and/or
+        # batch values — evaluated on the joined (batch row × a-match
+        # × b-match) frame, before the edge write (Cypher order)
+        nxt()
+        where_run = []
+        wdepth = 0
+        while True:
+            kind, text = peek()[0], peek()[1]
+            if kind == "eof":
+                break
+            prev_dot = bool(where_run) and where_run[-1][1] == "."
+            if (
+                wdepth == 0
+                and not prev_dot
+                and kind == "name"
+                and text.upper() in ("CREATE", "MERGE")
+            ):
+                break
+            if text in ("(", "[", "{"):
+                wdepth += 1
+            elif text in (")", "]", "}"):
+                wdepth -= 1
+            where_run.append(nxt())
+            continue
+        if not where_run:
+            raise CypherSyntaxError("batch rel write: empty WHERE")
     vt = nxt()
     verb = vt[1].upper() if vt[0] in ("name", "kw") else ""
     if verb not in ("CREATE", "MERGE"):
@@ -1286,6 +1368,46 @@ def parse_unwind_rel(query: str, params: dict | None):
         (p, rewrite(run, f"relationship property {p}"))
         for p, run in rprops
     ]
+    where_sql, wprops = None, []
+    if where_run is not None:
+        # anchor property accesses (a.age) become per-side columns
+        # (__w0_age) the executor adds to the anchor frames; the rest
+        # goes through the expr rewriter (row.* keys, $params) — any
+        # remaining bare pattern variable refuses by name there
+        side_of = {src_var: 0, dst_var: 1}
+        wseen: set[tuple[int, str]] = set()
+        wtrans, i = [], 0
+        while i < len(where_run):
+            t = where_run[i]
+            if (
+                t[0] == "name"
+                and t[1] in side_of
+                and i + 2 < len(where_run)
+                and where_run[i + 1][1] == "."
+            ):
+                pt = where_run[i + 2]
+                p = pt[2] if len(pt) > 2 else pt[1]
+                s = side_of[t[1]]
+                wseen.add((s, p))
+                wtrans.append(("name", f"__w{s}_{p}"))
+                i += 3
+                continue
+            wtrans.append(t)
+            i += 1
+        wprops = sorted(wseen)
+        wrewrite = _batch_rewriter(
+            alias,
+            params,
+            keys_used,
+            forbidden=forbidden,
+            forbid_msg=(
+                "the WHERE predicate cannot reference pattern "
+                "variable {var!r} bare — use {var!r}.<prop>"
+            ),
+            mode="expr",
+            extra_bound=frozenset(f"__w{s}_{p}" for s, p in wprops),
+        )
+        where_sql = wrewrite(wtrans, "batch rel WHERE")
     for i, elem in enumerate(batch):
         if not isinstance(elem, dict):
             raise CypherUnsupported(
@@ -1302,7 +1424,10 @@ def parse_unwind_rel(query: str, params: dict | None):
         "op": "create_rel" if verb == "CREATE" else "merge_rel",
         "anchors": anchors,  # [src, dst] in edge direction
         "rtype": rtype,
+        "rvar": rvar,
         "rprops": rprop_sqls,
+        "where": where_sql,
+        "wprops": wprops,  # [(side, prop)] the WHERE references
         "b_sql": "\nUNION ALL\n".join(selects) if batch else None,
         "n_rows": len(batch),
     }
@@ -1720,14 +1845,19 @@ def execute_unwind_rel(
     nodes: DataFrame,
     rels: DataFrame | None,
     spec: dict,
+    ret_out: dict | None = None,
 ) -> tuple[DataFrame | None, DataFrame]:
     """Set-based batch edge load (see :func:`parse_unwind_rel`): the
     batch expands to one literal frame, each anchor resolves with ONE
     equi-join against the label-filtered node frame (broadcastable —
-    the batch side is small), edges dedupe per endpoint pair with
-    last-row-wins properties, and MERGE anti-joins the TYPE-filtered
-    existing frame. No per-row probes; the only graph-wide touches are
-    the two anchor joins and the type-filtered existence probe."""
+    the batch side is small), a WHERE (if present) filters the joined
+    frame before the write (Cypher clause order), edges dedupe per
+    endpoint pair with last-row-wins properties, and MERGE anti-joins
+    the TYPE-filtered existing frame. No per-row probes; the only
+    graph-wide touches are the two anchor joins and the type-filtered
+    existence probe. ``ret_out`` (for a trailing RETURN) receives
+    ``rels``: one POST-STATEMENT affected edge per batch row × anchor
+    match — openCypher multiplicity, set-based values."""
     from pyspark.sql.window import Window
 
     def summary(rcre=0):
@@ -1740,6 +1870,8 @@ def execute_unwind_rel(
     if rels is None:
         raise ValueError("graph has no relationship frame to extend")
     if spec["n_rows"] == 0:
+        if ret_out is not None:
+            ret_out["rels"] = rels.limit(0)
         return rels, summary()
     nfields = {f.name: f.dataType.simpleString() for f in nodes.schema.fields}
     B = spark.sql(spec["b_sql"])
@@ -1767,28 +1899,49 @@ def execute_unwind_rel(
         missing = any(p not in nfields for p, _ in props)
         idc = f"__id{s}"
         out_ids.append(idc)
+        wcols = [
+            (p, f"__w{s}_{p}")
+            for (s2, p) in spec.get("wprops") or []
+            if s2 == s
+        ]
         if missing:
             # a key property absent from the schema matches nothing —
             # Cypher MATCH drops every row
             pairs = pairs.join(
                 spark.createDataFrame([], f"{idc} long"), how="cross"
             ).limit(0)
+            for _p, wc in wcols:
+                pairs = pairs.withColumn(wc, F.lit(None))
             continue
         nf = nodes.filter(lcond).select(
             F.col(NodeField.ID).alias(idc),
             *[F.col(p).alias(f"__s{s}p{i}") for i, (p, _) in enumerate(props)],
+            # WHERE-referenced anchor props ride along; a prop the
+            # schema lacks reads as NULL (openCypher)
+            *[
+                (F.col(p) if p in nfields else F.lit(None)).alias(wc)
+                for p, wc in wcols
+            ],
         )
         cond = None
         for i, kc in enumerate(kcols):
             c = pairs[kc] == nf[f"__s{s}p{i}"]
             cond = c if cond is None else (cond & c)
         pairs = pairs.join(nf, cond, "inner")
+    if spec.get("where"):
+        # Cypher clause order: the predicate filters the MATCHed
+        # (batch row × a × b) combinations before any edge is written
+        pairs = pairs.filter(F.expr(spec["where"]))
     rfields = {f.name: f.dataType.simpleString() for f in rels.schema.fields}
     rp = spec["rprops"]
     proj = [F.col(out_ids[0]), F.col(out_ids[1])] + [
         F.expr(sql).alias(f"__rp{i}") for i, (_p, sql) in enumerate(rp)
     ]
     pairs = pairs.select(F.col("__ix"), *proj)
+    if ret_out is not None:
+        # pre-dedup multiplicity: one RETURN row per batch row ×
+        # anchor match (openCypher); values resolve post-statement
+        ret_pairs = pairs.select("__ix", *out_ids).localCheckpoint()
     # one edge per DISTINCT endpoint pair, LAST batch row's props win
     w = Window.partitionBy(out_ids[0], out_ids[1]).orderBy(
         F.col("__ix").desc()
@@ -1815,6 +1968,7 @@ def execute_unwind_rel(
     for p in rp_names - set(rfields):  # schema-widening rel property
         cols.append(F.col(f"__rp{rp_ix[p]}").alias(p))
     new = _decimals_to_double(pairs.select(*cols))
+    cand = new
     if spec["op"] == "merge_rel":
         # merge identity = endpoints + type + PATTERN props (the same
         # rule as single merge_rel); a widening prop can never match
@@ -1829,7 +1983,31 @@ def execute_unwind_rel(
             )
     new = new.localCheckpoint()  # consumed by count + union
     n_new = new.count()
-    return _union_rels(rels, new), summary(rcre=n_new)
+    merged = _union_rels(rels, new)
+    if ret_out is not None:
+        # affected edge per endpoint pair: the created one, or (MERGE)
+        # the matched pre-existing edge; join back to the pre-dedup
+        # pairs for openCypher row multiplicity
+        aff = new
+        if spec["op"] == "merge_rel" and not (rp_names - set(rfields)):
+            keys = [
+                RelField.START_ID,
+                RelField.END_ID,
+                RelField.TYPE,
+            ] + sorted(rp_names & set(rfields))
+            matched = rels.filter(
+                F.col(RelField.TYPE) == spec["rtype"]
+            ).join(cand.select(*keys).dropDuplicates(), keys, "leftsemi")
+            aff = new.unionByName(matched, allowMissingColumns=True)
+        jc = (aff[RelField.START_ID] == ret_pairs[out_ids[0]]) & (
+            aff[RelField.END_ID] == ret_pairs[out_ids[1]]
+        )
+        ret_out["rels"] = (
+            ret_pairs.join(aff, jc, "inner")
+            .drop("__ix", *out_ids)
+            .localCheckpoint()
+        )
+    return merged, summary(rcre=n_new)
 
 
 #: aggregate-function heads that must not appear in write VALUES (SET /

@@ -1552,6 +1552,90 @@ def cypher_unwind_merge_fold_roundtrip(
     ).result(300)
 
 
+_BATCH_REL_WHERE_SQL = """
+    SELECT 'NATION_1' AS a, 'NATION_2' AS b, 1.0 AS w
+"""
+
+
+@query("cypher_batch_rel_where_roundtrip", oracle=_BATCH_REL_WHERE_SQL)
+def cypher_batch_rel_where_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r11 (r10 verdict #4): WHERE in a batch relationship write —
+    the predicate (anchor properties AND batch values) filters the
+    joined (batch row × a-match × b-match) frame before any edge is
+    written, Cypher clause order. Three batch rows: one passes, one
+    fails the anchor predicate (a.name < b.name), one fails the batch
+    predicate (row.w >= 1.0). Nation-only anchors keep the oracle
+    SF-stable."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    rels = rels.filter(
+        (F.col("TYPE") == "IN_NATION") & (F.col("START_ID") >= 1_000_000)
+    )
+    api.catalog.register("cbrw", nodes, rels, overwrite=True)
+    api.cypher(
+        "UNWIND $batch AS row MATCH (a:Nation {name: row.x}), "
+        "(b:Nation {name: row.y}) WHERE a.name < b.name AND row.w >= 1.0 "
+        "CREATE (a)-[r:ADJ {w: row.w}]->(b)",
+        graph="cbrw",
+        params={
+            "batch": [
+                {"x": "NATION_1", "y": "NATION_2", "w": 1.0},
+                {"x": "NATION_3", "y": "NATION_1", "w": 2.0},
+                {"x": "NATION_2", "y": "NATION_4", "w": 0.5},
+            ]
+        },
+    ).result(300)
+    return api.cypher(
+        "MATCH (a:Nation)-[r:ADJ]->(b:Nation) "
+        "RETURN a.name AS a, b.name AS b, r.w AS w ORDER BY a, b",
+        graph="cbrw",
+    ).result(300)
+
+
+_BATCH_REL_RETURN_SQL = """
+    SELECT 5.0 AS w
+    UNION ALL SELECT 5.0
+    UNION ALL SELECT 7.0
+"""
+
+
+@query("cypher_batch_rel_return_roundtrip", oracle=_BATCH_REL_RETURN_SQL)
+def cypher_batch_rel_return_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r11 (r10 verdict #4): trailing RETURN after a batch
+    relationship CREATE — one row per batch row × anchor match
+    (openCypher multiplicity; a row matching no anchors drops),
+    values from the POST-STATEMENT edge: the duplicated
+    NATION_1→NATION_2 pair shows the last row's w=5.0 twice."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    rels = rels.filter(
+        (F.col("TYPE") == "IN_NATION") & (F.col("START_ID") >= 1_000_000)
+    )
+    api.catalog.register("cbrr", nodes, rels, overwrite=True)
+    return api.cypher(
+        "UNWIND $batch AS row MATCH (a:Nation {name: row.x}), "
+        "(b:Nation {name: row.y}) CREATE (a)-[r:ADJ {w: row.w}]->(b) "
+        "RETURN r.w AS w",
+        graph="cbrr",
+        params={
+            "batch": [
+                {"x": "NATION_1", "y": "NATION_2", "w": 4.0},
+                {"x": "NATION_1", "y": "NATION_2", "w": 5.0},
+                {"x": "NATION_3", "y": "NATION_4", "w": 7.0},
+                {"x": "ZZZ_NOSUCH", "y": "NATION_4", "w": 9.0},
+            ]
+        },
+    ).result(300)
+
+
 _UNWIND_CREATE_RETURN_SQL = """
     SELECT 'alpha' AS nm, CAST(9101001 AS BIGINT) AS id
     UNION ALL SELECT 'beta', CAST(9101002 AS BIGINT)

@@ -68,10 +68,17 @@ NEGATIVES: list[tuple[str, dict | None]] = [
     ),  # self-referential batch ON MATCH (fold)
     ("UNWIND $b AS row MERGE (n:P)", {"b": [{"k": 1}]}),  # keyless batch merge
     (
+        # r11: WHERE in batch rel writes is SUPPORTED — but a bare
+        # pattern-variable reference inside it still refuses by name
         "UNWIND $b AS row MATCH (a:P {k: row.x}), (c:P {k: row.y}) "
-        "WHERE a.age > 1 CREATE (a)-[:T]->(c)",
+        "WHERE a > 1 CREATE (a)-[:T]->(c)",
         {"b": [{"x": 1, "y": 2}]},
-    ),  # WHERE in batch rel write (v1 refusal)
+    ),  # bare anchor variable in batch-rel WHERE
+    (
+        "UNWIND $b AS row MATCH (a:P {k: row.x}), (c:P {k: row.y}) "
+        "CREATE (a)-[:T]->(c) RETURN 1 AS one",
+        {"b": [{"x": 1, "y": 2}]},
+    ),  # RETURN after batch rel write needs a NAMED rel variable
     (
         "UNWIND $b AS row MATCH (a:P {k: row.x}), (c:P {k: row.y}), "
         "(d:P {k: row.z}) CREATE (a)-[:T]->(c)",

@@ -372,7 +372,7 @@ def test_batch_rel_reversed_direction(eapi):
     assert [(r.g, r.u) for r in rows] == [("g1", "u1")]
 
 
-def test_batch_rel_on_set_and_return_refused(eapi):
+def test_batch_rel_on_set_refused(eapi):
     with pytest.raises(CypherUnsupported, match="ON CREATE/ON MATCH"):
         eapi.cypher(
             "UNWIND $b AS row MATCH (a:P {key: row.u}), "
@@ -381,13 +381,136 @@ def test_batch_rel_on_set_and_return_refused(eapi):
             graph="ur",
             params={"b": [{"u": "u1", "g": "g1"}]},
         )
-    with pytest.raises(
-        CypherUnsupported, match="batch relationship write"
-    ):
+
+
+# -- WHERE + RETURN on batch rel writes (r11, r10 verdict #4) --------------
+
+
+def test_batch_rel_where_filters_on_anchor_and_batch(eapi):
+    s = (
         eapi.cypher(
             "UNWIND $b AS row MATCH (a:P {key: row.u}), "
-            "(c:Q {key: row.g}) CREATE (a)-[r:LIKES]->(c) "
+            "(c:Q {key: row.g}) WHERE a.ID > 1 AND row.w > 0.5 "
+            "CREATE (a)-[r:W {w: row.w}]->(c)",
+            graph="ur",
+            params={
+                "b": [
+                    {"u": "u1", "g": "g1", "w": 9.0},  # a.ID=1 fails
+                    {"u": "u2", "g": "g1", "w": 0.1},  # row.w fails
+                    {"u": "u2", "g": "g2", "w": 2.0},  # passes
+                ]
+            },
+        )
+        .result(120)
+        .collect()[0]
+    )
+    assert s.rels_created == 1
+    rows = (
+        eapi.cypher(
+            "MATCH (a:P)-[r:W]->(c:Q) RETURN a.key AS u, c.key AS g",
+            graph="ur",
+        )
+        .result(120)
+        .collect()
+    )
+    assert [(r.u, r.g) for r in rows] == [("u2", "g2")]
+
+
+def test_batch_rel_where_missing_property_drops_all(eapi):
+    # openCypher: a.nosuch is NULL → predicate never true
+    s = (
+        eapi.cypher(
+            "UNWIND $b AS row MATCH (a:P {key: row.u}), "
+            "(c:Q {key: row.g}) WHERE a.nosuch > 1 "
+            "MERGE (a)-[r:W2]->(c)",
+            graph="ur",
+            params={"b": [{"u": "u1", "g": "g1"}]},
+        )
+        .result(120)
+        .collect()[0]
+    )
+    assert s.rels_created == 0
+
+
+def test_batch_rel_create_return(eapi):
+    rows = (
+        eapi.cypher(
+            "UNWIND $b AS row MATCH (a:P {key: row.u}), "
+            "(c:Q {key: row.g}) CREATE (a)-[r:R1 {w: row.w}]->(c) "
             "RETURN r.w AS w",
+            graph="ur",
+            params={
+                "b": [
+                    {"u": "u1", "g": "g1", "w": 3.0},
+                    {"u": "u2", "g": "g2", "w": 4.0},
+                    {"u": "nosuch", "g": "g1", "w": 9.0},  # drops
+                ]
+            },
+        )
+        .result(120)
+        .collect()
+    )
+    assert sorted(r.w for r in rows) == [3.0, 4.0]
+
+
+def test_batch_rel_create_return_post_statement_values(eapi):
+    # duplicate endpoint pair: TWO return rows (one per batch row),
+    # both showing the POST-statement (last-row-wins) edge
+    rows = (
+        eapi.cypher(
+            "UNWIND $b AS row MATCH (a:P {key: row.u}), "
+            "(c:Q {key: row.g}) CREATE (a)-[r:R2 {w: row.w}]->(c) "
+            "RETURN r.w AS w",
+            graph="ur",
+            params={
+                "b": [
+                    {"u": "u1", "g": "g1", "w": 1.0},
+                    {"u": "u1", "g": "g1", "w": 2.0},
+                ]
+            },
+        )
+        .result(120)
+        .collect()
+    )
+    assert sorted(r.w for r in rows) == [2.0, 2.0]
+
+
+def test_batch_rel_merge_return_matched_and_created(eapi):
+    # (u1,g1) IN edge pre-exists (matched), (u2,g2) creates
+    rows = (
+        eapi.cypher(
+            "UNWIND $b AS row MATCH (a:P {key: row.u}), "
+            "(c:Q {key: row.g}) MERGE (a)-[r:IN]->(c) "
+            "RETURN r.w AS w",
+            graph="ur",
+            params={"b": [{"u": "u1", "g": "g1"}, {"u": "u2", "g": "g2"}]},
+        )
+        .result(120)
+        .collect()
+    )
+    # matched edge keeps its stored w=0.5; created edge has no w
+    assert sorted((r.w is None, r.w) for r in rows) == [
+        (False, 0.5),
+        (True, None),
+    ]
+
+
+def test_batch_rel_return_anchor_variable_refused(eapi):
+    with pytest.raises(CypherUnsupported, match="rel variable"):
+        eapi.cypher(
+            "UNWIND $b AS row MATCH (a:P {key: row.u}), "
+            "(c:Q {key: row.g}) CREATE (a)-[r:R3]->(c) "
+            "RETURN a.key AS k",
+            graph="ur",
+            params={"b": [{"u": "u1", "g": "g1"}]},
+        )
+
+
+def test_batch_rel_return_unnamed_rvar_refused(eapi):
+    with pytest.raises(CypherUnsupported, match="named"):
+        eapi.cypher(
+            "UNWIND $b AS row MATCH (a:P {key: row.u}), "
+            "(c:Q {key: row.g}) CREATE (a)-[:R4]->(c) RETURN 1 AS one",
             graph="ur",
             params={"b": [{"u": "u1", "g": "g1"}]},
         )
