@@ -3357,6 +3357,21 @@ def _execute_write(
                 p.props = list(p.props) + [
                     (k, v) for k, v in ast["on_create"] if k not in have
                 ]
+        # Neo4j properties_set parity (r10 verdict #5): every non-NULL
+        # property written by a pattern map counts, one per assignment
+        # (a batch-expanded CREATE counts per element — each element
+        # is its own pattern here). ID/LABELS are identity, not props;
+        # a missing batch key renders as the literal NULL and is NOT
+        # set, exactly like Cypher.
+        def _map_props(prs) -> int:
+            return sum(
+                1
+                for k, v in prs
+                if k not in (NodeField.ID, NodeField.LABELS)
+                and str(v).strip().upper() != "NULL"
+            )
+
+        n_map_props = sum(_map_props(p.props) for p in pats)
         rows, id_sqls = _literal_rows(spark, nodes, pats)
         if aff_out is not None:
             # per-variable assigned-id expressions (self-contained
@@ -3377,7 +3392,9 @@ def _execute_write(
         new_nodes = nodes.unionByName(rows, allowMissingColumns=True)
         chain = ast.get("chain_rels") or []
         if not chain:
-            return new_nodes, rels, summary(op, created=len(pats))
+            return new_nodes, rels, summary(
+                op, created=len(pats), props=n_map_props
+            )
         # CREATE chain: literal relationship rows between the ids just
         # assigned, conformed to the rel frame's schema
         if rels is None:
@@ -3410,10 +3427,16 @@ def _execute_write(
                 cols.append(f"{props.get(c, 'NULL')} AS {c}")
             rselects.append("SELECT " + ", ".join(cols))
         rrows = _decimals_to_double(spark.sql("\nUNION ALL\n".join(rselects)))
+        n_map_props += sum(_map_props(r.props) for _, _, r in chain)
         return (
             new_nodes,
             _union_rels(rels, rrows),
-            summary(op, created=len(pats), rcre=len(chain)),
+            summary(
+                op,
+                created=len(pats),
+                props=n_map_props,
+                rcre=len(chain),
+            ),
         )
 
     if op in ("create_rel", "merge_rel"):

@@ -200,3 +200,42 @@ def test_keyword_named_batch_key_and_property(aapi):
         "MATCH (n:K) RETURN n.on AS o", graph="kw"
     ).result(120).collect()
     assert [r.o for r in rows] == [11.0]
+
+
+# -- props_set on CREATE property maps (r10 verdict #5) --------------------
+
+
+def test_batch_create_props_set_counts_map_props(aapi):
+    s = (
+        aapi.cypher(
+            "UNWIND $b AS row CREATE (n:L {name: row.x})",
+            graph="adv",
+            params={"b": [{"x": "a"}, {"x": "b"}, {"x": None}]},
+        )
+        .result(120)
+        .collect()[0]
+    )
+    # one per non-NULL assignment (the None batch value is NOT set)
+    assert (s.nodes_created, s.props_set) == (3, 2)
+
+
+def test_chain_create_props_set_counts_node_and_rel_props(aapi):
+    rels = aapi.spark.createDataFrame(
+        [], "START_ID long, END_ID long, TYPE string, w double"
+    )
+    nodes = aapi.spark.createDataFrame(
+        [(1, ["Z"], "z", 0.0)],
+        "ID long, LABELS array<string>, name string, price double",
+    )
+    aapi.catalog.register("chainp", nodes, rels, overwrite=True)
+    s = (
+        aapi.cypher(
+            "CREATE (a:X {ID: 10, name: 'a'})-[:T {w: 2.0}]->"
+            "(b:Y {ID: 11, name: 'b', price: 1.0})",
+            graph="chainp",
+        )
+        .result(120)
+        .collect()[0]
+    )
+    # node map props (ID excluded) + rel map props: 1 + 2 + 1 = 4
+    assert (s.nodes_created, s.rels_created, s.props_set) == (2, 1, 4)
