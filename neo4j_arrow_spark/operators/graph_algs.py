@@ -762,6 +762,97 @@ def landmark_closeness(
     return exact.unionByName(est)
 
 
+def landmark_harmonic(
+    edges: DataFrame,
+    k: int = 8,
+    max_hops: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Landmark (pivot) harmonic centrality — the harmonic twin of
+    :func:`landmark_closeness` (r10 verdict #7): BFS from only the
+    ``k`` highest-degree nodes, so the distance state is ``k x |V|``.
+
+    - landmarks get their EXACT hop-bounded harmonic
+      ``sum_v (scale div d(l, v))``;
+    - every other node u gets a triangle-inequality LOWER-bound
+      estimate through its best landmark: since
+      ``d(u, v) <= d(u, l) + d(l, v)``, each reciprocal
+      ``scale div (d_ul + d_lv)`` under-counts ``scale div d(u, v)``.
+      The per-landmark sum collapses to a k·max_hops DISTANCE
+      HISTOGRAM join (``sum_h cnt_l(h) * (scale div (d_ul + h))``) —
+      never an all-pairs frame — plus the exact ``scale div d_ul``
+      term for the landmark itself, minus u's own self-bucket term.
+      The estimate is ``max_l`` over reaching landmarks.
+
+    All-integer arithmetic keeps it order-independent and
+    oracle-exact. Returns ``(node long, is_landmark boolean,
+    reached long, harmonic_q long)``; nodes no landmark reaches are
+    omitted. ``reached`` is exact for landmarks, the max over
+    reaching landmarks otherwise.
+
+    100-TB shape: k BFS waves, a broadcast k·max_hops histogram, and
+    one groupBy over k·|V| — every piece linear in |V| for fixed k."""
+    und = _undirected(edges)
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("_deg")
+    )
+    lm = (
+        deg.orderBy(F.col("_deg").desc(), F.col("node").asc())
+        .limit(k)
+        .select("node")
+        .localCheckpoint()  # consumed by BFS origins + anti-join
+    )
+    dist = _bounded_distances(edges, lm, max_hops)  # (origin=l, node, hop)
+    dist = dist.localCheckpoint()  # consumed by exact + hist + est
+    stats = (
+        dist.groupBy("origin")
+        .agg(
+            F.count("*").alias("_reached"),
+            F.sum(F.expr(f"{scale} div hop")).alias("_hq"),
+        )
+        .localCheckpoint()  # k rows, consumed twice
+    )
+    exact = stats.select(
+        F.col("origin").alias("node"),
+        F.lit(True).alias("is_landmark"),
+        F.col("_reached").cast("long").alias("reached"),
+        F.col("_hq").cast("long").alias("harmonic_q"),
+    )
+    hist = (
+        dist.groupBy("origin", F.col("hop").alias("_h"))
+        .agg(F.count("*").alias("_cnt"))
+        .localCheckpoint()  # k·max_hops rows — broadcast side
+    )
+    est = (
+        dist.join(F.broadcast(hist), "origin")
+        .withColumn(
+            "_term", F.col("_cnt") * F.expr(f"{scale} div (hop + _h)")
+        )
+        .groupBy("node", "origin", "hop")
+        .agg(F.sum("_term").alias("_sum"))
+        .withColumn(
+            "_est",
+            F.col("_sum")
+            + F.expr(f"{scale} div hop")  # the landmark itself
+            - F.expr(f"{scale} div (2 * hop)"),  # u's own bucket term
+        )
+        .join(F.broadcast(stats), "origin")
+        .groupBy("node")
+        .agg(
+            F.max("_est").alias("harmonic_q"),
+            F.max("_reached").alias("reached"),
+        )
+        .join(lm, "node", "left_anti")
+        .select(
+            F.col("node"),
+            F.lit(False).alias("is_landmark"),
+            F.col("reached").cast("long").alias("reached"),
+            F.col("harmonic_q").cast("long").alias("harmonic_q"),
+        )
+    )
+    return exact.unionByName(est)
+
+
 def degree_centrality(
     edges: DataFrame,
     orientation: str = "NATURAL",

@@ -383,3 +383,38 @@ def test_landmark_closeness_unreached_nodes_omitted(spark):
     got = {r.node: r for r in landmark_closeness(e, k=1, max_hops=10).collect()}
     assert set(got) <= {1, 2, 3}
     assert any(r.is_landmark for r in got.values())
+
+
+def test_landmark_harmonic_exact_for_landmarks_bound_for_rest(spark):
+    """r11 (r10 verdict #7): path graph 1-2-3-4-5, k=2 landmarks =
+    nodes 2,3 (degree tiebreak by id). Landmark rows are EXACT
+    hop-bounded harmonic; every other node's harmonic_q is a
+    triangle-inequality LOWER bound (each reciprocal under-counts
+    through the detour over the best landmark)."""
+    from neo4j_arrow_spark.operators.graph_algs import (
+        harmonic_centrality,
+        landmark_harmonic,
+    )
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {r.node: r for r in landmark_harmonic(e, k=2, max_hops=10).collect()}
+    exact = {r.node: r for r in harmonic_centrality(e, max_hops=10).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    lms = {n for n, r in got.items() if r.is_landmark}
+    assert lms == {2, 3}
+    for n in lms:
+        assert got[n].harmonic_q == exact[n].harmonic_q
+        assert got[n].reached == exact[n].reached
+    for n in set(got) - lms:
+        assert got[n].harmonic_q <= exact[n].harmonic_q
+        assert got[n].harmonic_q > 0
+        assert got[n].reached == 4
+
+
+def test_landmark_harmonic_unreached_nodes_omitted(spark):
+    from neo4j_arrow_spark.operators.graph_algs import landmark_harmonic
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (8, 9)])
+    got = {r.node: r for r in landmark_harmonic(e, k=1, max_hops=10).collect()}
+    assert set(got) <= {1, 2, 3}
+    assert any(r.is_landmark for r in got.values())
