@@ -1331,12 +1331,85 @@ def parse_unwind_rel(query: str, params: dict | None):
             f"batch rel write: endpoints {e1!r}/{e2!r} must be the two "
             "MATCH anchor variables"
         )
-    if peek()[0] == "name" and peek()[1].upper() == "ON":
-        raise CypherUnsupported(
-            "ON CREATE/ON MATCH SET on a batch relationship MERGE is "
-            "not supported (v1) — set the properties in the pattern "
-            "map, or run a MATCH…SET after the batch"
-        )
+    # ON CREATE SET / ON MATCH SET on the batch rel MERGE (r11):
+    # targets the rel variable; values are batch keys / params /
+    # literals (self-references keep a targeted refusal). Applied
+    # set-based: ON CREATE folds into the created rows (last row per
+    # pair wins, like the pattern props), ON MATCH is one conditional
+    # projection over the matched identities.
+    r_on_create: list[tuple[str, list]] = []
+    r_on_match: list[tuple[str, list]] = []
+    while peek()[0] == "name" and peek()[1].upper() == "ON":
+        if verb != "MERGE":
+            raise CypherSyntaxError(
+                "ON CREATE/ON MATCH SET is only valid after MERGE"
+            )
+        if rvar is None:
+            raise CypherUnsupported(
+                "name the merged relationship to use ON CREATE/ON "
+                "MATCH SET ((a)-[r:T]->(b) …)"
+            )
+        nxt()
+        wt = nxt()
+        which = wt[1].upper() if wt[0] in ("name", "kw") else ""
+        if which not in ("CREATE", "MATCH"):
+            raise CypherSyntaxError(
+                f"expected CREATE or MATCH after ON, got {wt[1]!r}"
+            )
+        st = nxt()
+        if not (st[0] in ("name", "kw") and st[1].upper() == "SET"):
+            raise CypherSyntaxError(
+                f"expected SET after ON {which}, got {st[1]!r}"
+            )
+        tgt = r_on_create if which == "CREATE" else r_on_match
+        while True:
+            v2 = nxt()
+            if v2[0] != "name" or v2[1] != rvar:
+                raise CypherUnsupported(
+                    f"ON {which} SET targets the merged rel variable "
+                    f"{rvar!r}, got {v2[1]!r}"
+                )
+            expect(".")
+            pt = nxt()
+            if pt[0] not in ("name", "kw"):
+                raise CypherSyntaxError("expected property name after '.'")
+            prop = pt[2] if len(pt) > 2 else pt[1]
+            if prop in RelField.RESERVED:
+                raise CypherUnsupported(
+                    f"ON {which} SET cannot modify the immutable "
+                    f"column {prop!r}"
+                )
+            expect("=")
+            run = []
+            depth = 0
+            while True:
+                kind, text = peek()[0], peek()[1]
+                if kind == "eof":
+                    break
+                prev_dot = bool(run) and run[-1][1] == "."
+                if text in ("(", "[", "{"):
+                    depth += 1
+                elif text in (")", "]", "}"):
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0 and not prev_dot and (
+                    text == ","
+                    or (kind == "name" and text.upper() == "ON")
+                    or (kind == "kw" and text == "RETURN")
+                ):
+                    break
+                run.append(nxt())
+                continue
+            if not run:
+                raise CypherSyntaxError(
+                    f"ON {which} SET {rvar}.{prop}: empty value"
+                )
+            tgt.append((prop, run))
+            if peek()[1] == ",":
+                nxt()
+                continue
+            break
     if peek()[0] == "kw" and peek()[1] == "RETURN":
         raise CypherUnsupported(
             "RETURN after a batch relationship write is not supported "
@@ -1368,6 +1441,24 @@ def parse_unwind_rel(query: str, params: dict | None):
         (p, rewrite(run, f"relationship property {p}"))
         for p, run in rprops
     ]
+    roc_sqls = [
+        (p, rewrite(run, f"ON CREATE SET {rvar}.{p}"))
+        for p, run in r_on_create
+    ]
+    rom_sqls = [
+        (p, rewrite(run, f"ON MATCH SET {rvar}.{p}"))
+        for p, run in r_on_match
+    ]
+    # pattern props define the merge identity; an ON CREATE value for
+    # the same property loses to the pattern (single merge_rel parity)
+    rp_key_names = {p for p, _ in rprop_sqls}
+    roc_sqls = [(p, s) for p, s in roc_sqls if p not in rp_key_names]
+    if any(p in rp_key_names for p, _ in rom_sqls):
+        raise CypherUnsupported(
+            "ON MATCH SET on a batch rel MERGE cannot modify a "
+            "pattern (merge-key) property — it would change the "
+            "match identity"
+        )
     where_sql, wprops = None, []
     if where_run is not None:
         # anchor property accesses (a.age) become per-side columns
@@ -1426,6 +1517,8 @@ def parse_unwind_rel(query: str, params: dict | None):
         "rtype": rtype,
         "rvar": rvar,
         "rprops": rprop_sqls,
+        "on_create": roc_sqls,
+        "on_match": rom_sqls,
         "where": where_sql,
         "wprops": wprops,  # [(side, prop)] the WHERE references
         "b_sql": "\nUNION ALL\n".join(selects) if batch else None,
@@ -1860,9 +1953,9 @@ def execute_unwind_rel(
     match — openCypher multiplicity, set-based values."""
     from pyspark.sql.window import Window
 
-    def summary(rcre=0):
+    def summary(rcre=0, props=0):
         return spark.createDataFrame(
-            [(spec["op"], 0, 0, 0, 0, rcre)],
+            [(spec["op"], 0, props, 0, 0, rcre)],
             "op string, nodes_created long, props_set long, "
             "nodes_deleted long, rels_deleted long, rels_created long",
         )
@@ -1934,15 +2027,21 @@ def execute_unwind_rel(
         pairs = pairs.filter(F.expr(spec["where"]))
     rfields = {f.name: f.dataType.simpleString() for f in rels.schema.fields}
     rp = spec["rprops"]
-    proj = [F.col(out_ids[0]), F.col(out_ids[1])] + [
-        F.expr(sql).alias(f"__rp{i}") for i, (_p, sql) in enumerate(rp)
-    ]
+    oc = spec.get("on_create") or []
+    om = spec.get("on_match") or []
+    proj = (
+        [F.col(out_ids[0]), F.col(out_ids[1])]
+        + [F.expr(sql).alias(f"__rp{i}") for i, (_p, sql) in enumerate(rp)]
+        + [F.expr(sql).alias(f"__oc{i}") for i, (_p, sql) in enumerate(oc)]
+        + [F.expr(sql).alias(f"__om{i}") for i, (_p, sql) in enumerate(om)]
+    )
     pairs = pairs.select(F.col("__ix"), *proj)
     if ret_out is not None:
         # pre-dedup multiplicity: one RETURN row per batch row ×
         # anchor match (openCypher); values resolve post-statement
         ret_pairs = pairs.select("__ix", *out_ids).localCheckpoint()
     # one edge per DISTINCT endpoint pair, LAST batch row's props win
+    # (the same last-row rule covers the ON CREATE/ON MATCH values)
     w = Window.partitionBy(out_ids[0], out_ids[1]).orderBy(
         F.col("__ix").desc()
     )
@@ -1958,24 +2057,31 @@ def execute_unwind_rel(
     ]
     rp_names = {p for p, _ in rp}
     rp_ix = {p: i for i, (p, _) in enumerate(rp)}
+    oc_ix = {p: i for i, (p, _) in enumerate(oc)}
     for c in rels.schema.fieldNames():
         if c in RelField.RESERVED or c in ("REL_ID", "REL_ID2"):
             continue
         if c in rp_names:
             cols.append(F.col(f"__rp{rp_ix[c]}").cast(rfields[c]).alias(c))
+        elif c in oc_ix:  # ON CREATE SET over the created rows
+            cols.append(F.col(f"__oc{oc_ix[c]}").cast(rfields[c]).alias(c))
         else:
             cols.append(F.lit(None).cast(rfields[c]).alias(c))
     for p in rp_names - set(rfields):  # schema-widening rel property
         cols.append(F.col(f"__rp{rp_ix[p]}").alias(p))
+    for p in oc_ix:  # schema-widening ON CREATE property
+        if p not in rfields and p not in rp_names:
+            cols.append(F.col(f"__oc{oc_ix[p]}").alias(p))
     new = _decimals_to_double(pairs.select(*cols))
     cand = new
+    mergeable = spec["op"] == "merge_rel" and not (rp_names - set(rfields))
     if spec["op"] == "merge_rel":
         # merge identity = endpoints + type + PATTERN props (the same
         # rule as single merge_rel); a widening prop can never match
         keys = [RelField.START_ID, RelField.END_ID, RelField.TYPE] + sorted(
             rp_names & set(rfields)
         )
-        if not (rp_names - set(rfields)):
+        if mergeable:
             new = new.join(
                 _merge_probe_frame(rels, spec["rtype"], keys),
                 keys,
@@ -1983,22 +2089,73 @@ def execute_unwind_rel(
             )
     new = new.localCheckpoint()  # consumed by count + union
     n_new = new.count()
-    merged = _union_rels(rels, new)
+    # ON MATCH SET: one conditional projection over the rel frame —
+    # matched identities take the per-pair (last-row) values; created
+    # pairs never join (their identity was just proven absent)
+    rels_out, matched_aff, n_matched = rels, None, 0
+    if mergeable and om:
+        ikeys = sorted(rp_names & set(rfields))
+        mupd = pairs.select(
+            *out_ids,
+            *[F.col(f"__rp{rp_ix[p]}").alias(f"__mk_{p}") for p in ikeys],
+            *[F.col(f"__om{i}") for i in range(len(om))],
+        ).localCheckpoint()
+        cond = (
+            (rels[RelField.START_ID] == mupd[out_ids[0]])
+            & (rels[RelField.END_ID] == mupd[out_ids[1]])
+            & (rels[RelField.TYPE] == spec["rtype"])
+        )
+        for p in ikeys:
+            cond = cond & (rels[p] == mupd[f"__mk_{p}"])
+        joined = rels.join(mupd, cond, "left")
+        flag = F.col(out_ids[0]).isNotNull()
+        for i, (p, _sql) in enumerate(om):
+            val = F.col(f"__om{i}")
+            if p in rfields:
+                val = val.cast(rfields[p])
+                joined = joined.withColumn(
+                    p, F.when(flag, val).otherwise(F.col(p))
+                )
+            else:  # widening ON MATCH rel property
+                joined = joined.withColumn(p, F.when(flag, val))
+        drops = (
+            list(out_ids)
+            + [f"__mk_{p}" for p in ikeys]
+            + [f"__om{i}" for i in range(len(om))]
+        )
+        if ret_out is not None:
+            matched_aff = joined.filter(flag).drop(*drops)
+        rels_out = joined.drop(*drops)
+        n_matched = (
+            rels.filter(F.col(RelField.TYPE) == spec["rtype"])
+            .join(
+                cand.select(
+                    RelField.START_ID, RelField.END_ID, RelField.TYPE,
+                    *ikeys,
+                ).dropDuplicates(),
+                [RelField.START_ID, RelField.END_ID, RelField.TYPE]
+                + ikeys,
+                "leftsemi",
+            )
+            .count()
+        )
+    merged = _union_rels(rels_out, new)
     if ret_out is not None:
         # affected edge per endpoint pair: the created one, or (MERGE)
-        # the matched pre-existing edge; join back to the pre-dedup
-        # pairs for openCypher row multiplicity
+        # the matched edge with its POST-ON-MATCH values; join back to
+        # the pre-dedup pairs for openCypher row multiplicity
         aff = new
-        if spec["op"] == "merge_rel" and not (rp_names - set(rfields)):
-            keys = [
-                RelField.START_ID,
-                RelField.END_ID,
-                RelField.TYPE,
-            ] + sorted(rp_names & set(rfields))
-            matched = rels.filter(
-                F.col(RelField.TYPE) == spec["rtype"]
-            ).join(cand.select(*keys).dropDuplicates(), keys, "leftsemi")
-            aff = new.unionByName(matched, allowMissingColumns=True)
+        if mergeable:
+            if matched_aff is None:
+                keys = [
+                    RelField.START_ID,
+                    RelField.END_ID,
+                    RelField.TYPE,
+                ] + sorted(rp_names & set(rfields))
+                matched_aff = rels.filter(
+                    F.col(RelField.TYPE) == spec["rtype"]
+                ).join(cand.select(*keys).dropDuplicates(), keys, "leftsemi")
+            aff = new.unionByName(matched_aff, allowMissingColumns=True)
         jc = (aff[RelField.START_ID] == ret_pairs[out_ids[0]]) & (
             aff[RelField.END_ID] == ret_pairs[out_ids[1]]
         )
@@ -2007,7 +2164,9 @@ def execute_unwind_rel(
             .drop("__ix", *out_ids)
             .localCheckpoint()
         )
-    return merged, summary(rcre=n_new)
+    return merged, summary(
+        rcre=n_new, props=n_new * len(oc) + n_matched * len(om)
+    )
 
 
 #: aggregate-function heads that must not appear in write VALUES (SET /

@@ -1636,6 +1636,57 @@ def cypher_batch_rel_return_roundtrip(
     ).result(300)
 
 
+_BATCH_REL_ONSET_SQL = """
+    SELECT 'NATION_1' AS a, 'NATION_2' AS b, 20.0 AS w
+    UNION ALL
+    SELECT 'NATION_3', 'NATION_4', 3.0
+"""
+
+
+@query("cypher_batch_rel_onset_roundtrip", oracle=_BATCH_REL_ONSET_SQL)
+def cypher_batch_rel_onset_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r11: ON CREATE SET / ON MATCH SET on the batch relationship
+    MERGE — set-based: ON CREATE folds into the created rows, ON
+    MATCH is one conditional projection over the matched identities,
+    both with the last-batch-row-per-pair values. The NATION_1→2 edge
+    pre-exists (seeded by a first batch) and takes the ON MATCH value
+    (2.0 × 10); NATION_3→4 creates with the ON CREATE value."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    rels = rels.filter(
+        (F.col("TYPE") == "IN_NATION") & (F.col("START_ID") >= 1_000_000)
+    )
+    api.catalog.register("cbro", nodes, rels, overwrite=True)
+    api.cypher(
+        "UNWIND $batch AS row MATCH (a:Nation {name: row.x}), "
+        "(b:Nation {name: row.y}) MERGE (a)-[r:ADJ]->(b) "
+        "ON CREATE SET r.w = row.w",
+        graph="cbro",
+        params={"batch": [{"x": "NATION_1", "y": "NATION_2", "w": 1.0}]},
+    ).result(300)
+    api.cypher(
+        "UNWIND $batch AS row MATCH (a:Nation {name: row.x}), "
+        "(b:Nation {name: row.y}) MERGE (a)-[r:ADJ]->(b) "
+        "ON CREATE SET r.w = row.w ON MATCH SET r.w = row.w * 10",
+        graph="cbro",
+        params={
+            "batch": [
+                {"x": "NATION_1", "y": "NATION_2", "w": 2.0},
+                {"x": "NATION_3", "y": "NATION_4", "w": 3.0},
+            ]
+        },
+    ).result(300)
+    return api.cypher(
+        "MATCH (a:Nation)-[r:ADJ]->(b:Nation) "
+        "RETURN a.name AS a, b.name AS b, r.w AS w ORDER BY a",
+        graph="cbro",
+    ).result(300)
+
+
 _UNWIND_CREATE_RETURN_SQL = """
     SELECT 'alpha' AS nm, CAST(9101001 AS BIGINT) AS id
     UNION ALL SELECT 'beta', CAST(9101002 AS BIGINT)

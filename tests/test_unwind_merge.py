@@ -372,11 +372,13 @@ def test_batch_rel_reversed_direction(eapi):
     assert [(r.g, r.u) for r in rows] == [("g1", "u1")]
 
 
-def test_batch_rel_on_set_refused(eapi):
-    with pytest.raises(CypherUnsupported, match="ON CREATE/ON MATCH"):
+def test_batch_rel_on_set_unnamed_rvar_refused(eapi):
+    # r11: ON CREATE/ON MATCH SET is SUPPORTED on the batch rel MERGE
+    # — but still needs a NAMED rel variable to target
+    with pytest.raises(CypherUnsupported, match="name the merged"):
         eapi.cypher(
             "UNWIND $b AS row MATCH (a:P {key: row.u}), "
-            "(c:Q {key: row.g}) MERGE (a)-[r:LIKES]->(c) "
+            "(c:Q {key: row.g}) MERGE (a)-[:LIKES]->(c) "
             "ON CREATE SET r.w = 1",
             graph="ur",
             params={"b": [{"u": "u1", "g": "g1"}]},
@@ -827,4 +829,100 @@ def test_fold_on_merge_key_refuses(fapi):
             "ON MATCH SET n.sku = n.sku + 'x'",
             graph="fold",
             params={"b": [{"sku": "a"}]},
+        )
+
+
+# -- ON CREATE / ON MATCH SET on batch rel MERGE (r11) ---------------------
+
+
+def test_batch_rel_merge_on_create_on_match(eapi):
+    # (u1,g1) IN edge pre-exists → ON MATCH; (u2,g2) → ON CREATE
+    s = (
+        eapi.cypher(
+            "UNWIND $b AS row MATCH (a:P {key: row.u}), "
+            "(c:Q {key: row.g}) MERGE (a)-[r:IN]->(c) "
+            "ON CREATE SET r.w = row.w ON MATCH SET r.w = row.w * 10",
+            graph="ur",
+            params={
+                "b": [
+                    {"u": "u1", "g": "g1", "w": 2.0},
+                    {"u": "u2", "g": "g2", "w": 3.0},
+                ]
+            },
+        )
+        .result(120)
+        .collect()[0]
+    )
+    assert (s.rels_created, s.props_set) == (1, 2)
+    rows = (
+        eapi.cypher(
+            "MATCH (a:P)-[r:IN]->(c:Q) RETURN a.key AS u, r.w AS w "
+            "ORDER BY u",
+            graph="ur",
+        )
+        .result(120)
+        .collect()
+    )
+    assert [(r.u, r.w) for r in rows] == [("u1", 20.0), ("u2", 3.0)]
+
+
+def test_batch_rel_merge_on_set_with_return(eapi):
+    rows = (
+        eapi.cypher(
+            "UNWIND $b AS row MATCH (a:P {key: row.u}), "
+            "(c:Q {key: row.g}) MERGE (a)-[r:OC {w: 1.0}]->(c) "
+            "ON CREATE SET r.tag = row.t RETURN r.w AS w, r.tag AS t",
+            graph="ur",
+            params={
+                "b": [
+                    {"u": "u1", "g": "g1", "t": "a"},
+                    {"u": "u2", "g": "g1", "t": "b"},
+                ]
+            },
+        )
+        .result(120)
+        .collect()
+    )
+    # both create; RETURN shows the post-statement edges incl. the
+    # widening ON CREATE tag
+    assert sorted((r.w, r.t) for r in rows) == [(1.0, "a"), (1.0, "b")]
+
+
+def test_batch_rel_merge_on_match_widening_property(eapi):
+    eapi.cypher(
+        "UNWIND $b AS row MATCH (a:P {key: row.u}), (c:Q {key: row.g}) "
+        "MERGE (a)-[r:IN]->(c) ON MATCH SET r.boost = row.v",
+        graph="ur",
+        params={"b": [{"u": "u1", "g": "g1", "v": 5.0}]},
+    ).result(120)
+    rows = (
+        eapi.cypher(
+            "MATCH (a:P {key: 'u1'})-[r:IN]->(c:Q) RETURN r.boost AS b",
+            graph="ur",
+        )
+        .result(120)
+        .collect()
+    )
+    assert [r.b for r in rows] == [5.0]
+
+
+def test_batch_rel_merge_on_match_merge_key_refused(eapi):
+    with pytest.raises(CypherUnsupported, match="merge-key"):
+        eapi.cypher(
+            "UNWIND $b AS row MATCH (a:P {key: row.u}), "
+            "(c:Q {key: row.g}) MERGE (a)-[r:IN {w: row.w}]->(c) "
+            "ON MATCH SET r.w = 1.0",
+            graph="ur",
+            params={"b": [{"u": "u1", "g": "g1", "w": 1.0}]},
+        )
+
+
+def test_batch_rel_merge_on_set_self_reference_refused(eapi):
+    with pytest.raises(CypherUnsupported, match="cannot reference"):
+        eapi.cypher(
+            "UNWIND $b AS row MATCH (a:P {key: row.u}), "
+            "(c:Q {key: row.g}) MERGE (a)-[r:IN]->(c) "
+            "ON MATCH SET r.w = r.w + 1",
+            graph="ur",
+            params={"b": [{"u": "u1", "g": "g1"}]},
         )
