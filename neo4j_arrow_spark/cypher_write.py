@@ -1725,7 +1725,50 @@ def parse_unwind_node_write(query: str, params: dict | None):
                     "are immutable"
                 )
             expect("=")
-            sets.append((prop, rewrite(expr_tokens(), f"SET {var}.{prop}")))
+            run = expr_tokens()
+            if any(t[0] == "name" and t[1] == var for t in run):
+                # ADDITIVE self-referencing fold (r11 — the SET twin
+                # of the batch-MERGE ON MATCH fold): n.c = n.c + expr
+                # applies as base + SUM(expr) over the rows matching
+                # the node
+                fold = _match_additive_fold(prop, run, var)
+                if fold is None:
+                    raise CypherUnsupported(
+                        f"SET {var}.{prop}: only ADDITIVE "
+                        f"self-referencing folds ({var}.{prop} = "
+                        f"{var}.{prop} + expr, or "
+                        f"coalesce({var}.{prop}, init) + expr) are "
+                        "supported in the batch form; run a plain "
+                        "MATCH…SET instead"
+                    )
+                if any(p2 == prop for p2, _ in props):
+                    raise CypherUnsupported(
+                        f"SET {var}.{prop}: a fold on a match-key "
+                        "property would change the match identity "
+                        "mid-batch — not supported in the batch form"
+                    )
+                init_run, sign, rest = fold
+                sets.append(
+                    {
+                        "prop": prop,
+                        "kind": "fold",
+                        "sign": sign,
+                        "init": (
+                            rewrite(init_run, f"SET {var}.{prop} init")
+                            if init_run
+                            else None
+                        ),
+                        "rest": rewrite(rest, f"SET {var}.{prop}"),
+                    }
+                )
+            else:
+                sets.append(
+                    {
+                        "prop": prop,
+                        "kind": "value",
+                        "sql": rewrite(run, f"SET {var}.{prop}"),
+                    }
+                )
             if peek()[1] == ",":
                 nxt()
                 continue
@@ -1863,28 +1906,51 @@ def execute_unwind_node_write(
             tagged[NodeField.ID].alias("__rid"), Bk["__ix"]
         ).localCheckpoint()
     if op == "set":
-        w = Window.partitionBy(tagged[NodeField.ID]).orderBy(
-            F.col("__ix").desc()
-        )
-        upd = (
-            joined0.withColumn("__rn", F.row_number().over(w))
-            .filter("__rn = 1")
-            .select(
-                tagged[NodeField.ID].alias("__sid"),
-                *[
-                    F.expr(sql).alias(f"__v{i}")
-                    for i, (_p, sql) in enumerate(spec["sets"])
-                ],
-            )
-        )
+        # per matched node: plain values take the LAST applicable row
+        # (max_by over __ix — sequential parity), additive folds SUM
+        # their per-row expr (base + SUM == row-by-row application); a
+        # NULL fold expr on any row nulls the result (NULL + x = NULL
+        # forever in the sequential run)
+        sets = spec["sets"]
+        aggs, fold_flags = [], []
+        for i, e in enumerate(sets):
+            if e["kind"] == "value":
+                aggs.append(
+                    F.max_by(F.expr(e["sql"]), F.col("__ix")).alias(
+                        f"__v{i}"
+                    )
+                )
+            else:
+                rest = F.expr(e["rest"])
+                if e["sign"] == "-":
+                    rest = -rest
+                aggs.append(F.sum(rest).alias(f"__v{i}"))
+                aggs.append(
+                    F.max(
+                        F.expr(e["rest"]).isNull().cast("int")
+                    ).alias(f"__vn{i}")
+                )
+                fold_flags.append(f"__vn{i}")
+        upd = joined0.groupBy(
+            tagged[NodeField.ID].alias("__sid")
+        ).agg(*aggs)
         upd = _decimals_to_double(upd).localCheckpoint()
         n_set = upd.count()
         joined = nodes.join(
             upd, nodes[NodeField.ID] == upd["__sid"], "left"
         )
         matched = F.col("__sid").isNotNull()
-        for i, (p, _sql) in enumerate(spec["sets"]):
-            val = F.col(f"__v{i}")
+        for i, e in enumerate(sets):
+            p = e["prop"]
+            if e["kind"] == "value":
+                val = F.col(f"__v{i}")
+            else:
+                base = F.col(p) if p in nfields else F.lit(None)
+                if e["init"] is not None:
+                    base = F.coalesce(base, F.expr(e["init"]))
+                val = F.when(
+                    F.col(f"__vn{i}") == 1, F.lit(None)
+                ).otherwise(base + F.col(f"__v{i}"))
             if p in nfields:
                 val = val.cast(nfields[p])
                 joined = joined.withColumn(
@@ -1893,9 +1959,11 @@ def execute_unwind_node_write(
             else:  # schema-widening batch SET
                 joined = joined.withColumn(p, F.when(matched, val))
         out = joined.drop(
-            "__sid", *[f"__v{i}" for i in range(len(spec["sets"]))]
+            "__sid",
+            *[f"__v{i}" for i in range(len(sets))],
+            *fold_flags,
         )
-        return out, rels, summary("set", props=n_set * len(spec["sets"]))
+        return out, rels, summary("set", props=n_set * len(sets))
     # delete
     ids = (
         joined0.select(tagged[NodeField.ID].alias("__sid"))

@@ -1817,6 +1817,54 @@ def cypher_unwind_batch_set_roundtrip(
     ).result(300)
 
 
+_UNWIND_SET_FOLD_SQL = """
+    SELECT n_name AS name,
+           CASE WHEN n_name = 'NATION_1' THEN 13.0
+                WHEN n_name = 'NATION_2' THEN 15.0
+                ELSE 10.0 END AS hits
+    FROM nation
+"""
+
+
+@query("cypher_unwind_set_fold_roundtrip", oracle=_UNWIND_SET_FOLD_SQL)
+def cypher_unwind_set_fold_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r11: additive self-referencing fold in the batch SET — the SET
+    twin of the batch-MERGE ON MATCH fold (``SET n.hits = n.hits +
+    row.d`` applies as base + SUM(d) over the rows matching each
+    node). NATION_1 accumulates two rows (10 → 13), NATION_2 one
+    (10 → 15), everyone else keeps the base."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    rels = rels.filter(
+        (F.col("TYPE") == "IN_NATION") & (F.col("START_ID") >= 1_000_000)
+    )
+    api.catalog.register("cusf", nodes, rels, overwrite=True)
+    api.cypher(
+        "MATCH (n:Nation) SET n.hits = 10.0", graph="cusf"
+    ).result(300)
+    api.cypher(
+        "UNWIND $batch AS row MATCH (n:Nation {name: row.name}) "
+        "SET n.hits = n.hits + row.d",
+        graph="cusf",
+        params={
+            "batch": [
+                {"name": "NATION_1", "d": 1.0},
+                {"name": "NATION_2", "d": 5.0},
+                {"name": "NATION_1", "d": 2.0},
+            ]
+        },
+    ).result(300)
+    return api.cypher(
+        "MATCH (n:Nation) RETURN n.name AS name, n.hits AS hits "
+        "ORDER BY name",
+        graph="cusf",
+    ).result(300)
+
+
 _CREATE_REL_RETURN_SQL = """
     SELECT CAST(count(*) AS BIGINT) AS n, round(sum(2.5), 1) AS tw
     FROM supplier WHERE s_suppkey <= 5

@@ -643,14 +643,23 @@ def test_batch_detach_delete_return_pre_values(sapi):
     assert redges[0].c == 0
 
 
-def test_batch_set_self_reference_refused(sapi):
-    with pytest.raises(CypherUnsupported, match="cannot reference"):
+def test_batch_set_additive_fold_now_supported(sapi):
+    # r11: the additive fold is supported (batch-MERGE symmetry);
+    # non-additive self-references still refuse (see the fold tests)
+    sapi.cypher(
+        "UNWIND $b AS row MATCH (n:P {sku: row.k}) "
+        "SET n.price = n.price + row.p",
+        graph="us",
+        params={"b": [{"k": "k1", "p": 1.0}]},
+    ).result(120)
+    rows = (
         sapi.cypher(
-            "UNWIND $b AS row MATCH (n:P {sku: row.k}) "
-            "SET n.price = n.price + row.p",
-            graph="us",
-            params={"b": [{"k": "k1", "p": 1.0}]},
+            "MATCH (n:P {sku: 'k1'}) RETURN n.price AS p", graph="us"
         )
+        .result(120)
+        .collect()
+    )
+    assert [r.p for r in rows] == [2.0]
 
 
 def test_batch_set_with_where_mixing_node_and_batch_values(sapi):
@@ -925,4 +934,86 @@ def test_batch_rel_merge_on_set_self_reference_refused(eapi):
             "ON MATCH SET r.w = r.w + 1",
             graph="ur",
             params={"b": [{"u": "u1", "g": "g1"}]},
+        )
+
+
+# -- additive folds in batch node SET (r11) --------------------------------
+
+
+@pytest.fixture()
+def nsapi(spark):
+    api = Neo4jArrowSpark(spark)
+    nodes = spark.createDataFrame(
+        [(1, ["P"], "a", 10.0), (2, ["P"], "b", None), (3, ["P"], "a", 5.0)],
+        "ID long, LABELS array<string>, sku string, c double",
+    )
+    api.catalog.register("nset", nodes, None, overwrite=True)
+    return api
+
+
+def test_batch_set_fold_accumulates_per_node(nsapi):
+    # key 'a' matches TWO nodes — each accumulates every matching
+    # row's delta; NULL base stays NULL
+    s = (
+        nsapi.cypher(
+            "UNWIND $b AS row MATCH (n:P {sku: row.sku}) "
+            "SET n.c = n.c + row.d",
+            graph="nset",
+            params={
+                "b": [
+                    {"sku": "a", "d": 1.0},
+                    {"sku": "a", "d": 2.0},
+                    {"sku": "b", "d": 3.0},
+                ]
+            },
+        )
+        .result(120)
+        .collect()[0]
+    )
+    assert s.props_set == 3
+    rows = (
+        nsapi.cypher(
+            "MATCH (n:P) RETURN n.ID AS i, n.c AS c ORDER BY i",
+            graph="nset",
+        )
+        .result(120)
+        .collect()
+    )
+    assert [(r.i, r.c) for r in rows] == [(1, 13.0), (2, None), (3, 8.0)]
+
+
+def test_batch_set_fold_coalesce_where_mixed_return(nsapi):
+    rows = (
+        nsapi.cypher(
+            "UNWIND $b AS row MATCH (n:P {sku: row.sku}) WHERE n.ID < 3 "
+            "SET n.c = coalesce(n.c, 0) + 1, n.tag = row.t "
+            "RETURN n.ID AS i, n.c AS c, n.tag AS t",
+            graph="nset",
+            params={"b": [{"sku": "b", "t": "x"}, {"sku": "a", "t": "y"}]},
+        )
+        .result(120)
+        .collect()
+    )
+    assert sorted((r.i, r.c, r.t) for r in rows) == [
+        (1, 11.0, "y"),
+        (2, 1.0, "x"),
+    ]
+
+
+def test_batch_set_non_additive_fold_refused(nsapi):
+    with pytest.raises(CypherUnsupported, match="ADDITIVE"):
+        nsapi.cypher(
+            "UNWIND $b AS row MATCH (n:P {sku: row.sku}) SET n.c = n.c * 2",
+            graph="nset",
+            params={"b": [{"sku": "a"}]},
+        )
+
+
+def test_batch_set_fold_on_match_key_refused(nsapi):
+    with pytest.raises(CypherUnsupported, match="match-key"):
+        nsapi.cypher(
+            "UNWIND $b AS row MATCH (n:P {sku: row.sku}) "
+            "SET n.sku = n.sku + 'x'",
+            graph="nset",
+            params={"b": [{"sku": "a"}]},
         )
