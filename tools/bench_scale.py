@@ -69,6 +69,8 @@ HEAVY = [
     # round-10: the landmark (pivot) scale path for the exact
     # closeness/harmonic family — k BFS waves, k·|V| state
     "closeness_landmark",
+    # round-11: its harmonic twin (adds the k·max_hops histogram join)
+    "harmonic_landmark",
 ]
 
 
