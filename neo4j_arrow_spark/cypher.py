@@ -284,6 +284,19 @@ class _Parser:
         #: dispatch on the REGISTERED type when the static analysis
         #: can't tell. None when the caller has no schema at hand.
         self.prop_types: dict[str, str] | None = None
+        #: lambda/iteration variables statically known to hold STRING
+        #: scalars (bound over an ``array<string>`` source) — lets the
+        #: polymorphic size()/isEmpty() emissions pick length() inside
+        #: reduce()/comprehension/predicate bodies (r11)
+        self.string_vars: set[str] = set()
+        #: rendered-name substitutions for iteration variables — the
+        #: heterogeneous reduce() emission folds over an INDEX list and
+        #: rebinds the element variable to an element_at() accessor
+        self.var_subs: dict[str, str] = {}
+        #: WITH aliases statically known to hold LISTS OF STRINGS
+        #: (collect() over a string column, split(), string-literal
+        #: lists) — iteration vars bound over them are string-typed
+        self.string_list_aliases: set[str] = set()
         #: node variables carried BARE through WITH stages (`WITH p,
         #: count(m) AS n`): openCypher keeps them fully accessible, so
         #: later prop refs are allowed and the stage emission re-joins
@@ -326,6 +339,9 @@ class _Parser:
         sub.rel_endpoints = {}
         sub.struct_aliases = set()
         sub.list_aliases = set()
+        sub.string_vars = set()
+        sub.var_subs = {}
+        sub.string_list_aliases = set()
         return sub
 
     # -- token helpers -----------------------------------------------------
@@ -410,6 +426,86 @@ class _Parser:
         are consumed so the caller's grammar continues cleanly — each
         wraps NULL and stays NULL."""
         return self._temporal_accessor("NULL")
+
+    def _is_string_expr(self, v: str) -> bool:
+        """True when the rendered value is STATICALLY a string: a
+        string literal / string-function head, a ``var.prop`` access
+        whose registered column type is string, or an iteration
+        variable bound over an ``array<string>`` source. Drives the
+        polymorphic size()/isEmpty() length() dispatch (Cypher's
+        size(string) is its length; Spark's size() is array-only)."""
+        v = v.strip()
+        if self._is_list_expr(v):
+            # concat( is ambiguous between string and LIST concat —
+            # a recorded list emission is never a string
+            return False
+        if _is_string_literal(v) or v.lower().startswith(
+            self._STRING_PREFIXES
+        ):
+            return True
+        if re.fullmatch(r"[A-Za-z_]\w*", v) and v in self.string_vars:
+            return True
+        pm = re.fullmatch(r"[A-Za-z_]\w*\.([A-Za-z_]\w*)", v)
+        if pm and self.prop_types:
+            return self.prop_types.get(pm.group(1)) == "string"
+        # element access over a known string array — a registered
+        # array<string> column or a string-list WITH alias (the
+        # heterogeneous-reduce index rebinding renders these)
+        em = re.match(
+            r"(?:try_)?(?:element_at|list_extract)\(\s*"
+            r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*,",
+            v,
+        )
+        if em:
+            src = em.group(1)
+            if "." in src:
+                return bool(self.prop_types) and (
+                    self.prop_types.get(src.split(".", 1)[1])
+                    == "array<string>"
+                )
+            return src in self.string_list_aliases
+        return False
+
+    def _bind_string_iter(self, var: str, src: str) -> bool:
+        """Register ``var`` as a string-typed iteration variable when
+        ``src`` is provably an ``array<string>`` (a registered
+        array<string> property column, or split()). Returns whether it
+        was added (caller discards on scope exit)."""
+        if var in self.string_vars:
+            return False
+        s = src.strip()
+        is_str_arr = s.lower().startswith("split(")
+        if not is_str_arr:
+            pm = re.fullmatch(r"[A-Za-z_]\w*\.([A-Za-z_]\w*)", s)
+            if pm and self.prop_types:
+                is_str_arr = (
+                    self.prop_types.get(pm.group(1)) == "array<string>"
+                )
+        if not is_str_arr and re.fullmatch(r"[A-Za-z_]\w*", s):
+            is_str_arr = s in self.string_list_aliases
+        if is_str_arr:
+            self.string_vars.add(var)
+            return True
+        return False
+
+    def _is_string_list_expr(self, e: str) -> bool:
+        """Statically a LIST OF STRINGS: collect() over a string
+        expression (either dialect's emission), split(), or a literal
+        list of string literals — marks WITH aliases whose iteration
+        variables are string-typed."""
+        t = e.strip()
+        if t.lower().startswith("split("):
+            return True
+        m = re.search(
+            r"(?<!\w)(?:collect_list|collect_set|list)\(\s*"
+            r"(?:DISTINCT\s+)?([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)",
+            t,
+        )
+        if m:
+            return self._is_string_expr(m.group(1))
+        if t.startswith("array('") or t.startswith("['"):
+            return True
+        return False
 
     def _ident(self, name: str) -> str:
         """Quote a property/column identifier when its upper-case form
@@ -794,13 +890,13 @@ class _Parser:
                     continue
                 left_list = False
                 if tok == "+" and (
-                    _is_string_literal(left) or _is_string_literal(right)
-                    # statically string-typed emissions (function
-                    # results like UPPER(...) + LOWER(...)) concat too;
-                    # a string-typed PROPERTY + property stays
-                    # arithmetic (type unknown at parse time)
-                    or left.lower().startswith(self._STRING_PREFIXES)
-                    or right.lower().startswith(self._STRING_PREFIXES)
+                    # statically string-typed operands concat (r11:
+                    # _is_string_expr folds in literals, string-function
+                    # heads, REGISTERED string property columns, and
+                    # string iteration/accumulator variables — so
+                    # n.name + '_x' and reduce string folds both work)
+                    self._is_string_expr(left)
+                    or self._is_string_expr(right)
                 ):
                     left = f"concat({left}, {right})"
                 else:
@@ -1135,11 +1231,14 @@ class _Parser:
                 self.expect("WHERE")
                 shadowed = var in self.unwind_aliases
                 self.unwind_aliases.add(var)
+                sbound = self._bind_string_iter(var, src)
                 try:
                     pred = self.expr()
                 finally:
                     if not shadowed:
                         self.unwind_aliases.discard(var)
+                    if sbound:
+                        self.string_vars.discard(var)
                 self.expect(")")
                 # openCypher ternary logic: ALL is FALSE on any false,
                 # NULL on any null-with-no-false; ANY is TRUE on any
@@ -1217,13 +1316,57 @@ class _Parser:
                     v for v in (acc, var) if v in self.unwind_aliases
                 }
                 self.unwind_aliases.update((acc, var))
+                sbound = self._bind_string_iter(var, src)
+                abound = False
+                if self._is_string_expr(init) and acc not in self.string_vars:
+                    # a string-initialized accumulator is string-typed
+                    # throughout the fold (openCypher: + concatenates)
+                    self.string_vars.add(acc)
+                    abound = True
+                # heterogeneous fold (r11): STRING elements with a
+                # non-string accumulator (reduce(acc = 0, t IN n.tags |
+                # acc + size(t))) — the init-prepend trick below would
+                # cast the init into the element type (Spark) or refuse
+                # the concat (DuckDB). Fold over an INDEX list instead,
+                # rebinding the element variable to element_at(src, i).
+                hetero = sbound and not self._is_string_expr(init)
+                if hetero:
+                    self.var_subs[var] = (
+                        f"element_at({src}, CAST({var} AS INT))"
+                        if self.dialect == "spark"
+                        else f"list_extract({src}, {var})"
+                    )
                 try:
                     body = self.value()
                 finally:
                     self.unwind_aliases.difference_update(
                         {acc, var} - shadow
                     )
+                    if sbound:
+                        self.string_vars.discard(var)
+                    if abound:
+                        self.string_vars.discard(acc)
+                    self.var_subs.pop(var, None)
                 self.expect(")")
+                if hetero:
+                    if self.dialect == "spark":
+                        # slice(sequence(0, n), 2, n) = [1..n] — and []
+                        # for n = 0 (sequence(1, 0) would DESCEND)
+                        idx = (
+                            f"slice(sequence(0, size({src})), 2, "
+                            f"size({src}))"
+                        )
+                        s2 = f"concat(array({init}), {idx})"
+                        return (
+                            f"aggregate(slice({s2}, 2, size({s2}) - 1), "
+                            f"element_at({s2}, 1), "
+                            f"({acc}, {var}) -> {body})"
+                        )
+                    return (
+                        f"list_reduce(list_prepend({init}, "
+                        f"range(1, len({src}) + 1)), "
+                        f"({acc}, {var}) -> {body})"
+                    )
                 if self.dialect == "spark":
                     # aggregate() requires the lambda's result type to
                     # EQUAL the init type; a bare `0` init vs BIGINT
@@ -1367,9 +1510,9 @@ class _Parser:
                     if self.dialect == "spark":
                         return f"(size({inner}) = 0)"
                     return f"(len({inner}) = 0)"
-                if _is_string_literal(inner) or inner.lower().startswith(
-                    self._STRING_PREFIXES
-                ):
+                if self._is_string_expr(inner):
+                    # literals, string-function heads, registered
+                    # string columns, and string iteration vars (r11)
                     return f"(length({inner}) = 0)"
                 # r10 (r9 ADVICE): before refusing, dispatch on the
                 # REGISTERED property type when the argument is a plain
@@ -1801,6 +1944,13 @@ class _Parser:
                         return f"LENGTH({lit})"
                     v = self.value()
                     self.expect(")")
+                    if self._is_string_expr(v):
+                        # Cypher size(string) is its length — Spark's
+                        # size() is array/map-only, so the statically
+                        # string-typed arguments (schema-registered
+                        # string columns, iteration vars over
+                        # array<string>) dispatch to LENGTH (r11)
+                        return f"LENGTH({v})"
                     return (
                         f"size({v})"
                         if self.dialect == "spark"
@@ -1995,6 +2145,7 @@ class _Parser:
                 self._collect_array = prev_ca
         shadowed = var in self.unwind_aliases
         self.unwind_aliases.add(var)  # scope the iteration variable
+        sbound = self._bind_string_iter(var, src)
         try:
             pred = self.expr() if self.accept("WHERE") else None
             body = None
@@ -2004,6 +2155,8 @@ class _Parser:
         finally:
             if not shadowed:
                 self.unwind_aliases.discard(var)
+            if sbound:
+                self.string_vars.discard(var)
         self.expect("]")
         f_filter, f_map = (
             ("filter", "transform")
@@ -2072,7 +2225,9 @@ class _Parser:
                     return path
                 # an UNWIND-bound scalar, not a node (may carry a
                 # temporal component accessor if the list held dates)
-                return self._temporal_accessor(var)
+                return self._temporal_accessor(
+                    self.var_subs.get(var, var)
+                )
             if self.peek()[1] == "{" and self.aliases is None:
                 return self._map_projection(var)
             if self.aliases is not None:
@@ -2122,6 +2277,39 @@ class _Parser:
                     return self._null_access()
                 prop = self._ident(raw)
                 return self._temporal_accessor(f"{var}.{prop}")
+            if (
+                self.peek()[1] == "["
+                and (
+                    var in self.node_pat_vars
+                    or var in self.rel_pat_vars
+                )
+                and var not in self.vl_rel_vars  # r[0] indexes the LIST
+                and var not in self.unwind_aliases
+            ):
+                # n['name'] — dynamic property access (openCypher).
+                # A STRING LITERAL key is n.name exactly (missing
+                # property reads NULL); a computed key cannot resolve
+                # to a column statically — targeted refusal (r11).
+                if (
+                    self.toks[self.pos + 1][0] == "str"
+                    and self.toks[self.pos + 2][1] == "]"
+                ):
+                    self.next()
+                    lit = self.next()[1]
+                    self.next()  # ']'
+                    raw = lit[1:-1].replace("\\'", "'").replace(
+                        '\\"', '"'
+                    )
+                    if self._missing_prop(var, raw):
+                        return self._null_access()
+                    return self._temporal_accessor(
+                        f"{var}.{self._ident(raw)}"
+                    )
+                raise CypherUnsupported(
+                    f"{var}[…]: dynamic property access needs a string "
+                    "literal key — computed keys cannot resolve to a "
+                    "column statically"
+                )
             if var in self.rel_pat_vars and var not in self.node_pat_vars:
                 # bare fixed-length rel variable as a value —
                 # count(r) / count(DISTINCT r) / collect(r) / r1 <> r2
@@ -3349,6 +3537,12 @@ class _Parser:
         self.expect("AS")
         alias = self.expect_name()
         self.unwind_aliases.add(alias)
+        # UNWIND over an array<string> column / labels(): rows are
+        # strings — size(alias)/isEmpty(alias) dispatch to length()
+        if arr.endswith(".LABELS"):
+            self.string_vars.add(alias)
+        else:
+            self._bind_string_iter(alias, arr)
         return arr, alias
 
     def _parse_call_subquery(self) -> dict:
@@ -3584,6 +3778,9 @@ class _Parser:
             self.list_aliases = {
                 a for e, a, _ in lead_with if self._is_list_expr(e)
             }
+            self.string_list_aliases = {
+                a for e, a, _ in lead_with if self._is_string_list_expr(e)
+            }
             if self.peek()[1] not in ("UNWIND", "RETURN", "MATCH", "OPTIONAL"):
                 raise CypherUnsupported(
                     "a leading WITH must be followed by MATCH, OPTIONAL "
@@ -3670,6 +3867,60 @@ class _Parser:
                                 "is not supported — put the MATCH first"
                             )
                         self.next()
+                        sp2 = self._shortest_prefix()
+                        if sp2 is not None:
+                            # ``MATCH (a {…}), (b {…}) MATCH p =
+                            # shortestPath((a)-[*]->(b))`` — the
+                            # canonical Neo4j anchor idiom (r11). The
+                            # anchors MERGE into the shortestPath
+                            # pattern's endpoints (label/prop
+                            # conjunction), which the single-clause
+                            # emission already compiles; anything
+                            # beyond bare node anchors refuses.
+                            if self._inter_wheres:
+                                raise CypherUnsupported(
+                                    "shortestPath after a MATCH "
+                                    "clause: put the WHERE after the "
+                                    "shortestPath clause (or fold it "
+                                    "into the anchor property maps)"
+                                )
+                            _, path_var, sp_nodes, sp_rels = sp2
+                            all_paths = sp2[0]
+                            by_v = {
+                                n.var: n for n in sp_nodes if n.var
+                            }
+                            for cn, cr in chains:
+                                if len(cn) != 1 or cr:
+                                    raise CypherUnsupported(
+                                        "shortestPath after a MATCH "
+                                        "clause: the preceding MATCH "
+                                        "must bind only node anchors "
+                                        "(no relationship patterns)"
+                                    )
+                                pn = cn[0]
+                                tgt = by_v.get(pn.var)
+                                if tgt is None:
+                                    raise CypherUnsupported(
+                                        "shortestPath after a MATCH "
+                                        f"clause: anchor {pn.var!r} "
+                                        "does not appear in the "
+                                        "shortestPath pattern"
+                                    )
+                                tgt.labels.extend(
+                                    lb
+                                    for lb in pn.labels
+                                    if lb not in tgt.labels
+                                )
+                                have = {k for k, _ in tgt.props}
+                                tgt.props.extend(
+                                    (k, v)
+                                    for k, v in pn.props
+                                    if k not in have
+                                )
+                            shortest = True
+                            chains = [(sp_nodes, sp_rels)]
+                            chain_groups = [0]
+                            break  # final pattern clause
                         grp += 1
                         more = self.patterns()
                         chains.extend(more)
@@ -4032,6 +4283,12 @@ class _Parser:
                     for e, a, _ in witems
                     if self._is_list_expr(e)
                     or (e == a and a in self.list_aliases)
+                }
+                self.string_list_aliases = {
+                    a
+                    for e, a, _ in witems
+                    if self._is_string_list_expr(e)
+                    or (e == a and a in self.string_list_aliases)
                 }
                 self.aliases = {a for _, a, _ in witems}
                 self.post_vars = frozenset()

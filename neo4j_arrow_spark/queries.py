@@ -66,6 +66,7 @@ def _cypher_query(
     cypher_text: str,
     params: dict | None = None,
     node_props: list[str] | None = None,
+    prop_types: dict[str, str] | None = None,
 ):
     """Register a Cypher-subset query: transpiled once to ANSI SQL
     (neo4j_arrow_spark.cypher), run by Spark over the derived graph
@@ -82,12 +83,12 @@ def _cypher_query(
     sql = cypher_to_sql(
         cypher_text, "gnodes", "grels", dialect="spark",
         node_props=node_props, rel_id=True, rels_eid_view="grels_eid",
-        rel_props=["weight"],
+        rel_props=["weight"], prop_types=prop_types,
     )
     duck_sql = cypher_to_sql(
         cypher_text, "gnodes", "grels", dialect="duckdb",
         node_props=node_props, rel_id=True, rels_eid_view="grels_eid",
-        rel_props=["weight"],
+        rel_props=["weight"], prop_types=prop_types,
     )
     if params:
         for k in sorted(params, key=len, reverse=True):
@@ -777,6 +778,60 @@ _cypher_query(
     # the generic property path cross-dialect: explode vs unnest)
     "MATCH (s:Supplier) UNWIND s.LABELS AS l "
     "RETURN l, count(*) AS c ORDER BY l",
+)
+
+_GRAPH_PROP_TYPES = {
+    "name": "string",
+    "acctbal": "double",
+    "weight": "double",
+}
+
+_cypher_query(
+    "cypher_size_string_length",
+    # r11: Cypher size(string) is its LENGTH — the emission dispatches
+    # on the REGISTERED column type (Spark's size() is array-only)
+    "MATCH (n:Nation) RETURN size(n.name) AS ln, count(*) AS c "
+    "ORDER BY ln",
+    prop_types=_GRAPH_PROP_TYPES,
+)
+
+_cypher_query(
+    "cypher_string_concat_plus",
+    # r11: + concatenates statically-string operands — schema-proved
+    # string columns, not just literals (openCypher semantics)
+    "MATCH (c:Customer) WHERE c.acctbal > 9990.0 "
+    "RETURN c.name + '/' + c.name AS dup ORDER BY dup",
+    prop_types=_GRAPH_PROP_TYPES,
+)
+
+_cypher_query(
+    "cypher_dynamic_prop_access",
+    # r11: n['prop'] with a string-literal key is n.prop exactly —
+    # openCypher dynamic property access, static key
+    "MATCH (c:Customer) WHERE c['acctbal'] > 9990.0 "
+    "RETURN c['name'] AS name ORDER BY name",
+)
+
+_cypher_query(
+    "cypher_reduce_string_elements",
+    # r11: reduce with a numeric accumulator over STRING elements —
+    # the heterogeneous fold compiles to an index-list aggregate on
+    # both engines (the init-prepend trick would cast the init into
+    # the element type)
+    "MATCH (n:Nation) WITH collect(n.name) AS xs "
+    "RETURN reduce(acc = 0, t IN xs | acc + size(t)) AS total_chars",
+    prop_types=_GRAPH_PROP_TYPES,
+)
+
+_cypher_query(
+    "cypher_shortest_after_anchors",
+    # r11: the canonical Neo4j anchor idiom — a bare-anchor MATCH
+    # clause before MATCH p = shortestPath(...) merges into the
+    # pattern's endpoints
+    "MATCH (n:Nation {name: 'NATION_1'}) "
+    "MATCH p = shortestPath((c:Customer)-[:BUYS_FROM|IN_NATION*1..3]->(n)) "
+    "WHERE c.acctbal > 9500.0 "
+    "RETURN c.ID AS cust, length(p) AS hops ORDER BY cust",
 )
 
 _cypher_query(
