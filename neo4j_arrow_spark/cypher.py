@@ -1120,6 +1120,15 @@ class _Parser:
             self.expect(",")
             b = self.value()
             self.expect(")")
+            if self.peek()[1] != ".":
+                # a bare duration OBJECT has no columnar rendering —
+                # name the component wanted (targeted, not a parse
+                # error at the next clause keyword)
+                raise CypherUnsupported(
+                    f"duration.{sub}(a, b) as a bare value is not "
+                    "supported — read a component: "
+                    f"duration.{sub}(a, b).days/.months/.years"
+                )
             self.expect(".")
             comp = self.expect_name()
             # inDays normalizes everything to days (its months
@@ -2211,6 +2220,25 @@ class _Parser:
         kind, tok = self.peek()
         if kind == "name":
             var = self.expect_name()
+            if self.peek()[1] == ".":
+                # apoc.text.join(...) and friends — a NAMESPACED
+                # function call, not a property access (the '(' after
+                # the dotted chain disambiguates; c.d.year has no
+                # paren). Targeted refusal instead of a trailing-input
+                # parse error (r11).
+                j, parts = self.pos, [var]
+                while (
+                    self.toks[j][1] == "."
+                    and self.toks[j + 1][0] == "name"
+                ):
+                    parts.append(self.toks[j + 1][1])
+                    j += 2
+                if len(parts) > 1 and self.toks[j][1] == "(":
+                    raise CypherUnsupported(
+                        f"namespaced function {'.'.join(parts)}(...) "
+                        "is not supported — no APOC or procedure "
+                        "namespaces; use the built-in function surface"
+                    )
             if var in self.unwind_aliases:
                 if var in self.struct_aliases and self.peek()[1] == ".":
                     # a leading-WITH map literal carried into MATCH

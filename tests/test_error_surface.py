@@ -46,6 +46,12 @@ NEGATIVES: list[tuple[str, dict | None]] = [
     # r11 read-boundary wrap must surface a targeted one-liner
     ("MATCH (n:P) RETURN m.name AS x", None),
     ("MATCH (n:P) RETURN n.name AS x ORDER BY m.age", None),
+    # namespaced (APOC-style) function — targeted by name (r11)
+    ("MATCH (n:P) RETURN apoc.text.join(collect(n.name), ',') AS j", None),
+    # bare duration OBJECT — name the component (r11)
+    ("RETURN duration.between(date('2024-01-01'), date('2024-03-01')) AS d", None),
+    # computed dynamic-property key (r11)
+    ("MATCH (n:P) RETURN n[n.name] AS x", None),
     # -- write path: parse-time --------------------------------------------
     ("MATCH (n:P) SET n.rank = count(*)", None),        # aggregate in SET (r9 probe)
     ("MERGE (n:P {ID: 1}) ON MATCH SET n.age = sum(n.age)", None),
