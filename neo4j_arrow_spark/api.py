@@ -197,6 +197,29 @@ class Neo4jArrowSpark:
             )
         return self.registry.submit("cypher.read", lambda: self.spark.sql(query))
 
+    def _compile_read(self, query: str, graph: str, g) -> str:
+        """Transpile a read-pipeline Cypher text over the named
+        graph's views — the same options the read path uses (schema
+        for keys()/properties(), eid view for edge identity, prop
+        types for polymorphic dispatch). Used by the pipeline-write
+        dispatcher to evaluate target ids and values in READ scope."""
+        from neo4j_arrow_spark.cypher import cypher_to_sql
+
+        return cypher_to_sql(
+            query,
+            f"{graph}_nodes",
+            f"{graph}_rels",
+            node_props=[
+                c for c in g.nodes.columns if c not in ("ID", "LABELS")
+            ],
+            rel_props=None if g.rels is None else [
+                c for c in g.rels.columns if c not in RelField.RESERVED
+            ],
+            rel_id=g.rels_eid is not None,
+            rels_eid_view=f"{graph}_rels_eid",
+            prop_types=self._prop_types(g),
+        )
+
     @staticmethod
     def _prop_types(g) -> dict[str, str]:
         """Property-column name → Spark type simpleString over the
@@ -427,6 +450,102 @@ class Neo4jArrowSpark:
 
             return self.registry.submit(
                 "cypher.write", guard_batch_analysis(run_un)
+            )
+
+        # MATCH … WITH <pipeline> SET/DELETE/CREATE — a write clause
+        # driven by a READ PIPELINE (r11: update-the-top-k /
+        # materialize-an-aggregate). The pipeline compiles through the
+        # read transpiler with synthesized RETURN items (ids + each
+        # value in pipeline scope); the write is one set-based frame
+        # op over the resulting frame.
+        from neo4j_arrow_spark.cypher_write import (
+            execute_pipeline_create,
+            execute_pipeline_delete,
+            execute_pipeline_set,
+            parse_pipeline_write,
+        )
+
+        pw_spec = parse_pipeline_write(head_text)
+        if pw_spec is not None:
+            graph = self._resolve_graph(db, graph)
+            g = self.catalog.get(graph, db, self.username)
+            if pw_spec["kind"] == "set":
+                items = [f"{pw_spec['var']}.ID AS __wid"] + [
+                    f"({e}) AS __v{i}"
+                    for i, (_p, e) in enumerate(pw_spec["sets"])
+                ]
+            elif pw_spec["kind"] == "delete":
+                items = [f"{pw_spec['var']}.ID AS __wid"]
+            else:  # create
+                items = [
+                    f"({e}) AS __v{i}"
+                    for i, (_p, e) in enumerate(pw_spec["props"])
+                ] or ["1 AS __one"]
+            read_q = pw_spec["prefix"] + " RETURN " + ", ".join(items)
+            if params:
+                # write-path binding rule: $params inline as literals
+                read_q = render_write_params(read_q, params)
+            frame_sql = self._compile_read(read_q, graph, g)
+            if return_text is not None and pw_spec["kind"] != "delete":
+                ret_var = pw_spec["var"]
+                if not ret_var:
+                    raise CypherUnsupported(
+                        "RETURN after a pipeline CREATE needs a named "
+                        "node variable"
+                    )
+
+            def run_pw() -> DataFrame:
+                ret_out: dict | None = (
+                    {} if return_text is not None else None
+                )
+                frame = self.spark.sql(frame_sql)
+                pre_nodes, new_rels = g.nodes, g.rels
+                rels_in = g.rels_eid if g.rels_eid is not None else g.rels
+                if pw_spec["kind"] == "set":
+                    new_nodes, summary = execute_pipeline_set(
+                        self.spark, g.nodes, frame, pw_spec["sets"],
+                        ret_out=ret_out,
+                    )
+                    new_rels = rels_in
+                elif pw_spec["kind"] == "delete":
+                    new_nodes, new_rels, summary = execute_pipeline_delete(
+                        self.spark, g.nodes, rels_in, frame,
+                        pw_spec["detach"], ret_out=ret_out,
+                    )
+                else:
+                    new_nodes, summary = execute_pipeline_create(
+                        self.spark, g.nodes, frame, pw_spec["labels"],
+                        pw_spec["props"], ret_out=ret_out,
+                    )
+                    new_rels = rels_in
+                new_nodes = new_nodes.localCheckpoint()
+                if new_rels is not None and new_rels is not rels_in:
+                    new_rels = new_rels.localCheckpoint()
+                self.catalog.register(
+                    graph,
+                    new_nodes,
+                    new_rels,
+                    database=db,
+                    username=self.username,
+                    overwrite=True,
+                )
+                if return_text is not None:
+                    frame_out = (
+                        pre_nodes
+                        if pw_spec["kind"] == "delete"
+                        else new_nodes
+                    )
+                    return project_batch_return(
+                        self.spark,
+                        frame_out,
+                        ret_out["ids"],
+                        pw_spec["var"],
+                        return_text,
+                    ).localCheckpoint()
+                return summary
+
+            return self.registry.submit(
+                "cypher.write", guard_batch_analysis(run_pw)
             )
 
         # UNWIND $batch AS row CREATE … — the bulk-write idiom expands

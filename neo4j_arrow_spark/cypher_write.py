@@ -206,6 +206,398 @@ def _match_additive_fold(prop: str, run: list, var: str):
     return init_run, sign, rest
 
 
+def _render_tokens(toks) -> str:
+    """Re-render a token run to text (raw spellings preserved for
+    keyword-named labels/properties; string literals keep their
+    quotes). Space-joined — the tokenizers re-read this losslessly."""
+    return " ".join(t[2] if len(t) > 2 else t[1] for t in toks)
+
+
+def parse_pipeline_write(query: str):
+    """``MATCH … WITH <pipeline> SET n.p = expr`` / ``… DELETE n`` /
+    ``… CREATE (:L {p: expr})`` — a write clause driven by a READ
+    PIPELINE (r11): the canonical update-the-top-k / materialize-an-
+    aggregate idioms. Returns a spec or None when the statement has no
+    depth-0 WITH before its first depth-0 write verb (the plain write
+    parser owns those).
+
+    The pipeline compiles through the READ transpiler with synthesized
+    RETURN items (the target ids and each value expression evaluated
+    in pipeline scope — aliases, aggregates, the carried node's own
+    properties all work), and the write applies as ONE set-based frame
+    op over the resulting id/value frame. Value expressions see the
+    PRE-statement state; a target id produced twice with differing
+    values takes an arbitrary row (documented — pipelines normally end
+    in per-node aggregation, which dedupes by construction)."""
+    toks = _tokenize(query)
+    if not (
+        toks
+        and toks[0][0] in ("name", "kw")
+        and toks[0][1].upper() == "MATCH"
+    ):
+        return None
+    depth, saw_with, verb_at, verb = 0, False, None, None
+    prev_tx = ""
+    for i, t in enumerate(toks):
+        tx = t[1]
+        if tx in ("(", "[", "{"):
+            depth += 1
+        elif tx in (")", "]", "}"):
+            depth -= 1
+        elif depth == 0 and prev_tx != "." and t[0] in ("name", "kw"):
+            up = tx.upper()
+            if up == "WITH":
+                saw_with = True
+            elif up in (
+                "SET", "DELETE", "DETACH", "CREATE", "MERGE", "REMOVE",
+                "FOREACH",
+            ):
+                verb_at, verb = i, up
+                break
+        prev_tx = tx
+    if verb_at is None or not saw_with:
+        return None
+    if verb in ("MERGE", "REMOVE", "FOREACH"):
+        raise CypherUnsupported(
+            f"{verb} after a WITH pipeline is not supported (v1) — "
+            "supported pipeline writes: SET, [DETACH] DELETE, CREATE"
+        )
+    prefix = _render_tokens(toks[:verb_at])
+    pos = verb_at
+
+    def peek():
+        return toks[pos]
+
+    def nxt():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def expect(text):
+        t = nxt()
+        if t[1] != text:
+            raise CypherSyntaxError(
+                f"pipeline write: expected {text!r}, got {t[1]!r}"
+            )
+
+    def expr_tokens() -> list:
+        nonlocal pos
+        out, d = [], 0
+        while True:
+            kind, text = toks[pos][0], toks[pos][1]
+            if kind == "eof":
+                break
+            prev_dot = bool(out) and out[-1][1] == "."
+            if text in ("(", "[", "{"):
+                d += 1
+            elif text in (")", "]", "}"):
+                if d == 0:
+                    break
+                d -= 1
+            elif d == 0 and not prev_dot and text == ",":
+                break
+            out.append(toks[pos])
+            pos += 1
+        if not out:
+            raise CypherSyntaxError("pipeline write: empty value")
+        return out
+
+    if verb == "SET":
+        nxt()
+        var, sets = None, []
+        while True:
+            v = nxt()
+            if v[0] != "name":
+                raise CypherSyntaxError(
+                    f"pipeline SET: expected a variable, got {v[1]!r}"
+                )
+            if var is None:
+                var = v[1]
+            elif v[1] != var:
+                raise CypherUnsupported(
+                    "pipeline SET targets ONE carried variable per "
+                    f"statement (got {var!r} and {v[1]!r})"
+                )
+            expect(".")
+            pt = nxt()
+            if pt[0] not in ("name", "kw"):
+                raise CypherSyntaxError("expected property name after '.'")
+            prop = pt[2] if len(pt) > 2 else pt[1]
+            if prop in ("ID", "LABELS"):
+                raise CypherUnsupported(
+                    f"SET {var}.{prop}: node identity/label columns "
+                    "are immutable"
+                )
+            expect("=")
+            run = expr_tokens()
+            _reject_aggregates(
+                _render_tokens(run), f"pipeline SET {var}.{prop}"
+            )
+            sets.append((prop, _render_tokens(run)))
+            if peek()[1] == ",":
+                nxt()
+                continue
+            break
+        if peek()[0] != "eof":
+            raise CypherSyntaxError(
+                f"pipeline write: unexpected trailing input: {peek()[1]!r}"
+            )
+        return {
+            "kind": "set",
+            "prefix": prefix,
+            "var": var,
+            "sets": sets,
+        }
+    if verb in ("DELETE", "DETACH"):
+        detach = verb == "DETACH"
+        nxt()
+        if detach:
+            t = nxt()
+            if not (t[0] in ("name", "kw") and t[1].upper() == "DELETE"):
+                raise CypherSyntaxError(
+                    f"expected DELETE after DETACH, got {t[1]!r}"
+                )
+        v = nxt()
+        if v[0] != "name":
+            raise CypherSyntaxError(
+                f"pipeline DELETE: expected a variable, got {v[1]!r}"
+            )
+        if peek()[0] != "eof":
+            raise CypherSyntaxError(
+                f"pipeline write: unexpected trailing input: {peek()[1]!r}"
+            )
+        return {
+            "kind": "delete",
+            "prefix": prefix,
+            "var": v[1],
+            "detach": detach,
+        }
+    # CREATE: one node pattern per pipeline row
+    nxt()
+    expect("(")
+    cvar = None
+    if peek()[0] == "name":
+        cvar = nxt()[1]
+    labels = []
+    while peek()[1] == ":":
+        nxt()
+        lt = nxt()
+        if lt[0] not in ("name", "kw"):
+            raise CypherSyntaxError("expected label name")
+        labels.append(lt[2] if len(lt) > 2 else lt[1])
+    if not labels:
+        raise CypherUnsupported(
+            "pipeline CREATE needs at least one label"
+        )
+    props = []
+    if peek()[1] == "{":
+        nxt()
+        while True:
+            kt = nxt()
+            if kt[0] not in ("name", "kw"):
+                raise CypherSyntaxError("expected property name")
+            prop = kt[2] if len(kt) > 2 else kt[1]
+            expect(":")
+            run = expr_tokens()
+            _reject_aggregates(
+                _render_tokens(run), f"pipeline CREATE property {prop}"
+            )
+            props.append((prop, _render_tokens(run)))
+            if peek()[1] == ",":
+                nxt()
+                continue
+            break
+        expect("}")
+    expect(")")
+    if peek()[1] == ",":
+        raise CypherUnsupported(
+            "pipeline CREATE supports one node pattern per row (v1)"
+        )
+    if peek()[0] != "eof":
+        raise CypherSyntaxError(
+            f"pipeline write: unexpected trailing input: {peek()[1]!r}"
+        )
+    return {
+        "kind": "create",
+        "prefix": prefix,
+        "var": cvar,
+        "labels": labels,
+        "props": props,
+    }
+
+
+def execute_pipeline_set(
+    spark: SparkSession,
+    nodes: DataFrame,
+    frame: DataFrame,
+    sets: list,
+    ret_out: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Apply a pipeline SET: ``frame`` carries ``__wid`` (target node
+    id) and ``__v{i}`` (each value, already evaluated in pipeline
+    scope against the PRE-statement state). One dedupe + one join +
+    conditional projection — the same shape as the batch SET."""
+    nfields = {f.name: f.dataType.simpleString() for f in nodes.schema.fields}
+    frame = _decimals_to_double(frame).localCheckpoint()
+    if ret_out is not None:
+        ret_out["ids"] = frame.select(F.col("__wid").alias("__rid"))
+    upd = frame.dropDuplicates(["__wid"])
+    n_set = upd.count()
+    joined = nodes.join(upd, nodes["ID"] == upd["__wid"], "left")
+    matched = F.col("__wid").isNotNull()
+    for i, (p, _e) in enumerate(sets):
+        val = F.col(f"__v{i}")
+        if p in nfields:
+            val = val.cast(nfields[p])
+            joined = joined.withColumn(
+                p, F.when(matched, val).otherwise(F.col(p))
+            )
+        else:  # schema-widening pipeline SET
+            joined = joined.withColumn(p, F.when(matched, val))
+    out = joined.drop("__wid", *[f"__v{i}" for i in range(len(sets))])
+
+    def summary():
+        return spark.createDataFrame(
+            [("set", 0, n_set * len(sets), 0, 0, 0)],
+            "op string, nodes_created long, props_set long, "
+            "nodes_deleted long, rels_deleted long, rels_created long",
+        )
+
+    return out, summary()
+
+
+def execute_pipeline_delete(
+    spark: SparkSession,
+    nodes: DataFrame,
+    rels: DataFrame | None,
+    frame: DataFrame,
+    detach: bool,
+    ret_out: dict | None = None,
+) -> tuple[DataFrame, DataFrame | None, DataFrame]:
+    """Apply a pipeline [DETACH] DELETE over the ``__wid`` id frame:
+    anti-join removal, incident edges dropped under DETACH and a
+    targeted error without it (Neo4j parity)."""
+    ids = (
+        _decimals_to_double(frame)
+        .select(F.col("__wid"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    if ret_out is not None:
+        # pre-delete projection, one row per PIPELINE row
+        ret_out["ids"] = frame.select(
+            F.col("__wid").alias("__rid")
+        ).localCheckpoint()
+    n_del = ids.count()
+    new_rels, r_del = rels, 0
+    if rels is not None:
+        incident = rels.join(
+            ids, rels[RelField.START_ID] == ids["__wid"], "left_semi"
+        ).unionByName(
+            rels.join(
+                ids, rels[RelField.END_ID] == ids["__wid"], "left_semi"
+            )
+        )
+        r_del = incident.count()
+        if r_del and not detach:
+            raise ValueError(
+                "cannot DELETE nodes that still have relationships — "
+                "use DETACH DELETE"
+            )
+        if r_del:
+            new_rels = rels.join(
+                ids, rels[RelField.START_ID] == ids["__wid"], "left_anti"
+            ).join(
+                ids, rels[RelField.END_ID] == ids["__wid"], "left_anti"
+            )
+    new_nodes = nodes.join(ids, nodes["ID"] == ids["__wid"], "left_anti")
+
+    def summary():
+        return spark.createDataFrame(
+            [("delete", 0, 0, n_del, r_del, 0)],
+            "op string, nodes_created long, props_set long, "
+            "nodes_deleted long, rels_deleted long, rels_created long",
+        )
+
+    return new_nodes, new_rels, summary()
+
+
+def execute_pipeline_create(
+    spark: SparkSession,
+    nodes: DataFrame,
+    frame: DataFrame,
+    labels: list,
+    props: list,
+    ret_out: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Apply a pipeline CREATE: one node per pipeline row, property
+    values from the ``__v{i}`` columns, ids minted above the current
+    max (deterministic by an arbitrary-but-stable row numbering)."""
+    from pyspark.sql.window import Window
+
+    nfields = {f.name: f.dataType.simpleString() for f in nodes.schema.fields}
+    frame = _decimals_to_double(frame).localCheckpoint()
+    n_new = frame.count()
+    if n_new == 0:
+        if ret_out is not None:
+            ret_out["ids"] = spark.createDataFrame([], "__rid long")
+
+        def summary0():
+            return spark.createDataFrame(
+                [("create", 0, 0, 0, 0, 0)],
+                "op string, nodes_created long, props_set long, "
+                "nodes_deleted long, rels_deleted long, rels_created long",
+            )
+
+        return nodes, summary0()
+    n_props = 0
+    if props:
+        n_props = frame.select(
+            F.sum(
+                sum(
+                    (
+                        F.col(f"__v{i}").isNotNull().cast("long")
+                        for i in range(len(props))
+                    ),
+                    F.lit(0),
+                )
+            )
+        ).collect()[0][0] or 0
+    base_id = (nodes.agg(F.max("ID")).collect()[0][0] or 0) + 1
+    w = Window.orderBy(*[f"__v{i}" for i in range(len(props))] or ["__one"])
+    if not props:
+        frame = frame.withColumn("__one", F.lit(1))
+    rows = frame.withColumn(
+        "ID", (F.row_number().over(w) - 1 + F.lit(base_id)).cast("long")
+    ).withColumn("LABELS", F.array(*[F.lit(lb) for lb in labels]))
+    pmap = {p: i for i, (p, _e) in enumerate(props)}
+    cols = [F.col("ID"), F.col("LABELS")]
+    for c in nodes.columns:
+        if c in ("ID", "LABELS"):
+            continue
+        if c in pmap:
+            cols.append(F.col(f"__v{pmap[c]}").cast(nfields[c]).alias(c))
+        else:
+            cols.append(F.lit(None).cast(nfields[c]).alias(c))
+    for p, i in pmap.items():  # schema-widening pipeline CREATE
+        if p not in nfields:
+            cols.append(F.col(f"__v{i}").alias(p))
+    rows = _decimals_to_double(rows.select(*cols)).localCheckpoint()
+    if ret_out is not None:
+        ret_out["ids"] = rows.select(F.col("ID").alias("__rid"))
+    new_nodes = nodes.unionByName(rows, allowMissingColumns=True)
+
+    def summary():
+        return spark.createDataFrame(
+            [("create", n_new, int(n_props), 0, 0, 0)],
+            "op string, nodes_created long, props_set long, "
+            "nodes_deleted long, rels_deleted long, rels_created long",
+        )
+
+    return new_nodes, summary()
+
+
 def guard_batch_analysis(fn):
     """Wrap a batch-write job closure with the AnalysisException →
     ``CypherUnsupported`` one-liner contract `execute_cypher_write`

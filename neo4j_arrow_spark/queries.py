@@ -1920,6 +1920,99 @@ def cypher_unwind_set_fold_roundtrip(
     ).result(300)
 
 
+_PIPELINE_SET_SQL = """
+    SELECT n_name AS name,
+           CAST((SELECT count(*) FROM supplier
+                 WHERE s_nationkey = n_nationkey) AS BIGINT) AS sup
+    FROM nation ORDER BY name
+"""
+
+
+@query("cypher_pipeline_set_roundtrip", oracle=_PIPELINE_SET_SQL)
+def cypher_pipeline_set_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r11: pipeline SET — ``MATCH … WITH n, count(*) AS d SET
+    n.sup = d``, THE degree-materialization idiom. The pipeline
+    compiles through the read transpiler (ids + values in pipeline
+    scope), the write is one frame op; nations without suppliers keep
+    NULL (coalesced to 0 for the SF-independent oracle)."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    api.catalog.register("cpsr", nodes, rels, overwrite=True)
+    api.cypher(
+        "MATCH (s:Supplier)-[r:IN_NATION]->(n:Nation) "
+        "WITH n, count(*) AS d SET n.sup = d",
+        graph="cpsr",
+    ).result(300)
+    return api.cypher(
+        "MATCH (n:Nation) RETURN n.name AS name, "
+        "coalesce(n.sup, 0) AS sup ORDER BY name",
+        graph="cpsr",
+    ).result(300)
+
+
+_PIPELINE_CREATE_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS pos
+    FROM customer
+"""
+
+
+@query("cypher_pipeline_create_roundtrip", oracle=_PIPELINE_CREATE_SQL)
+def cypher_pipeline_create_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r11: pipeline CREATE — materialize an aggregate as a node
+    (``WITH count(*) AS c … CREATE (:Stat {…})``), then read it
+    back."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    api.catalog.register("cpcr", nodes, rels, overwrite=True)
+    api.cypher(
+        "MATCH (c:Customer) WITH count(*) AS n, "
+        "sum(CASE WHEN c.acctbal > 0 THEN 1 ELSE 0 END) AS pos "
+        "CREATE (st:Stat {n: n, pos: pos})",
+        graph="cpcr",
+    ).result(300)
+    return api.cypher(
+        "MATCH (st:Stat) RETURN st.n AS n, st.pos AS pos",
+        graph="cpcr",
+    ).result(300)
+
+
+_PIPELINE_DELETE_SQL = """
+    SELECT CAST(count(*) - 3 AS BIGINT) AS remaining FROM customer
+"""
+
+
+@query("cypher_pipeline_delete_roundtrip", oracle=_PIPELINE_DELETE_SQL)
+def cypher_pipeline_delete_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r11: pipeline DELETE — remove the top-3 customers by account
+    balance (deterministic tiebreak on name), count the rest."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    api.catalog.register("cpdr", nodes, rels, overwrite=True)
+    api.cypher(
+        "MATCH (c:Customer) WITH c ORDER BY c.acctbal DESC, c.name "
+        "LIMIT 3 DETACH DELETE c",
+        graph="cpdr",
+    ).result(300)
+    return api.cypher(
+        "MATCH (c:Customer) RETURN count(*) AS remaining",
+        graph="cpdr",
+    ).result(300)
+
+
 _CREATE_REL_RETURN_SQL = """
     SELECT CAST(count(*) AS BIGINT) AS n, round(sum(2.5), 1) AS tw
     FROM supplier WHERE s_suppkey <= 5
