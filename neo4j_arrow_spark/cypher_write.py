@@ -3384,17 +3384,41 @@ class _WriteParser(_Parser):
                     f"unexpected trailing input: {self.peek()[1]!r}"
                 )
             tvars = {v for v, _, _ in sets}
+            rvset = {r.var for r in rels if r.var}
+            nvset = {n.var for n in nodes}
             if len(tvars) != 1:
-                raise CypherUnsupported(
-                    f"SET targets one variable per statement (got {sorted(tvars)})"
-                )
+                # r11: multi-variable SET — node vars route through
+                # the set_multi union machinery, a rel var through
+                # set_rel, mixed applies both over the same MATCH
+                for v, _, _ in sets:
+                    if v not in rvset and v not in nvset:
+                        raise CypherSyntaxError(
+                            f"SET target {v!r} is not bound"
+                        )
+                rel_sets = [t for t in sets if t[0] in rvset]
+                node_sets = [t for t in sets if t[0] not in rvset]
+                if len({t[0] for t in rel_sets}) > 1:
+                    raise CypherUnsupported(
+                        "SET supports one RELATIONSHIP variable per "
+                        "statement (v1)"
+                    )
+                if rel_sets:
+                    _check_rel_set_props(rel_sets)
+                    return {
+                        **base,
+                        "op": "set_mixed",
+                        "sets": sets,
+                        "node_sets": node_sets,
+                        "rel_sets": rel_sets,
+                    }
+                return {**base, "op": "set_multi", "sets": sets}
             tv = next(iter(tvars))
-            if tv in {r.var for r in rels if r.var}:
+            if tv in rvset:
                 # r9: SET r.prop = … on a relationship variable —
                 # routes to the rel-frame update (op set_rel)
                 _check_rel_set_props(sets)
                 return {**base, "op": "set_rel", "sets": sets}
-            if tv not in {n.var for n in nodes}:
+            if tv not in nvset:
                 raise CypherSyntaxError(f"SET target {tvars} is not bound")
             return {**base, "op": "set", "sets": sets}
         detach = False
@@ -3879,20 +3903,24 @@ def _execute_write(
     nodes_view: str,
     rels_view: str,
     aff_out: dict | None = None,
+    ast_override: dict | None = None,
 ) -> tuple[DataFrame, DataFrame | None, DataFrame]:
     """``aff_out`` (when given) receives ``{"rels": frame}`` for
     relationship CREATE/MERGE — the affected edge rows (created rows
     post-ON-CREATE plus, for MERGE, matched rows post-ON-MATCH) that a
     trailing RETURN projects. Only computed on request so bare writes
     pay nothing."""
-    parser = _WriteParser(query)
-    ast = parser.parse_write()
-    _reject_aggregates_in_ast(ast)
+    if ast_override is not None:
+        ast = ast_override
+    else:
+        parser = _WriteParser(query)
+        ast = parser.parse_write()
+        _reject_aggregates_in_ast(ast)
+        if parser.params_used:
+            raise CypherUnsupported(
+                "parameters in write clauses are not supported (v1)"
+            )
     _rid = rels is not None and "REL_ID" in rels.columns
-    if parser.params_used:
-        raise CypherUnsupported(
-            "parameters in write clauses are not supported (v1)"
-        )
 
     def summary(op, created=0, props=0, ndel=0, rdel=0, rcre=0):
         return spark.createDataFrame(
@@ -4327,6 +4355,26 @@ def _execute_write(
             *kcols, *[f"__v{i}" for i in range(len(ast["sets"]))]
         )
         return nodes, out, summary("set", props=n_set * len(ast["sets"]))
+
+    if op == "set_mixed":
+        # r11: SET a.x = …, r.y = … — node and relationship targets in
+        # ONE statement. Both halves evaluate against the PRE-statement
+        # state (the _read_ast SQL reads the registered views, which
+        # re-register only after the statement commits), matching
+        # openCypher's all-items-see-the-match-state rule.
+        n2, r2, s1 = _execute_write(
+            spark, nodes, rels, query, nodes_view, rels_view,
+            ast_override={**ast, "op": "set_multi",
+                          "sets": ast["node_sets"]},
+        )
+        n3, r3, s2 = _execute_write(
+            spark, n2, r2, query, nodes_view, rels_view,
+            ast_override={**ast, "op": "set_rel",
+                          "sets": ast["rel_sets"]},
+        )
+        p1 = s1.collect()[0].props_set
+        p2 = s2.collect()[0].props_set
+        return n3, r3, summary("set", props=p1 + p2)
 
     if op == "set_multi":
         # FOREACH (x IN [p, q] | SET x.prop = …) — the parser expanded

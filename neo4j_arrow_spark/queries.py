@@ -1920,6 +1920,40 @@ def cypher_unwind_set_fold_roundtrip(
     ).result(300)
 
 
+_MIXED_SET_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n, round(sum(7.5), 1) AS ws,
+           CAST(sum(2) AS BIGINT) AS tags
+    FROM supplier
+"""
+
+
+@query("cypher_mixed_set_roundtrip", oracle=_MIXED_SET_SQL)
+def cypher_mixed_set_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: mixed node+relationship SET in one statement — ``SET
+    s.tag = 2, r.w = 7.5`` applies the node half through the
+    set-union machinery and the rel half through the rel-frame
+    update, both against the PRE-statement match state."""
+    from neo4j_arrow_spark.api import Neo4jArrowSpark
+
+    api = Neo4jArrowSpark(spark)
+    nodes, rels = _graph(spark, sf_dir)
+    rels = rels.filter(
+        (F.col("TYPE") == "IN_NATION") & (F.col("START_ID") >= 1_000_000)
+    )
+    api.catalog.register("cmxs", nodes, rels, overwrite=True)
+    api.cypher(
+        "MATCH (s:Supplier)-[r:IN_NATION]->(n:Nation) "
+        "SET s.tag = 2, r.w = 7.5",
+        graph="cmxs",
+    ).result(300)
+    return api.cypher(
+        "MATCH (s:Supplier)-[r:IN_NATION]->(n:Nation) "
+        "RETURN count(*) AS n, round(sum(r.w), 1) AS ws, "
+        "sum(s.tag) AS tags",
+        graph="cmxs",
+    ).result(300)
+
+
 _PIPELINE_SET_SQL = """
     SELECT n_name AS name,
            CAST((SELECT count(*) FROM supplier

@@ -904,3 +904,103 @@ def test_merge_on_create_self_reference_rejected(wapi):
             "MERGE (z:Z {ID: 77}) ON CREATE SET z.x = z.ID + 1",
             graph="wt",
         ).result(60)
+
+
+# -- multi-variable / mixed node+rel SET (r11) -----------------------------
+
+
+@pytest.fixture()
+def mxapi(spark):
+    api = Neo4jArrowSpark(spark)
+    nodes = spark.createDataFrame(
+        [
+            (1, ["P"], "alice", 30),
+            (2, ["P"], "bob", 25),
+            (3, ["Q"], "carol", 35),
+        ],
+        "ID long, LABELS array<string>, name string, age long",
+    )
+    rels = spark.createDataFrame(
+        [(1, 2, "K", 1.0), (2, 3, "K", 2.0)],
+        "START_ID long, END_ID long, TYPE string, w double",
+    )
+    api.catalog.register("mx", nodes, rels, overwrite=True)
+    return api
+
+
+def test_mixed_node_rel_set(mxapi):
+    s = (
+        mxapi.cypher(
+            "MATCH (a:P {name: 'alice'})-[r:K]->(b) "
+            "SET a.age = 31, r.w = 9.9",
+            graph="mx",
+        )
+        .result(120)
+        .collect()[0]
+    )
+    assert (s.op, s.props_set) == ("set", 2)
+    rows = (
+        mxapi.cypher(
+            "MATCH (a:P {name: 'alice'})-[r:K]->(b) "
+            "RETURN a.age AS aa, r.w AS w",
+            graph="mx",
+        )
+        .result(120)
+        .collect()
+    )
+    assert [(r.aa, r.w) for r in rows] == [(31, 9.9)]
+
+
+def test_mixed_set_values_see_pre_state(mxapi):
+    # openCypher: every SET item evaluates against the MATCH state —
+    # a.age reads r.w's pre-value and r.w reads a.age's pre-value
+    mxapi.cypher(
+        "MATCH (a:P {name: 'bob'})-[r:K]->(b) "
+        "SET a.age = r.w * 10, r.w = a.age + 0.5",
+        graph="mx",
+    ).result(120)
+    rows = (
+        mxapi.cypher(
+            "MATCH (a:P {name: 'bob'})-[r:K]->(b) "
+            "RETURN a.age AS aa, r.w AS w",
+            graph="mx",
+        )
+        .result(120)
+        .collect()
+    )
+    assert [(r.aa, r.w) for r in rows] == [(20, 25.5)]
+
+
+def test_multi_node_var_set(mxapi):
+    s = (
+        mxapi.cypher(
+            "MATCH (a:P {name: 'alice'}), (b:Q {name: 'carol'}) "
+            "SET a.x = 1, b.y = 2",
+            graph="mx",
+        )
+        .result(120)
+        .collect()[0]
+    )
+    assert s.props_set == 2
+    rows = (
+        mxapi.cypher(
+            "MATCH (n) RETURN n.name AS nm, n.x AS x, n.y AS y "
+            "ORDER BY nm",
+            graph="mx",
+        )
+        .result(120)
+        .collect()
+    )
+    assert [(r.nm, r.x, r.y) for r in rows] == [
+        ("alice", 1, None),
+        ("bob", None, None),
+        ("carol", None, 2),
+    ]
+
+
+def test_two_rel_vars_set_refused(mxapi):
+    with pytest.raises(CypherUnsupported, match="RELATIONSHIP"):
+        mxapi.cypher(
+            "MATCH (a)-[r1:K]->(b)-[r2:K]->(c) SET r1.w = 1, r2.w = 2",
+            graph="mx",
+        )

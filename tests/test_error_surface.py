@@ -58,7 +58,12 @@ NEGATIVES: list[tuple[str, dict | None]] = [
     ("CREATE (n)", None),                               # label-less create
     ("CREATE (a:P)-[:T]-(b:Q)", None),                  # undirected create rel
     ("MERGE (a:P), (b:Q)", None),                       # multi-pattern merge
-    ("MATCH (n:P), (m:Q) SET n.x = 1, m.y = 2", None),  # multi-var SET
+    # r11: multi-var node SET and mixed node+rel SET are SUPPORTED —
+    # but TWO rel variables in one statement still refuse
+    (
+        "MATCH (a:P)-[r1:K]->(b:P)-[r2:K]->(c) SET r1.w = 1, r2.w = 2",
+        None,
+    ),
     ("MATCH (a:P)-[r:K]->(b:P) SET r.START_ID = 9", None),  # immutable col
     # RETURN after delete_rel referencing a non-rel variable
     ("MATCH (a:P)-[r:K]->(b:P) DELETE r RETURN a.name AS x", None),
