@@ -4202,10 +4202,18 @@ def _execute_write(
                     new, allowMissingColumns=True
                 )
             aff_out["rels"] = aff
+        # Neo4j properties_set parity (r11): pattern-map props count
+        # one per created edge (non-NULL values), like node CREATE maps
+        n_pat_props = sum(
+            1
+            for _p, v in ast.get("rprops") or []
+            if str(v).strip().upper() != "NULL"
+        )
         return nodes, _union_rels(rels, new), summary(
-            op, rcre=n_new, props=n_props + n_new * len(
-                ast.get("on_create") or []
-            )
+            op,
+            rcre=n_new,
+            props=n_props
+            + n_new * (len(ast.get("on_create") or []) + n_pat_props),
         )
 
     if op == "label":

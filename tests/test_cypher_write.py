@@ -1004,3 +1004,29 @@ def test_two_rel_vars_set_refused(mxapi):
             "MATCH (a)-[r1:K]->(b)-[r2:K]->(c) SET r1.w = 1, r2.w = 2",
             graph="mx",
         )
+
+
+def test_rel_create_pattern_props_counted(mxapi):
+    # r11: pattern-map props on created edges count in props_set
+    # (Neo4j properties_set parity)
+    s = (
+        mxapi.cypher(
+            "MATCH (a:P {name: 'alice'}), (b:Q {name: 'carol'}) "
+            "CREATE (a)-[r:PT {w: 5.0}]->(b)",
+            graph="mx",
+        )
+        .result(120)
+        .collect()[0]
+    )
+    assert (s.rels_created, s.props_set) == (1, 1)
+    # merging the identical edge matches: nothing created, no props
+    s = (
+        mxapi.cypher(
+            "MATCH (a:P {name: 'alice'}), (b:Q {name: 'carol'}) "
+            "MERGE (a)-[r:PT {w: 5.0}]->(b)",
+            graph="mx",
+        )
+        .result(120)
+        .collect()[0]
+    )
+    assert (s.rels_created, s.props_set) == (0, 0)
