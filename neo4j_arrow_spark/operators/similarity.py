@@ -17,7 +17,9 @@ id tie-breaks — reproducible on DuckDB for the correctness gate.
 from __future__ import annotations
 
 import hashlib
+from typing import Iterator, Tuple
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -218,6 +220,7 @@ def ivf_assign_2level(
     coarse: DataFrame,
     id_col: str,
     vec_col: str,
+    _fine_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Two-level IVF assignment — same output contract as
     :func:`ivf_assign`, but the nearest-centroid search routes through
@@ -238,10 +241,14 @@ def ivf_assign_2level(
     vector assigns to itself at cos = 1).
 
     Output: (item_id, bucket, ccos) — ccos is the fine-centroid
-    cosine, as in :func:`ivf_assign`."""
-    fine_cells = ivf_assign(centroids, coarse, id_col, vec_col).select(
-        F.col("item_id").alias("bucket"), F.col("bucket").alias("cell")
-    )
+    cosine, as in :func:`ivf_assign`. ``_fine_cells`` lets a caller
+    that already computed the fine→coarse cell map (ivf_topk computes
+    it for the probe side too) pass it in instead of re-deriving it."""
+    fine_cells = _fine_cells
+    if fine_cells is None:
+        fine_cells = ivf_assign(centroids, coarse, id_col, vec_col).select(
+            F.col("item_id").alias("bucket"), F.col("bucket").alias("cell")
+        )
     fine = centroids.select(
         F.col(id_col).alias("bucket"), F.col(vec_col).alias("cv")
     ).join(F.broadcast(fine_cells), "bucket")
@@ -281,6 +288,69 @@ def ivf_assign_2level(
     )
 
 
+def _bucket_self_topk(assigned: DataFrame, k: int) -> DataFrame:
+    """Per-bucket all-pairs cosine + top-k for the self-search path of
+    :func:`ivf_topk` (queries == items, nprobe == 1).
+
+    ``assigned`` is ``(item_id, bucket, nv array<float>, nn double)``.
+    One Arrow kernel per bucket computes the raw (unrounded) cosine of
+    every ordered pair with the exact sequential-fold operation order
+    of :func:`~neo4j_arrow_spark.operators.dedup.cosine_prenormed`
+    (vectorized across pairs, sequential across dimensions — bit-equal
+    IEEE doubles). The kernel prunes each query's candidates to the
+    rows that can still reach the top-k AFTER Spark-side round(·, 6):
+    a row whose raw cosine is more than 2e-6 below the query's k-th
+    largest raw cosine rounds strictly below at least k rows (round
+    moves a value by at most 5e-7), so it can never enter the rounded
+    top-k and dropping it cannot change ranks 1..k. Spark applies the
+    canonical round + (cos desc, neighbor asc) row_number ranking on
+    the pruned set, so the output is identical to the unpruned plan.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["item_id"].to_numpy()
+        nn = pdf["nn"].to_numpy(dtype=np.float64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"query_id": ids[:0], "neighbor_id": ids[:0],
+                 "cos": np.empty(0, dtype=np.float64)}
+            )
+        A = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
+        m, d = A.shape
+        # sequential fold across dimensions, vectorized across pairs:
+        # identical IEEE op order to aggregate(zip_with(...)) per pair
+        P = A[:, None, :] * A[None, :, :]
+        acc = P[:, :, 0].copy()
+        for i in range(1, d):
+            acc += P[:, :, i]
+        cosm = acc / np.outer(nn, nn)
+        np.fill_diagonal(cosm, -np.inf)  # drop self pairs
+        keep_k = min(k, m - 1)
+        # k-th largest raw cosine per query row
+        kth = np.partition(cosm, m - 1 - keep_k, axis=1)[:, m - 1 - keep_k]
+        mask = cosm >= (kth - 2e-6)[:, None]
+        qi, ni = np.nonzero(mask)
+        return pd.DataFrame(
+            {"query_id": ids[qi], "neighbor_id": ids[ni],
+             "cos": cosm[qi, ni]}
+        )
+
+    scored = assigned.groupBy("bucket").applyInPandas(
+        _score, "query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cos")
+    )
+
+
 def ivf_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -307,8 +377,14 @@ def ivf_topk(
     nprobe=1, where both pick the two-level assignment bucket).
 
     Output: (query_id, neighbor_id, rank, cos)."""
+    fine_cells = None
     if coarse is not None:
-        assign = ivf_assign_2level(items, centroids, coarse, id_col, vec_col)
+        fine_cells = ivf_assign(centroids, coarse, id_col, vec_col).select(
+            F.col("item_id").alias("bucket"), F.col("bucket").alias("cell")
+        )
+        assign = ivf_assign_2level(
+            items, centroids, coarse, id_col, vec_col, _fine_cells=fine_cells
+        )
     else:
         assign = ivf_assign(items, centroids, id_col, vec_col)
     assigned = assign.join(
@@ -319,6 +395,28 @@ def ivf_topk(
         ),
         "item_id",
     )
+
+    if queries is items and nprobe == 1:
+        # Self-search at nprobe=1 (the knn-graph configuration): a
+        # query's probe bucket IS its assignment bucket — both are the
+        # rank-1 centroid under the identical (round(cos,6) desc, id
+        # asc) order (flat path) or the identical two-level route
+        # (coarse path). The probe side's duplicate assignment subtree
+        # (cross-join + argmax windows over the full vector set, twice
+        # with a coarse quantizer) therefore computes exactly
+        # ``assigned`` again — skip it (guide §1.2.1: don't compute
+        # things twice). The per-bucket all-pairs scoring then runs as
+        # ONE Arrow kernel per bucket (guide §4.2/§8): each vector
+        # ships to Python once per bucket instead of once per PAIR
+        # (the bucket self-join shipped |bucket| copies), and the
+        # sequential-fold cosine vectorizes across the pair matrix in
+        # numpy with the IDENTICAL per-pair IEEE operation sequence
+        # (elementwise product, then one add per dimension in index
+        # order, then dot/(qn*nn)) — bit-equal doubles, verified
+        # against the zip_with fold on the full pair set. Rounding and
+        # the (round(cos,6) desc, id asc) top-k ranking stay in Spark,
+        # so the ranking semantics are untouched.
+        return _bucket_self_topk(assigned, k)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -331,9 +429,6 @@ def ivf_topk(
         co = coarse.select(
             F.col(id_col).alias("cell"), F.col(vec_col).alias("xv")
         )
-        fine_cells = ivf_assign(
-            centroids, coarse, id_col, vec_col
-        ).select(F.col("item_id").alias("bucket"), F.col("bucket").alias("cell"))
         fine = centroids.select(
             F.col(id_col).alias("bucket"), F.col(vec_col).alias("cv")
         ).join(F.broadcast(fine_cells), "bucket")
@@ -486,10 +581,18 @@ def pq_train_encode(
             F.col(vec_col), lambda x: F.round(x * QUANT_SCALE).cast("long")
         ).alias("qv"),
     )
-    head = q.limit(1).collect()
-    if not head:
+    # ONE driver job fetches dim AND every seed: the per-subspace seeds
+    # are the k_codes lowest-id vectors and the id set is identical in
+    # every subspace, so the k_codes lowest FULL vectors determine all
+    # m seed sets — sliced driver-side below. (Previously: a limit(1)
+    # collect for dim, a count() to force the persist, and a windowed
+    # collect for seeds — three sequential jobs of pure overhead,
+    # guide §1.2.2/§5: the driver should do almost no data work, and
+    # here it only handles k_codes rows.)
+    seed_vecs = q.orderBy(id_col).limit(k_codes).collect()
+    if not seed_vecs:
         raise ValueError("pq_train_encode: empty vector table")
-    dim = len(head[0]["qv"])
+    dim = len(seed_vecs[0]["qv"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     subdim = dim // m
@@ -497,18 +600,11 @@ def pq_train_encode(
     sub = q.select(
         F.col(id_col), F.posexplode(slices).alias("s", "qv")
     ).persist()
-    sub.count()
 
-    # seeds: per subspace, the k_codes lowest ids (rank inside s)
-    w = Window.partitionBy("s").orderBy(id_col)
-    seed_rows = (
-        sub.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k_codes)
-        .collect()
-    )
     cents: dict[tuple[int, int], list[int]] = {}
-    for r in sorted(seed_rows, key=lambda r: (r["s"], r[id_col])):
-        cents[(r["s"], sum(1 for k in cents if k[0] == r["s"]))] = list(r["qv"])
+    for s in range(m):
+        for c, r in enumerate(seed_vecs):
+            cents[(s, c)] = list(r["qv"][s * subdim : (s + 1) * subdim])
 
     def _assign(centroids: dict[tuple[int, int], list[int]]) -> DataFrame:
         cent_df = spark.createDataFrame(
@@ -548,12 +644,14 @@ def pq_train_encode(
             ]
             for r in rows
         }
+    # persist stays (callers may scan codes more than once) but the
+    # eager count() is gone: the first consumer materializes the cache
+    # in its own job — one fewer sequential driver round-trip
     codes = (
         _assign(cents)
         .select(F.col(id_col), "s", F.col("cluster").alias("code"))
         .persist()
     )
-    codes.count()
     sub.unpersist()
     books: list[list[tuple[int, list[int]]]] = [
         sorted(
@@ -634,6 +732,25 @@ def pq_topk(
     return _with_intermediates(out, [codes])
 
 
+def _l2q_kernel(qv_col: str, nv_col: str):
+    """Vectorized integer squared-L2 column: exact longs, summation-
+    order-independent, so the numpy kernel is drift-free vs the JVM
+    fold by construction (guide §4.2)."""
+    import numpy as np
+
+    def _l2q(
+        it: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        for qv, nv in it:
+            a = np.stack(qv.to_numpy()).astype(np.int64)
+            b = np.stack(nv.to_numpy()).astype(np.int64)
+            d = a - b
+            yield pd.Series((d * d).sum(axis=1))
+
+    udf = F.pandas_udf(_l2q, "long")
+    return udf(qv_col, nv_col)
+
+
 def l2q_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -655,14 +772,15 @@ def l2q_topk(
     )
     q = queries.select(F.col(id_col).alias("query_id"), quant(vec_col).alias("qv"))
     n = items.select(F.col(id_col).alias("neighbor_id"), quant(vec_col).alias("nv"))
+
+    # Integer distances are summation-order-independent (exact longs),
+    # so the per-pair JVM higher-order fold — the slowest expression in
+    # the plan by an order of magnitude — can be a vectorized Arrow
+    # kernel with no cross-engine drift at all (guide §4.2).
     scored = q.join(n, how="cross").select(
         "query_id",
         "neighbor_id",
-        F.aggregate(
-            F.zip_with("qv", "nv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        ).alias("l2q"),
+        _l2q_kernel("qv", "nv").alias("l2q"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("l2q").asc(), F.col("neighbor_id").asc()
