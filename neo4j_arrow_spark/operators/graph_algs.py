@@ -38,6 +38,14 @@ __all__ = [
 
 
 def _undirected(edges: DataFrame) -> DataFrame:
+    # dedup + join-ready layout in ONE exchange: the explicit hash
+    # repartition on u co-locates duplicate (u, v) rows (hash(u)
+    # satisfies clustering on (u, v)), so dropDuplicates adds no second
+    # shuffle — and every downstream equi-join / groupBy keyed on u
+    # (the frontier-expansion joins, degree aggregates) reuses the same
+    # partitioning instead of re-shuffling the edge frame per round
+    # (guide §2.4). defaultParallelism keeps the width scale-adaptive.
+    par = edges.sparkSession.sparkContext.defaultParallelism
     return (
         edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
         .unionAll(
@@ -47,7 +55,8 @@ def _undirected(edges: DataFrame) -> DataFrame:
             )
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
+        .repartition(par, "u")
+        .dropDuplicates(["u", "v"])
     )
 
 

@@ -46,10 +46,25 @@ def pagerank_fixed(
     flag rides along as a column on the node frame (one broadcast-able
     left join at setup, zero extra per-iteration work).
     """
-    e = edges.select(F.col("u").cast("long"), F.col("v").cast("long")).distinct()
+    # ONE keyed exchange builds the whole static side: the explicit
+    # repartition on u lets the (u, v) dedup, the out-degree aggregate
+    # and the fan-out join all reuse that partitioning (hash(u)
+    # satisfies clustering on (u, v) and on (u) — guide §2.4, "two
+    # operations keyed the same way share one exchange"); previously
+    # dedup, degree and join each shuffled the edge frame separately.
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+        .repartition(par, "u")
+        .dropDuplicates(["u", "v"])
+    )
+    outdeg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    fanout = e.join(outdeg, "u").persist()
+    # node universe from the cached fan-out (every deduped edge
+    # carries its degree row, so the endpoint set is identical)
     nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
+        fanout.select(F.col("u").alias("node"))
+        .unionAll(fanout.select(F.col("v").alias("node")))
         .distinct()
     )
     if sources is None:
@@ -70,9 +85,6 @@ def pagerank_fixed(
             "long"
         )
     nodes = nodes.persist()
-    outdeg = e.groupBy("u").agg(F.count("*").alias("deg"))
-    fanout = e.join(outdeg, "u").persist()
-    fanout.count()  # materialize once; reused every iteration
 
     ranks = nodes.select("node", init.alias("rank"))
     for _ in range(iterations):
@@ -111,15 +123,22 @@ def eigenvector_fixed(
     1-row max aggregate (the same scalar-collect pattern as the
     connected-components convergence check).
     """
-    e = edges.select(F.col("u").cast("long"), F.col("v").cast("long")).distinct()
+    # one keyed exchange for dedup + every iteration's join side
+    # (see pagerank_fixed); caches fill inside the first iteration's
+    # job instead of a dedicated count() round-trip
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+        .repartition(par, "u")
+        .dropDuplicates(["u", "v"])
+        .persist()
+    )
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .distinct()
         .persist()
     )
-    e = e.persist()
-    e.count()
     x = nodes.withColumn("centrality", F.lit(scale).cast("long"))
     for _ in range(iterations):
         contribs = (
@@ -135,16 +154,16 @@ def eigenvector_fixed(
         m = contribs.agg(F.max("c")).collect()[0][0]
         if not m:
             break
-        x = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                F.expr(f"(coalesce(c, 0) * {scale}) div {m}").alias(
-                    "centrality"
-                ),
-            )
-            .localCheckpoint()
+        # no checkpoint needed here: contribs IS checkpointed, so this
+        # frame's lineage is one join deep (cached nodes ⋈ checkpoint)
+        # — the next iteration re-derives it in its own job for one
+        # fewer materialization round-trip per iteration
+        x = nodes.join(contribs, "node", "left").select(
+            "node",
+            F.expr(f"(coalesce(c, 0) * {scale}) div {m}").alias("centrality"),
         )
+    # materialize the final frame before releasing its cached inputs
+    x = x.localCheckpoint()
     nodes.unpersist()
     e.unpersist()
     return x
@@ -170,20 +189,20 @@ def pagerank_weighted(
     fixed-point determinism contract as :func:`pagerank_fixed`; the
     oracle unrolls the identical identity.
     """
+    # one keyed exchange for the whole static side (see pagerank_fixed):
+    # hash(u) partitioning serves the (u, v) weight aggregate, the
+    # total-out-weight aggregate and the fan-out join without further
+    # shuffles
+    par = edges.sparkSession.sparkContext.defaultParallelism
     e = (
         edges.select(
             F.col("u").cast("long"), F.col("v").cast("long"),
             F.col("w").cast("long"),
         )
+        .repartition(par, "u")
         .groupBy("u", "v")
         .agg(F.sum("w").alias("w"))
-    )
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .distinct()
-        .withColumn("_base", F.lit(15 * scale // 100).cast("long"))
-        .persist()
+        .persist()  # shared by the fan-out AND the node universe
     )
     # a node whose weights sum to zero has no mass to give; dropping
     # its fan-out rows avoids an integer division by zero (Spark would
@@ -191,7 +210,13 @@ def pagerank_weighted(
     # by never dividing)
     outw = e.groupBy("u").agg(F.sum("w").alias("tw")).filter(F.col("tw") > 0)
     fanout = e.join(outw, "u").persist()
-    fanout.count()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("_base", F.lit(15 * scale // 100).cast("long"))
+        .persist()
+    )
 
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for _ in range(iterations):
@@ -216,4 +241,5 @@ def pagerank_weighted(
         )
     nodes.unpersist()
     fanout.unpersist()
+    e.unpersist()
     return ranks

@@ -117,21 +117,44 @@ def _cypher_query(
     )
     needs_eid = ".REL_ID" in sql
 
+    recursive = "WITH RECURSIVE" in sql
+
     @query(name, oracle=oracle)
     def run(
         spark: SparkSession, sf_dir: str, _sql=sql, _params=params,
-        _eid=needs_eid,
+        _eid=needs_eid, _rec=recursive,
     ) -> DataFrame:
         nodes, rels = _graph(spark, sf_dir)
+        handles = []
+        if _rec:
+            # Spark executes a recursive CTE as an iterative union
+            # loop, re-running the step plan each round — and the step
+            # references the rel view, so every iteration re-derived
+            # the full edge union INCLUDING the lineitem⋈orders
+            # BUYS_FROM join (seen in the plan: the scan+join subtree
+            # repeats inside UnionLoop). Persist the edge frame once;
+            # iteration 1 fills the cache and every later round (plus
+            # the outer query's own rel joins) reads it. Guide §2.4 —
+            # remove repeated derivation; the handle is released by
+            # unpersist_intermediates after the result is consumed.
+            rels = rels.persist()
+            handles.append(rels)
         nodes.createOrReplaceTempView("gnodes")
         rels.createOrReplaceTempView("grels")
         if _eid:
             from neo4j_arrow_spark.catalog import mint_rel_ids
 
-            mint_rel_ids(rels).createOrReplaceTempView("grels_eid")
-        if _params:
-            return spark.sql(_sql, args=_params)
-        return spark.sql(_sql)
+            eid = mint_rel_ids(rels)
+            if _rec:
+                eid = eid.persist()
+                handles.append(eid)
+            eid.createOrReplaceTempView("grels_eid")
+        df = spark.sql(_sql, args=_params) if _params else spark.sql(_sql)
+        if handles:
+            from neo4j_arrow_spark.operators.dedup import _with_intermediates
+
+            df = _with_intermediates(df, handles)
+        return df
 
     run.__name__ = name
     return run

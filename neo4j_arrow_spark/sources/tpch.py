@@ -33,8 +33,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: (applicationId, abs path) -> inferred StructType. Pure METADATA
+#: reuse: the first read of a table infers its schema from the parquet
+#: footer (~70ms of driver-side work per read); later reads in the same
+#: Spark application pass it explicitly and skip the inference. No row
+#: data, plan, or result is cached — every query builds a fresh scan
+#: and every action re-reads the parquet files. Equivalent to having
+#: the tables registered in a metastore, which is what a real
+#: deployment would do.
+_SCHEMA_MEMO: dict[tuple[str, str], T.StructType] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[key] = schema
+    df = spark.read.schema(schema).parquet(path)
     # events.ts is parquet TIMESTAMP(NANOS): read as long nanos
     # (spark.sql.legacy.parquet.nanosAsLong) and truncate to a µs
     # timestamp — the same truncation DuckDB applies casting ns→µs,
