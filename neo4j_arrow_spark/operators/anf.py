@@ -182,12 +182,25 @@ def est_from_eraw_sql(dialect: str, e_raw: str = "_eraw", v: str = "_v") -> str:
 
 
 def _undirected(edges: DataFrame) -> DataFrame:
+    # dedup and the per-hop aggregation layout share ONE exchange: the
+    # explicit hash repartition on u co-locates duplicates (hash(u)
+    # satisfies clustering on (u, v)) AND co-locates each hop's
+    # propagated register rows by their output key (prop selects u as
+    # node), so the partial bit_or aggregation collapses every
+    # partition to one row per node before the shuffle (guide §2.3,
+    # aggregate before you shuffle; §2.4, share the exchange).
+    par = edges.sparkSession.sparkContext.defaultParallelism
     fwd = edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
-    return fwd.unionAll(
-        edges.select(
-            F.col("v").cast("long").alias("u"), F.col("u").cast("long").alias("v")
+    return (
+        fwd.unionAll(
+            edges.select(
+                F.col("v").cast("long").alias("u"),
+                F.col("u").cast("long").alias("v"),
+            )
         )
-    ).distinct()
+        .repartition(par, "u")
+        .dropDuplicates(["u", "v"])
+    )
 
 
 def anf_sketch_by_hop(
