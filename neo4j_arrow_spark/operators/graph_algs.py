@@ -334,6 +334,7 @@ def neighbor_sample(
     seeds: DataFrame,
     fanouts: tuple[int, ...] = (10, 5),
     seed: int = 0,
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """GraphSAGE-style minibatch neighbor sampling over the undirected
     view of ``edges (u, v)``: starting from ``seeds (node)``, keep at
@@ -351,8 +352,18 @@ def neighbor_sample(
     touches; the fanout cap keeps frontier growth geometric in the
     fanouts, not the degree distribution (supernode-proof: a hub
     contributes at most f edges per appearance).
+
+    ``und`` (optional): a caller-supplied undirected edge frame — the
+    exact set ``_undirected(edges)`` would produce, typically already
+    persisted because the caller needs it again (e.g. the invariants
+    query's membership anti-join). Supplying it avoids deriving the
+    undirected view twice; the caller owns its persist lifecycle.
     """
-    und = _undirected(edges).persist()
+    if und is None:
+        und = _undirected(edges).persist()
+        own_und = True
+    else:
+        own_und = False
     frontier = seeds.select(F.col("node").cast("long")).distinct()
     out = None
     for hop, f in enumerate(fanouts, start=1):
@@ -370,7 +381,8 @@ def neighbor_sample(
         )
         out = samp if out is None else out.unionByName(samp)
         frontier = samp.select(F.col("v").alias("node")).distinct()
-    und.unpersist()
+    if own_und:
+        und.unpersist()
     return out
 
 

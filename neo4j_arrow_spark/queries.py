@@ -4289,6 +4289,13 @@ def random_walks3_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = cu.filter(F.col("c_custkey") < 20).select(
         F.col("c_custkey").alias("walk_id"), F.col("c_custkey").alias("node")
     )
+    # the symmetrized edge frame feeds BOTH the walker and the
+    # bad-transitions anti-join below — persist it so the
+    # lineitem⋈orders derivation runs once instead of twice (the
+    # two customer/supplier id spaces are disjoint, so the union is
+    # already duplicate-free and the walker's internal dedup reads
+    # straight from this cache)
+    edges = edges.persist()
     walks = random_walks(edges, starts, walk_len=3)
     totals = walks.agg(
         F.countDistinct("walk_id").alias("walks"),
@@ -4306,7 +4313,10 @@ def random_walks3_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = trans.join(edges, ["u", "v"], "left_anti").agg(
         F.count("*").alias("bad_transitions")
     )
-    return totals.crossJoin(bad)  # two 1-row aggregates
+    res = totals.crossJoin(bad)  # two 1-row aggregates
+    from neo4j_arrow_spark.operators.dedup import _with_intermediates
+
+    return _with_intermediates(res, [edges])
 
 
 @query(
@@ -4342,7 +4352,10 @@ def gnn_sample_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash ranked first), no group exceeds its fan-out cap, every sampled
     edge exists in the undirected edge set, and every hop-2 source was a
     hop-1 target."""
-    from neo4j_arrow_spark.operators.graph_algs import neighbor_sample
+    from neo4j_arrow_spark.operators.graph_algs import (
+        _undirected,
+        neighbor_sample,
+    )
 
     _, rels = _graph(spark, sf_dir)
     edges = rels.filter(F.col("TYPE") == "BUYS_FROM").select(
@@ -4351,11 +4364,13 @@ def gnn_sample_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = edges.filter(F.col("u") % 250 == 0).select(
         F.col("u").alias("node")
     )
-    out = neighbor_sample(edges, seeds, fanouts=(10, 5)).persist()
-    fwd = edges.filter(F.col("u") != F.col("v")).distinct()
-    und = fwd.unionByName(
-        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    # ONE undirected derivation serves both the sampler and the
+    # membership anti-join below (same set `_undirected` computes:
+    # both-direction union, self-loops dropped, deduplicated) —
+    # previously the query re-derived the undirected view from the
+    # rels scan a second time just to validate edge membership.
+    und = _undirected(edges).persist()
+    out = neighbor_sample(edges, seeds, fanouts=(10, 5), und=und).persist()
     hop1 = out.filter(F.col("hop") == 1)
     hop2 = out.filter(F.col("hop") == 2)
     h1 = hop1.agg(F.count("*").alias("hop1_edges"))
@@ -4387,7 +4402,7 @@ def gnn_sample_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = h1.crossJoin(c1).crossJoin(c2).crossJoin(ne).crossJoin(orphans)
     from neo4j_arrow_spark.operators.dedup import _with_intermediates
 
-    return _with_intermediates(res, [out])
+    return _with_intermediates(res, [out, und])
 
 
 # --------------------------------------------------------------------------

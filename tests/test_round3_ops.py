@@ -94,6 +94,16 @@ def test_neighbor_sample_fanout_and_determinism(spark):
     # deterministic: rerun gives the identical edge multiset
     again = neighbor_sample(e, seeds, fanouts=(3, 2)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a caller-supplied undirected frame (the r11 shared-derivation
+    # path) samples the identical edge multiset and leaves the
+    # caller's persist in place
+    from neo4j_arrow_spark.operators.graph_algs import _undirected
+
+    und = _undirected(e).persist()
+    shared = neighbor_sample(e, seeds, fanouts=(3, 2), und=und).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, shared))
+    assert und.storageLevel.useMemory  # lifecycle stays with the caller
+    und.unpersist()
 
 
 def test_hits_fixed_star(spark):
