@@ -40,7 +40,6 @@ _BASE_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
     "spark.sql.session.timeZone": "UTC",
-    "spark.sql.shuffle.partitions": "32",
     # parquet scans: allow vectorized reader + pushdown (defaults, pinned
     # explicitly because the bench depends on them)
     "spark.sql.parquet.filterPushdown": "true",
@@ -113,6 +112,17 @@ def get_session(
     if master.startswith("local"):
         # single-JVM: driver memory is the only knob; leave headroom.
         conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # shuffle width follows the actual core count instead of a
+        # constant tuned for one box (the driver benches the same code
+        # at several SPARK_GRAFT_CPUS values): one wave of post-shuffle
+        # tasks per exchange at any width, with AQE coalescing still
+        # merging small outputs below it. On a cluster (non-local
+        # master) this is left to the deployment's own sizing
+        # (spark.sql.shuffle.partitions default / dynamic allocation).
+        cores = master[master.find("[") + 1 : master.find("]")]
+        if not cores.isdigit():  # "local" / "local[*]"
+            cores = str(os.cpu_count() or 32)
+        conf.setdefault("spark.sql.shuffle.partitions", cores)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
