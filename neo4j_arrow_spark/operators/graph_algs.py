@@ -998,6 +998,7 @@ def betweenness_sampled(
         .localCheckpoint()
     )
     levels = [lvl0]
+    counts = [lvl0.count()]
     visited = lvl0.select("s", "v")
     for _t in range(1, max_hops + 1):
         prev = levels[-1]
@@ -1010,9 +1011,13 @@ def betweenness_sampled(
             .join(visited, ["s", "v"], "left_anti")
             .localCheckpoint()
         )
-        if nxt.isEmpty():
+        # count doubles as the emptiness check (cheap: nxt is already
+        # materialized) and sizes the backward pass's join-order choice
+        n = nxt.count()
+        if n == 0:
             break
         levels.append(nxt)
+        counts.append(n)
         visited = visited.unionByName(nxt.select("s", "v"))
     spark = edges.sparkSession
     empty = spark.createDataFrame([], "node long, betweenness_q long")
@@ -1023,32 +1028,70 @@ def betweenness_sampled(
     child = levels[-1].withColumn("delta", F.lit(0).cast("long"))
     delta_frames = []
     for t in range(len(levels) - 2, 0, -1):
+        cur = levels[t]
         succ = child.select(
             F.col("s").alias("cs"),
             F.col("v").alias("w"),
             F.col("sig").alias("sig_w"),
             F.col("delta").alias("delta_w"),
         )
-        # predecessors of w are its neighbors at depth t
-        cand = succ.join(und, succ["w"] == und["u"]).select(
-            "cs", und["v"].alias("pv"), "sig_w", "delta_w"
-        )
-        cur = levels[t]
-        d = (
-            cur.join(
-                cand,
-                (cur["s"] == cand["cs"]) & (cur["v"] == cand["pv"]),
+        # The dependency terms need every (pred at depth t, succ at
+        # depth t+1) pair connected by an edge. The neighbor fan-out
+        # can run from EITHER side — und is symmetric, so "neighbors
+        # of the successors" and "neighbors of the predecessors"
+        # enumerate the same edge set — and the intermediate row count
+        # is |fanned side| x avg-degree, so fan out from the SMALLER
+        # level frame (r11: at the deepest-to-shallowest transition the
+        # successor side was 300x the predecessor side; fanning the
+        # 322k-row frame toward 1,095 predecessors built a 23M-row
+        # intermediate that the swap reduces to ~80k). `child` carries
+        # exactly |levels[t+1]| rows (its delta join is a left join on
+        # cur's rows), so the forward counts size both sides.
+        if counts[t] <= counts[t + 1]:
+            # fan out from the predecessor level, then fetch each
+            # neighbor's successor stats
+            nb = cur.join(und, cur["v"] == und["u"]).select(
+                "s", cur["v"].alias("v"), "sig", und["v"].alias("_w")
             )
-            .select(
-                "s",
-                "v",
-                "sig",
-                F.expr(f"(sig * ({scale} + delta_w)) div sig_w").alias("term"),
+            d = (
+                nb.join(
+                    succ,
+                    (nb["s"] == succ["cs"]) & (nb["_w"] == succ["w"]),
+                )
+                .select(
+                    "s",
+                    "v",
+                    "sig",
+                    F.expr(f"(sig * ({scale} + delta_w)) div sig_w").alias(
+                        "term"
+                    ),
+                )
+                .groupBy("s", "v", "sig")
+                .agg(F.sum("term").alias("delta"))
+                .localCheckpoint()
             )
-            .groupBy("s", "v", "sig")
-            .agg(F.sum("term").alias("delta"))
-            .localCheckpoint()
-        )
+        else:
+            # predecessors of w are its neighbors at depth t
+            cand = succ.join(und, succ["w"] == und["u"]).select(
+                "cs", und["v"].alias("pv"), "sig_w", "delta_w"
+            )
+            d = (
+                cur.join(
+                    cand,
+                    (cur["s"] == cand["cs"]) & (cur["v"] == cand["pv"]),
+                )
+                .select(
+                    "s",
+                    "v",
+                    "sig",
+                    F.expr(f"(sig * ({scale} + delta_w)) div sig_w").alias(
+                        "term"
+                    ),
+                )
+                .groupBy("s", "v", "sig")
+                .agg(F.sum("term").alias("delta"))
+                .localCheckpoint()
+            )
         delta_frames.append(d)
         # next step's successor frame must include level-t nodes with
         # NO deeper successors (delta 0): they still hand their
