@@ -416,13 +416,16 @@ def hits_fixed(
         .distinct()
         .persist()
     )
-    nodes = (
+    # initial hubs: only edge SOURCES need a starting score — a node
+    # with no out-edges joins no e.u row, so its initial `scale` can
+    # never reach an auth sum; seeding distinct(u) instead of the full
+    # endpoint universe halves the seed dedup and drops a persist
+    # (identical fixpoint, r11)
+    hub = (
         e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
         .distinct()
-        .persist()
+        .select("node", F.lit(scale).cast("long").alias("hub"))
     )
-    hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
     auth = None
 
     def _half(scores: DataFrame, col: str, join_key: str, out_key: str, out: str):
@@ -450,17 +453,16 @@ def hits_fixed(
     for _ in range(iterations):
         auth = _half(hub, "hub", "u", "v", "auth")
         hub = _half(auth, "auth", "v", "u", "hub")
-    out = (
-        nodes.join(hub, "node", "left")
-        .join(auth, "node", "left")
-        .select(
-            "node",
-            F.coalesce(F.col("hub"), F.lit(0)).cast("long").alias("hub"),
-            F.coalesce(F.col("auth"), F.lit(0)).cast("long").alias("auth"),
-        )
+    # after ≥1 iteration hub covers exactly the edge sources and auth
+    # exactly the edge targets, so hub ∪ auth IS the endpoint universe
+    # — a full outer join replaces the separate nodes frame (one
+    # union+distinct+persist and one join fewer; same rows)
+    out = hub.join(auth, "node", "full_outer").select(
+        "node",
+        F.coalesce(F.col("hub"), F.lit(0)).cast("long").alias("hub"),
+        F.coalesce(F.col("auth"), F.lit(0)).cast("long").alias("auth"),
     )
     e.unpersist()
-    nodes.unpersist()
     return out
 
 
