@@ -173,11 +173,15 @@ class Neo4jArrowSpark:
                 from pyspark.errors import AnalysisException
 
                 from neo4j_arrow_spark.cypher import CypherUnsupported
+                from neo4j_arrow_spark.recursive_exec import (
+                    run_recursive_sql,
+                )
 
                 try:
-                    if bound is not None:
-                        return self.spark.sql(sql, args=bound)
-                    return self.spark.sql(sql)
+                    # marked recursive blocks run driver-paced (see
+                    # recursive_exec); unmarked SQL goes straight to
+                    # spark.sql
+                    return run_recursive_sql(self.spark, sql, args=bound)
                 except AnalysisException as e:
                     first = str(e).splitlines()[0].strip()
                     raise CypherUnsupported(

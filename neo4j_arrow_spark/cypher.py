@@ -5976,7 +5976,11 @@ def _stage_tail(sql: str, st: dict, depth: int) -> str:
 
 
 def _opt_varlength_recursive_derived(
-    seg: _RelPat, rels_view: str, oi: int, max_hops: int | None = None
+    seg: _RelPat,
+    rels_view: str,
+    oi: int,
+    max_hops: int | None = None,
+    dialect: str = "spark",
 ) -> str:
     """Derived table for an UNBOUNDED (or deep-bounded) varlength
     segment inside OPTIONAL MATCH: the distinct-frontier recursive CTE
@@ -6031,6 +6035,15 @@ def _opt_varlength_recursive_derived(
     sel = f"SELECT DISTINCT _oa, _ob FROM {cte}"
     if seg.minlen > 1:
         sel += f" WHERE _hops >= {seg.minlen}"
+    if dialect == "spark":
+        # same driver-loop markers as the main unbounded emission (see
+        # _varlength_recursive_sql) — comments, so the text stays valid
+        # SQL for native execution and only the runner interprets them
+        return (
+            f"(/*rec[{cte}]*/WITH RECURSIVE {cte}(_oa, _ob, _hops) AS (\n"
+            f"/*rec-anchor*/{anchor}/*end-rec-anchor*/\nUNION ALL\n"
+            f"/*rec-step*/{step}/*end-rec-step*/\n)/*end-rec[{cte}]*/ {sel})"
+        )
     return (
         f"(WITH RECURSIVE {cte}(_oa, _ob, _hops) AS (\n"
         f"{anchor}\nUNION ALL\n{step}\n) {sel})"
@@ -6301,7 +6314,8 @@ def _plain_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
             tgt = onodes[1]
             if seg.is_unbounded or _needs_recursion(seg):
                 derived = _opt_varlength_recursive_derived(
-                    seg, rels_view, oi, ast.get("max_hops")
+                    seg, rels_view, oi, ast.get("max_hops"),
+                    ast.get("dialect", "spark"),
                 )
             else:
                 derived = _opt_varlength_derived(
@@ -6710,10 +6724,29 @@ def _varlength_recursive_sql(ast: dict, nodes_view: str, rels_view: str) -> str:
     step += f"\n  WHERE _p._hops < {guard}"
     if trail:
         step += f" AND NOT {has_edge}"
-    cte = (
-        f"WITH RECURSIVE _vlp(_sid, _tid, _hops{eid_cols}) AS (\n"
-        f"{anchor}\nUNION ALL\n{step}\n)"
-    )
+    if ast.get("dialect", "spark") == "spark":
+        # marker comments let the engine-side runner
+        # (recursive_exec.run_recursive_sql) execute the union loop as
+        # a driver-paced iteration: Spark's native UnionLoopExec
+        # round-robin-repartitions AND counts every iteration (and
+        # collect()s small ones a second time into a LocalRelation),
+        # ~18-25 jobs for a 3-level recursion; the driver loop
+        # materializes each level exactly once (lazy localCheckpoint +
+        # count). The markers are plain SQL comments — the emitted
+        # string stays valid for native execution (tests, EXPLAIN,
+        # user-supplied spark.sql) and the DuckDB oracle text is
+        # unchanged.
+        cte = (
+            f"/*rec[_vlp]*/WITH RECURSIVE _vlp(_sid, _tid, _hops"
+            f"{eid_cols}) AS (\n"
+            f"/*rec-anchor*/{anchor}/*end-rec-anchor*/\nUNION ALL\n"
+            f"/*rec-step*/{step}/*end-rec-step*/\n)/*end-rec[_vlp]*/"
+        )
+    else:
+        cte = (
+            f"WITH RECURSIVE _vlp(_sid, _tid, _hops{eid_cols}) AS (\n"
+            f"{anchor}\nUNION ALL\n{step}\n)"
+        )
     seg_cte = "_vlp"
     if shortest:
         # one row per endpoint pair at its BFS level — exactly

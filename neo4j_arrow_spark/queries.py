@@ -149,7 +149,18 @@ def _cypher_query(
                 eid = eid.persist()
                 handles.append(eid)
             eid.createOrReplaceTempView("grels_eid")
-        df = spark.sql(_sql, args=_params) if _params else spark.sql(_sql)
+        if _rec:
+            # marked recursive blocks run as a driver-paced union loop
+            # (one lazy-localCheckpoint+count job per level) instead of
+            # UnionLoopExec's repartition+count(+collect) per level —
+            # see recursive_exec; identical rows by construction
+            from neo4j_arrow_spark.recursive_exec import run_recursive_sql
+
+            df = run_recursive_sql(spark, _sql, args=_params)
+        else:
+            df = (
+                spark.sql(_sql, args=_params) if _params else spark.sql(_sql)
+            )
         if handles:
             from neo4j_arrow_spark.operators.dedup import _with_intermediates
 
@@ -248,7 +259,9 @@ def _cypher_order_query(name: str, cypher_text: str):
             from neo4j_arrow_spark.catalog import mint_rel_ids
 
             mint_rel_ids(rels).createOrReplaceTempView("ogrels_eid")
-        return spark.sql(_sql)
+        from neo4j_arrow_spark.recursive_exec import run_recursive_sql
+
+        return run_recursive_sql(spark, _sql)
 
     run.__name__ = name
     return run
@@ -391,7 +404,9 @@ def _cypher_dup_query(name: str, cypher_text: str):
             from neo4j_arrow_spark.catalog import mint_rel_ids
 
             mint_rel_ids(rels).createOrReplaceTempView("dgrels_eid")
-        return spark.sql(_sql)
+        from neo4j_arrow_spark.recursive_exec import run_recursive_sql
+
+        return run_recursive_sql(spark, _sql)
 
     run.__name__ = name
     return run
