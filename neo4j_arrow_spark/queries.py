@@ -118,6 +118,19 @@ def _cypher_query(
     needs_eid = ".REL_ID" in sql
 
     recursive = "WITH RECURSIVE" in sql
+    # NOTE (r11 session-3 A/B, measured and REJECTED): persisting
+    # grels / grels_eid for NON-recursive queries whose SQL references
+    # the view 2-6 times loses 1.3-2.8x across every group tried
+    # (cypher_cycle_closure 0.81 -> 2.23s with a persisted eid;
+    # cypher_shortest_path 1.32 -> 1.97s with persisted rels at 6
+    # references). Each reference is individually column-pruned and
+    # filter-pushed into the derivation by Catalyst, and the repeated
+    # subtrees run as parallel broadcast-join stages — the persist
+    # materializes the FULL frame once (columnar encode, all columns)
+    # and every branch then pays decode on unpruned rows. Recursion is
+    # the exception: the driver loop re-reads the SAME full view once
+    # per level SEQUENTIALLY, so the cache is genuinely reused there
+    # (kept below; the rest stays derivation-per-branch).
 
     @query(name, oracle=oracle)
     def run(
@@ -127,16 +140,6 @@ def _cypher_query(
         nodes, rels = _graph(spark, sf_dir)
         handles = []
         if _rec:
-            # Spark executes a recursive CTE as an iterative union
-            # loop, re-running the step plan each round — and the step
-            # references the rel view, so every iteration re-derived
-            # the full edge union INCLUDING the lineitem⋈orders
-            # BUYS_FROM join (seen in the plan: the scan+join subtree
-            # repeats inside UnionLoop). Persist the edge frame once;
-            # iteration 1 fills the cache and every later round (plus
-            # the outer query's own rel joins) reads it. Guide §2.4 —
-            # remove repeated derivation; the handle is released by
-            # unpersist_intermediates after the result is consumed.
             rels = rels.persist()
             handles.append(rels)
         nodes.createOrReplaceTempView("gnodes")
