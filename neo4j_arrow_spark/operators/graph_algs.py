@@ -81,21 +81,28 @@ def bfs_hops(
         .localCheckpoint()
     )
     frontier = visited.select("node")
+    prev = None
     for h in range(1, max_hops + 1):
         # only the new frontier is checkpointed; `visited` stays a
         # lazy union of already-checkpointed rounds (shallow lineage),
-        # saving one materialization job per round
+        # saving one materialization job per round. The dedup
+        # anti-join reads only the LAST TWO levels (und is symmetric,
+        # so a frontier neighbor is at depth h-2, h-1 or h — the
+        # r11 band argument in _bounded_distances); at scale the
+        # anti-join input is the frontier band, not the full reach.
+        recent = frontier if prev is None else prev.unionByName(frontier)
         nxt = (
             frontier.join(und, frontier["node"] == und["u"])
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(recent, "node", "left_anti")
             .withColumn("hop", F.lit(h))
             .localCheckpoint()
         )
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt)
+        prev = frontier
         frontier = nxt.select("node")
     und.unpersist()
     return visited
@@ -653,18 +660,30 @@ def _bounded_distances(
         .localCheckpoint()
     )
     frontier = visited.select("origin", "node")
+    # The dedup anti-join only needs the LAST TWO levels, not the full
+    # visited set: over an undirected view, a neighbor of a node at
+    # distance h-1 has distance in {h-2, h-1, h} (an edge to any node
+    # at distance < h-2 would contradict its parent's distance), so
+    # rows excluded by "all visited" and by "levels h-2 ∪ h-1" are the
+    # same set. Locally that trims the anti-join's build side; at
+    # scale it bounds the per-round anti-join input at the frontier
+    # band instead of the whole (origin, node) reach set, which for
+    # all-origins tends to |V|² (guide §2.3 — shuffle fewer bytes).
+    prev = None
     for h in range(1, max_hops + 1):
+        recent = frontier if prev is None else prev.unionByName(frontier)
         nxt = (
             frontier.join(und, frontier["node"] == und["u"])
             .select("origin", F.col("v").alias("node"))
             .distinct()
-            .join(visited.select("origin", "node"), ["origin", "node"], "left_anti")
+            .join(recent, ["origin", "node"], "left_anti")
             .withColumn("hop", F.lit(h))
             .localCheckpoint()
         )
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt)
+        prev = frontier
         frontier = nxt.select("origin", "node")
     und.unpersist()
     return visited.filter(F.col("hop") >= 1)
@@ -1001,16 +1020,26 @@ def betweenness_sampled(
     )
     levels = [lvl0]
     counts = [lvl0.count()]
-    visited = lvl0.select("s", "v")
     for _t in range(1, max_hops + 1):
         prev = levels[-1]
+        # BFS dedup needs only the last TWO levels, not all visited:
+        # und is symmetric, so a neighbor of a depth t-1 node sits at
+        # depth t-2, t-1 or t — "not in levels t-2 ∪ t-1" excludes
+        # exactly the already-visited candidates (same parity argument
+        # as _bounded_distances; at scale the anti-join input stays
+        # the frontier band instead of the whole labeled reach)
+        recent = (
+            prev.select("s", "v")
+            if len(levels) == 1
+            else levels[-2].select("s", "v").unionByName(prev.select("s", "v"))
+        )
         nxt = (
             prev.join(und, prev["v"] == und["u"])
             .select("s", und["v"].alias("nv"), "sig")
             .groupBy("s", "nv")
             .agg(F.sum("sig").alias("sig"))
             .withColumnRenamed("nv", "v")
-            .join(visited, ["s", "v"], "left_anti")
+            .join(recent, ["s", "v"], "left_anti")
             .localCheckpoint()
         )
         # count doubles as the emptiness check (cheap: nxt is already
@@ -1020,7 +1049,6 @@ def betweenness_sampled(
             break
         levels.append(nxt)
         counts.append(n)
-        visited = visited.unionByName(nxt.select("s", "v"))
     spark = edges.sparkSession
     empty = spark.createDataFrame([], "node long, betweenness_q long")
     if len(levels) < 2:

@@ -418,3 +418,44 @@ def test_landmark_harmonic_unreached_nodes_omitted(spark):
     got = {r.node: r for r in landmark_harmonic(e, k=1, max_hops=10).collect()}
     assert set(got) <= {1, 2, 3}
     assert any(r.is_landmark for r in got.values())
+
+
+# ---- frontier dedup band (r11: anti-join vs last two levels only) ---------
+
+def test_bounded_distances_band_dedup_on_reentrant_graph(spark):
+    # Cycle 1-2-3-4-5-6-1 plus chord (2,5): parent edges re-reach
+    # depth h-2 nodes and the chord re-reaches depth h-1 nodes every
+    # round — exactly the candidates the last-two-levels anti-join
+    # must still exclude. Distances must match hand-computed BFS.
+    from neo4j_arrow_spark.operators.graph_algs import _bounded_distances
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1), (2, 5)])
+    got = {
+        (r["origin"], r["node"]): r["hop"]
+        for r in _bounded_distances(e, _nodes(spark, [1]), max_hops=4).collect()
+    }
+    assert got == {
+        (1, 2): 1, (1, 6): 1,
+        (1, 3): 2, (1, 5): 2,
+        (1, 4): 3,
+    }
+
+
+def test_betweenness_path_counts_on_reentrant_graph(spark):
+    # Diamond 1->{2,3}->4 plus tail 4-5, undirected: sigma(4) = 2 via
+    # both middles, and the backward pass must not double-count after
+    # the band dedup. Exact Brandes (single pivot, integer scale).
+    from neo4j_arrow_spark.operators.graph_algs import betweenness_sampled
+
+    e = _edges(spark, [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)])
+    got = {
+        r["node"]: r["betweenness_q"]
+        for r in betweenness_sampled(
+            e, _nodes(spark, [1]), max_hops=3, scale=1000
+        ).collect()
+    }
+    # delta(4) = sigma(4)/sigma(5->via 4) = 2*(1000+0)/2 ... hand walk:
+    # depths from 1: {2,3}@1 (sig 1 each), {4}@2 (sig 2), {5}@3 (sig 2)
+    # delta(4) = (2*(1000+0)) div 2 = 1000
+    # delta(2) = (1*(1000+1000)) div 2 = 1000 ; delta(3) same
+    assert got == {2: 1000, 3: 1000, 4: 1000}
