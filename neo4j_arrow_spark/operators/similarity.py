@@ -288,6 +288,12 @@ def ivf_assign_2level(
     )
 
 
+#: float64 element budget for one `_bucket_self_topk` chunk temporary
+#: (~64 MB); tests shrink it to force multi-chunk execution on small
+#: buckets
+_SELF_TOPK_CHUNK_ELEMS = 1 << 23
+
+
 def _bucket_self_topk(assigned: DataFrame, k: int) -> DataFrame:
     """Per-bucket all-pairs cosine + top-k for the self-search path of
     :func:`ivf_topk` (queries == items, nprobe == 1).
@@ -305,9 +311,24 @@ def _bucket_self_topk(assigned: DataFrame, k: int) -> DataFrame:
     top-k and dropping it cannot change ranks 1..k. Spark applies the
     canonical round + (cos desc, neighbor asc) row_number ranking on
     the pruned set, so the output is identical to the unpruned plan.
+
+    Peak kernel memory is O(chunk·|bucket|), NOT O(|bucket|²·d): query
+    rows are processed in chunks of at most 2^23/|bucket| rows (~64 MB
+    of float64 per temporary), and the dot-product fold accumulates one
+    per-dimension outer product at a time instead of materializing the
+    full |bucket|²·d pair tensor (a 10k-vector bucket at d=64 would be
+    ~51 GB in one Python worker — the guide-§5 memory-blowup pattern).
+    Worst-case resident set per task is ~4 chunk·|bucket| float64
+    frames (acc, one broadcast temp, cosm, mask) ≈ 256 MB, independent
+    of d and of bucket skew. Each pair's fold is still A[q,0]·A[n,0],
+    then += A[q,i]·A[n,i] in index order — the identical IEEE operation
+    sequence as the pair tensor (and as the JVM aggregate(zip_with(…))
+    it replaced), verified bit-equal in both directions.
     """
     import numpy as np
     import pandas as pd
+
+    chunk_elems = _SELF_TOPK_CHUNK_ELEMS  # captured by value for the worker
 
     def _score(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["item_id"].to_numpy()
@@ -319,22 +340,32 @@ def _bucket_self_topk(assigned: DataFrame, k: int) -> DataFrame:
             )
         A = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
         m, d = A.shape
-        # sequential fold across dimensions, vectorized across pairs:
-        # identical IEEE op order to aggregate(zip_with(...)) per pair
-        P = A[:, None, :] * A[None, :, :]
-        acc = P[:, :, 0].copy()
-        for i in range(1, d):
-            acc += P[:, :, i]
-        cosm = acc / np.outer(nn, nn)
-        np.fill_diagonal(cosm, -np.inf)  # drop self pairs
         keep_k = min(k, m - 1)
-        # k-th largest raw cosine per query row
-        kth = np.partition(cosm, m - 1 - keep_k, axis=1)[:, m - 1 - keep_k]
-        mask = cosm >= (kth - 2e-6)[:, None]
-        qi, ni = np.nonzero(mask)
+        chunk = max(1, min(m, chunk_elems // m))
+        out_q, out_n, out_c = [], [], []
+        for q0 in range(0, m, chunk):
+            Aq = A[q0:q0 + chunk]
+            # sequential fold across dimensions, vectorized across
+            # pairs: identical IEEE op order to aggregate(zip_with(...))
+            # per pair; one chunk·m outer product per dimension keeps
+            # peak memory independent of d (docstring)
+            acc = Aq[:, 0, None] * A[None, :, 0]
+            for i in range(1, d):
+                acc += Aq[:, i, None] * A[None, :, i]
+            cosm = acc / (nn[q0:q0 + chunk, None] * nn[None, :])
+            rows = np.arange(cosm.shape[0])
+            cosm[rows, q0 + rows] = -np.inf  # drop self pairs
+            # k-th largest raw cosine per query row
+            kth = np.partition(cosm, m - 1 - keep_k, axis=1)[:, m - 1 - keep_k]
+            mask = cosm >= (kth - 2e-6)[:, None]
+            qi, ni = np.nonzero(mask)
+            out_q.append(ids[q0 + qi])
+            out_n.append(ids[ni])
+            out_c.append(cosm[qi, ni])
         return pd.DataFrame(
-            {"query_id": ids[qi], "neighbor_id": ids[ni],
-             "cos": cosm[qi, ni]}
+            {"query_id": np.concatenate(out_q),
+             "neighbor_id": np.concatenate(out_n),
+             "cos": np.concatenate(out_c)}
         )
 
     scored = assigned.groupBy("bucket").applyInPandas(

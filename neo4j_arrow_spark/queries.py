@@ -252,19 +252,41 @@ def _cypher_order_query(name: str, cypher_text: str):
         f"FROM ({ORDER_RELS_SQL}))\n{duck_sql}"
     )
     needs_eid = ".REL_ID" in sql
+    recursive = "WITH RECURSIVE" in sql
 
     @query(name, oracle=oracle)
-    def run(spark: SparkSession, sf_dir: str, _sql=sql, _eid=needs_eid) -> DataFrame:
+    def run(
+        spark: SparkSession, sf_dir: str, _sql=sql, _eid=needs_eid,
+        _rec=recursive,
+    ) -> DataFrame:
         nodes, rels = _order_graph(spark, sf_dir)
+        handles = []
+        if _rec:
+            # recursive emissions re-read the rel view once per level
+            # sequentially — persist for the statement's duration, same
+            # as _cypher_query's _rec branch (non-recursive references
+            # stay derivation-per-branch: the r11 A/B showed persisting
+            # those loses 1.3-2.8x)
+            rels = rels.persist()
+            handles.append(rels)
         nodes.createOrReplaceTempView("ognodes")
         rels.createOrReplaceTempView("ogrels")
         if _eid:
             from neo4j_arrow_spark.catalog import mint_rel_ids
 
-            mint_rel_ids(rels).createOrReplaceTempView("ogrels_eid")
+            eid = mint_rel_ids(rels)
+            if _rec:
+                eid = eid.persist()
+                handles.append(eid)
+            eid.createOrReplaceTempView("ogrels_eid")
         from neo4j_arrow_spark.recursive_exec import run_recursive_sql
 
-        return run_recursive_sql(spark, _sql)
+        df = run_recursive_sql(spark, _sql)
+        if handles:
+            from neo4j_arrow_spark.operators.dedup import _with_intermediates
+
+            df = _with_intermediates(df, handles)
+        return df
 
     run.__name__ = name
     return run
@@ -397,19 +419,39 @@ def _cypher_dup_query(name: str, cypher_text: str):
         f"FROM ({DUP_RELS_SQL}))\n{duck_sql}"
     )
     needs_eid = ".REL_ID" in sql
+    recursive = "WITH RECURSIVE" in sql
 
     @query(name, oracle=oracle)
-    def run(spark: SparkSession, sf_dir: str, _sql=sql, _eid=needs_eid) -> DataFrame:
+    def run(
+        spark: SparkSession, sf_dir: str, _sql=sql, _eid=needs_eid,
+        _rec=recursive,
+    ) -> DataFrame:
         nodes, rels = _dup_graph(spark, sf_dir)
+        handles = []
+        if _rec:
+            # same statement-scoped persist as _cypher_query's _rec
+            # branch: the driver-paced loop re-reads the rel view once
+            # per level
+            rels = rels.persist()
+            handles.append(rels)
         nodes.createOrReplaceTempView("dgnodes")
         rels.createOrReplaceTempView("dgrels")
         if _eid:
             from neo4j_arrow_spark.catalog import mint_rel_ids
 
-            mint_rel_ids(rels).createOrReplaceTempView("dgrels_eid")
+            eid = mint_rel_ids(rels)
+            if _rec:
+                eid = eid.persist()
+                handles.append(eid)
+            eid.createOrReplaceTempView("dgrels_eid")
         from neo4j_arrow_spark.recursive_exec import run_recursive_sql
 
-        return run_recursive_sql(spark, _sql)
+        df = run_recursive_sql(spark, _sql)
+        if handles:
+            from neo4j_arrow_spark.operators.dedup import _with_intermediates
+
+            df = _with_intermediates(df, handles)
+        return df
 
     run.__name__ = name
     return run

@@ -54,7 +54,23 @@ The session backstops are honored with the same error classes the
 native loop raises: ``spark.sql.cteRecursionRowLimit`` bounds the
 cumulative row count ([RECURSION_ROW_LIMIT_EXCEEDED]) and
 ``spark.sql.cteRecursionLevelLimit`` the level count
-([RECURSION_LEVEL_LIMIT_EXCEEDED]).
+([RECURSION_LEVEL_LIMIT_EXCEEDED]) — both as
+``pyspark.errors.SparkRuntimeException`` carrying the native error
+class, so callers' exception handling is uniform across paths.
+
+Escape hatches (the driver loop rides Spark-internal surface):
+
+- ``spark.neo4j_arrow_spark.recursion`` = ``driver`` (default) |
+  ``native`` routes marked blocks back to plain ``spark.sql`` — the
+  markers are comments, so the text executes natively unchanged. Set
+  ``native`` on deployments where per-level ``localCheckpoint`` blocks
+  are unacceptable (an executor loss mid-recursion kills the statement;
+  native UnionLoop recomputes lost partitions) or after a Spark upgrade
+  that changes the internal API.
+- If the internal surface itself breaks (``internalCreateDataFrame`` /
+  ``queryExecution.toRdd`` missing or failing on a future Spark), the
+  runner falls back to native execution of the original statement
+  instead of surfacing a Py4J stack.
 """
 
 from __future__ import annotations
@@ -63,6 +79,7 @@ import itertools
 import re
 import threading
 
+from pyspark.errors import SparkRuntimeException
 from pyspark.sql import DataFrame, SparkSession
 
 _BLOCK = re.compile(r"/\*rec\[(\w+)\]\*/.*?/\*end-rec\[\1\]\*/", re.S)
@@ -79,6 +96,45 @@ _SEQ_LOCK = threading.Lock()
 def _next_seq() -> int:
     with _SEQ_LOCK:
         return next(_SEQ)
+
+
+_QUOTES = ("'", '"', "`")
+
+
+def _rename_outside_literals(sql: str, name: str, repl: str) -> str:
+    """Word-boundary rename of ``name`` that never touches the inside
+    of string literals or quoted identifiers — a property literal like
+    ``{name: '_vlp'}`` in user Cypher must survive the CTE rewiring
+    (a bare ``\\b``-regex would rewrite it and silently change
+    results). Handles backslash escapes in ' / " and doubled-quote
+    escapes in all three quote styles."""
+    pat = re.compile(rf"\b{re.escape(name)}\b")
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        nxt = min(
+            (p for p in (sql.find(c, i) for c in _QUOTES) if p != -1),
+            default=n,
+        )
+        out.append(pat.sub(repl, sql[i:nxt]))
+        if nxt >= n:
+            break
+        ch = sql[nxt]
+        j = nxt + 1
+        while j < n:
+            if sql[j] == "\\" and ch != "`":
+                j += 2
+                continue
+            if sql[j] == ch:
+                if j + 1 < n and sql[j + 1] == ch:  # '' / "" / `` escape
+                    j += 2
+                    continue
+                j += 1
+                break
+            j += 1
+        out.append(sql[nxt:j])
+        i = j
+    return "".join(out)
 
 
 def _checkpoint_level(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -110,6 +166,15 @@ def run_recursive_sql(
     m = _BLOCK.search(sql)
     if m is None:
         return q(sql)
+    mode = (
+        spark.conf.get("spark.neo4j_arrow_spark.recursion", "driver")
+        or "driver"
+    ).lower()
+    if mode == "native":
+        # deployment opt-out (module docstring): the markers are plain
+        # comments, so the statement runs unchanged through UnionLoop
+        return q(sql)
+    original_sql = sql
     row_limit = int(
         spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
     )
@@ -129,7 +194,7 @@ def run_recursive_sql(
             views.append(frontier_view)
             # inside the step, the CTE self-reference reads the
             # PREVIOUS level only — point it at the frontier view
-            step_sql = re.sub(rf"\b{name}\b", frontier_view, step_sql)
+            step_sql = _rename_outside_literals(step_sql, name, frontier_view)
             full = _union_loop(
                 spark, q, anchor_sql, step_sql, frontier_view,
                 row_limit, level_limit, name,
@@ -144,15 +209,45 @@ def run_recursive_sql(
             )
             # every remaining reference (outer joins, trailing CTEs)
             # reads the accumulated union
-            sql = re.sub(rf"\b{name}\b", result_view, sql)
+            sql = _rename_outside_literals(sql, name, result_view)
             m = _BLOCK.search(sql)
         return q(sql)
+    except (AttributeError, TypeError) as exc:
+        # the level re-wrap rides Spark-internal surface
+        # (internalCreateDataFrame / queryExecution().toRdd()); if a
+        # Spark upgrade removes or reshapes it, run the statement
+        # natively instead of surfacing the breakage
+        return _native_fallback(spark, q, original_sql, exc)
+    except Exception as exc:  # Py4JError without importing py4j here
+        if type(exc).__module__.startswith("py4j") and not isinstance(
+            exc, SparkRuntimeException
+        ):
+            return _native_fallback(spark, q, original_sql, exc)
+        raise
     finally:
         for v in views:
             try:
                 spark.catalog.dropTempView(v)
             except Exception:
                 pass
+
+
+def _native_fallback(spark, q, original_sql: str, exc: Exception) -> DataFrame:
+    """Internal-API breakage mid-loop: log once and execute the marked
+    statement natively (the markers are comments — the text is a valid
+    recursive CTE). Correctness is preserved at the cost of UnionLoop's
+    per-level overhead."""
+    try:
+        spark.sparkContext._jvm.org.apache.log4j.LogManager.getLogger(
+            "neo4j_arrow_spark.recursive_exec"
+        ).warn(
+            "driver-paced recursion failed on internal API "
+            f"({type(exc).__name__}: {str(exc)[:200]}); "
+            "falling back to native execution"
+        )
+    except Exception:
+        pass
+    return q(original_sql)
 
 
 def _union_loop(
@@ -173,17 +268,25 @@ def _union_loop(
     while n > 0:
         total += n
         if 0 < row_limit < total:
-            raise RuntimeError(
-                f"[RECURSION_ROW_LIMIT_EXCEEDED] recursion of the "
-                f"variable-length expansion {name} exceeded "
-                f"spark.sql.cteRecursionRowLimit={row_limit} rows"
+            # same exception type + error class as native UnionLoopExec,
+            # so callers catching pyspark errors see one surface
+            raise SparkRuntimeException(
+                message=(
+                    f"recursion of the variable-length expansion {name} "
+                    f"exceeded spark.sql.cteRecursionRowLimit="
+                    f"{row_limit} rows"
+                ),
+                errorClass="RECURSION_ROW_LIMIT_EXCEEDED",
             )
         level += 1
         if 0 < level_limit < level:
-            raise RuntimeError(
-                f"[RECURSION_LEVEL_LIMIT_EXCEEDED] recursion of the "
-                f"variable-length expansion {name} exceeded "
-                f"spark.sql.cteRecursionLevelLimit={level_limit} levels"
+            raise SparkRuntimeException(
+                message=(
+                    f"recursion of the variable-length expansion {name} "
+                    f"exceeded spark.sql.cteRecursionLevelLimit="
+                    f"{level_limit} levels"
+                ),
+                errorClass="RECURSION_LEVEL_LIMIT_EXCEEDED",
             )
         frames.append(frontier)
         frontier.createOrReplaceTempView(frontier_view)

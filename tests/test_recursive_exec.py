@@ -127,6 +127,102 @@ def test_row_limit_backstop_trips(spark):
         spark.conf.set(key, prev)
 
 
+def test_native_mode_flag_matches_driver_loop(spark):
+    """spark.neo4j_arrow_spark.recursion=native routes the marked
+    statement to plain spark.sql — identical rows, no driver loop."""
+    import neo4j_arrow_spark.recursive_exec as rx
+
+    _views(spark, *_graph())
+    sql = cypher_to_sql(
+        "MATCH (a:P {name: 'n0'})-[:E*]->(b) "
+        "RETURN b.name AS name, count(*) AS walks",
+        "rxnodes", "rxrels",
+    )
+    driver_rows = sorted(map(tuple, run_recursive_sql(spark, sql).collect()))
+    key = "spark.neo4j_arrow_spark.recursion"
+    spark.conf.set(key, "native")
+    try:
+        import unittest.mock as mock
+
+        with mock.patch.object(
+            rx, "_union_loop", side_effect=AssertionError("must not loop")
+        ):
+            native_rows = sorted(
+                map(tuple, run_recursive_sql(spark, sql).collect())
+            )
+    finally:
+        spark.conf.unset(key)
+    assert native_rows == driver_rows
+
+
+def test_internal_api_breakage_falls_back_to_native(spark):
+    """If the Spark-internal re-wrap surface breaks (e.g. a Spark
+    upgrade removes internalCreateDataFrame), the runner must fall
+    back to native execution with identical rows, not surface the
+    internal error."""
+    import unittest.mock as mock
+
+    import neo4j_arrow_spark.recursive_exec as rx
+
+    _views(spark, *_graph())
+    sql = cypher_to_sql(
+        "MATCH (a:P {name: 'n0'})-[:E*]->(b) "
+        "RETURN b.name AS name, count(*) AS walks",
+        "rxnodes", "rxrels",
+    )
+    want = sorted(map(tuple, spark.sql(sql).collect()))
+    with mock.patch.object(
+        rx,
+        "_checkpoint_level",
+        side_effect=AttributeError("internalCreateDataFrame gone"),
+    ):
+        got = sorted(map(tuple, run_recursive_sql(spark, sql).collect()))
+    assert got == want
+
+
+def test_row_limit_raises_pyspark_error_class(spark):
+    """The backstop must raise the same exception type + error class
+    as native UnionLoopExec (pyspark SparkRuntimeException), so caller
+    exception handling is path-independent."""
+    from pyspark.errors import SparkRuntimeException
+
+    nodes = [(i, ["P"], f"n{i}") for i in range(6)]
+    rels = [
+        (i, j, "E", 1.0) for i in range(6) for j in range(6) if i != j
+    ]
+    _views(spark, nodes, rels)
+    sql = cypher_to_sql(
+        "MATCH (a:P {name: 'n0'})-[:E*]->(b) "
+        "RETURN b.name AS name, count(*) AS walks",
+        "rxnodes", "rxrels",
+    )
+    key = "spark.sql.cteRecursionRowLimit"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "10000")
+    try:
+        with pytest.raises(SparkRuntimeException) as ei:
+            run_recursive_sql(spark, sql).collect()
+        assert ei.value.getCondition() == "RECURSION_ROW_LIMIT_EXCEEDED"
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_rename_skips_string_literals():
+    """CTE rewiring must never rewrite a name that appears inside a
+    string literal (user Cypher like {name: '_vlp'})."""
+    from neo4j_arrow_spark.recursive_exec import _rename_outside_literals
+
+    s = (
+        "SELECT * FROM _vlp WHERE x = '_vlp' AND y = 'it''s _vlp' "
+        'AND z = "_vlp" AND `_vlp` = 1 AND _vlp.c = _vlp2.c'
+    )
+    got = _rename_outside_literals(s, "_vlp", "_vlp__r9")
+    assert got == (
+        "SELECT * FROM _vlp__r9 WHERE x = '_vlp' AND y = 'it''s _vlp' "
+        'AND z = "_vlp" AND `_vlp` = 1 AND _vlp__r9.c = _vlp2.c'
+    )
+
+
 def test_temp_views_dropped_after_execution(spark):
     _views(spark, *_graph())
     sql = cypher_to_sql(

@@ -88,6 +88,34 @@ def test_ivf_topk_2level_routes_to_right_cluster(emb):
     assert {r.neighbor_id for r in out} <= {0, 2, 3}
 
 
+def test_bucket_self_topk_skewed_bucket_chunked(spark, monkeypatch):
+    """Deliberately skewed bucket: ONE centroid, so every vector lands
+    in the same bucket and the self-search Arrow kernel sees the whole
+    set in one group. The chunk budget is shrunk so the kernel must
+    split the 60 query rows across many chunks (the O(chunk·m) path
+    that keeps peak memory bounded at scale) — the output must equal
+    the brute-force exact top-k, since with a single bucket the
+    per-bucket search IS the global search."""
+    from neo4j_arrow_spark.operators import similarity as sim
+
+    rows = [
+        (i, [((i * 37 + j * 11) % 97) / 97.0 + 0.01 for j in range(8)])
+        for i in range(60)
+    ]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    one_centroid = emb2.filter(F.col("vec_id") == 0)
+    # 240 // 60 = 4 query rows per chunk -> 15 chunks over one bucket
+    monkeypatch.setattr(sim, "_SELF_TOPK_CHUNK_ELEMS", 240)
+    got = sim.ivf_topk(
+        emb2, emb2, one_centroid, "vec_id", "embedding", k=3
+    ).collect()
+    want = sim.cosine_topk(emb2, emb2, "vec_id", "embedding", k=3).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert [tuple(r) for r in sorted(got, key=key)] == [
+        tuple(r) for r in sorted(want, key=key)
+    ]
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.createDataFrame(
