@@ -26,6 +26,23 @@ from neo4j_arrow_spark.operators import ingest, node_scan, rel_scan
 from neo4j_arrow_spark.operators.khop import DEFAULT_LIST_SIZE
 from neo4j_arrow_spark.operators.khop import khop as khop_fn
 
+#: Statement-commit snapshots use a LAZY localCheckpoint (guide §5.3):
+#: lineage is still truncated at re-registration and the frame still
+#: materializes AT MOST once (the first consumer's job fills the
+#: checkpoint blocks; later consumers read them), but the dedicated
+#: eager-materialization job per write statement — measured at ~0.35s
+#: of scheduling + a full-frame pass at sf0.1 — disappears: the work
+#: rides the next statement's / read's own job. A snapshot no consumer
+#: ever touches (e.g. the node frame across a rels-only statement
+#: chain) is never computed at all. Tests flip this to True to A/B.
+_SNAPSHOT_EAGER = False
+
+
+def _snapshot(df: DataFrame) -> DataFrame:
+    """Commit snapshot of an updated graph frame before
+    re-registration — see ``_SNAPSHOT_EAGER``."""
+    return df.localCheckpoint(eager=_SNAPSHOT_EAGER)
+
 
 class Neo4jArrowSpark:
     """The engine's user-facing entry point.
@@ -315,7 +332,7 @@ class Neo4jArrowSpark:
                     self.spark, g.nodes, um_spec, ret_out=ret_out
                 )
                 if new_nodes is not g.nodes:
-                    new_nodes = new_nodes.localCheckpoint()
+                    new_nodes = _snapshot(new_nodes)
                     self.catalog.register(
                         graph,
                         new_nodes,
@@ -377,7 +394,7 @@ class Neo4jArrowSpark:
                     self.spark, g.nodes, rels_in, ur_spec, ret_out=ret_out
                 )
                 if new_rels is not rels_in:
-                    new_rels = new_rels.localCheckpoint()
+                    new_rels = _snapshot(new_rels)
                     self.catalog.register(
                         graph,
                         g.nodes,
@@ -424,9 +441,9 @@ class Neo4jArrowSpark:
                 changed = new_nodes is not g.nodes or new_rels is not rels_in
                 if changed:
                     if new_nodes is not g.nodes:
-                        new_nodes = new_nodes.localCheckpoint()
+                        new_nodes = _snapshot(new_nodes)
                     if new_rels is not None and new_rels is not rels_in:
-                        new_rels = new_rels.localCheckpoint()
+                        new_rels = _snapshot(new_rels)
                     self.catalog.register(
                         graph,
                         new_nodes,
@@ -522,9 +539,9 @@ class Neo4jArrowSpark:
                         pw_spec["props"], ret_out=ret_out,
                     )
                     new_rels = rels_in
-                new_nodes = new_nodes.localCheckpoint()
+                new_nodes = _snapshot(new_nodes)
                 if new_rels is not None and new_rels is not rels_in:
-                    new_rels = new_rels.localCheckpoint()
+                    new_rels = _snapshot(new_rels)
                 self.catalog.register(
                     graph,
                     new_nodes,
@@ -638,13 +655,13 @@ class Neo4jArrowSpark:
                 batch_var=batch_var,
             )
             if new_nodes is not g.nodes:
-                new_nodes = new_nodes.localCheckpoint()
+                new_nodes = _snapshot(new_nodes)
             if (
                 new_rels is not None
                 and new_rels is not g.rels
                 and new_rels is not g.rels_eid
             ):
-                new_rels = new_rels.localCheckpoint()
+                new_rels = _snapshot(new_rels)
             self.catalog.register(
                 graph,
                 new_nodes,
