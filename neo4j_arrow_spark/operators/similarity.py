@@ -638,24 +638,49 @@ def pq_train_encode(
             cents[(s, c)] = list(r["qv"][s * subdim : (s + 1) * subdim])
 
     def _assign(centroids: dict[tuple[int, int], list[int]]) -> DataFrame:
+        # MAP-ONLY assignment (guide §2.4 — remove shuffles outright):
+        # one broadcast row per subspace carries that subspace's
+        # candidate list ordered by cluster id; the per-row argmin is
+        # array_min over (qdist, cluster) structs — struct ordering IS
+        # the old min(struct(qdist, cluster, …)) groupBy tie-break, and
+        # qdist is the identical integer zip_with fold, so the
+        # assignment is bit-identical to the join+groupBy formulation
+        # it replaces while shuffling NOTHING. (The old plan shuffled
+        # |N|·m·k_codes scored rows per iteration and again for the
+        # final encode; PQ assignment against a broadcast codebook is
+        # embarrassingly parallel, and now the plan says so.)
         cent_df = spark.createDataFrame(
-            [(s, c, [int(x) for x in cv]) for (s, c), cv in centroids.items()],
-            "s int, cluster long, _cv array<long>",
+            [
+                (
+                    s,
+                    [
+                        (int(c2), [int(x) for x in cv2])
+                        for (s2, c2), cv2 in sorted(centroids.items())
+                        if s2 == s
+                    ],
+                )
+                for s in sorted({s for s, _ in centroids})
+            ],
+            "s int, _cands array<struct<cluster: bigint, _cv: array<bigint>>>",
         )
-        scored = sub.join(F.broadcast(cent_df), "s").select(
-            F.col(id_col), "s", "cluster", "qv",
-            F.aggregate(
-                F.zip_with("qv", "_cv", lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, t: acc + t,
-            ).alias("qdist"),
+        qdist = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("qv"), c["_cv"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
         )
-        mn = F.min(F.struct("qdist", "cluster", "qv")).alias("_m")
-        return scored.groupBy(id_col, "s").agg(mn).select(
+        best = F.array_min(
+            F.transform(
+                F.col("_cands"),
+                lambda c: F.struct(
+                    qdist(c).alias("qdist"), c["cluster"].alias("cluster")
+                ),
+            )
+        )
+        return sub.join(F.broadcast(cent_df), "s").select(
             F.col(id_col), "s",
-            F.col("_m.cluster").alias("cluster"),
-            F.col("_m.qv").alias("qv"),
-            F.col("_m.qdist").alias("qdist"),
+            best["cluster"].alias("cluster"),
+            F.col("qv"),
+            best["qdist"].alias("qdist"),
         )
 
     def _tdiv(a: int, b: int) -> int:
