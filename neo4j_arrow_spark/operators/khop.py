@@ -154,10 +154,10 @@ def khop_flat(
         edges.select(F.col("dst").alias("origin"), F.col("src").alias("member"))
     )
     und = pairs.dropDuplicates(["origin", "member"])
+    par = nodes.sparkSession.sparkContext.defaultParallelism
     members = identity
     if k >= 2:
         members = identity.unionByName(pairs).dropDuplicates(["origin", "member"])
-    par = nodes.sparkSession.sparkContext.defaultParallelism
     for _ in range(k - 2):
         # extend the closure one hop: members' = members ∪ (members ⋈ und)
         # The explicit repartition spreads the stream side BEFORE the
@@ -172,7 +172,23 @@ def khop_flat(
             .join(und.withColumnRenamed("origin", "_mid"), "_mid")
             .select("origin", "member")
         )
-        members = members.unionByName(extended).dropDuplicates(["origin", "member"])
+        # r12: the round dedup is keyed by ORIGIN alone — a hash(origin)
+        # layout satisfies ClusteredDistribution for this dedup
+        # (subset key), for the origins semi-join, AND for the final
+        # (origin, src, dst) output dedup, so when AQE broadcasts the
+        # (2|E|-row) incident side the output-sized joined frame never
+        # exchanges at all: one exchange per closure round is the
+        # plan's total. (Measured at sf0.1: the closure-sized member
+        # re-key + the 2x-output final dedup exchange both disappear —
+        # 20.5M joined rows stream straight into the dedup aggregate.)
+        # If incident is too big to broadcast, the join re-keys by
+        # member and the final dedup pays its exchange — exactly the
+        # pre-r12 plan, so this layout is never worse.
+        members = (
+            members.unionByName(extended)
+            .repartition(par, "origin")
+            .dropDuplicates(["origin", "member"])
+        )
     if not origins_complete:
         members = members.join(
             nodes.select(F.col(NodeField.ID).alias("origin")), "origin", "left_semi"
@@ -192,22 +208,27 @@ def khop_flat(
     inc_dst = edges.filter(F.col("src") != F.col("dst")).select(
         F.col("dst").alias("member"), "src", "dst", *carry
     )
-    # Same fan-out hazard as the closure loop: the member frame is
-    # byte-tiny but each row multiplies by deg(member) through the
-    # incident joins. Pre-hash it on the join key so the (enormous)
-    # output is born spread across all cores, whichever physical join
-    # AQE picks.
     if idmap is not None:
-        # origin remap on the |members| frame (≤ |V| + 2|E| rows) —
-        # the check itself is applied on the OUTPUT projection below.
-        # Joined BEFORE the member repartition so the pre-hash on the
-        # expansion key is the last exchange on this side.
+        # origin remap on the |members| frame (≤ |V| + 2|E| rows at
+        # k=2; Σ reach at k>=3) — the check itself is applied on the
+        # OUTPUT projection below. Joined BEFORE the member repartition
+        # so the pre-hash on the expansion key is the last exchange on
+        # this side.
         members = members.join(
             idmap.select(F.col("_k").alias("origin"), F.col("_m").alias("_om")),
             "origin",
             "left",
         )
-    members = members.repartition(par, "member")
+    if k <= 2:
+        # Same fan-out hazard as the closure loop: the k=2 member frame
+        # is byte-tiny but each row multiplies by deg(member) through
+        # the incident joins. Pre-hash it on the join key so the
+        # (enormous) output is born spread across all cores, whichever
+        # physical join AQE picks. At k>=3 the closure is already
+        # output-sized AND spread by its own level exchanges — a member
+        # re-key would be a full extra shuffle of an output-sized frame
+        # (measured: 10.3M rows at sf0.1), so it is skipped there.
+        members = members.repartition(par, "member")
 
     def _project(df: DataFrame) -> DataFrame:
         if idmap is None:
@@ -234,10 +255,12 @@ def khop_flat(
             "left_anti",
         )
         return _project(a.unionByName(b_only))
-    # k ≥ 3: the closure inflates |members| toward Σ_o |reach(o)| — the
-    # same order as the output itself — so the anti-join would shuffle
-    # ~2×output anyway. One incident join + one output dedup shuffles
-    # strictly less, and AQE skew-splits the hot members (supernodes).
+    # k >= 3: the closure inflates |members| toward Σ_o |reach(o)| — the
+    # same order as the output itself — so the k=2 anti-join
+    # decomposition would sort/shuffle ~2x the output (A/B'd in r12:
+    # 2x SLOWER than the dedup at sf0.1). One incident join + one
+    # output dedup instead — and with the r12 origin-keyed closure
+    # layout the dedup's exchange is usually free (comment above).
     incident = inc_src.unionByName(inc_dst)
     joined = members.join(incident, "member").dropDuplicates(
         ["origin", "src", "dst"]
