@@ -622,14 +622,21 @@ def _bounded_distances(
     subsets (powers would expand every origin before pruning)."""
     und = _undirected(edges).persist()
     if max_hops <= 3 and origins is None:
-        # The level frames are (origin, node) LONG pairs — 16 bytes a
-        # row — so AQE's size-based coalescing (minPartitionSize=1m)
-        # squeezes the distinct/groupBy exchanges into a handful of
-        # ~65k-row partitions and the |V|²-tending self-joins lose the
-        # cluster's parallelism. Pin the exchange width explicitly:
-        # an explicit keyed repartition is preserved by AQE, and
-        # dropDuplicates over the same keys reuses its partitioning
-        # (no second shuffle). Measured 2x at sf0.1 (8.5s -> 4.3s).
+        # r12: every level dedup rides _undirected's hash(u) exchange.
+        # cur1 is (u AS origin, v) — already hash(origin)-partitioned —
+        # and when the planner broadcasts the (2|E|-row) step side, the
+        # extension join PRESERVES that partitioning, so
+        # dropDuplicates(origin, node) is satisfied by the subset key
+        # hash(origin) and plans NO exchange: the |V|²-tending walk
+        # fan-outs dedup in place, in _undirected's pinned `par`
+        # partitions (so the old AQE-coalescing hazard — exchanges
+        # squeezed to ~1 partition, measured 2x in r10 — cannot occur:
+        # there is no exchange to coalesce). If step is too big to
+        # broadcast, the join re-keys and each dedup pays its exchange
+        # — exactly the pre-r12 plan, never worse. Only the final
+        # min-over-levels aggregate exchanges (the union's partitioning
+        # is unknown to the planner), pinned wide explicitly because
+        # its input is the full multi-level pair frame.
         par = und.sparkSession.sparkContext.defaultParallelism * 2
         step = und.select(F.col("u").alias("_su"), F.col("v").alias("_sv"))
         cur = und.select(F.col("u").alias("origin"), F.col("v").alias("node"))
@@ -638,7 +645,6 @@ def _bounded_distances(
             cur = (
                 cur.join(step, cur["node"] == step["_su"])
                 .select("origin", F.col("_sv").alias("node"))
-                .repartition(par, "origin", "node")
                 .dropDuplicates(["origin", "node"])
             )
             acc = acc.unionAll(cur.withColumn("hop", F.lit(h)))
