@@ -496,15 +496,9 @@ def _sweep(spark, sf_dir, runs, only, probe, stream_blob) -> None:
         # "real": repeatable regression — inspect the plan), plus the
         # median and p90 of the per-query second-best/best spread.
         "drift": drift_counts,
-        # per-query verdicts for EVERY adjudicated drift (r7 verdict
-        # #4: the tail must never carry an unclassified >band delta) —
-        # placed in the base so adjudication outranks query-list length
-        # under the byte budget; drifts are judged against the monotone
-        # BENCH_RECORD.json best-ever, so a regression that lands in an
-        # early local sweep cannot become its own baseline
-        "tail_drift": {
-            n: d["verdict"] for n, d in sorted(drift.items())
-        },
+        # per-query drift verdicts are added AFTER the query list under
+        # the byte budget (below); full maps in BENCH_FULL.json
+        "tail_drift": {},
         # r7's two real-adjudicated drifts on untouched code were
         # plan-diffed against the r6 checkout: plans IDENTICAL (env
         # shift, not engine change) — evidence in tools/plan_audit/
@@ -517,6 +511,16 @@ def _sweep(spark, sf_dir, runs, only, probe, stream_blob) -> None:
         ),
     }
     budget = 1600  # hard cap well under the 2000-char tail buffer
+    # r12 measurement fix: the QUERY LIST owns the budget first. A
+    # degraded session can adjudicate dozens of drifts; building
+    # tail_drift into the base before picking queries (the pre-r12
+    # order) squeezed the query map to EMPTY — the one field the
+    # round-over-round comparison cannot live without. Queries are
+    # picked first (headline, then slowest); drift verdicts fill the
+    # remaining bytes, "real" first ("noise"/"session-noise" entries
+    # are self-explaining from the counts in `drift`); anything cut is
+    # counted in tail_drift_omitted and fully recorded in
+    # BENCH_FULL.json.
     picked: dict[str, float] = {}
     for q in order:
         trial = dict(base)
@@ -525,6 +529,18 @@ def _sweep(spark, sf_dir, runs, only, probe, stream_blob) -> None:
             break
         picked[q] = round(timings[q], 2)
     base["queries"] = picked
+    sev = {"real": 0, "noisy-query": 1, "session-noise": 2, "noise": 3}
+    td: dict[str, str] = {}
+    for n, d in sorted(
+        drift.items(), key=lambda kv: (sev.get(kv[1]["verdict"], 9), kv[0])
+    ):
+        trial = dict(base)
+        trial["tail_drift"] = {**td, n: d["verdict"]}
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            base["tail_drift_omitted"] = len(drift) - len(td)
+            break
+        td[n] = d["verdict"]
+    base["tail_drift"] = td
     print(json.dumps(base, separators=(",", ":")))
 
 
