@@ -121,6 +121,7 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
     include_size: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc minhash signature: column ``mh_i`` = min over shingles of
     hash_i(shingle). One explode + one partial-aggregated groupBy — at
@@ -128,11 +129,21 @@ def minhash_signatures(
     adds the shingle-set cardinality ``sz`` in the same pass (saves a
     second scan when jaccard needs set sizes).
 
+    ``shingles`` lets a caller that ALSO needs the shingle table for
+    exact verification (the LSH pair generators) pass its own persisted
+    ``shingle_table`` output, so the tokenize + explode + n-gram window
+    + dedup derivation runs once per query instead of once per
+    consumer (guide §1.2 — don't compute things twice).
+
     Hash family: Kirsch-Mitzenmacher double hashing — h_i = h1 + i·h2
     from TWO 28-bit md5-derived bases (two md5 calls per shingle, not
     ``num_hashes``; 28-bit bases keep h1 + 15·h2 < 2³² so the oracle's
     BIGINT arithmetic can't overflow)."""
-    sh = shingle_table(df, id_col, text_col, shingle_n)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, id_col, text_col, shingle_n)
+    )
     # project the two base hashes BEFORE aggregating: the 16 min-agg
     # expressions then reference plain long columns instead of each
     # re-deriving md5 (subexpression elimination across aggregate
@@ -203,8 +214,13 @@ def minhash_lsh_pairs(
     spillable), never output-sized. Release them with
     :func:`unpersist_intermediates` after consuming the result.
     """
+    # ONE shingle derivation feeds both the signature aggregation and
+    # the exact-jaccard verification joins (pre-r12 each derived its
+    # own tokenize + explode + n-gram window + dedup subtree)
+    sh = shingle_table(df, id_col, text_col, shingle_n).persist()
     sig = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_n, include_size=True
+        df, id_col, text_col, num_hashes, shingle_n,
+        include_size=True, shingles=sh,
     ).persist()
     buckets = minhash_band_buckets(sig, num_hashes, bands).persist()
 
@@ -220,7 +236,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = shingle_table(df, id_col, text_col, shingle_n).persist()
     sizes = sig.select("doc", "sz")
 
     inter = (
@@ -274,8 +289,11 @@ def minhash_lsh_pairs_incremental(
     (:func:`unpersist_intermediates`).
     """
     flagged = df.withColumn("_new", is_new)
+    # shared shingle derivation, as in minhash_lsh_pairs
+    sh = shingle_table(flagged, id_col, text_col, shingle_n).persist()
     sig = minhash_signatures(
-        flagged, id_col, text_col, num_hashes, shingle_n, include_size=True
+        flagged, id_col, text_col, num_hashes, shingle_n,
+        include_size=True, shingles=sh,
     ).persist()
     buckets = minhash_band_buckets(sig, num_hashes, bands).persist()
     new_ids = flagged.filter(F.col("_new")).select(
@@ -298,7 +316,6 @@ def minhash_lsh_pairs_incremental(
         .distinct()
     )
 
-    sh = shingle_table(flagged, id_col, text_col, shingle_n).persist()
     sizes = sig.select("doc", "sz")
     inter = (
         cands.join(sh.alias("sa"), F.col("id_a") == F.col("sa.doc"))
@@ -477,7 +494,12 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_table(df, id_col, text_col, shingle_n)
     indexed = sh
+    extra: list[DataFrame] = []
     if max_df is not None:
+        # persisted: the df-count branch and the semi-join's left side
+        # both read the shingle table — one derivation, not two
+        sh = sh.persist()
+        extra.append(sh)
         rare = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
@@ -511,7 +533,7 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold),
-        [indexed],
+        [indexed, *extra],
     )
 
 
