@@ -1163,7 +1163,20 @@ def _labeled_reach(e: DataFrame, nodes: DataFrame, max_hops: int) -> DataFrame:
     checkpoint materializations cost more than re-deriving the few
     overlapping pairs (measured 2.3x at sf0.1, hop 2). The frontier
     form (see harmonic_centrality) stays the right shape when hops
-    grow and reach saturates."""
+    grow and reach saturates.
+
+    r12 layout (the `_bounded_distances` join-powers pattern): the
+    caller hands ``e`` hash(u)-partitioned, so level 1 is born
+    hash(origin)-partitioned; when the planner broadcasts the |E|-row
+    step side each extension join PRESERVES that layout, and every
+    level dedup on (origin, node) is satisfied by the subset key
+    hash(origin) — NO exchange on the |reach|-sized level frames. Only
+    the final union dedup exchanges, pinned wide explicitly (its input
+    is the full multi-level pair frame; an AQE-coalesced narrow
+    exchange was the r10 hazard). If step is too big to broadcast the
+    joins re-key and each dedup pays its exchange — the pre-r12 plan,
+    never worse."""
+    par2 = e.sparkSession.sparkContext.defaultParallelism * 2
     acc = nodes.select(
         F.col("n").alias("origin"), F.col("n").alias("node")
     )
@@ -1174,10 +1187,12 @@ def _labeled_reach(e: DataFrame, nodes: DataFrame, max_hops: int) -> DataFrame:
         cur = (
             cur.join(step, cur["node"] == step["_su"])
             .select("origin", F.col("_sv").alias("node"))
-            .distinct()
+            .dropDuplicates(["origin", "node"])
         )
         acc = acc.unionAll(cur)
-    return acc.distinct()
+    return acc.repartition(par2, "origin", "node").dropDuplicates(
+        ["origin", "node"]
+    )
 
 
 def scc_bounded(edges: DataFrame, max_hops: int = 3) -> DataFrame:
@@ -1204,9 +1219,15 @@ def scc_bounded(edges: DataFrame, max_hops: int = 3) -> DataFrame:
     one min-aggregate. Per-round shuffles are frontier-bounded exactly
     like harmonic_centrality.
     """
+    # hash(u) layout on the edge frame (one exchange, same count as the
+    # old distinct's): level 1 of the labeled reach is then born
+    # hash(origin)-partitioned and the per-level dedups run exchange-
+    # free (_labeled_reach docstring).
+    par = edges.sparkSession.sparkContext.defaultParallelism
     e = (
         edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
-        .distinct()
+        .repartition(par, "u")
+        .dropDuplicates(["u", "v"])
         .persist()
     )
     nodes = (
@@ -1216,15 +1237,23 @@ def scc_bounded(edges: DataFrame, max_hops: int = 3) -> DataFrame:
         .persist()
     )
     nodes.count()
-    fwd = _labeled_reach(e, nodes, max_hops)
-    bwd = _labeled_reach(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v")), nodes, max_hops
+    # ONE labeled reach, not two (r12, guide §1.2): the backward reach
+    # over the transposed edges is the forward reach with its columns
+    # swapped — bwd(o, n) ⇔ "n →* o within the bound" ⇔ fwd(n, o) — so
+    # the second fan-out sweep (the same join powers over e^T, the
+    # same output-sized dedups) is a projection of the first. fwd is
+    # persisted (both the direct and the swapped branch read it); the
+    # swap side pays one |reach| exchange at the mutual join, far
+    # cheaper than re-deriving the reach.
+    fwd = _labeled_reach(e, nodes, max_hops).persist()
+    bwd = fwd.select(
+        F.col("node").alias("origin"), F.col("origin").alias("node")
     )
     mutual = fwd.join(bwd, ["origin", "node"])
     out = mutual.groupBy("node").agg(F.min("origin").alias("scc_id"))
     from neo4j_arrow_spark.operators.dedup import _with_intermediates
 
-    return _with_intermediates(out, [e, nodes])
+    return _with_intermediates(out, [e, nodes, fwd])
 
 
 def louvain_moves(edges: DataFrame, iterations: int = 2) -> DataFrame:
