@@ -181,23 +181,31 @@ def est_from_eraw_sql(dialect: str, e_raw: str = "_eraw", v: str = "_v") -> str:
 # --------------------------------------------------------------------------
 
 
-def _undirected(edges: DataFrame) -> DataFrame:
-    # dedup and the per-hop aggregation layout share ONE exchange: the
-    # explicit hash repartition on u co-locates duplicates (hash(u)
-    # satisfies clustering on (u, v)) AND co-locates each hop's
-    # propagated register rows by their output key (prop selects u as
-    # node), so the partial bit_or aggregation collapses every
-    # partition to one row per node before the shuffle (guide §2.3,
-    # aggregate before you shuffle; §2.4, share the exchange).
+def _undirected_plus_self(edges: DataFrame) -> DataFrame:
+    """Symmetrized edge frame EXTENDED WITH SELF-LOOPS, laid out
+    hash(u) (r12). The self-loop rows fold the "keep your own
+    registers" leg of the HLL recurrence INTO the propagation join::
+
+        state_h(u) = bit_or{ state_{h-1}(v) : v in N(u) ∪ {u} }
+
+    so each hop is ONE broadcast join + ONE aggregation whose
+    grouping key (u AS node) is exactly this frame's partitioning —
+    the union-with-state + full register re-shuffle of the old form
+    (|E|·M·8 bytes per hop) disappears; bit_or idempotence makes the
+    self-loop form value-identical (asserted row-for-row in the A/B).
+    Executed 3-hop plan: 44 → 14 shuffle exchanges. If state outgrows
+    broadcast range the join re-keys and the hop pays one register
+    exchange — the old cost, never worse."""
     par = edges.sparkSession.sparkContext.defaultParallelism
     fwd = edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
-    return (
-        fwd.unionAll(
-            edges.select(
-                F.col("v").cast("long").alias("u"),
-                F.col("u").cast("long").alias("v"),
-            )
+    sym = fwd.unionAll(
+        edges.select(
+            F.col("v").cast("long").alias("u"),
+            F.col("u").cast("long").alias("v"),
         )
+    )
+    return (
+        sym.unionAll(sym.select("u", F.col("u").alias("v")))
         .repartition(par, "u")
         .dropDuplicates(["u", "v"])
     )
@@ -210,28 +218,38 @@ def anf_sketch_by_hop(
     hop h = 0..max_hops — est_q is the estimated |ball_h(node)| in
     q units (the ball includes the node itself).
 
-    Plan shape: state is one row per node with M BIGINT register
-    columns; each hop is one edge join + one groupBy(node) with M
-    ``bit_or`` aggregates (idempotent merge -> map-side partial
-    aggregation applies). localCheckpoint per hop cuts lineage. Per-hop
-    shuffle volume is |E| * M * 8 bytes, independent of hop count and
-    diameter — the linear-state contrast to the exact all-origins
-    frontier whose (origin, node) row count tends to |V|^2.
+    Plan shape (r12): state is one row per node with M BIGINT register
+    columns; each hop is ONE broadcast join against the self-loop-
+    extended edge frame + ONE groupBy(node) with M ``bit_or``
+    aggregates that inherits the frame's hash(u) layout — zero
+    exchanges per hop while state broadcasts, one register exchange
+    (|E| * M * 8 bytes, the old per-hop cost) when it does not.
+    Lazy localCheckpoints cut lineage per hop without a driver-paced
+    materialization job each. The linear-state contrast to the exact
+    all-origins frontier (|V|^2-tending (origin, node) rows) is
+    unchanged.
     """
     from neo4j_arrow_spark.functions.hashing import hash64
 
-    und = _undirected(edges).persist()
+    und = _undirected_plus_self(edges).persist()
     nodes = und.select(F.col("u").alias("node")).distinct()
     with_hash = nodes.select(
         "node", hash64(F.col("node").cast("string"), seed=seed).alias("_h")
     )
+    # LAZY checkpoints throughout (r12, guide §5.3): the hop count is
+    # fixed and there is no emptiness check, so nothing needs per-hop
+    # materialization — the whole recurrence runs as ONE action whose
+    # first consumer fills each level's blocks (lineage still truncates
+    # there), instead of one driver-paced job per hop (profiled: the
+    # eager form spent ~90% of its wall in 24-30 sequential build jobs,
+    # exec itself was ~0.65s).
     state = with_hash.select(
         "node",
         *[
             F.expr(init_register_sql("spark", "_h", j)).alias(f"r{j}")
             for j in range(M)
         ],
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     def est_frame(st: DataFrame) -> DataFrame:
         # staged projections keep each expression within codegen limits
@@ -252,17 +270,25 @@ def anf_sketch_by_hop(
 
     per_hop = [est_frame(state)]
     for _ in range(max_hops):
-        prop = und.join(state, und["v"] == state["node"]).select(
-            F.col("u").alias("node"), *REG_COLS
-        )
+        # the self-loop rows deliver each node its own registers, so
+        # the join IS the whole recurrence — no union with state, and
+        # the aggregation's key (u AS node) matches und's hash(u)
+        # layout: no exchange while state broadcasts
         state = (
-            state.unionByName(prop)
+            und.join(state, und["v"] == state["node"])
+            .select(und["u"].alias("node"), *REG_COLS)
             .groupBy("node")
             .agg(*[F.bit_or(c).alias(c) for c in REG_COLS])
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         per_hop.append(est_frame(state))
-    und.unpersist()
+    # und must STAY persisted until the lazy chain actually runs (the
+    # old eager form could release it here because every state was
+    # already materialized). The handle rides on every returned frame;
+    # the public operators propagate it to their outputs so consumers
+    # release it via dedup.unpersist_intermediates once done.
+    for f in per_hop:
+        f._persisted_intermediates = [und]  # type: ignore[attr-defined]
     return per_hop
 
 
@@ -292,12 +318,14 @@ def harmonic_anf(edges: DataFrame, max_hops: int = 3, seed: int = 0) -> DataFram
     }
     harmonic = " + ".join(_idiv("spark", deltas[h], str(h)) for h in deltas)
     total = " + ".join(f"({deltas[h]}) * {h}" for h in deltas)
-    return out.select(
+    res = out.select(
         "node",
         (F.col(f"e{n_hops}") - F.col("e0")).alias("reached_est_q"),
         F.expr(harmonic).cast("long").alias("harmonic_est_q"),
         F.expr(total).cast("long").alias("total_hops_est_q"),
     )
+    res._persisted_intermediates = per_hop[0]._persisted_intermediates  # type: ignore[attr-defined]
+    return res
 
 
 def anf_curve(edges: DataFrame, max_hops: int = 3, seed: int = 0) -> DataFrame:
@@ -315,6 +343,7 @@ def anf_curve(edges: DataFrame, max_hops: int = 3, seed: int = 0) -> DataFrame:
     out = curves[0]
     for c in curves[1:]:
         out = out.unionByName(c)
+    out._persisted_intermediates = per_hop[0]._persisted_intermediates  # type: ignore[attr-defined]
     return out
 
 
@@ -343,7 +372,7 @@ def effective_diameter_hops(
     if not 1 <= q_pct <= 100:
         raise ValueError(f"q_pct must be in 1..100, got {q_pct}")
     plateau = curve.agg(F.max("nf_est_q").alias("_plat"))
-    return (
+    out = (
         curve.crossJoin(F.broadcast(plateau))
         .where(F.expr(
             f"nf_est_q >= (_plat DIV 100) * {q_pct} "
@@ -360,6 +389,10 @@ def effective_diameter_hops(
             F.col("nf_est_q").alias("nf_at_eff_q"),
         )
     )
+    out._persisted_intermediates = getattr(  # type: ignore[attr-defined]
+        curve, "_persisted_intermediates", []
+    )
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -5328,9 +5328,13 @@ def anf_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = rels.filter(F.col("TYPE") == "BUYS_FROM").select(
         F.col("START_ID").alias("u"), F.col("END_ID").alias("v")
     )
-    return effective_diameter_hops(anf_curve(edges, max_hops=3)).select(
-        "eff_hops", "plateau_nf_q"
+    out = effective_diameter_hops(anf_curve(edges, max_hops=3))
+    res = out.select("eff_hops", "plateau_nf_q")
+    # propagate the persisted-undirected handle through the projection
+    res._persisted_intermediates = getattr(
+        out, "_persisted_intermediates", []
     )
+    return res
 
 
 @query(
